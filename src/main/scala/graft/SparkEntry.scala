@@ -21,7 +21,21 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.VectorQueries.queries ++
+      graft.queries.EventQueries.queries
+
+  def oracleSql: Map[String, String] =
+    relationalOracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.EventQueries.oracles
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A2/A9/A13 (TPC-H Q1 shape): multi-key group, exact sums, conditional
     // aggregation — reference analog: dashboard group-counts
@@ -209,7 +223,7 @@ object SparkEntry {
 
   // -------------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  private def relationalOracles: Map[String, String] = Map(
     "a9_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Num.sqlSumExact("l_quantity")} AS sum_qty,

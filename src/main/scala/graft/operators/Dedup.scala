@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.PolyHash64.polyHash64
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard (exact near-dup ground truth),
+  * MinHash+LSH (scalable candidate generation), SimHash (bit-band
+  * clustering). SURVEY §7.4 item 10 / builder-prompt extension ops.
+  *
+  * Scale posture (100 TB): every operator shuffles on a
+  * *content-derived* key (md5, shingle, band hash) so work distributes
+  * by data, never by source partition; candidate verification touches
+  * only bucket-cohabiting pairs, not the cross product.
+  */
+object Dedup {
+
+  import org.apache.spark.sql.expressions.Window
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup summary over a text column: total docs, distinct texts
+    * (by md5 — same digest function in the DuckDB oracle), dup count. */
+  def exactSummary(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+
+  /** Exact dedup: keep the first (lowest doc_id) row per distinct text. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
+  // --------------------------------------------------------- shingles
+
+  /** Distinct k-word shingles of a token array (1-based element_at). */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exploded (doc_id, shingle) pairs — the join-able shingle relation. */
+  def shingleRel(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingles(TextFunctions.wsTokens(lower(col("text"))), k)).as("s"))
+
+  // --------------------------------------------- exact n-gram Jaccard
+
+  /** Top-N near-duplicate pairs by exact k-shingle Jaccard similarity.
+    * Self-equi-join on shingle → intersection counts → |A∪B| from
+    * per-doc set sizes. This is the ground truth MinHash approximates;
+    * at scale the shingle join IS the LSH bucket join with bands of 1.
+    */
+  def ngramJaccardTopN(docs: DataFrame, k: Int, topN: Int): DataFrame = {
+    val sh = shingleRel(docs, k).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .orderBy(desc("jaccard"), col("id1"), col("id2"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[ngramJaccardTopN]] (k fixed at call site). */
+  def ngramJaccardSql(k: Int, topN: Int): String = {
+    val joins = (1 until k).map(j =>
+      s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
+    val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+       |  FROM toks),
+       |sh AS (
+       |  SELECT DISTINCT t0.doc_id, $catted AS s
+       |  FROM p t0 $joins),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |       CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+       |FROM inter
+       |JOIN sz s1 ON s1.doc_id = id1
+       |JOIN sz s2 ON s2.doc_id = id2
+       |ORDER BY jaccard DESC, id1, id2 LIMIT $topN""".stripMargin
+  }
+
+  // ------------------------------------------------------ MinHash+LSH
+
+  /** Deterministic MinHash parameters (no runtime randomness — Spark
+    * task retries must reproduce identical signatures). */
+  private val MinhashP = 2305843009213693951L // 2^61 - 1
+  private def seedsA(n: Int): Seq[Long] = (1 to n).map(i => 2L * i * 1000003L + 1L)
+  private def seedsB(n: Int): Seq[Long] = (1 to n).map(i => i * 998244353L % MinhashP)
+
+  /** MinHash signature (numHashes values) from a shingle array.
+    * h_i(s) = (a_i · polyHash64(s) + b_i) mod (2^61−1), min over set. */
+  def minhashSig(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      val a = seedsA(numHashes)(i); val b = seedsB(numHashes)(i)
+      array_min(transform(shingleArr,
+        s => pmod(polyHash64(s) * a + b, lit(MinhashP))))
+    }: _*)
+
+  /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
+    * exact-Jaccard verification of candidates only.
+    * @param bands × @param rowsPerBand = signature length. */
+  def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs
+      .select(col("doc_id"),
+        shingles(TextFunctions.wsTokens(lower(col("text"))), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSig(col("sh"), numHashes))
+    // band b = hash of sig[b*r .. b*r+r)
+    val banded = withSig.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
+    * sign of the vote sum sets the fingerprint bit. One shuffle
+    * (explode → groupBy doc) with 64 codegen'd conditional sums. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.wsTokens(lower(col("text")))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums: Seq[Column] = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
+    * 16-bit band blocking (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 bands equal). */
+  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .dropDuplicates("id1", "id2")
+      .where(col("dist") <= maxDist)
+      .orderBy(col("id1"), col("id2"))
+  }
+}

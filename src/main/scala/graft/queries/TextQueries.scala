@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{Num, TextFunctions => TF}
+import graft.functions.PolyHash64
+import graft.operators.TextAnalysis
+
+/** Text-function (SURVEY §2.7 X1–X10) and text-analysis extension
+  * queries over the `documents` table. The letter/score/think patterns
+  * are exercised on synthesized suffixes so every cascade branch fires
+  * on real text; the DuckDB oracle performs the identical synthesis.
+  */
+object TextQueries {
+
+  // Spark-side synthesized answer text: cycles through the 4 letter
+  // patterns; the oracle mirrors this construction 1:1.
+  private def synthAnswer(s: SparkSession): org.apache.spark.sql.Column = {
+    val l = chr(lit(65) + pmod(col("doc_id"), lit(26)))
+    val m = pmod(col("doc_id"), lit(4))
+    when(m === 0, concat(col("text"), lit(" ###"), l, lit("###")))
+      .when(m === 1, concat(col("text"), lit(" Answer: "), l))
+      .when(m === 2, concat(col("text"), lit("\n"), l, lit(".")))
+      .otherwise(concat(col("text"), lit(" the correct answer is "), lower(l)))
+  }
+
+  private val synthAnswerSql: String =
+    """(CASE CAST(doc_id % 4 AS INT)
+      | WHEN 0 THEN text || ' ###' || chr(CAST(65 + doc_id % 26 AS INT)) || '###'
+      | WHEN 1 THEN text || ' Answer: ' || chr(CAST(65 + doc_id % 26 AS INT))
+      | WHEN 2 THEN text || chr(10) || chr(CAST(65 + doc_id % 26 AS INT)) || '.'
+      | ELSE text || ' the correct answer is ' || lower(chr(CAST(65 + doc_id % 26 AS INT)))
+      | END)""".stripMargin.replace("\n", " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X1: 4-pattern letter-extraction cascade (letter_extract.py:9-40)
+    "x1_letter_extraction" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("letter", TF.extractLetter(synthAnswer(s)))
+        .groupBy(col("letter")).agg(count(lit(1)).as("n"))
+        .orderBy(col("letter"))
+    }),
+
+    // X2: [[x.y]] score extraction with clamp (letter_extract.py:43-53)
+    "x2_score_extraction" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("score", TF.extractScore(
+          concat(col("text"), lit(" [["),
+            pmod(col("doc_id"), lit(15)).cast("string"), lit(".5]]"))))
+        .groupBy(col("score")).agg(count(lit(1)).as("n"))
+        .orderBy(col("score"))
+    }),
+
+    // X4: <think> stripping (judging.py:13-17)
+    "x4_strip_thinking" -> ((s, dir) => {
+      val wrapped = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("<think>"), col("text"), lit("</think>  kept tail")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("slen", length(TF.stripThinking(wrapped)))
+        .groupBy(col("lang"))
+        .agg(sum(col("slen")).cast("long").as("total_len"),
+             count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // A17 + A12: word-count histogram, reference bins (main.py:426-429)
+    "a17_word_histogram" -> ((s, dir) => {
+      val wc = TF.wordCount(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("bin",
+          when(wc < 50, "0-49").when(wc < 100, "50-99")
+            .when(wc < 200, "100-199").when(wc < 400, "200-399")
+            .when(wc < 600, "400-599").otherwise("600+"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    }),
+
+    // F4: case-insensitive substring search (main.py:102-114)
+    "f4_search_documents" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(lower(col("text")).contains("join the"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+
+    // Extension: language-ID heuristic — predicted vs labeled confusion
+    "t1_langid_confusion" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Extension: quality scoring — per-row sample (exact doubles)
+    "t2_quality_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Extension: BPE-ish token counting per language
+    "t3_token_count_by_lang" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(TF.tokenCount(col("text"))).cast("long").as("total_tokens"),
+             sum(TF.wordCount(col("text"))).cast("long").as("total_words"))
+        .orderBy(col("lang"))
+    }),
+
+    // Extension: document fingerprint via native PolyHash64 expression
+    "t4_fingerprint_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), PolyHash64.polyHash64(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x1_letter_extraction" ->
+      s"""SELECT ${TF.extractLetterSql(synthAnswerSql)} AS letter, COUNT(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x2_score_extraction" ->
+      s"""SELECT ${TF.extractScoreSql(
+            "(text || ' [[' || CAST(doc_id % 15 AS VARCHAR) || '.5]]')")} AS score,
+         |       COUNT(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x4_strip_thinking" ->
+      s"""SELECT lang,
+         |  CAST(SUM(length(${TF.stripThinkingSql(
+              "(CASE WHEN doc_id % 2 = 0 THEN '<think>' || text || '</think>  kept tail' ELSE text END)")})) AS BIGINT) AS total_len,
+         |  COUNT(*) AS n
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "a17_word_histogram" ->
+      s"""SELECT CASE WHEN wc < 50 THEN '0-49' WHEN wc < 100 THEN '50-99'
+         |  WHEN wc < 200 THEN '100-199' WHEN wc < 400 THEN '200-399'
+         |  WHEN wc < 600 THEN '400-599' ELSE '600+' END AS bin, COUNT(*) AS n
+         |FROM (SELECT ${TF.wordCountSql("text")} AS wc FROM documents) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f4_search_documents" ->
+      """SELECT source, COUNT(*) AS n FROM documents
+        |WHERE contains(lower(text), 'join the')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "t1_langid_confusion" ->
+      s"""SELECT lang, ${TextAnalysis.langIdSql("text")} AS predicted, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t2_quality_sample" ->
+      s"""SELECT doc_id, ${TextAnalysis.qualitySql("text")} AS quality
+         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+
+    "t3_token_count_by_lang" ->
+      s"""SELECT lang,
+         |  CAST(SUM(${TF.tokenCountSql("text")}) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(${TF.wordCountSql("text")}) AS BIGINT) AS total_words
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t4_fingerprint_sample" ->
+      s"""SELECT doc_id, ${PolyHash64.sql("text")} AS fp
+         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+import graft.operators.Similarity
+
+/** Similarity-search extension queries over `embeddings` (64-dim
+  * float vectors). Brute-force cosine top-k is oracle-checked against an
+  * unrolled-arithmetic DuckDB query (identical IEEE evaluation order);
+  * the LSH variant is the scale path (rows-only check + ScalaTest
+  * recall assertion vs brute force).
+  */
+object VectorQueries {
+  val Dim = 64
+  val SampleMod = 50
+  val TopK = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), SampleMod, TopK)),
+
+    "v2_lsh_cosine_pairs" -> ((s, dir) =>
+      Similarity.lshCosinePairs(Tables.embeddings(s, dir), Dim,
+        nBits = 12, minCos = 0.2))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "v1_cosine_topk" -> Similarity.bruteForceTopKSql(Dim, SampleMod, TopK)
+  )
+}
