@@ -23,6 +23,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++
+      graft.queries.CoverageQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.VectorQueries.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     relationalOracles ++
+      graft.queries.CoverageQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.VectorQueries.oracles ++

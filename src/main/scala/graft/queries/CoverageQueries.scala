@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.{Num, TextFunctions => TF}
+
+/** Coverage batch: the SURVEY §2 operator families not yet exercised by
+  * the first two batches, mapped onto the star-schema testdata.
+  */
+object CoverageQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S4: derived membership column at ingest (seed.py:16-60,107)
+    "s4_derived_isin_flag" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .withColumn("premium_brand",
+          col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .groupBy(col("premium_brand")).agg(count(lit(1)).as("n"))
+        .orderBy(col("premium_brand"))
+    }),
+
+    // S5: ingest type coercion — substring + cast (seed.py:90-94)
+    "s5_substring_cast" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .withColumn("brand_num", substring(col("p_brand"), 7, 2).cast("int"))
+        .groupBy(col("brand_num")).agg(count(lit(1)).as("n"))
+        .orderBy(col("brand_num"))
+    }),
+
+    // J3: one-to-many nested materialization (main.py:189,554-577) —
+    // compared as a deterministic csv (list ordering is engine-defined)
+    "j3_orders_per_customer_csv" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+               x => x.cast("string")), ",").as("orders_csv"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // J7: correlated-scalar-subquery sort key as groupBy+join
+    // (main.py:135-148)
+    "j7_first_ship_year" -> ((s, dir) => {
+      val firstShip = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate")).as("first_ship"))
+      Tables.orders(s, dir)
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"), year(col("first_ship")).as("ship_year"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("ship_year"))
+    }),
+
+    // A6: distinct-set accumulation per bucket (main.py:264-307)
+    "a6_distinct_custs_per_nation" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          countDistinct(when(col("o_orderstatus") === "F", col("c_custkey"))).as("n_f"),
+          countDistinct(when(col("o_orderstatus") === "O", col("c_custkey"))).as("n_o"),
+          countDistinct(col("c_custkey")).as("n_total"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // A13: conditional accuracy-style aggregation (experiment_stats.py:31-35)
+    "a13_return_rate_by_priority" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+          count(lit(1)).as("n_lines"),
+          (sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("return_rate"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A14: per-entity rollup, sorted + top-N (experiment_stats.py:163-222)
+    "a14_part_rollup_top20" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          Num.sumExact(col("l_quantity")).as("total_qty"),
+          Num.avgExact(col("l_extendedprice")).as("avg_price"))
+        .orderBy(desc("total_qty"), col("l_partkey"))
+        .limit(20)
+    }),
+
+    // A16: per-judge breakdown analog — per-supplier stats incl. exact
+    // median (routers/judging.py:111-132; ref median is exact)
+    "a16_supplier_breakdown" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          Num.avgExact(col("l_discount")).as("avg_disc"),
+          median(col("l_quantity")).as("median_qty"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // O4: composite struct sort — (dim asc, measure desc) (main.py:308)
+    "o4_nations_by_region_desc_custs" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val c = Tables.customer(s, dir)
+      c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_custs"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("n_custs"))
+        .orderBy(col("r_name"), desc("n_custs"), col("n_name"))
+    }),
+
+    // U1: union + distinct count (main.py:293)
+    "u1_union_distinct_custs" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val negative = c.where(col("c_acctbal") < 0).select(col("c_custkey"))
+      building.union(negative).distinct().agg(count(lit(1)).as("n_custs"))
+    }),
+
+    // U3: config-family membership (Dashboard.jsx:578-580)
+    "u3_priority_family" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("family",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent_family")
+            .otherwise("normal_family"))
+        .groupBy(col("family")).agg(count(lit(1)).as("n"),
+          Num.sumExact(col("o_totalprice")).as("total_price"))
+        .orderBy(col("family"))
+    }),
+
+    // X3: gold index → letter (letter_extract.py:4-6)
+    "x3_gold_to_letter" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .withColumn("letter", TF.goldToLetter(pmod(col("p_size"), lit(26))))
+        .groupBy(col("letter")).agg(count(lit(1)).as("n"))
+        .orderBy(col("letter"))
+    }),
+
+    // X5: choices array → "A) …" block (generation.py:12-19)
+    "x5_format_choices" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .where(pmod(col("p_partkey"), lit(50)) === 0)
+        .withColumn("choices", split(col("p_name"), " "))
+        .select(col("p_partkey"), TF.formatChoices(col("choices")).as("block"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // X6: prompt template substitution (generation.py:22-37)
+    "x6_build_prompt" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .where(pmod(col("p_partkey"), lit(50)) === 0)
+        .select(col("p_partkey"),
+          TF.buildPrompt(
+            lit("You are taking an exam in {course_name}.\n\nQuestion: {question}\n\nAnswer:"),
+            col("p_type"), col("p_name")).as("prompt"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // X9/X10: rounding + percent formatting (experiment_stats.py:95;
+    // main.py:385)
+    "x10_percent_by_flag" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val total = li.count()
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct",
+          concat(round(col("n") * 100.0 / lit(total.toDouble)).cast("int"), lit("%")))
+        .withColumn("share", round(col("n") / lit(total.toDouble), 4))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // F6/F7: prefix predicate on joined child rows (generation.py:24,93)
+    "f6_promo_parts_by_brand" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p  = Tables.part(s, dir)
+      li.join(broadcast(p.where(col("p_type").startsWith("PROMO"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // F8: one-pass row partition (experiment_stats.py:32,38)
+    "f8_split_counts" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(
+          sum(when(col("l_returnflag") === "N", 1).otherwise(0)).as("n_kept"),
+          sum(when(col("l_returnflag") =!= "N", 1).otherwise(0)).as("n_returned_or_ack"))
+    }),
+
+    // Window: running sum in event-time order (streaming-adjacent)
+    "w1_running_customer_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .where(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(Num.dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Window: rank with deterministic tiebreak
+    "w2_top2_orders_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s4_derived_isin_flag" ->
+      """SELECT p_brand IN ('Brand#11','Brand#22','Brand#33') AS premium_brand,
+        |       COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s5_substring_cast" ->
+      """SELECT CAST(substring(p_brand, 7, 2) AS INT) AS brand_num, COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j3_orders_per_customer_csv" ->
+      """SELECT o_custkey,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orders_csv,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "j7_first_ship_year" ->
+      """SELECT o_orderstatus, YEAR(first_ship) AS ship_year, COUNT(*) AS n
+        |FROM orders JOIN (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+        |                  FROM lineitem GROUP BY l_orderkey) f
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a6_distinct_custs_per_nation" ->
+      """SELECT c_nationkey,
+        |  COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN c_custkey END) AS n_f,
+        |  COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN c_custkey END) AS n_o,
+        |  COUNT(DISTINCT c_custkey) AS n_total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "a13_return_rate_by_priority" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS return_rate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a14_part_rollup_top20" ->
+      s"""SELECT l_partkey, COUNT(*) AS n_lines,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders,
+         |  ${Num.sqlSumExact("l_quantity")} AS total_qty,
+         |  ${Num.sqlAvgExact("l_extendedprice")} AS avg_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY l_partkey ORDER BY total_qty DESC, l_partkey LIMIT 20""".stripMargin,
+
+    "a16_supplier_breakdown" ->
+      s"""SELECT l_suppkey, COUNT(*) AS n,
+         |  ${Num.sqlAvgExact("l_discount")} AS avg_disc,
+         |  median(l_quantity) AS median_qty
+         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "o4_nations_by_region_desc_custs" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_custs
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_custs DESC, n_name""".stripMargin,
+
+    "u1_union_distinct_custs" ->
+      """SELECT COUNT(*) AS n_custs FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0) t""".stripMargin,
+
+    "u3_priority_family" ->
+      s"""SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+         |  THEN 'urgent_family' ELSE 'normal_family' END AS family,
+         |  COUNT(*) AS n, ${Num.sqlSumExact("o_totalprice")} AS total_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x3_gold_to_letter" ->
+      """SELECT chr(CAST(65 + p_size % 26 AS INT)) AS letter, COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x5_format_choices" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(p_name, ' ')[1:26],
+        |    (c, i) -> chr(CAST(64 + i AS INT)) || ') ' || c), chr(10)) AS block
+        |FROM part WHERE p_partkey % 50 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "x6_build_prompt" ->
+      """SELECT p_partkey,
+        |  replace(replace(
+        |    'You are taking an exam in {course_name}.' || chr(10) || chr(10) ||
+        |    'Question: {question}' || chr(10) || chr(10) || 'Answer:',
+        |    '{course_name}', p_type), '{question}', p_name) AS prompt
+        |FROM part WHERE p_partkey % 50 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "x10_percent_by_flag" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(round(COUNT(*) * 100.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem)) AS INT) || '%' AS pct,
+        |  round(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem), 4) AS share
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f6_promo_parts_by_brand" ->
+      """SELECT p_brand, COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type LIKE 'PROMO%'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "f8_split_counts" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned_or_ack
+        |FROM lineitem""".stripMargin,
+
+    "w1_running_customer_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w2_top2_orders_per_customer" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin
+  )
+}
