@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: media as opaque
+  * `binary` payloads + typed metadata, with decode / feature-extract /
+  * resize / frame-sample stages (builder-prompt extension op).
+  *
+  * The Spark-side plumbing is real — schema, partition-friendly batch
+  * shape (mapPartitions so per-batch decoder setup amortizes, the JVM
+  * equivalent of `mapInPandas` batches), pushdown-friendly metadata
+  * predicates. The actual codec work is STUBBED deterministically
+  * (`StubCodec`): this container has no image/audio libraries, so the
+  * stub derives pseudo-features from the payload bytes — swap
+  * `MediaCodec` for a real implementation to productionize.
+  */
+object Multimodal {
+
+  case class MediaMeta(media_type: String, width: Int, height: Int,
+                       duration_ms: Long, codec: String)
+  case class MediaFile(media_id: Long, source: String, payload: Array[Byte],
+                       meta: MediaMeta)
+  case class DecodedMedia(media_id: Long, source: String, media_type: String,
+                          width: Int, height: Int, n_frames: Int,
+                          features: Array[Float])
+
+  /** Codec seam: decode+featurize one payload. Serializable — shipped
+    * inside mapPartitions tasks. */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], meta: MediaMeta): (Int, Array[Float])
+  }
+
+  /** STUB: deterministic pseudo-decode — frame count from duration,
+    * features from a rolling hash of the bytes. Real decode goes here. */
+  class StubCodec(featureDim: Int = 8) extends MediaCodec {
+    override def decode(payload: Array[Byte], meta: MediaMeta): (Int, Array[Float]) = {
+      val nFrames = if (meta.media_type == "video")
+        math.max(1, (meta.duration_ms / 40L).toInt) else 1
+      var h = 1125899906842597L
+      val features = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        h = h * 31 + (payload(i) & 0xff)
+        features(i % featureDim) += ((h % 1000) / 1000.0f)
+        i += 1
+      }
+      (nFrames, features.map(f => f / math.max(1, payload.length / featureDim)))
+    }
+  }
+
+  /** Decode + feature-extract in partition batches. Codec construction
+    * happens once per partition (the expensive part with a real codec),
+    * rows stream through — same batch shape `mapInPandas` gives Python. */
+  def decodeAndFeaturize(media: Dataset[MediaFile],
+                         codec: MediaCodec): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (nFrames, features) = codec.decode(m.payload, m.meta)
+        DecodedMedia(m.media_id, m.source, m.meta.media_type,
+          m.meta.width, m.meta.height, nFrames, features)
+      }
+    }
+  }
+
+  /** Metadata-only predicates stay columnar — never touch the payload
+    * (at 100 TB the payload column must not be read for a filter). */
+  def filterByMeta(media: DataFrame, minWidth: Int, mediaTypes: Seq[String]): DataFrame =
+    media.where(col("meta.width") >= minWidth &&
+      col("meta.media_type").isin(mediaTypes: _*))
+
+  /** Frame sampling plan for videos: every `stride`-th frame index up to
+    * `maxFrames` — pure Column arithmetic (the decode of the selected
+    * frames is the stubbed stage). */
+  def frameSamplePlan(decoded: DataFrame, stride: Int, maxFrames: Int): DataFrame =
+    decoded.where(col("media_type") === "video")
+      .withColumn("sampled_frames",
+        slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), 1, maxFrames))
+      .withColumn("n_sampled", size(col("sampled_frames")))
+
+  /** Resize plumbing: records the target geometry per row (aspect-fit),
+    * payload transform stubbed. */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(maxSide) / col("meta.width").cast("double"),
+      lit(maxSide) / col("meta.height").cast("double"), lit(1.0))
+    media
+      .withColumn("target_width", floor(col("meta.width") * scale).cast("int"))
+      .withColumn("target_height", floor(col("meta.height") * scale).cast("int"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Num
+
+/** Structured Streaming surface over the `events` table shape
+  * (TESTDATA.md; SURVEY §2.8's extension point). The reference has no
+  * stream processing — these are the training-pipeline streaming
+  * operators a 100 TB ingest needs: tumbling/sliding windowed
+  * aggregation with watermarked late-data handling, and stateful
+  * per-user sessionization.
+  *
+  * Every transform takes/returns DataFrames so the SAME code runs in
+  * batch (tests, backfill) and streaming (readStream) — the Structured
+  * Streaming unification.
+  */
+object EventStreams {
+
+  val EventSchema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+    "event_type STRING, value DOUBLE, props STRING"
+
+  /** File-source stream with the events schema. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** Tumbling-window count+sum per event type, 10-minute watermark —
+    * append-safe (late rows beyond the watermark are dropped). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.sumExact(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows (overlapping) — e.g. 1h window every 15 min. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  // ------------------------------------------------- sessionization
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Int, totalValue: Double)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Int,
+                         total_value: Double)
+
+  /** Gap-based sessionization: a session closes after `gapMinutes` of
+    * inactivity (event-time timeout). Custom state via
+    * flatMapGroupsWithState — the Spark-native replacement for a
+    * hand-rolled stateful operator. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(UserSession(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end), s.n, s.totalValue))
+      }
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[UserSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(s.copy(end = t, n = s.n + 1, totalValue = s.totalValue + e.value))
+          case Some(s) =>
+            closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.totalValue)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch-mode sessionization with identical semantics (window-function
+    * formulation) — the oracle for the stateful variant and the
+    * backfill path. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60 * 1000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("session_id")
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink
+    * (file sources are finite here) and return the result table. */
+  def runToMemory(stream: DataFrame, name: String,
+                  outputMode: String = "append"): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    stream.sparkSession.table(name)
+  }
+}

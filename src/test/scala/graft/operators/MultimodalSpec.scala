@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import Multimodal._
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val media: Seq[MediaFile] = {
+    // synthesize binary payloads from document text (no media libs in
+    // this container — payload content is opaque to the plumbing anyway)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(20).collect()
+    docs.zipWithIndex.map { case (r, i) =>
+      val bytes = r.getAs[String]("text").getBytes("UTF-8")
+      val mt = Seq("image", "video", "audio")(i % 3)
+      MediaFile(r.getAs[Long]("doc_id"), r.getAs[String]("source"), bytes,
+        MediaMeta(mt, width = 640 + i * 10, height = 480, duration_ms = 2000L * (i + 1),
+          codec = "fake"))
+    }.toSeq
+  }
+
+  test("decode+featurize: batch shape, deterministic stub features") {
+    val ds = media.toDS().repartition(3)
+    val out1 = decodeAndFeaturize(ds, new StubCodec(8)).collect()
+      .map(d => d.media_id -> d.features.toSeq).toMap
+    val out2 = decodeAndFeaturize(ds.repartition(5), new StubCodec(8)).collect()
+      .map(d => d.media_id -> d.features.toSeq).toMap
+    assert(out1 === out2) // partitioning must not change results
+    assert(out1.values.forall(_.length === 8))
+  }
+
+  test("metadata filters never need the payload (pruned scan shape)") {
+    val df = media.toDS().toDF()
+    val filtered = filterByMeta(df, minWidth = 700, mediaTypes = Seq("image", "video"))
+    val plan = filtered.select(col("media_id"), col("meta.width"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("payload"), s"payload column not pruned:\n$plan")
+    assert(filtered.count() > 0)
+  }
+
+  test("frame sampling plan: stride + cap") {
+    val decoded = decodeAndFeaturize(media.toDS(), new StubCodec()).toDF()
+    val sampled = frameSamplePlan(decoded, stride = 10, maxFrames = 5)
+    val rows = sampled.select("n_frames", "n_sampled").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = math.min(5, (r.getInt(0) + 9) / 10)
+      assert(r.getInt(1) === expected)
+    }
+  }
+
+  test("resize plan preserves aspect ratio and never upscales") {
+    val df = media.toDS().toDF()
+    val resized = resizePlan(df, maxSide = 320).collect()
+    resized.foreach { r =>
+      val tw = r.getAs[Int]("target_width"); val th = r.getAs[Int]("target_height")
+      assert(tw <= 640 + 200 && th <= 320)
+      assert(tw <= r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width"))
+    }
+  }
+}

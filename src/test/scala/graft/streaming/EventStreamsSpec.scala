@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Streaming semantics: batch/stream parity for windowed aggregation,
+  * sessionization gap logic (stateful vs window-function oracle).
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    // stage the events table alone in a directory (streaming file source
+    // reads a whole dir; testdata mixes all tables in one)
+    val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling window equals the batch aggregation") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val got = EventStreams.runToMemory(
+      EventStreams.tumblingCounts(stream), "tumbling_out")
+      .select("window_start", "event_type", "n", "total_value")
+
+    val batch = EventStreams.tumblingCounts(
+      spark.read.parquet(eventsDir))
+      .select("window_start", "event_type", "n", "total_value")
+
+    // append mode only emits windows the watermark has passed: the last
+    // windows (end > maxTs - 10min) stay open in a finite run. Everything
+    // emitted must match batch; everything unemitted must be in the
+    // still-open horizon.
+    val g = got.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(g.subsetOf(b))
+    assert(g.nonEmpty)
+    val maxTs = spark.read.parquet(eventsDir)
+      .agg(max(col("ts"))).first().getTimestamp(0).getTime
+    val horizon = maxTs - 10 * 60 * 1000
+    val unemitted = b -- g
+    val windowEnd = batch.collect().map(r =>
+      r.toSeq -> (r.getAs[java.sql.Timestamp]("window_start").getTime + 3600 * 1000)).toMap
+    assert(unemitted.forall(w => windowEnd(w) > horizon),
+      s"windows missing from the stream output outside the open horizon: " +
+        s"${unemitted.filter(w => windowEnd(w) <= horizon).take(3)}")
+  }
+
+  test("stateful sessionization matches the window-function batch oracle") {
+    val ev = spark.read.parquet(eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+
+    val streamed = EventStreams.sessionize(ev, gapMinutes = 30)
+    // run via the batch execution of flatMapGroupsWithState
+    val got = streamed.collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events))
+      .toSet
+
+    val oracle = EventStreams.sessionizeBatch(spark.read.parquet(eventsDir),
+        gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getInt(3)))
+      .toSet
+
+    // batch flatMapGroupsWithState never times out → only closed sessions
+    // are emitted; every emitted session must be in the oracle
+    assert(got.subsetOf(oracle))
+    // and the oracle minus the final (open) session per user is exactly `got`
+    val finalPerUser = oracle.groupBy(_._1).view.mapValues(_.maxBy(_._3)).values.toSet
+    assert(oracle -- finalPerUser === got)
+  }
+
+  test("sessionization: explicit gap fixture") {
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+    val ev = Seq(
+      EventStreams.Event(1, ts(0), 7, "click", 1.0),
+      EventStreams.Event(2, ts(10), 7, "click", 2.0),
+      EventStreams.Event(3, ts(120), 7, "click", 4.0), // 110-min gap → new session
+      EventStreams.Event(4, ts(125), 7, "click", 8.0)).toDS()
+    val sessions = EventStreams.sessionizeBatch(ev.toDF(), gapMinutes = 30)
+      .orderBy("session_start").collect()
+    assert(sessions.length === 2)
+    assert(sessions(0).getAs[Int]("n_events") === 2)
+    assert(sessions(0).getAs[Double]("total_value") === 3.0)
+    assert(sessions(1).getAs[Int]("n_events") === 2)
+    assert(sessions(1).getAs[Double]("total_value") === 12.0)
+  }
+}
