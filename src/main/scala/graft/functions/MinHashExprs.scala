@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash expressions.
+  *
+  * The compositional formulation — `transform(shingles, polyHash64)`
+  * inside 32 × `array_min(transform(...))` — runs interpreted (Spark
+  * evaluates higher-order-function lambdas per element with no codegen)
+  * and re-walks the shingle array once per hash function: measured 37 s
+  * for 5000 docs at sf0.1. These two expressions do the same work in
+  * one tight JVM loop per row (~1000× fewer allocations): this is the
+  * "custom Expression where built-ins can't express it efficiently"
+  * case of the extension-preference order.
+  */
+
+/** Distinct k-token-shingle hashes of an array<string> token column:
+  * FNV-1a 64 over the shingle's token bytes with a separator byte —
+  * full 64-bit space (collision odds ~1e-11 at 1e5 shingles), never
+  * materializes the joined string. Output order: first occurrence. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    // token bytes fetched once
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { tb(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n - k + 1)
+    var start = 0
+    while (start <= n - k) {
+      var h = ShingleHashes.FnvOffset
+      var j = start
+      while (j < start + k) {
+        if (j > start) { h ^= ' '.toLong; h *= ShingleHashes.FnvPrime }
+        val bytes = tb(j)
+        var b = 0
+        while (b < bytes.length) {
+          h ^= (bytes(b) & 0xffL); h *= ShingleHashes.FnvPrime
+          b += 1
+        }
+        j += 1
+      }
+      if (seen.add(h)) out += h
+      start += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime  = 0x100000001b3L
+}
+
+/** MinHash signature over an array<long> of shingle hashes:
+  * sig[i] = min over shingles of (a_i·h + b_i) mod (2^61−1).
+  * Seeds are deterministic (task retries must reproduce signatures). */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val as: Array[Long] = MinHashSig.seedsA(numHashes)
+  @transient private lazy val bs: Array[Long] = MinHashSig.seedsB(numHashes)
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = MinHashSig.mod61(h * as(j) + bs(j))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val P: Long = 2305843009213693951L // 2^61 - 1
+  def seedsA(n: Int): Array[Long] = (1 to n).map(i => 2L * i * 1000003L + 1L).toArray
+  def seedsB(n: Int): Array[Long] = (1 to n).map(i => i * 998244353L % P).toArray
+  /** Sign-safe (x mod 2^61−1): shingle hashes span the full 64-bit
+    * range, so a·h+b may wrap negative — floorMod keeps the signature
+    * deterministic and non-negative. */
+  def mod61(x: Long): Long = java.lang.Math.floorMod(x, P)
+}
+
+/** Registration + Column API for the graft native expressions. */
+object Registry {
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("poly_hash64",
+      exprs => PolyHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+  }
+
+  def shingleHashes(tokens: Column, k: Int): Column =
+    call_function("shingle_hashes", tokens, lit(k))
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    call_function("minhash_sig", shingleHashes, lit(numHashes))
+}

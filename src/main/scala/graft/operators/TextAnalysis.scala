@@ -24,22 +24,31 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "no", "por", "para", "una", "como", "pero"),
     "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "he", "zai", "ren", "ta"))
 
-  private def toks(text: Column): Column = TextFunctions.wsTokens(lower(text))
+  /** Tokenization shared by every analysis: PRECOMPUTE this into its
+    * own column when combining analyses — higher-order functions block
+    * Spark's subexpression elimination, so inlining the split into each
+    * per-language filter multiplies the dominant regex cost (measured
+    * 5× on langId). */
+  def toks(text: Column): Column = TextFunctions.wsTokens(lower(text))
 
-  /** Hit count of `words` among whitespace tokens of `text`. */
+  /** Hit count of `words` among a pre-tokenized array. */
+  def langHitsFromTokens(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words)))
+
   def langHits(text: Column, words: Seq[String]): Column =
-    size(filter(toks(text), t => t.isInCollection(words)))
+    langHitsFromTokens(toks(text), words)
 
-  /** Predicted language: argmax of stopword hits, priority-ordered
-    * tiebreak, "und" (undetermined) when zero hits everywhere. */
-  def langId(text: Column): Column = {
-    val hits = LangWords.map { case (l, ws) => l -> langHits(text, ws) }
+  /** Predicted language from a pre-tokenized array: argmax of stopword
+    * hits, priority-ordered tiebreak, "und" when zero hits. */
+  def langIdFromTokens(tokens: Column): Column = {
+    val hits = LangWords.map { case (l, ws) => l -> langHitsFromTokens(tokens, ws) }
     val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = hits.foldRight(lit("und")) { case ((l, h), acc) =>
+    hits.foldRight(lit("und")) { case ((l, h), acc) =>
       when(h === maxHits && maxHits > 0, lit(l)).otherwise(acc)
     }
-    pick
   }
+
+  def langId(text: Column): Column = langIdFromTokens(toks(text))
 
   /** DuckDB equivalent of [[langId]] over column `col`. */
   def langIdSql(col: String): String = {
@@ -59,16 +68,17 @@ object TextAnalysis {
     *  0.3 · stopword ratio ×5 capped — natural-language-ness
     *  0.3 · distinct-token ratio     — not a single repeated token
     * Arithmetic is association-ordered identically in [[qualitySql]]. */
-  def qualityScore(text: Column): Column = {
-    val t = toks(text)
+  def qualityScoreFromTokens(t: Column): Column = {
     val n = size(t).cast("double")
-    val enHits = langHits(text, LangWords.head._2).cast("double")
+    val enHits = langHitsFromTokens(t, LangWords.head._2).cast("double")
     val distinctRatio = size(array_distinct(t)).cast("double") / n
     val lenScore = least(n / 100.0, lit(1.0))
     val stopScore = least(enHits / n * 5.0, lit(1.0))
     when(n === 0.0, 0.0)
       .otherwise(lenScore * 0.4 + stopScore * 0.3 + distinctRatio * 0.3)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(toks(text))
 
   def qualitySql(col: String): String = {
     val t = TextFunctions.wsTokensSql(s"lower($col)")

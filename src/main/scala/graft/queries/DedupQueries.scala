@@ -20,7 +20,8 @@ object DedupQueries {
       Dedup.exactSummary(Tables.documents(s, dir))),
 
     "d2_ngram_jaccard_top20" -> ((s, dir) =>
-      Dedup.ngramJaccardTopN(Tables.documents(s, dir), k = 3, topN = 20)),
+      Dedup.ngramJaccardTopN(Tables.documents(s, dir), k = 3, topN = 20,
+        sampleMod = Some(3))),
 
     "d3_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir),
@@ -37,6 +38,6 @@ object DedupQueries {
         |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
         |FROM documents""".stripMargin,
 
-    "d2_ngram_jaccard_top20" -> Dedup.ngramJaccardSql(k = 3, topN = 20)
+    "d2_ngram_jaccard_top20" -> Dedup.ngramJaccardSql(k = 3, topN = 20, sampleMod = Some(3))
   )
 }

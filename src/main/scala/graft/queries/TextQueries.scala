@@ -89,7 +89,8 @@ object TextQueries {
     // Extension: language-ID heuristic — predicted vs labeled confusion
     "t1_langid_confusion" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .withColumn("toks", TextAnalysis.toks(col("text")))
+        .withColumn("predicted", TextAnalysis.langIdFromTokens(col("toks")))
         .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
     }),

@@ -17,7 +17,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    graft.functions.PolyHash64.register(spark)
+    graft.functions.Registry.registerAll(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
