@@ -1,0 +1,152 @@
+package graft.lexam
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Thin JSON façade reproducing the reference's endpoint response
+  * shapes (SURVEY §7.1 layer 8; serialization semantics of
+  * main.py:554-577 and the routers). A reference-API consumer can
+  * switch to these and parse identical structures — including ordering
+  * rules like the count-desc insertion order of search-summary
+  * by_course (SURVEY §7.4 item 9) and years-descending facets
+  * (main.py:493).
+  */
+object Api {
+
+  // ----------------------------------------------------- tiny renderer
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def render(v: Any): String = v match {
+    case null | None => "null"
+    case Some(x) => render(x)
+    case s: String => jstr(s)
+    case b: Boolean => b.toString
+    case d: Double => if (d == math.rint(d) && !d.isInfinite) f"$d%.1f" else d.toString
+    case n: Number => n.toString
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => jstr(k.toString) + ": " + render(x) }.mkString("{", ", ", "}")
+    case s: Seq[_] => s.map(render).mkString("[", ", ", "]")
+    case r: Row => render(rowToMap(r))
+    case ts: java.sql.Timestamp =>
+      jstr(ts.toInstant.toString.stripSuffix("Z")) // ISO, like datetime.isoformat()
+    case other => jstr(other.toString)
+  }
+
+  private def rowToMap(r: Row): scala.collection.Map[String, Any] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Any]()
+    r.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val v = if (r.isNullAt(i)) null else r.get(i) match {
+        case nested: Row => rowToMap(nested)
+        case seq: scala.collection.Seq[_] =>
+          seq.map { case rr: Row => rowToMap(rr); case x => x }.toSeq
+        case x => x
+      }
+      m += f.name -> v
+    }
+    m
+  }
+
+  // ------------------------------------------------------- endpoints
+
+  /** GET /api/questions (main.py:159-207). */
+  def questionsPage(questions: DataFrame, variants: DataFrame,
+                    fc: FilterConfig = FilterConfig(),
+                    search: Option[String] = None,
+                    sortBy: Option[String] = None, sortDir: String = "asc",
+                    offset: Int = 0, limit: Int = 50): String = {
+    val page = QuestionService.listQuestions(questions, variants, fc, search,
+      sortBy, sortDir, offset, limit)
+    render(scala.collection.immutable.ListMap(
+      "total" -> page.total, "offset" -> offset, "limit" -> limit,
+      "items" -> page.items.collect().toSeq))
+  }
+
+  /** GET /api/stats (main.py:223-249). */
+  def stats(questions: DataFrame, variants: DataFrame): String = {
+    val s = DatasetAnalytics.stats(questions, variants)
+    render(scala.collection.immutable.ListMap(
+      "total_questions" -> s.totalQuestions,
+      "total_variants" -> s.totalVariants,
+      "by_config" -> s.byConfig, "by_area" -> s.byArea,
+      "by_language" -> s.byLanguage,
+      "by_year" -> scala.collection.immutable.ListMap(
+        s.byYear.map { case (y, n) => y.toString -> (n: Any) }: _*)))
+  }
+
+  /** GET /api/filters (main.py:460-493): facet values per dimension
+    * given the other active filters; years descending. */
+  def filters(questions: DataFrame, variants: DataFrame,
+              fc: FilterConfig, search: Option[String] = None): String = {
+    def vals(dim: String): Seq[Any] =
+      Filters.viableValues(questions, variants, fc, dim, search)
+        .collect().map(_.get(0)).toSeq
+    render(scala.collection.immutable.ListMap(
+      "configs" -> vals("config"), "splits" -> vals("split"),
+      "areas" -> vals("area"), "languages" -> vals("language"),
+      "courses" -> vals("course"), "jurisdictions" -> vals("jurisdiction"),
+      "years" -> vals("year").map(_.asInstanceOf[Int]).sorted.reverse))
+  }
+
+  /** GET /api/search-summary (main.py:496-551) — by_course keeps
+    * count-desc insertion order. */
+  def searchSummary(questions: DataFrame, variants: DataFrame,
+                    fc: FilterConfig, search: String): String = {
+    val (total, byArea, byLang, byCourse) =
+      DatasetAnalytics.searchSummary(questions, variants, fc, search)
+    def kv(df: DataFrame): scala.collection.immutable.ListMap[String, Any] =
+      scala.collection.immutable.ListMap(df.collect().toSeq
+        .map(r => r.get(0).toString -> (r.getLong(1): Any)): _*)
+    render(scala.collection.immutable.ListMap(
+      "total" -> total, "by_area" -> kv(byArea),
+      "by_language" -> kv(byLang), "by_course" -> kv(byCourse)))
+  }
+
+  /** GET /api/course-summary (main.py:252-310). */
+  def courseSummary(questions: DataFrame, variants: DataFrame,
+                    language: Option[String] = None): String =
+    render(DatasetAnalytics.courseSummary(questions, variants, language)
+      .collect().toSeq)
+
+  /** GET /api/experiments/{id}/stats (experiment_stats.py:13-114). */
+  def experimentStats(store: pipeline.LexamStore, experimentId: Long,
+                      modelName: Option[String] = None,
+                      judgeModel: Option[String] = None): String = {
+    val exp = store.getExperiment(experimentId)
+      .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
+    val enriched = ExperimentAnalytics.enriched(store.answers, store.variants,
+      store.questions, store.judgments, experimentId, modelName).cache()
+    val totalAnswers = enriched.count()
+    val mcq = ExperimentAnalytics.mcqStats(enriched)
+    val open = ExperimentAnalytics.openStats(enriched, store.judgments, judgeModel)
+    val (gi, go, ji, jo) = ExperimentAnalytics.tokenTotals(enriched, store.judgments, judgeModel)
+    val consistency =
+      if (exp.n_answers > 1) Some(ExperimentAnalytics.selfConsistency(enriched)) else None
+    render(scala.collection.immutable.ListMap(
+      "total_answers" -> totalAnswers,
+      "mcq" -> scala.collection.immutable.ListMap(
+        "total" -> mcq.total, "correct" -> mcq.correct, "accuracy" -> mcq.accuracy),
+      "open" -> scala.collection.immutable.ListMap(
+        "total" -> open.total, "judged" -> open.judged,
+        "avg_score" -> open.avgScore, "median_score" -> open.medianScore,
+        "score_distribution" -> open.scoreDistribution.map { case (range, n) =>
+          scala.collection.immutable.ListMap("range" -> range, "count" -> n) }),
+      "by_area" -> ExperimentAnalytics.breakdownByField(enriched, store.judgments,
+        "area", judgeModel).collect().toSeq,
+      "by_course" -> ExperimentAnalytics.breakdownByField(enriched, store.judgments,
+        "course", judgeModel).collect().toSeq,
+      "tokens" -> scala.collection.immutable.ListMap(
+        "generation_input" -> gi, "generation_output" -> go,
+        "judge_input" -> ji, "judge_output" -> jo,
+        "total" -> (gi + go + ji + jo)),
+      "self_consistency" -> consistency.map(c => scala.collection.immutable.ListMap(
+        "total_variants" -> c.totalVariants, "unanimous" -> c.unanimous,
+        "unanimous_rate" -> c.unanimousRate))))
+  }
+}

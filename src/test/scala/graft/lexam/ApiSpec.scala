@@ -1,0 +1,68 @@
+package graft.lexam
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.lexam.pipeline._
+
+/** JSON façade shapes: parse with a real JSON reader (via Spark's
+  * from_json on the driver is overkill — use scala.util.parsing? none;
+  * assert structure with string checks + round-trip through Spark). */
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val qs = Fixtures.questions.toDS().toDF()
+  private lazy val vs = Fixtures.variants.toDS().toDF()
+
+  private def parse(json: String): Any = {
+    // validate well-formedness by parsing through Spark's JSON reader
+    val df = spark.read.json(Seq(json).toDS())
+    assert(!df.columns.contains("_corrupt_record"), s"invalid JSON: $json")
+    df
+  }
+
+  test("questions page JSON: total/offset/limit/items with nested variants") {
+    val json = Api.questionsPage(qs, vs, FilterConfig(language = Seq("en")), limit = 2)
+    parse(json)
+    assert(json.contains("\"total\": 4"))
+    assert(json.contains("\"items\": ["))
+    assert(json.contains("\"variants\": ["))
+  }
+
+  test("stats JSON matches reference key names") {
+    val json = Api.stats(qs, vs)
+    parse(json)
+    for (k <- Seq("total_questions", "total_variants", "by_config", "by_area",
+        "by_language", "by_year")) assert(json.contains(s""""$k""""), k)
+  }
+
+  test("filters JSON: years descending (main.py:493)") {
+    val json = Api.filters(qs, vs, FilterConfig())
+    parse(json)
+    assert(json.contains("\"years\": [2022, 2021, 2020]"))
+  }
+
+  test("search-summary JSON: by_course insertion-ordered by count desc") {
+    val json = Api.searchSummary(qs, vs, FilterConfig(), "the")
+    parse(json)
+    val courses = "\"by_course\": \\{([^}]*)\\}".r.findFirstMatchIn(json).get.group(1)
+    val counts = ": (\\d+)".r.findAllMatchIn(courses).map(_.group(1).toLong).toSeq
+    assert(counts === counts.sortBy(-_))
+  }
+
+  test("experiment stats JSON: full reference shape") {
+    val dir = java.nio.file.Files.createTempDirectory("api_store").toString
+    val store = new LexamStore(spark, dir)
+    Fixtures.writeTo(store)
+    store.saveExperiment(Experiment(id = 9, name = "api",
+      filter_config = FilterConfig(language = Seq("en")), n_answers = 2))
+    val progress = new ProgressStore
+    Jobs.runGeneration(store, progress, new DeterministicStubClient, 9L, parallelism = 2)
+    Jobs.runJudging(store, progress, new DeterministicStubClient, 9L, "j1", parallelism = 2)
+    val json = Api.experimentStats(store, 9L)
+    parse(json)
+    for (k <- Seq("total_answers", "mcq", "accuracy", "open", "score_distribution",
+        "by_area", "by_course", "tokens", "self_consistency", "unanimous_rate"))
+      assert(json.contains(s""""$k""""), k)
+  }
+}
