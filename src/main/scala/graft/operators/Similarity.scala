@@ -69,6 +69,122 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** All embedding pairs with cosine ≥ minCos (embedding-cosine
+    * near-dup dedup). Exact; oracle-checked via [[nearDupPairsSql]]. */
+  def nearDupPairs(emb: DataFrame, minCos: Double,
+                   sampleMod: Option[Int] = None): DataFrame = {
+    // all-pairs is quadratic: the bench-scale query runs on a
+    // deterministic sample (LSH v2 is the full-corpus scale path)
+    val cohort = sampleMod.map(m => emb.where(col("vec_id") % m === 0)).getOrElse(emb)
+    val withNorm = cohort.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding"),
+        col("a.n2"), col("b.n2")))
+      .where(col("cos") >= minCos)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def nearDupPairsSql(dim: Int, minCos: Double,
+                      sampleMod: Option[Int] = None): String = {
+    val sample = sampleMod.map(m => s"WHERE vec_id % $m = 0").getOrElse("")
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t.embedding[$i] AS DOUBLE)*CAST($t.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val dotE = (1 to dim)
+      .map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding, ${n2("v")} AS n2 FROM embeddings v $sample)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       ($dotE) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE ($dotE) / (sqrt(a.n2) * sqrt(b.n2)) >= $minCos
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- IVF
+
+  case class IvfIndex(centroids: Array[(Int, Array[Double])])
+
+  /** IVF (inverted-file) index: deterministic centroid seed (every
+    * (n/k)-th vector by vec_id order), vectors assigned to their nearest
+    * centroid. The scale path: the index build is one pass, the search
+    * probes `nProbe` cells instead of the whole collection. */
+  def buildIvf(emb: DataFrame, k: Int): (IvfIndex, DataFrame) = {
+    import org.apache.spark.sql.Row
+    val n = emb.count()
+    val step = math.max(1, n / k)
+    val seed = emb.orderBy(col("vec_id"))
+      .withColumn("rn", monotonically_increasing_id())
+      .where(col("rn") % step === 0).limit(k)
+      .select(col("embedding")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](0).map(_.toDouble).toArray
+      }
+    val index = IvfIndex(seed)
+    val bc = emb.sparkSession.sparkContext.broadcast(index)
+    val assignRow = (r: Row) => {
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      IvfEntry(r.getLong(r.fieldIndex("vec_id")), nearestCentroid(bc.value, v), v)
+    }
+    import emb.sparkSession.implicits._
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .map(assignRow)(org.apache.spark.sql.Encoders.product[IvfEntry]).toDF()
+    (index, assigned)
+  }
+
+  case class IvfEntry(vec_id: Long, cell: Int, vec: Array[Double])
+
+  private[operators] def nearestCentroid(idx: IvfIndex, v: Array[Double]): Int = {
+    var best = -1; var bestD = Double.MaxValue
+    idx.centroids.foreach { case (ci, c) =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+    }
+    best
+  }
+
+  /** IVF top-k: probe the query's `nProbe` nearest cells only; exact
+    * cosine within the probed cells. Recall < 1 by construction — the
+    * accuracy/throughput dial of a vector index. */
+  def ivfTopK(index: IvfIndex, assigned: DataFrame, queries: DataFrame,
+              k: Int, nProbe: Int): DataFrame = {
+    val sess = assigned.sparkSession
+    val bc = sess.sparkContext.broadcast(index)
+    import sess.implicits._
+    val qCells = queries.select(col("vec_id").as("q_id"), col("embedding"))
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val byDist = bc.value.centroids.map { case (ci, c) =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+          ci -> d
+        }.sortBy(_._2).take(nProbe).map(_._1)
+        (r.getLong(0), v, byDist)
+      }.toDF("q_id", "q_vec", "cells")
+    val probed = qCells.select(col("q_id"), col("q_vec"),
+      explode(col("cells")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    probed.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineArrays(col("q_vec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Cosine over two array<double> columns. */
+  def cosineArrays(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
   /** Random-hyperplane LSH (sign sketch): `nBits` fixed deterministic
     * pseudo-hyperplanes; bucket = sign bit vector. Near-dup candidates
     * share a bucket; verification is exact cosine within bucket only.

@@ -21,10 +21,15 @@ object VectorQueries {
 
     "v2_lsh_cosine_pairs" -> ((s, dir) =>
       Similarity.lshCosinePairs(Tables.embeddings(s, dir), Dim,
-        nBits = 12, minCos = 0.2))
+        nBits = 12, minCos = 0.2)),
+
+    "v3_embedding_neardup_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), minCos = 0.35,
+        sampleMod = Some(2)))
   )
 
   def oracles: Map[String, String] = Map(
-    "v1_cosine_topk" -> Similarity.bruteForceTopKSql(Dim, SampleMod, TopK)
+    "v1_cosine_topk" -> Similarity.bruteForceTopKSql(Dim, SampleMod, TopK),
+    "v3_embedding_neardup_pairs" -> Similarity.nearDupPairsSql(Dim, minCos = 0.35, sampleMod = Some(2))
   )
 }
