@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, partial top-k) must survive
+  * refactors. Asserting on the optimized/physical plan keeps the
+  * "would this survive 100×" guarantees executable.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("f1: IN-list and range predicates are pushed to the parquet scan") {
+    val p = physical("f1_filtered_lineitems")
+    assert(p.contains("In(l_returnflag"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p)
+  }
+
+  test("f1: scans are column-pruned to the referenced columns") {
+    val p = physical("f1_filtered_lineitems")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("j1: dimension joins are broadcast, filter inside the broadcast side") {
+    val p = physical("j1_top_orders_by_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("v1: per-query top-k is computed partially before the shuffle (WindowGroupLimit)") {
+    val p = physical("v1_cosine_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("a9: aggregation is partial+final (map-side combine)") {
+    val p = physical("a9_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("o3: pagination compiles to a global limit, not a full materialization") {
+    val p = physical("o3_orders_page")
+    assert(p.contains("GlobalLimit") || p.contains("TakeOrdered"), p)
+  }
+
+  test("lexam filter pushdown: question predicates reach the parquet scan") {
+    val store = new graft.lexam.pipeline.LexamStore(spark,
+      java.nio.file.Files.createTempDirectory("plan_store").toString)
+    graft.lexam.Fixtures.writeTo(store)
+    val filtered = graft.lexam.Filters.filterQuestions(store.questions, store.variants,
+      graft.lexam.FilterConfig(area = Seq("Private"), language = Seq("de")))
+    val p = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("In(area") || p.contains("EqualTo(area,Private)"), p)
+  }
+}
