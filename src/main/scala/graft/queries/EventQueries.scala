@@ -24,6 +24,16 @@ object EventQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // X11: date/time scalar functions — day truncation, dow, date math
+    "x11_events_daily" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .withColumn("dow", dayofweek(col("ts")))
+        .groupBy(col("day"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("day"))
+    }),
+
     // Semi-structured JSON column extraction (props is a JSON blob).
     "e2_events_props" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -41,6 +51,11 @@ object EventQueries {
          |  event_type, COUNT(*) AS n,
          |  ${Num.sqlSumExact("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x11_events_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  dayofweek(ts) + 1 AS dow, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "e2_events_props" ->
       """SELECT event_type,
