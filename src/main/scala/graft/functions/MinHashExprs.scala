@@ -125,7 +125,24 @@ object Registry {
       exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      exprs => HyperplaneSig(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_stopword_hits",
+      exprs => StopwordHits(exprs.head,
+        graft.operators.TextAnalysis.LangWords.map(_._2)), "scala_udf")
   }
+
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def hyperplaneSig(emb: Column, nBits: Int, dim: Int): Column =
+    call_function("hyperplane_sig", emb, lit(nBits), lit(dim))
+  def langStopwordHits(tokens: Column): Column =
+    call_function("lang_stopword_hits", tokens)
 
   def shingleHashes(tokens: Column, k: Int): Column =
     call_function("shingle_hashes", tokens, lit(k))

@@ -160,21 +160,13 @@ object Dedup {
 
   // ---------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
-    * sign of the vote sum sets the fingerprint bit. One shuffle
-    * (explode → groupBy doc) with 64 codegen'd conditional sums. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextFunctions.wsTokens(lower(col("text")))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums: Seq[Column] = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b"))
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), fp.as("simhash"))
-  }
+  /** 64-bit SimHash per doc via the native [[graft.functions.SimHash64]]
+    * expression: per-token FNV-1a 64, each bit votes ±1, sign sets the
+    * bit. Pure map-side — the previous explode → 64 conditional sums →
+    * groupBy formulation shuffled every token. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      Registry.simhash64(TextFunctions.wsTokens(lower(col("text")))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
     * 16-bit band blocking (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 bands equal). */

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Registry
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -16,7 +17,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as an in-order left fold (IEEE-stable across engines). */
+  /** Σ aᵢ·bᵢ as an in-order left fold (IEEE-stable across engines).
+    * HOF formulation — for known-dimension vectors prefer
+    * [[dotUnrolled]], which compiles to a codegen'd expression chain
+    * (HOF lambdas run interpreted). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -24,19 +28,29 @@ object Similarity {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Unrolled left-associated Σ aᵢ·bᵢ over a known dimension: whole-stage
+    * codegen compiles it to straight-line multiply-adds, and the
+    * left-assoc order matches both the HOF fold and the oracle SQL. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  def norm2Unrolled(a: Column, dim: Int): Column = dotUnrolled(a, a, dim)
+
   def cosine(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dot(a, b) / (sqrt(n2a) * sqrt(n2b))
 
   /** Brute-force cosine top-k: every (query ∈ sample) × (candidate).
     * Queries are broadcast; candidates stream — no shuffle until the
     * per-query top-k window. */
-  def bruteForceTopK(emb: DataFrame, sampleMod: Int, k: Int): DataFrame = {
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"))
-    val queries = withNorm.where(col("vec_id") % sampleMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val pairs = withNorm.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding"), col("q_n2"), col("n2")))
+  def bruteForceTopK(emb: DataFrame, sampleMod: Int, k: Int,
+                     dim: Int = 64): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val queries = base.where(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pairs = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Registry.cosineSim(col("q_emb"), col("embedding")))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -72,15 +86,13 @@ object Similarity {
   /** All embedding pairs with cosine ≥ minCos (embedding-cosine
     * near-dup dedup). Exact; oracle-checked via [[nearDupPairsSql]]. */
   def nearDupPairs(emb: DataFrame, minCos: Double,
-                   sampleMod: Option[Int] = None): DataFrame = {
+                   sampleMod: Option[Int] = None, dim: Int = 64): DataFrame = {
     // all-pairs is quadratic: the bench-scale query runs on a
     // deterministic sample (LSH v2 is the full-corpus scale path)
     val cohort = sampleMod.map(m => emb.where(col("vec_id") % m === 0)).getOrElse(emb)
-    val withNorm = cohort.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"))
+    val withNorm = cohort.select(col("vec_id"), col("embedding"))
     withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding"),
-        col("a.n2"), col("b.n2")))
+      .withColumn("cos", Registry.cosineSim(col("a.embedding"), col("b.embedding")))
       .where(col("cos") >= minCos)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))
@@ -192,27 +204,13 @@ object Similarity {
     * cross product. */
   def lshCosinePairs(emb: DataFrame, dim: Int, nBits: Int,
                      minCos: Double): DataFrame = {
-    // deterministic "random" hyperplanes from a hash of (bit, dim index)
-    val planes: Seq[Seq[Double]] = (0 until nBits).map { b =>
-      (0 until dim).map { d =>
-        val x = (b * 1315423911L + d * 2654435761L) & 0xFFFFFFFFL
-        (x.toDouble / 0xFFFFFFFFL.toDouble) * 2.0 - 1.0
-      }
-    }
-    def sig(embCol: Column): Column =
-      (0 until nBits).map { b =>
-        val proj = (0 until dim).map(d =>
-          element_at(embCol, d + 1).cast("double") * planes(b)(d))
-          .reduce(_ + _)
-        when(proj > 0, lit(1L << b)).otherwise(0L)
-      }.reduce((a, c) => a.bitwiseOR(c))
-
+    // native one-loop signature (see HyperplaneSig for why not a
+    // generated expression chain)
     val withSig = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"), sig(col("embedding")).as("bucket"))
+      Registry.hyperplaneSig(col("embedding"), nBits, dim).as("bucket"))
     withSig.as("a").join(withSig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding"),
-        col("a.n2"), col("b.n2")))
+      .withColumn("cos", Registry.cosineSim(col("a.embedding"), col("b.embedding")))
       .where(col("cos") >= minCos)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))

@@ -39,9 +39,20 @@ object TextAnalysis {
     langHitsFromTokens(toks(text), words)
 
   /** Predicted language from a pre-tokenized array: argmax of stopword
-    * hits, priority-ordered tiebreak, "und" when zero hits. */
+    * hits, priority-ordered tiebreak, "und" when zero hits. Hit counts
+    * come from ONE native pass over the tokens
+    * ([[graft.functions.StopwordHits]]) instead of a filter lambda per
+    * language. */
   def langIdFromTokens(tokens: Column): Column = {
-    val hits = LangWords.map { case (l, ws) => l -> langHitsFromTokens(tokens, ws) }
+    val hitsArr = graft.functions.Registry.langStopwordHits(tokens)
+    langIdFromHits(hitsArr)
+  }
+
+  /** Argmax over a precomputed per-language hit-count array. */
+  def langIdFromHits(hitsArr: Column): Column = {
+    val hits = LangWords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(hitsArr, i + 1)
+    }
     val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit("und")) { case ((l, h), acc) =>
       when(h === maxHits && maxHits > 0, lit(l)).otherwise(acc)
