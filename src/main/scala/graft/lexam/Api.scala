@@ -114,6 +114,82 @@ object Api {
     render(DatasetAnalytics.courseSummary(questions, variants, language)
       .collect().toSeq)
 
+  /** GET /api/experiments/{id}/answers (routers/generation.py:30-70):
+    * id-ordered page enriched with variant+question context — the
+    * reference's per-row N+1 lookups become two broadcast joins. */
+  def answersPage(store: pipeline.LexamStore, experimentId: Long,
+                  offset: Int = 0, limit: Int = 50): String = {
+    val base = store.answers.where(col("experiment_id") === experimentId)
+    val total = base.count()
+    val enrichedPage = base.orderBy(col("id")).offset(offset).limit(limit)
+      .join(broadcast(store.variants.select(col("id").as("variant_id"),
+        col("question_id"), col("config"), col("answer").as("gold_answer"),
+        col("gold").as("gold_index"), col("choices"))), Seq("variant_id"), "left_outer")
+      .join(broadcast(store.questions.select(col("id").as("question_id"),
+        col("course"), col("area"), col("question").as("question_text"))),
+        Seq("question_id"), "left_outer")
+      .select("id", "variant_id", "question_id", "config", "course", "area",
+        "question_text", "gold_answer", "gold_index", "choices", "run_index",
+        "model_name", "answer_text", "extracted_letter", "mcq_correct",
+        "input_tokens", "output_tokens", "created_at")
+      .orderBy(col("id"))
+    render(scala.collection.immutable.ListMap(
+      "total" -> total, "offset" -> offset, "limit" -> limit,
+      "items" -> enrichedPage.collect().toSeq))
+  }
+
+  /** GET /api/experiments/{id}/judgments (routers/judging.py:35-78). */
+  def judgmentsPage(store: pipeline.LexamStore, experimentId: Long,
+                    judgeModel: Option[String] = None,
+                    offset: Int = 0, limit: Int = 50): String = {
+    var j = store.judgments
+      .join(store.answers.where(col("experiment_id") === experimentId)
+        .select(col("id").as("answer_id")), Seq("answer_id"), "left_semi")
+    judgeModel.foreach(m => j = j.where(col("judge_model") === m))
+    val total = j.count()
+    val page = j.orderBy(col("id")).offset(offset).limit(limit)
+      .join(broadcast(store.answers.select(col("id").as("answer_id"),
+        col("variant_id"), col("answer_text"))), Seq("answer_id"), "left_outer")
+      .select("id", "answer_id", "variant_id", "judge_model", "judgment_text",
+        "score", "answer_text", "input_tokens", "output_tokens", "created_at")
+      .orderBy(col("id"))
+    render(scala.collection.immutable.ListMap(
+      "total" -> total, "offset" -> offset, "limit" -> limit,
+      "items" -> page.collect().toSeq))
+  }
+
+  /** GET /api/experiments (routers/experiments.py:72-95): experiments
+    * newest-first with answer/judgment counts — the per-experiment
+    * count queries collapse into two grouped aggregates. */
+  def listExperiments(store: pipeline.LexamStore): String = {
+    // partition-column inference reads experiment_id back as int
+    val aCounts = store.answers.groupBy(col("experiment_id").cast("long"))
+      .agg(count(lit(1)).as("answer_count")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // judgments carry experiment_id as their storage partition key
+    val jCounts = store.judgments
+      .groupBy(col("experiment_id").cast("long"))
+      .agg(count(lit(1)).as("judgment_count")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val items = store.experiments
+      .sortBy(e => (-e.created_at.map(_.getTime).getOrElse(0L), -e.id))
+      .map { e =>
+        scala.collection.immutable.ListMap(
+          "id" -> e.id, "name" -> e.name, "description" -> e.description,
+          "model_name" -> e.model_name, "n_answers" -> e.n_answers,
+          "status" -> e.status,
+          "answer_count" -> aCounts.getOrElse(e.id, 0L),
+          "judgment_count" -> jCounts.getOrElse(e.id, 0L),
+          "created_at" -> e.created_at)
+      }
+    render(items)
+  }
+
+  /** GET /api/experiments/{id}/question-count
+    * (routers/experiments.py:165-176). */
+  def questionCount(store: pipeline.LexamStore, fc: FilterConfig): Long =
+    Filters.filterVariants(store.variants, store.questions, fc).count()
+
   /** GET /api/experiments/{id}/stats (experiment_stats.py:13-114). */
   def experimentStats(store: pipeline.LexamStore, experimentId: Long,
                       modelName: Option[String] = None,

@@ -112,6 +112,33 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Extension: PII/URL scrubbing over deterministically injected PII
+    "t5_pii_scrub" -> ((s, dir) => {
+      import graft.operators.Scrub
+      val m = pmod(col("doc_id"), lit(3))
+      val synth = when(m === 0, concat(col("text"),
+          lit(" visit https://ex"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".com now")))
+        .when(m === 1, concat(col("text"), lit(" mail bob"),
+          pmod(col("doc_id"), lit(5)).cast("string"), lit("@example.org please")))
+        .otherwise(concat(col("text"), lit(" call +41 44 123 45 67 ok")))
+      Tables.documents(s, dir)
+        .withColumn("case", m.cast("int"))
+        .withColumn("synth", synth)
+        .groupBy(col("case"))
+        .agg(count(lit(1)).as("n"),
+          sum(Scrub.urlCount(col("synth"))).cast("long").as("n_urls"),
+          sum(Scrub.emailCount(col("synth"))).cast("long").as("n_emails"),
+          sum(length(Scrub.scrub(col("synth")))).cast("long").as("scrubbed_len"))
+        .orderBy(col("case"))
+    }),
+
+    // Extension: repeated-n-gram ratio (quality filter), per-doc sample
+    "t6_repetition_ratio" -> ((s, dir) => {
+      graft.operators.Scrub.repetitionRatio(
+        Tables.documents(s, dir).where(pmod(col("doc_id"), lit(25)) === 0), k = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Extension: document fingerprint via native PolyHash64 expression
     "t4_fingerprint_sample" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -167,6 +194,24 @@ object TextQueries {
 
     "t4_fingerprint_sample" ->
       s"""SELECT doc_id, ${PolyHash64.sql("text")} AS fp
-         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin
+         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+
+    "t5_pii_scrub" -> {
+      import graft.operators.Scrub
+      val synthSql =
+        """(CASE CAST(doc_id % 3 AS INT)
+          | WHEN 0 THEN text || ' visit https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com now'
+          | WHEN 1 THEN text || ' mail bob' || CAST(doc_id % 5 AS VARCHAR) || '@example.org please'
+          | ELSE text || ' call +41 44 123 45 67 ok' END)""".stripMargin.replace("\n", " ")
+      s"""SELECT CAST(doc_id % 3 AS INT) AS "case", COUNT(*) AS n,
+         |  CAST(SUM(${Scrub.urlCountSql(synthSql)}) AS BIGINT) AS n_urls,
+         |  CAST(SUM(${Scrub.emailCountSql(synthSql)}) AS BIGINT) AS n_emails,
+         |  CAST(SUM(length(${Scrub.scrubSql(synthSql)})) AS BIGINT) AS scrubbed_len
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "t6_repetition_ratio" ->
+      (graft.operators.Scrub.repetitionRatioSql(2, "WHERE doc_id % 25 = 0") +
+        " ORDER BY doc_id")
   )
 }

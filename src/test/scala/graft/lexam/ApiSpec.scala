@@ -50,6 +50,30 @@ class ApiSpec extends AnyFunSuite {
     assert(counts === counts.sortBy(-_))
   }
 
+  test("answers/judgments pages + experiment list JSON shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("api_store2").toString
+    val store = new LexamStore(spark, dir)
+    Fixtures.writeTo(store)
+    store.saveExperiment(Experiment(id = 8, name = "pages",
+      filter_config = FilterConfig(language = Seq("en"))))
+    val progress = new ProgressStore
+    Jobs.runGeneration(store, progress, new DeterministicStubClient, 8L, parallelism = 2)
+    Jobs.runJudging(store, progress, new DeterministicStubClient, 8L, "j1", parallelism = 2)
+
+    val ansJson = Api.answersPage(store, 8L, offset = 1, limit = 3)
+    parse(ansJson)
+    assert(ansJson.contains("\"total\": 7") && ansJson.contains("\"question_text\""))
+    val jJson = Api.judgmentsPage(store, 8L)
+    parse(jJson)
+    assert(jJson.contains("\"judge_model\": \"j1\""))
+    val listJson = Api.listExperiments(store)
+    parse(listJson)
+    assert(listJson.contains("\"answer_count\": 7") &&
+      listJson.contains("\"judgment_count\": 4"))
+    assert(Api.questionCount(store,
+      FilterConfig(language = Seq("en"))) === 7L)
+  }
+
   test("experiment stats JSON: full reference shape") {
     val dir = java.nio.file.Files.createTempDirectory("api_store").toString
     val store = new LexamStore(spark, dir)
