@@ -141,6 +141,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("background execution: async jobs, live progress poll, guard (P1)") {
+    val store = freshStore()
+    store.saveExperiment(exp.copy(id = 5, name = "async", n_answers = 1))
+    val progress = new ProgressStore
+    val slowClient = new LlmClient {
+      private val stub = new DeterministicStubClient
+      override def complete(model: String, messages: Seq[LlmMessage],
+                            temperature: Double, maxTokens: Int): LlmResult = {
+        Thread.sleep(50); stub.complete(model, messages, temperature, maxTokens)
+      }
+    }
+    val runner = new JobRunner(store, progress, slowClient, parallelism = 2)
+    val f = runner.startGeneration(5L)
+    // while running: second start is rejected; poll shows the job
+    Thread.sleep(100)
+    if (runner.isRunning("generate:5"))
+      intercept[IllegalArgumentException](runner.startGeneration(5L))
+    val n = scala.concurrent.Await.result(f, scala.concurrent.duration.Duration("60s"))
+    assert(n === 7)
+    val p = runner.pollGeneration(5L)
+    assert(p("status") === "done" && p("completed") === 7L)
+    // finished → can start again (resume finds nothing to do)
+    val n2 = scala.concurrent.Await.result(runner.startGeneration(5L),
+      scala.concurrent.duration.Duration("60s"))
+    assert(n2 === 7)
+  }
+
   test("cascade delete removes answers and judgments (S8)") {
     val store = freshStore()
     store.saveExperiment(exp.copy(id = 4))
