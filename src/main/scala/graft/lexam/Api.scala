@@ -198,6 +198,7 @@ object Api {
       .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
     val enriched = ExperimentAnalytics.enriched(store.answers, store.variants,
       store.questions, store.judgments, experimentId, modelName).cache()
+    try {
     val totalAnswers = enriched.count()
     val mcq = ExperimentAnalytics.mcqStats(enriched)
     val open = ExperimentAnalytics.openStats(enriched, store.judgments, judgeModel)
@@ -224,5 +225,6 @@ object Api {
       "self_consistency" -> consistency.map(c => scala.collection.immutable.ListMap(
         "total_variants" -> c.totalVariants, "unanimous" -> c.unanimous,
         "unanimous_rate" -> c.unanimousRate))))
+    } finally enriched.unpersist()
   }
 }

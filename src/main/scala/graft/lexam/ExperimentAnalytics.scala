@@ -70,12 +70,14 @@ object ExperimentAnalytics {
     val openTotal = open.count()
     val scores = scopedJudgments(judgments,
       open.select(col("id").as("answer_id")), judgeModel).cache()
-    val r = scores.agg(count(lit(1)), avg(col("score")), median(col("score"))).first()
-    val judged = r.getLong(0)
-    OpenStats(openTotal, judged,
-      if (judged > 0) math.rint(r.getDouble(1) * 10000) / 10000 else 0.0,
-      if (judged > 0) math.rint(r.getDouble(2) * 10000) / 10000 else 0.0,
-      if (judged > 0) scoreDistribution(scores) else Nil)
+    try {
+      val r = scores.agg(count(lit(1)), avg(col("score")), median(col("score"))).first()
+      val judged = r.getLong(0)
+      OpenStats(openTotal, judged,
+        if (judged > 0) math.rint(r.getDouble(1) * 10000) / 10000 else 0.0,
+        if (judged > 0) math.rint(r.getDouble(2) * 10000) / 10000 else 0.0,
+        if (judged > 0) scoreDistribution(scores) else Nil)
+    } finally scores.unpersist()
   }
 
   /** Per-area / per-course breakdown: MCQ accuracy + open score avg in

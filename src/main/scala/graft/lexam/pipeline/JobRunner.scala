@@ -19,9 +19,17 @@ class JobRunner(store: LexamStore, progress: ProgressStore,
 
   private val inFlight = new ConcurrentHashMap[String, Future[Long]]()
 
+  /** Atomic start-or-reject: computeIfAbsent decides the winner; the
+    * loser gets the rejection the reference router returns as 409. A
+    * separate require(!isRunning) pre-check would be a check-then-act
+    * race where a duplicate caller silently shares the winner's Future. */
   private def launch(key: String)(body: => Long): Future[Long] = {
-    val f = inFlight.computeIfAbsent(key, _ =>
-      Future(body).andThen { case _ => inFlight.remove(key) })
+    var created = false
+    val f = inFlight.computeIfAbsent(key, _ => {
+      created = true
+      Future(body).andThen { case _ => inFlight.remove(key) }
+    })
+    require(created, s"job already running: $key")
     f
   }
 
@@ -29,19 +37,14 @@ class JobRunner(store: LexamStore, progress: ProgressStore,
 
   /** POST /api/experiments/{id}/generate — rejects when already busy
     * (the router's 409 guard). */
-  def startGeneration(experimentId: Long): Future[Long] = {
-    val key = s"generate:$experimentId"
-    require(!isRunning(key), s"generation already running for $experimentId")
-    launch(key)(Jobs.runGeneration(store, progress, client, experimentId, parallelism))
-  }
+  def startGeneration(experimentId: Long): Future[Long] =
+    launch(s"generate:$experimentId")(
+      Jobs.runGeneration(store, progress, client, experimentId, parallelism))
 
   /** POST /api/experiments/{id}/judge */
-  def startJudging(experimentId: Long, judgeModel: String): Future[Long] = {
-    val key = s"judge:$experimentId:$judgeModel"
-    require(!isRunning(key), s"judging already running for $experimentId/$judgeModel")
-    launch(key)(Jobs.runJudging(store, progress, client, experimentId,
-      judgeModel, parallelism))
-  }
+  def startJudging(experimentId: Long, judgeModel: String): Future[Long] =
+    launch(s"judge:$experimentId:$judgeModel")(
+      Jobs.runJudging(store, progress, client, experimentId, judgeModel, parallelism))
 
   /** GET progress — the poll endpoint shape. */
   def pollGeneration(experimentId: Long): Map[String, Any] =

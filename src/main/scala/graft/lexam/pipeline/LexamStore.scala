@@ -20,6 +20,13 @@ import graft.lexam._
 class LexamStore(val spark: SparkSession, val baseDir: String) {
   import spark.implicits._
 
+  /** In-process write lock: concurrent jobs (JobRunner) may mutate the
+    * same tables — the experiments read-modify-overwrite and parquet
+    * appends (shared _temporary staging dir) are not concurrency-safe
+    * per table. Coarse lock; writes are small and infrequent next to
+    * the LLM calls. */
+  private val writeLock = new Object
+
   private def p(name: String): String = s"$baseDir/$name"
   private def exists(name: String): Boolean = Files.exists(Paths.get(p(name)))
 
@@ -64,7 +71,7 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
 
   /** Upsert one experiment row (S9). The dimension is tiny by contract,
     * so driver-side read-modify-overwrite is the idiomatic batch move. */
-  def saveExperiment(exp: Experiment): Unit = {
+  def saveExperiment(exp: Experiment): Unit = writeLock.synchronized {
     val others = experiments.filterNot(_.id == exp.id)
     val all = (others :+ exp).sortBy(_.id)
     val tmp = p("experiments_tmp")
@@ -80,13 +87,15 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
 
   /** Append a batch of answers under the experiment's partition (S7 —
     * batched, not the reference's per-row commits). */
-  def appendAnswers(batch: DataFrame): Unit =
+  def appendAnswers(batch: DataFrame): Unit = writeLock.synchronized {
     batch.write.mode(SaveMode.Append)
       .partitionBy("experiment_id").parquet(p("answers"))
+  }
 
-  def appendJudgments(batch: DataFrame): Unit =
+  def appendJudgments(batch: DataFrame): Unit = writeLock.synchronized {
     batch.write.mode(SaveMode.Append)
       .partitionBy("experiment_id").parquet(p("judgments"))
+  }
 
   /** Delete all answers of an experiment (S8): partition drop. */
   def deleteAnswers(experimentId: Long): Unit =
@@ -104,7 +113,7 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
 
   /** Cascade delete (routers/experiments.py:130-137): judgments →
     * answers → experiment row. */
-  def deleteExperiment(id: Long): Unit = {
+  def deleteExperiment(id: Long): Unit = writeLock.synchronized {
     deleteJudgments(id)
     deleteAnswers(id)
     val rest = experiments.filterNot(_.id == id)
@@ -156,10 +165,11 @@ object StatusMachine {
     "completed"  -> Set("generating", "judging", "error"),
     "error"      -> Set("generating", "judging"))
 
+  // reset-status (routers/experiments.py:140-162) writes via
+  // saveExperiment directly — whitelisting its targets here would make
+  // the guard vacuous for exactly the transitions the table forbids.
   def canTransition(from: String, to: String): Boolean =
-    from == to || Transitions.get(from).exists(_.contains(to)) ||
-      // reset-status may land anywhere (routers/experiments.py:140-162)
-      to == "created" || to == "generated" || to == "completed"
+    from == to || Transitions.get(from).exists(_.contains(to))
 
   def requireTransition(from: String, to: String): Unit =
     require(canTransition(from, to), s"illegal status transition $from -> $to")

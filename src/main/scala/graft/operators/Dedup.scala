@@ -68,10 +68,11 @@ object Dedup {
     // an 8-byte join key: the interpreted HOF + string-key formulation
     // measured ~10× slower; 64-bit collisions (~1e-11 here) are the
     // standard trade for hash-based shingling
+    // no cache: shingle hashing is a cheap native loop, and pinning the
+    // exploded relation for the session's lifetime starves later queries
     val sh = cohort.select(col("doc_id"),
         explode(Registry.shingleHashes(
           TextFunctions.wsTokens(lower(col("text"))), k)).as("s_h"))
-      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b").hint("SHUFFLE_HASH"),
         col("a.s_h") === col("b.s_h") && col("a.doc_id") < col("b.doc_id"))
@@ -136,19 +137,25 @@ object Dedup {
         Registry.shingleHashes(TextFunctions.wsTokens(lower(col("text"))), k).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSig(col("sh"), numHashes))
-    // band b = hash of sig[b*r .. b*r+r)
-    val banded = withSig.select(col("doc_id"), col("sh"),
+    // band b = hash of sig[b*r .. b*r+r). The band join carries only
+    // (doc_id, band, bucket) — shuffling the shingle-hash arrays bands×
+    // on both sides would dominate at scale; the arrays join back once
+    // per side for the verification step only.
+    val banded = withSig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), concat_ws(",",
           (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("a").join(banded.as("b"),
+    val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    val shSets = withSig.select(col("doc_id"), col("sh"))
+    val cand = candIds
+      .join(shSets.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+      .join(shSets.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), "id2")
     cand
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -169,12 +176,19 @@ object Dedup {
       Registry.simhash64(TextFunctions.wsTokens(lower(col("text")))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
-    * 16-bit band blocking (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 bands equal). */
-  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    * band blocking. Pigeonhole: complete recall requires dist < bands —
+    * enforced, because silently missing qualifying pairs is worse than
+    * an explicit band-count choice (more bands ⇒ narrower bands ⇒ more
+    * candidate collisions; 4×16 bits covers the standard dist ≤ 3). */
+  def simhashPairs(docs: DataFrame, maxDist: Int, bands: Int = 4): DataFrame = {
+    require(maxDist < bands,
+      s"band blocking with $bands bands only guarantees recall for dist < $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

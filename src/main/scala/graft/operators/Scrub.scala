@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object Scrub {
 
-  // RE2-safe patterns (no lookaround). Phone deliberately conservative —
-  // digit runs with separators, ≥7 digits total.
+  // RE2-safe patterns (no lookaround). Phone requires ≥7 actual digits
+  // (each after the first preceded by optional separators) — a plain
+  // separator-class quantifier would also swallow e.g. "2020  2021".
   val UrlP   = "https?://[^\\s]+"
   val EmailP = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneP = "\\+?[0-9][0-9()\\-\\s]{5,}[0-9]"
+  val PhoneP = "\\+?[0-9](?:[()\\-\\s]*[0-9]){6,}"
 
   def redactUrls(c: Column): Column   = regexp_replace(c, UrlP, "<URL>")
   def redactEmails(c: Column): Column = regexp_replace(c, EmailP, "<EMAIL>")

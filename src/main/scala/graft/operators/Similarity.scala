@@ -127,9 +127,11 @@ object Similarity {
     import org.apache.spark.sql.Row
     val n = emb.count()
     val step = math.max(1, n / k)
-    val seed = emb.orderBy(col("vec_id"))
-      .withColumn("rn", monotonically_increasing_id())
-      .where(col("rn") % step === 0).limit(k)
+    // seed = every step-th vector BY vec_id VALUE — partition-layout
+    // independent (monotonically_increasing_id encodes partition ids,
+    // which would make the centroids depend on the physical layout)
+    val seed = emb.where(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Float](0).map(_.toDouble).toArray

@@ -28,7 +28,7 @@ object DedupQueries {
         k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)),
 
     "d4_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 12))
+      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3))
   )
 
   def oracles: Map[String, String] = Map(
