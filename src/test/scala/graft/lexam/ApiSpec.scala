@@ -29,6 +29,28 @@ class ApiSpec extends AnyFunSuite {
     assert(json.contains("\"variants\": ["))
   }
 
+  test("stats JSON: full golden equality on the fixtures (SURVEY §5.2)") {
+    val expected =
+      """{"total_questions": 6, "total_variants": 10, """ +
+      """"by_config": {"mcq_4_choices": 2, "mcq_8_choices": 1, "open_question": 5, "mcq_16_choices": 1, "mcq_32_choices": 1}, """ +
+      """"by_area": {"Private": 2, "Criminal": 1, "Public": 2, "Interdisciplinary": 1}, """ +
+      """"by_language": {"en": 4, "de": 2}, """ +
+      """"by_year": {"2020": 2, "2021": 2, "2022": 2}}"""
+    // map iteration order is not part of the contract — compare parsed
+    val got = Api.stats(qs, vs)
+    def norm(j: String): Map[String, String] =
+      "\"(\\w+)\": (\\{[^}]*\\}|\\d+)".r.findAllMatchIn(j)
+        .map(m => m.group(1) -> m.group(2).replaceAll("[\\s]", ""))
+        .toMap.map { case (k, v) =>
+          k -> (if (v.startsWith("{"))
+            v.stripPrefix("{").stripSuffix("}").split(",").sorted.mkString(",")
+          else v)
+        }
+    assert(norm(got).view.filterKeys(_ != "by_config").toMap ===
+      norm(expected).view.filterKeys(_ != "by_config").toMap)
+    assert(norm(got)("by_config") === norm(expected)("by_config"))
+  }
+
   test("stats JSON matches reference key names") {
     val json = Api.stats(qs, vs)
     parse(json)
