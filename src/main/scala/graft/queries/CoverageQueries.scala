@@ -199,6 +199,14 @@ object CoverageQueries {
           sum(when(col("l_returnflag") =!= "N", 1).otherwise(0)).as("n_returned_or_ack"))
     }),
 
+    // Beyond the reference: ROLLUP subtotals (grouping-sets family)
+    "a18_rollup_flag_status" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Num.sumExact(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
     // Window: running sum in event-time order (streaming-adjacent)
     "w1_running_customer_spend" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -331,6 +339,12 @@ object CoverageQueries {
         |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned_or_ack
         |FROM lineitem""".stripMargin,
+
+    "a18_rollup_flag_status" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${Num.sqlSumExact("l_quantity")} AS qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "w1_running_customer_spend" ->
       """SELECT o_custkey, o_orderkey,
