@@ -28,7 +28,21 @@ object DedupQueries {
         k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)),
 
     "d4_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3))
+      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
+
+    // Edit-distance near-dup on short strings (part names): the
+    // fuzzy-matching member of the dedup family. Sampled — O(n·m) per
+    // pair is for short keys, not documents.
+    "d5_levenshtein_pairs" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .where(pmod(col("p_partkey"), lit(50)) === 0)
+        .select(col("p_partkey"), col("p_name"))
+      p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .where(col("dist") <= 10)
+        .orderBy(col("id1"), col("id2"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -38,6 +52,15 @@ object DedupQueries {
         |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
         |FROM documents""".stripMargin,
 
-    "d2_ngram_jaccard_top20" -> Dedup.ngramJaccardSql(k = 3, topN = 20, sampleMod = Some(3))
+    "d2_ngram_jaccard_top20" -> Dedup.ngramJaccardSql(k = 3, topN = 20, sampleMod = Some(3)),
+
+    "d5_levenshtein_pairs" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |       levenshtein(a.p_name, b.p_name) AS dist
+        |FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) a
+        |JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) b
+        |  ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 10
+        |ORDER BY id1, id2""".stripMargin
   )
 }
