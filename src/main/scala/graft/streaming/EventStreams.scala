@@ -121,6 +121,26 @@ object EventStreams {
       .drop("session_id")
   }
 
+  /** Continuous parquet sink with checkpointing: processes whatever is
+    * currently available and stops. Re-invoking with the same
+    * checkpoint resumes exactly where the last run stopped — the file
+    * source tracks consumed files in the checkpoint, so restarts
+    * neither drop nor duplicate rows (P7's idempotent-resume semantics
+    * in streaming form). */
+  def runIncremental(spark: SparkSession, srcDir: String, outDir: String,
+                     checkpointDir: String): Unit = {
+    val stream = readEventStream(spark, srcDir)
+      .withColumn("event_date", to_date(col("ts")))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink
     * (file sources are finite here) and return the result table. */
   def runToMemory(stream: DataFrame, name: String,
