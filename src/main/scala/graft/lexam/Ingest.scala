@@ -71,6 +71,49 @@ object Ingest {
     questions.withColumn("international",
       coalesce(col("international"), col("course").isin(internationalCourses: _*)))
 
+  /** S1: read one raw HF-export config (JSONL — the interchange format
+    * HF datasets export to) with the LEXam raw shape: loose string
+    * types that [[coerceYear]]/[[coerceChoices]] then tighten. Columns
+    * absent from a config's export read as null (schema is declared,
+    * not inferred — inference would shift types between configs). */
+  val RawExportSchema: String =
+    "id STRING, question STRING, course STRING, language STRING, " +
+      "area STRING, jurisdiction STRING, year STRING, n_statements INT, " +
+      "none_as_an_option BOOLEAN, negative_question BOOLEAN, " +
+      "choices STRING, gold INT, answer STRING, split STRING"
+
+  def readRawExport(spark: SparkSession, path: String,
+                    config: String): DataFrame =
+    spark.read.schema(RawExportSchema).json(path)
+      .withColumn("_config", lit(config))
+
+  /** S1+S2+S5 composed: per-config raw exports → coerced, deduplicated
+    * `questions` rows (first-writer-wins in `configPriority` order) and
+    * per-config `variants` rows. */
+  def ingestConfigs(spark: SparkSession,
+                    configPaths: Seq[(String, String)],
+                    internationalCourses: Seq[String]): (DataFrame, DataFrame) = {
+    val raws = configPaths.map { case (config, path) =>
+      readRawExport(spark, path, config)
+    }
+    val unioned = raws.reduce(_.unionByName(_))
+      .withColumn("year", coerceYear(col("year")))
+      .withColumn("choices", coerceChoices(col("choices")))
+    val questions = withInternational(
+      firstWriterWins(
+        unioned.select(col("id"), col("question"), col("course"), col("language"),
+          col("area"), col("jurisdiction"), col("year"), col("n_statements"),
+          col("none_as_an_option"), col("negative_question"), col("_config")),
+        configPaths.map(_._1)),
+      internationalCourses)
+    val variants = unioned.select(
+      monotonically_increasing_id().as("id"),
+      col("id").as("question_id"), col("_config").as("config"),
+      coalesce(col("split"), lit("dev")).as("split"),
+      col("choices"), col("gold"), col("answer"))
+    (questions, variants)
+  }
+
   /** Startup schema migration (main.py:14-30's `ALTER TABLE ... ADD
     * COLUMN IF NOT EXISTS`): add any column of `target` missing from
     * the table with its default (batch equivalent: withColumn +

@@ -124,6 +124,14 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
     }
   }
 
+  /** Compact one experiment's partition into `targetFiles` files —
+    * streaming/incremental appends (S7) accumulate small files; compaction
+    * is the standard maintenance pass that keeps scans fast. */
+  def compactAnswers(experimentId: Long, targetFiles: Int = 1): Unit =
+    writeLock.synchronized {
+      rewritePartition("answers", experimentId, _.coalesce(targetFiles))
+    }
+
   // ---------------------------------------------------------- plumbing
 
   private def dropPartition(table: String, experimentId: Long): Unit = {
