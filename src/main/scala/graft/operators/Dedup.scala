@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{Registry, TextFunctions}
-import graft.functions.PolyHash64.polyHash64
 
 /** Deduplication operators for a training-data pipeline: exact
   * (hash-groupBy), n-gram Jaccard (exact near-dup ground truth),
@@ -35,21 +34,6 @@ object Dedup {
     docs.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
   }
-
-  // --------------------------------------------------------- shingles
-
-  /** Distinct k-word shingles of a token array (1-based element_at). */
-  def shingles(tokens: Column, k: Int): Column =
-    when(size(tokens) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(tokens) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Exploded (doc_id, shingle) pairs — the join-able shingle relation. */
-  def shingleRel(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(shingles(TextFunctions.wsTokens(lower(col("text"))), k)).as("s"))
 
   // --------------------------------------------- exact n-gram Jaccard
 

@@ -18,25 +18,15 @@ import graft.functions.Registry
 object Similarity {
 
   /** Σ aᵢ·bᵢ as an in-order left fold (IEEE-stable across engines).
-    * HOF formulation — for known-dimension vectors prefer
-    * [[dotUnrolled]], which compiles to a codegen'd expression chain
-    * (HOF lambdas run interpreted). */
+    * General-dimension HOF form; the hot pair-scoring paths use the
+    * native CosineSim expression instead (HOF lambdas run interpreted,
+    * and unrolled expression chains codegen poorly at 64 terms). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = dot(a, a)
-
-  /** Unrolled left-associated Σ aᵢ·bᵢ over a known dimension: whole-stage
-    * codegen compiles it to straight-line multiply-adds, and the
-    * left-assoc order matches both the HOF fold and the oracle SQL. */
-  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
-
-  def norm2Unrolled(a: Column, dim: Int): Column = dotUnrolled(a, a, dim)
 
   def cosine(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dot(a, b) / (sqrt(n2a) * sqrt(n2b))
