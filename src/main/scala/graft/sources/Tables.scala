@@ -41,7 +41,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views for spark.sql use. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  /** Register all tables as temp views for spark.sql use — through the
+    * per-table accessors, so `events` gets its nanos→timestamp fix. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val accessors: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events,
+      "documents" -> documents, "embeddings" -> embeddings)
+    all.foreach(n => accessors(n)(spark, sfDir).createOrReplaceTempView(n))
+  }
 }
