@@ -73,11 +73,18 @@ object Filters {
 
   /** Cohort variants for an experiment: variants ⋈ questions with all
     * dims applied (`services/generation.py:40-63`). Questions side is
-    * broadcast — it is the small dimension. */
+    * broadcast — it is the small dimension.
+    *
+    * Note the cohort filter deliberately SKIPS `negative_question`:
+    * `_get_filtered_variants`/`count_filtered_variants`
+    * (generation.py:40-63,150-172) test every other dimension plus
+    * `international is not None`, but never `negative_question` — an
+    * experiment whose filter_config carries that flag still selects the
+    * unrestricted cohort. */
   def filterVariants(variants: DataFrame, questions: DataFrame,
                      fc: FilterConfig): DataFrame = {
     val v = variantPredicate(fc).map(variants.where).getOrElse(variants)
-    questionPredicate(fc) match {
+    questionPredicate(fc, skip = Set("negative_question")) match {
       case Some(qp) =>
         val qids = questions.where(qp).select(col("id").as("question_id"))
         v.join(broadcast(qids), Seq("question_id"), "left_semi")

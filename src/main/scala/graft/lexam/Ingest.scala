@@ -106,8 +106,15 @@ object Ingest {
           col("none_as_an_option"), col("negative_question"), col("_config")),
         configPaths.map(_._1)),
       internationalCourses)
+    // Variant ids are a deterministic hash of the business key
+    // (question, config, split) — NOT monotonically_increasing_id, whose
+    // value depends on physical partition layout: a re-run would mint
+    // fresh ids and orphan persisted answers that reference the old ones
+    // (the reference's autoincrement ids are stable because seeding is
+    // append-only and idempotent, seed.py:69-73).
     val variants = unioned.select(
-      monotonically_increasing_id().as("id"),
+      xxhash64(lit("var"), col("id"), col("_config"),
+        coalesce(col("split"), lit("dev"))).as("id"),
       col("id").as("question_id"), col("_config").as("config"),
       coalesce(col("split"), lit("dev")).as("split"),
       col("choices"), col("gold"), col("answer"))

@@ -166,7 +166,10 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
   * generation.py:82,127,135 / judging.py:57,105,112). */
 object StatusMachine {
   val Transitions: Map[String, Set[String]] = Map(
-    "created"    -> Set("generating", "error"),
+    // created→judging is legal: the reference judge worker sets
+    // status="judging" unconditionally (judging.py:57) and an experiment
+    // with no answers judges zero items and finishes "completed".
+    "created"    -> Set("generating", "judging", "error"),
     "generating" -> Set("generated", "error"),
     "generated"  -> Set("generating", "judging", "error"),
     "judging"    -> Set("completed", "error"),

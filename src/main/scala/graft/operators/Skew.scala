@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join handles sort-merge cases at runtime; these helpers
   * cover the two shapes AQE does not: hot-key AGGREGATION (two-phase
   * salted aggregate) and broadcast-ineligible hot-key JOINs (salt ×
-  * replicate). The salt only affects row placement, never results, so
-  * its source need not be stable across task retries.
+  * replicate). The salt is derived from row CONTENT, never from
+  * placement-dependent ids: with monotonically_increasing_id a shuffle
+  * fetch failure + partial stage retry can re-salt rows differently and
+  * double-count/drop them (the SPARK-23207 class of bug).
   */
 object Skew {
+
+  /** Deterministic per-row salt in [0, salts): hash of the full row
+    * content. Stable under task retries and repartitioning. */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
 
   /** Two-phase salted aggregation: groupBy(keys + salt) partial, then
     * groupBy(keys) final. Turns one hot reducer into `salts` reducers.
@@ -20,8 +27,7 @@ object Skew {
     * e.g. count → (count, sum), sum → (sum, sum). */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
                       partials: Seq[(String, Column, Column => Column)]): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val salted = df.withColumn("_salt", contentSalt(df, salts))
     val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(partials.head._2.as(s"_p_${partials.head._1}"),
         partials.tail.map(p => p._2.as(s"_p_${p._1}")): _*)
@@ -36,8 +42,7 @@ object Skew {
     * equi-join, but the hot key's rows spread over `salts` tasks. */
   def saltedJoin(skewedLeft: DataFrame, right: DataFrame, key: String,
                  salts: Int): DataFrame = {
-    val saltedL = skewedLeft.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val saltedL = skewedLeft.withColumn("_salt", contentSalt(skewedLeft, salts))
     val replicatedR = right.withColumn("_salt",
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     saltedL.join(replicatedR, Seq(key, "_salt")).drop("_salt")

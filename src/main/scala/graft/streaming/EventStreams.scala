@@ -88,7 +88,15 @@ object EventStreams {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.end + gapMs)
+        // A timeout timestamp at or below the current watermark is an
+        // IllegalArgumentException at runtime. A user whose newest event
+        // is already older than watermark - gap would produce one, so
+        // clamp to just past the watermark — the session then times out
+        // on the next trigger, which is the earliest legal moment.
+        // (batch execution plans this without a watermark — there
+        // getCurrentWatermarkMs throws and timeouts never fire anyway)
+        val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
+        state.setTimeoutTimestamp(math.max(s.end + gapMs, wm + 1))
       }
       closed.reverseIterator
     }

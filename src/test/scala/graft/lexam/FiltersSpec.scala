@@ -87,4 +87,15 @@ class FiltersSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(cohort === Set(3L, 5L, 6L, 10L))
   }
+
+  test("cohort ignores negative_question (generation.py:40-63 has no such filter)") {
+    val base = FilterConfig(config = Seq("open_question"), language = Seq("en"))
+    val withFlag = base.copy(negative_question = Some(true))
+    val a = Filters.filterVariants(vs, qs, base).select("id").as[Long].collect().toSet
+    val b = Filters.filterVariants(vs, qs, withFlag).select("id").as[Long].collect().toSet
+    assert(a === b) // flag in filter_config does not narrow the cohort
+    // ...while the explore path DOES honor it (main.py:93-95)
+    val explore = Filters.filterQuestions(qs, vs, withFlag)
+    assert(explore.count() < Filters.filterQuestions(qs, vs, base).count())
+  }
 }

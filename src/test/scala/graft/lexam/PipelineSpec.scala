@@ -129,7 +129,11 @@ class PipelineSpec extends AnyFunSuite {
   test("status machine guards concurrent and illegal transitions (P6)") {
     assert(StatusMachine.isBusy("generating") && StatusMachine.isBusy("judging"))
     assert(StatusMachine.canTransition("created", "generating"))
-    assert(!StatusMachine.canTransition("created", "judging"))
+    // created→judging is legal (judging.py:57 sets it unconditionally;
+    // zero answers → finishes "completed")
+    assert(StatusMachine.canTransition("created", "judging"))
+    assert(!StatusMachine.canTransition("generating", "judging"))
+    assert(!StatusMachine.canTransition("created", "completed"))
     assert(StatusMachine.recompute(0, 0) === "created")
     assert(StatusMachine.recompute(5, 0) === "generated")
     assert(StatusMachine.recompute(5, 3) === "completed")
@@ -139,6 +143,20 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Jobs.runGeneration(store, progress, new DeterministicStubClient, 3L)
     }
+  }
+
+  test("judging an experiment with no answers judges zero and completes") {
+    // reference: _judge_worker on a 'created' experiment sets
+    // status="judging" unconditionally, finds zero open answers, and
+    // finishes "completed" (judging.py:30-58,105-106)
+    val store = freshStore()
+    store.saveExperiment(exp.copy(id = 7, name = "empty-judge", status = "created"))
+    val progress = new ProgressStore
+    val judged = Jobs.runJudging(store, progress, new DeterministicStubClient, 7L, "judge-x")
+    assert(judged === 0)
+    assert(store.getExperiment(7L).get.status === "completed")
+    val prog = progress.get("judge:7:judge-x")
+    assert(prog("total") === 0L && prog("status") === "done")
   }
 
   test("background execution: async jobs, live progress poll, guard (P1)") {

@@ -98,6 +98,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === all.count())
   }
 
+  test("true streaming sessionization: event-time timeout closes sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1, two events 5 min apart → one open session
+      input.addData(EventStreams.Event(1, ts(0), 1, "click", 1.0),
+        EventStreams.Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream_out").isEmpty) // still open
+
+      // batch 2: user 2 far in the future → watermark advances to
+      // ts(110), past user 1's timeout at ts(35)
+      input.addData(EventStreams.Event(3, ts(120), 2, "click", 4.0))
+      q.processAllAvailable()
+      // batch 3: timeouts fire against the batch-2 watermark
+      input.addData(EventStreams.Event(4, ts(125), 2, "click", 8.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sess_stream_out").as[EventStreams.UserSession].collect()
+      val u1 = out.filter(_.user_id == 1L)
+      assert(u1.length === 1, s"expected user 1's session closed by timeout, got ${out.toSeq}")
+      assert(u1.head.n_events === 2 && u1.head.total_value === 3.0)
+      assert(u1.head.session_start.getTime === t0 && u1.head.session_end.getTime === ts(5).getTime)
+    } finally q.stop()
+  }
+
   test("sessionization: explicit gap fixture") {
     val t0 = 1700000000000L
     def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
