@@ -101,6 +101,23 @@ object Dedup {
 
   // ------------------------------------------------------ MinHash+LSH
 
+  /** FNV-1a 64 over a VARCHAR column's bytes as DuckDB SQL — the exact
+    * twin of [[graft.functions.ShingleHashes]]/[[graft.functions.SimHash64]]'s
+    * per-token hash. 64-bit wrapping arithmetic runs in HUGEINT mod 2^64;
+    * the byte XOR only touches the low 8 bits, so it is expressible as
+    * arithmetic on the split (avoids HUGEINT xor). ASCII-only corpora:
+    * ord(char) == utf8 byte. */
+  private[graft] def fnvSql(col: String): String =
+    "list_reduce(" +
+      "[CAST('14695981039346656037' AS HUGEINT)] || " +
+      s"list_transform(range(1, strlen($col)+1), i -> CAST(ord(substr($col, i, 1)) AS HUGEINT)), " +
+      "(h, b) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) " +
+      "* 1099511628211 % CAST('18446744073709551616' AS HUGEINT))"
+
+  private val P61: Long = graft.functions.MinHashSig.P
+  private val U64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val S63 = "CAST('9223372036854775808' AS HUGEINT)"
+
   /** MinHash signature — native expression (graft.functions.MinHashSig):
     * one tight loop per row instead of numHashes interpreted
     * array traversals. */
@@ -149,6 +166,60 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** DuckDB oracle for [[minhashLshPairs]]: same FNV-1a shingle hashes,
+    * same (a·h+b) mod 2^61−1 signature (64-bit wrap replicated via
+    * HUGEINT, floorMod via ((s%P)+P)%P), band keys compared by VALUE
+    * (the Spark side buckets on xxhash64 of the same slice — equal
+    * slices hash equal, and a cross-slice collision is ~2⁻⁶⁴). */
+  def minhashLshSql(k: Int, bands: Int, rowsPerBand: Int,
+                    threshold: Double): String = {
+    val joins = (1 until k).map(j =>
+      s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
+    val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
+    val numHashes = bands * rowsPerBand
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+       |shs AS (
+       |  SELECT t0.doc_id, $catted AS s
+       |  FROM p t0 $joins),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ${fnvSql("s")} AS h FROM shs),
+       |seeds AS (
+       |  SELECT j, CAST(2*j*1000003 + 1 AS HUGEINT) AS a,
+       |         CAST(j*998244353 % $P61 AS HUGEINT) AS b
+       |  FROM (SELECT unnest(range(1, ${numHashes + 1})) AS j)),
+       |sigv AS (
+       |  SELECT doc_id, j, min(((s % $P61) + $P61) % $P61) AS v
+       |  FROM (
+       |    SELECT doc_id, j, CASE WHEN u >= $S63 THEN u - $U64 ELSE u END AS s
+       |    FROM (SELECT sh.doc_id, seeds.j, (sh.h * seeds.a + seeds.b) % $U64 AS u
+       |          FROM sh CROSS JOIN seeds))
+       |  GROUP BY doc_id, j),
+       |band AS (
+       |  SELECT doc_id, (j-1) // $rowsPerBand AS band,
+       |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bucket
+       |  FROM sigv GROUP BY doc_id, (j-1) // $rowsPerBand),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id1
+       |  JOIN sh b ON b.doc_id = c.id2 AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+       |FROM inter
+       |JOIN sz s1 ON s1.doc_id = id1
+       |JOIN sz s2 ON s2.doc_id = id2
+       |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   // ---------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc via the native [[graft.functions.SimHash64]]
@@ -182,5 +253,45 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .where(col("dist") <= maxDist)
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB oracle for [[simhashPairs]]: same per-token FNV-1a 64, bit
+    * votes via (h // 2^bit) % 2, fingerprint reassembled in HUGEINT and
+    * reinterpreted as signed BIGINT; bands are exact 16-bit field
+    * extractions, so candidate sets match Spark's bit-for-bit. */
+  def simhashPairsSql(maxDist: Int, bands: Int = 4): String = {
+    require(maxDist < bands)
+    val width = 64 / bands
+    val pw64 = (0 until 64).map(b =>
+      s"($b, CAST('${BigInt(1) << b}' AS HUGEINT))").mkString(", ")
+    val pb = (0 until bands).map(b =>
+      s"($b, CAST('${BigInt(1) << (width * b)}' AS HUGEINT))").mkString(", ")
+    val mask = (BigInt(1) << width).toString
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |th AS (SELECT doc_id, ${fnvSql("tok")} AS h FROM tok),
+       |pw(bit, p) AS (VALUES $pw64),
+       |votes AS (
+       |  SELECT doc_id, bit, p,
+       |         SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN pw GROUP BY doc_id, bit, p),
+       |fp AS (
+       |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS fpu
+       |  FROM votes GROUP BY doc_id),
+       |fps AS (
+       |  SELECT doc_id, fpu,
+       |         CAST(CASE WHEN fpu >= $S63 THEN fpu - $U64 ELSE fpu END AS BIGINT) AS f
+       |  FROM fp),
+       |pb(band, q) AS (VALUES $pb),
+       |banded AS (
+       |  SELECT doc_id, f, band, CAST((fpu // q) % $mask AS BIGINT) AS bucket
+       |  FROM fps CROSS JOIN pb)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS dist
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= $maxDist
+       |ORDER BY id1, id2""".stripMargin
   }
 }

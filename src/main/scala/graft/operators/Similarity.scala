@@ -74,11 +74,19 @@ object Similarity {
   }
 
   /** All embedding pairs with cosine ≥ minCos (embedding-cosine
-    * near-dup dedup). Exact; oracle-checked via [[nearDupPairsSql]]. */
+    * near-dup dedup). Exact; oracle-checked via [[nearDupPairsSql]].
+    *
+    * All-pairs is quadratic: without a sample this is a full cross
+    * join, which silently explodes on a large corpus. Callers must
+    * either sample or opt in explicitly with `allowFullCorpus=true`
+    * (small cohorts only — [[lshCosinePairs]] is the scale path),
+    * mirroring simhashPairs' explicit recall `require`. */
   def nearDupPairs(emb: DataFrame, minCos: Double,
-                   sampleMod: Option[Int] = None, dim: Int = 64): DataFrame = {
-    // all-pairs is quadratic: the bench-scale query runs on a
-    // deterministic sample (LSH v2 is the full-corpus scale path)
+                   sampleMod: Option[Int] = None, dim: Int = 64,
+                   allowFullCorpus: Boolean = false): DataFrame = {
+    require(sampleMod.isDefined || allowFullCorpus,
+      "nearDupPairs without sampleMod is an unguarded all-pairs cross join; " +
+        "pass allowFullCorpus=true for a small cohort, or use lshCosinePairs at scale")
     val cohort = sampleMod.map(m => emb.where(col("vec_id") % m === 0)).getOrElse(emb)
     val withNorm = cohort.select(col("vec_id"), col("embedding"))
     withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -194,6 +202,38 @@ object Similarity {
     * share a bucket; verification is exact cosine within bucket only.
     * This is the shape that survives 1000 executors — bucket join, no
     * cross product. */
+  /** DuckDB oracle for [[lshCosinePairs]]: the deterministic
+    * pseudo-hyperplanes are computed HERE with the same integer formula
+    * as [[graft.functions.HyperplaneSig]] and embedded as double
+    * literals (Double.toString round-trips exactly); each projection is
+    * a left-associated `+` chain = the native loop's IEEE fold order, so
+    * sign decisions — and therefore buckets — match bit-for-bit. */
+  def lshCosinePairsSql(dim: Int, nBits: Int, minCos: Double): String = {
+    def plane(b: Int, d: Int): Double = {
+      val x = (b * 1315423911L + d * 2654435761L) & 0xFFFFFFFFL
+      (x.toDouble / 0xFFFFFFFFL.toDouble) * 2.0 - 1.0
+    }
+    def proj(b: Int) = (0 until dim)
+      .map(d => s"CAST(e.embedding[${d + 1}] AS DOUBLE)*(${plane(b, d)})")
+      .mkString(" + ")
+    val sig = (0 until nBits)
+      .map(b => s"(CASE WHEN (${proj(b)}) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t.embedding[$i] AS DOUBLE)*CAST($t.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val dotE = (1 to dim)
+      .map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding, ${n2("e")} AS n2, $sig AS sig
+       |           FROM embeddings e)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       ($dotE) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |WHERE ($dotE) / (sqrt(a.n2) * sqrt(b.n2)) >= $minCos
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   def lshCosinePairs(emb: DataFrame, dim: Int, nBits: Int,
                      minCos: Double): DataFrame = {
     // native one-loop signature (see HyperplaneSig for why not a

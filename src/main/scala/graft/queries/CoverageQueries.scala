@@ -171,13 +171,15 @@ object CoverageQueries {
     // X9/X10: rounding + percent formatting (experiment_stats.py:95;
     // main.py:385)
     "x10_percent_by_flag" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val total = li.count()
-      li.groupBy(col("l_returnflag"))
+      // the corpus total is the sum of the group counts — an empty
+      // window frame keeps it in-plan (one job; no separate count()
+      // action pre-scanning lineitem before the query even runs)
+      val total = sum(col("n")).over(Window.partitionBy()).cast("double")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("pct",
-          concat(round(col("n") * 100.0 / lit(total.toDouble)).cast("int"), lit("%")))
-        .withColumn("share", round(col("n") / lit(total.toDouble), 4))
+        .withColumn("pct", concat(round(col("n") * 100.0 / total).cast("int"), lit("%")))
+        .withColumn("share", round(col("n") / total, 4))
         .orderBy(col("l_returnflag"))
     }),
 

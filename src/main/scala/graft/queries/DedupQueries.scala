@@ -7,10 +7,10 @@ import graft.operators.Dedup
 
 /** Deduplication extension queries over `documents`. The exact-Jaccard
   * query is the oracle-checked ground truth; MinHash-LSH and SimHash are
-  * the scale-path approximations (no SQL oracle — DuckDB has no
-  * equivalent hash; the driver records a rows-only check, and the
-  * ScalaTest suite asserts LSH candidates ⊆-recall against the exact
-  * pairs).
+  * the scale-path approximations — also oracle-checked, via DuckDB SQL
+  * twins of the FNV-1a/MinHash/SimHash arithmetic (HUGEINT mod-2^64
+  * wrapping; see Dedup.minhashLshSql / simhashPairsSql), on top of the
+  * ScalaTest recall assertions against the exact pairs.
   */
 object DedupQueries {
 
@@ -53,6 +53,11 @@ object DedupQueries {
         |FROM documents""".stripMargin,
 
     "d2_ngram_jaccard_top20" -> Dedup.ngramJaccardSql(k = 3, topN = 20, sampleMod = Some(3)),
+
+    "d3_minhash_lsh_pairs" ->
+      Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05),
+
+    "d4_simhash_pairs" -> Dedup.simhashPairsSql(maxDist = 3),
 
     "d5_levenshtein_pairs" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,

@@ -7,8 +7,9 @@ import graft.operators.Similarity
 /** Similarity-search extension queries over `embeddings` (64-dim
   * float vectors). Brute-force cosine top-k is oracle-checked against an
   * unrolled-arithmetic DuckDB query (identical IEEE evaluation order);
-  * the LSH variant is the scale path (rows-only check + ScalaTest
-  * recall assertion vs brute force).
+  * the LSH variant is the scale path, oracle-checked too (plane
+  * constants embedded as exact double literals — Similarity
+  * .lshCosinePairsSql) plus a ScalaTest recall assertion vs brute force.
   */
 object VectorQueries {
   val Dim = 64
@@ -30,6 +31,7 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "v1_cosine_topk" -> Similarity.bruteForceTopKSql(Dim, SampleMod, TopK),
+    "v2_lsh_cosine_pairs" -> Similarity.lshCosinePairsSql(Dim, nBits = 12, minCos = 0.2),
     "v3_embedding_neardup_pairs" -> Similarity.nearDupPairsSql(Dim, minCos = 0.35, sampleMod = Some(2))
   )
 }

@@ -60,6 +60,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupPairs refuses a silent full-corpus cross join") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(emb, minCos = 0.9)
+    }
+    assert(e.getMessage.contains("lshCosinePairs"))
+    // explicit opt-in still works (small cohort)
+    val pairs = Similarity.nearDupPairs(emb.limit(20), minCos = -1.0,
+      allowFullCorpus = true)
+    assert(pairs.count() === 20L * 19 / 2)
+  }
+
   test("exact dedup keeps the lowest doc_id per text") {
     val docs = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
     val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
