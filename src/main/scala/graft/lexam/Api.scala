@@ -227,4 +227,88 @@ object Api {
         "unanimous_rate" -> c.unanimousRate))))
     } finally enriched.unpersist()
   }
+
+  /** GET /api/dashboard (main.py:312-459): composite analytics response.
+    * Every reference Python-dict accumulation is one of the
+    * [[DatasetAnalytics]] aggregations; this method only assembles the
+    * JSON shape. List orders: courses count-desc (course-asc ties,
+    * deterministic where the reference's dict order is not), facet lists
+    * name-asc, years ascending, area-keyed tables in the reference's
+    * fixed area order filtered to areas present (main.py:396,407,441). */
+  def dashboard(questions: DataFrame, variants: DataFrame,
+                config: Seq[String] = Nil, language: Seq[String] = Nil): String = {
+    import scala.collection.immutable.ListMap
+    val qs = DatasetAnalytics
+      .dashboardQuestions(questions, variants, config, language).cache()
+    val wcs = DatasetAnalytics.answerWordCounts(qs, variants).cache()
+    try {
+      val courses = DatasetAnalytics.dashboardCourses(qs).collect().toSeq
+      def nameValue(df: DataFrame): Seq[Any] = df.collect().toSeq
+        .map(r => ListMap[String, Any]("name" -> r.get(0), "value" -> r.getLong(1)))
+      val years = DatasetAnalytics.dashboardYears(qs).collect().toSeq
+      val splits = DatasetAnalytics.dashboardSplits(variants, qs, config)
+        .collect().toSeq.map(r => ListMap[String, Any](
+          "name" -> r.get(0), "value" -> r.getLong(1), "pct" -> r.getString(2)))
+      def areaOrdered(df: DataFrame): Seq[Any] = {
+        val byArea = df.collect().map(r => r.getAs[String]("area") -> r).toMap
+        DatasetAnalytics.Areas.filter(byArea.contains).map(a => rowToMap(byArea(a)))
+      }
+      val histMap = DatasetAnalytics.answerLengthHistogram(wcs).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val answerLengths = DatasetAnalytics.WordBins.map { case (_, _, label) =>
+        ListMap[String, Any]("range" -> label, "count" -> histMap.getOrElse(label, 0L))
+      }
+      render(ListMap[String, Any](
+        "total_questions" -> qs.count(),
+        "total_courses" -> courses.length,
+        "total_de" -> courses.map(_.getAs[Long]("lang_de")).sum,
+        "total_en" -> courses.map(_.getAs[Long]("lang_en")).sum,
+        "min_year" -> years.headOption.map(_.getInt(0)).getOrElse(0),
+        "max_year" -> years.lastOption.map(_.getInt(0)).getOrElse(0),
+        "courses" -> courses,
+        "areas" -> nameValue(qs.groupBy(col("area")).count().orderBy(col("area"))),
+        "jurisdictions" -> nameValue(
+          qs.groupBy(col("jurisdiction")).count().orderBy(col("jurisdiction"))),
+        "years" -> years,
+        "splits" -> splits,
+        "area_jurisdiction" -> areaOrdered(DatasetAnalytics.dashboardAreaJurisdiction(qs)),
+        "lang_area" -> areaOrdered(DatasetAnalytics.dashboardLangArea(qs)),
+        "answer_lengths" -> answerLengths,
+        "answer_stats" -> areaOrdered(DatasetAnalytics.answerStatsByArea(wcs))))
+    } finally { wcs.unpersist(); qs.unpersist() }
+  }
+
+  /** GET /api/experiments/{id}/stats/compare-judges
+    * (experiment_stats.py:117-160): per-judge count/avg/exact-median
+    * over scored judgments. */
+  def compareJudges(store: pipeline.LexamStore, experimentId: Long): String = {
+    store.getExperiment(experimentId)
+      .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
+    render(ExperimentAnalytics
+      .compareJudges(store.answers, store.judgments, experimentId)
+      .collect().toSeq)
+  }
+
+  /** GET /api/experiments/{id}/stats/by-question
+    * (experiment_stats.py:163-222): per-question rollup, avg-score-desc.
+    * Columns reordered to the reference dict order. */
+  def statsByQuestion(store: pipeline.LexamStore, experimentId: Long,
+                      modelName: Option[String] = None,
+                      judgeModel: Option[String] = None): String = {
+    store.getExperiment(experimentId)
+      .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
+    val enriched = ExperimentAnalytics.enriched(store.answers, store.variants,
+      store.questions, store.judgments, experimentId, modelName)
+    render(ExperimentAnalytics.statsByQuestion(enriched, store.judgments, judgeModel)
+      .select("question_id", "course", "area", "config", "mcq_correct",
+        "avg_score", "answer_count", "judgment_count")
+      .collect().toSeq)
+  }
+
+  /** GET /api/experiments/{id}/judge-summary (routers/judging.py:111-132):
+    * judgment counts (nulls included) and avg scores per judge model. */
+  def judgeSummary(store: pipeline.LexamStore, experimentId: Long): String =
+    render(ExperimentAnalytics
+      .judgeSummary(store.answers, store.judgments, experimentId)
+      .collect().toSeq)
 }

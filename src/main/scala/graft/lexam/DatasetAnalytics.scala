@@ -1,6 +1,6 @@
 package graft.lexam
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -22,19 +22,34 @@ object DatasetAnalytics {
                    byConfig: Map[String, Long], byArea: Map[String, Long],
                    byLanguage: Map[String, Long], byYear: Seq[(Int, Long)])
 
-  /** main.py:223-249 — totals + four group-counts (A1/A2). */
+  /** main.py:223-249 — totals + four group-counts (A1/A2). The
+    * reference's six separate queries collapse into two GROUPING SETS
+    * jobs — one scan of questions (total ∪ by-area ∪ by-language ∪
+    * by-year) and one of variants (total ∪ by-config); grouping_id
+    * tells the slices apart. */
   def stats(questions: DataFrame, variants: DataFrame): Stats = {
-    def counts(df: DataFrame, k: String): Map[String, Long] =
-      df.groupBy(col(k)).count().collect()
-        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val q = questions.groupingSets(
+        Seq(Seq.empty, Seq(col("area")), Seq(col("language")), Seq(col("year"))),
+        col("area"), col("language"), col("year"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .collect()
+    // gid bit per groupBy column (MSB first), 1 = aggregated away:
+    // {area}=0b011, {language}=0b101, {year}=0b110, {}=0b111
+    def slice(gid: Long): Seq[Row] =
+      q.filter(_.getAs[Number]("gid").longValue == gid).toSeq
+    val v = variants.groupingSets(Seq(Seq.empty, Seq(col("config"))), col("config"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .collect()
     Stats(
-      totalQuestions = questions.count(),
-      totalVariants  = variants.count(),
-      byConfig   = counts(variants, "config"),
-      byArea     = counts(questions, "area"),
-      byLanguage = counts(questions, "language"),
-      byYear     = questions.groupBy(col("year")).count().orderBy(col("year"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+      totalQuestions = slice(7L).head.getAs[Long]("n"),
+      totalVariants  = v.filter(_.getAs[Number]("gid").longValue == 1L)
+        .head.getAs[Long]("n"),
+      byConfig   = v.filter(_.getAs[Number]("gid").longValue == 0L)
+        .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap,
+      byArea     = slice(3L).map(r => r.getString(0) -> r.getAs[Long]("n")).toMap,
+      byLanguage = slice(5L).map(r => r.getString(1) -> r.getAs[Long]("n")).toMap,
+      byYear     = slice(6L).map(r => r.getInt(2) -> r.getAs[Long]("n"))
+        .sortBy(_._1))
   }
 
   // ------------------------------------------------- /api/dashboard
@@ -81,7 +96,8 @@ object DatasetAnalytics {
       .agg(countDistinct(col("question_id")).as("value"))
       .withColumn("pct",
         if (total == 0) lit("0%")
-        else concat(round(col("value") * 100.0 / total.toDouble).cast("int"), lit("%")))
+        // bround = half-even, matching Python round() (main.py:385)
+        else concat(bround(col("value") * 100.0 / total.toDouble).cast("int"), lit("%")))
       .orderBy(col("split"))
   }
 
@@ -124,8 +140,10 @@ object DatasetAnalytics {
   def answerStatsByArea(wcs: DataFrame): DataFrame =
     wcs.groupBy(col("area"))
       .agg(
-        round(avg(col("wc"))).cast("long").as("avgWords"),
-        round(median(col("wc"))).cast("long").as("medianWords"),
+        // bround = half-even, matching Python round(statistics.mean/median)
+        // (main.py:437-446); medians of ints land on exact .5 ties often
+        bround(avg(col("wc"))).cast("long").as("avgWords"),
+        bround(median(col("wc"))).cast("long").as("medianWords"),
         min(col("wc")).as("minWords"),
         max(col("wc")).as("maxWords"))
 

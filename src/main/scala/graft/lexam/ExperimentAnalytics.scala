@@ -151,6 +151,21 @@ object ExperimentAnalytics {
       .orderBy(col("judge_model"))
   }
 
+  /** Per-judge judgment counts + avg score (routers/judging.py:111-132).
+    * Unlike [[compareJudges]], the count includes NULL-score judgments
+    * (the reference's `/judge-summary` has no `score.isnot(None)`
+    * filter); avg naturally skips nulls and is null when all are. */
+  def judgeSummary(answers: DataFrame, judgments: DataFrame,
+                   experimentId: Long): DataFrame = {
+    val expAnswers = answers.where(col("experiment_id") === experimentId)
+      .select(col("id").as("answer_id"))
+    judgments.join(expAnswers, Seq("answer_id"), "left_semi")
+      .groupBy(col("judge_model"))
+      .agg(count(lit(1)).as("count"),
+        bround(avg(col("score")), 4).as("avg_score"))
+      .orderBy(col("judge_model"))
+  }
+
   /** Per-question rollup sorted by avg score desc
     * (experiment_stats.py:163-222, A14). `mcq_correct`: any non-null
     * value across runs (the reference keeps the last seen; with

@@ -42,6 +42,59 @@ case class FilterConfig(
   negative_question: Option[Boolean] = None,
   international: Option[Boolean] = None)
 
+object FilterConfig {
+  /** Normalize a loose JSON-ish map into a typed FilterConfig, the way
+    * the reference accepts `filter_config: dict | None` verbatim and its
+    * interpreter treats falsy entries as inactive
+    * (`fc.get("config") or []`, services/generation.py:43-49): missing /
+    * null / empty → inactive; a bare scalar is promoted to a one-element
+    * list; years accept any integral type; unknown keys are ignored. */
+  def fromMap(m: Map[String, Any]): FilterConfig = {
+    def strs(k: String): Seq[String] = m.get(k) match {
+      case None | Some(null) => Nil
+      case Some(s: String) => if (s.isEmpty) Nil else Seq(s)
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case Some(other) => Seq(other.toString)
+    }
+    def ints(k: String): Seq[Int] = m.get(k) match {
+      case None | Some(null) => Nil
+      case Some(n: Number) => Seq(n.intValue)
+      case Some(xs: Seq[_]) => xs.collect { case n: Number => n.intValue }
+      case Some(other) => Seq(other.toString.toInt)
+    }
+    def bool(k: String): Option[Boolean] = m.get(k) match {
+      case Some(b: Boolean) => Some(b)
+      case _ => None
+    }
+    FilterConfig(
+      config = strs("config"), split = strs("split"), area = strs("area"),
+      language = strs("language"), course = strs("course"),
+      jurisdiction = strs("jurisdiction"), year = ints("year"),
+      negative_question = bool("negative_question"),
+      international = bool("international"))
+  }
+}
+
+/** Partial update for PUT /api/experiments/{id}
+  * (routers/experiments.py:115-128): a None field means "keep the
+  * stored value" — the reference's `if val is not None: setattr(...)`
+  * loop, which also means a stored value can never be cleared back to
+  * null through this surface. */
+case class ExperimentPatch(
+  name: Option[String] = None,
+  description: Option[String] = None,
+  filter_config: Option[FilterConfig] = None,
+  open_question_prompt: Option[String] = None,
+  mcq_prompt: Option[String] = None,
+  judge_system_prompt: Option[String] = None,
+  judge_prompt: Option[String] = None,
+  model_name: Option[String] = None,
+  temperature: Option[Double] = None,
+  max_tokens: Option[Int] = None,
+  judge_temperature: Option[Double] = None,
+  judge_max_tokens: Option[Int] = None,
+  n_answers: Option[Int] = None)
+
 case class Experiment(
   id: Long,
   name: String,

@@ -79,6 +79,58 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
     swap(Paths.get(tmp), Paths.get(p("experiments")))
   }
 
+  /** POST /api/experiments (routers/experiments.py:45-70): mint the next
+    * autoincrement id, force status "created", stamp created_at. The
+    * reference's DB-level constraints become requires: name non-empty
+    * (nullable=False) and unique (models.py:45). Caller-supplied prompt
+    * fields ride in on the Experiment defaults exactly like the
+    * reference's "only set when provided" loop. */
+  def createExperiment(exp: Experiment): Experiment = writeLock.synchronized {
+    require(exp.name != null && exp.name.nonEmpty, "experiment name required")
+    require(!experiments.exists(_.name == exp.name),
+      s"experiment name '${exp.name}' already exists")
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val created = exp.copy(
+      id = experiments.map(_.id).maxOption.getOrElse(0L) + 1,
+      status = "created", created_at = Some(now), updated_at = Some(now))
+    saveExperiment(created)
+    created
+  }
+
+  /** PUT /api/experiments/{id} (routers/experiments.py:115-128): partial
+    * merge — only provided fields overwrite; throws for a missing id
+    * (the reference 404). Divergence, documented: the reference lets an
+    * update race a live generation/judging worker (the worker holds a
+    * stale row and the edit silently half-applies); here a busy
+    * experiment rejects the update instead. */
+  def updateExperiment(id: Long, patch: ExperimentPatch): Experiment =
+    writeLock.synchronized {
+      val exp = getExperiment(id)
+        .getOrElse(throw new NoSuchElementException(s"experiment $id"))
+      require(!StatusMachine.isBusy(exp.status),
+        s"experiment busy: ${exp.status}")
+      patch.name.filter(_ != exp.name).foreach(n =>
+        require(!experiments.exists(_.name == n),
+          s"experiment name '$n' already exists"))
+      val merged = exp.copy(
+        name = patch.name.getOrElse(exp.name),
+        description = patch.description.orElse(exp.description),
+        filter_config = patch.filter_config.getOrElse(exp.filter_config),
+        open_question_prompt = patch.open_question_prompt.getOrElse(exp.open_question_prompt),
+        mcq_prompt = patch.mcq_prompt.getOrElse(exp.mcq_prompt),
+        judge_system_prompt = patch.judge_system_prompt.getOrElse(exp.judge_system_prompt),
+        judge_prompt = patch.judge_prompt.getOrElse(exp.judge_prompt),
+        model_name = patch.model_name.getOrElse(exp.model_name),
+        temperature = patch.temperature.getOrElse(exp.temperature),
+        max_tokens = patch.max_tokens.getOrElse(exp.max_tokens),
+        judge_temperature = patch.judge_temperature.getOrElse(exp.judge_temperature),
+        judge_max_tokens = patch.judge_max_tokens.getOrElse(exp.judge_max_tokens),
+        n_answers = patch.n_answers.getOrElse(exp.n_answers),
+        updated_at = Some(new java.sql.Timestamp(System.currentTimeMillis())))
+      saveExperiment(merged)
+      merged
+    }
+
   def setStatus(id: Long, status: String): Unit =
     getExperiment(id).foreach { e =>
       StatusMachine.requireTransition(e.status, status)

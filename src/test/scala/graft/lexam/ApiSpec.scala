@@ -96,6 +96,96 @@ class ApiSpec extends AnyFunSuite {
       FilterConfig(language = Seq("en"))) === 7L)
   }
 
+  test("dashboard JSON: full golden equality on the fixtures (main.py:312-459)") {
+    val expected =
+      """{"total_questions": 6, "total_courses": 5, "total_de": 2, "total_en": 4, """ +
+      """"min_year": 2020, "max_year": 2022, """ +
+      """"courses": [{"course": "Public Law", "area": "Public", "count": 2, "lang_de": 0, "lang_en": 2}, """ +
+      """{"course": "International Trade Law", "area": "Interdisciplinary", "count": 1, "lang_de": 0, "lang_en": 1}, """ +
+      """{"course": "Privatrecht", "area": "Private", "count": 1, "lang_de": 1, "lang_en": 0}, """ +
+      """{"course": "Strafrecht I", "area": "Criminal", "count": 1, "lang_de": 1, "lang_en": 0}, """ +
+      """{"course": "US Business Law", "area": "Private", "count": 1, "lang_de": 0, "lang_en": 1}], """ +
+      """"areas": [{"name": "Criminal", "value": 1}, {"name": "Interdisciplinary", "value": 1}, """ +
+      """{"name": "Private", "value": 2}, {"name": "Public", "value": 2}], """ +
+      """"jurisdictions": [{"name": "Generic", "value": 1}, {"name": "International", "value": 2}, """ +
+      """{"name": "Swiss", "value": 3}], """ +
+      """"years": [{"year": 2020, "Private": 1, "Public": 1, "Criminal": 0, "Interdisciplinary": 0, "total": 2}, """ +
+      """{"year": 2021, "Private": 1, "Public": 0, "Criminal": 1, "Interdisciplinary": 0, "total": 2}, """ +
+      """{"year": 2022, "Private": 0, "Public": 1, "Criminal": 0, "Interdisciplinary": 1, "total": 2}], """ +
+      """"splits": [{"name": "dev", "value": 4, "pct": "67%"}, {"name": "test", "value": 5, "pct": "83%"}], """ +
+      """"area_jurisdiction": [{"area": "Private", "Swiss": 1, "International": 1, "Generic": 0}, """ +
+      """{"area": "Public", "Swiss": 1, "International": 0, "Generic": 1}, """ +
+      """{"area": "Criminal", "Swiss": 1, "International": 0, "Generic": 0}, """ +
+      """{"area": "Interdisciplinary", "Swiss": 0, "International": 1, "Generic": 0}], """ +
+      """"lang_area": [{"area": "Private", "de": 1, "en": 1}, {"area": "Public", "de": 0, "en": 2}, """ +
+      """{"area": "Criminal", "de": 1, "en": 0}, {"area": "Interdisciplinary", "de": 0, "en": 1}], """ +
+      """"answer_lengths": [{"range": "< 50 words", "count": 4}, {"range": "50–100", "count": 1}, """ +
+      """{"range": "100–200", "count": 0}, {"range": "200–400", "count": 0}, """ +
+      """{"range": "400–600", "count": 0}, {"range": "600+", "count": 0}], """ +
+      """"answer_stats": [{"area": "Private", "avgWords": 6, "medianWords": 6, "minWords": 6, "maxWords": 7}, """ +
+      """{"area": "Public", "avgWords": 21, "medianWords": 8, "minWords": 5, "maxWords": 50}]}"""
+    val got = Api.dashboard(qs, vs)
+    parse(got)
+    assert(got === expected)
+  }
+
+  test("dashboard JSON respects config + language filters (main.py:320-337)") {
+    val got = Api.dashboard(qs, vs, config = Seq("mcq_4_choices"))
+    parse(got)
+    // only q1 (en) and q2 (de) have an mcq_4 variant
+    assert(got.contains("\"total_questions\": 2"))
+    assert(got.contains("\"total_de\": 1") && got.contains("\"total_en\": 1"))
+    val gotLang = Api.dashboard(qs, vs, language = Seq("de"))
+    parse(gotLang)
+    assert(gotLang.contains("\"total_questions\": 2")) // q2, q4
+  }
+
+  test("compare-judges / by-question / judge-summary JSON shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("api_store3").toString
+    val store = new LexamStore(spark, dir)
+    Fixtures.writeTo(store)
+    store.saveExperiment(Experiment(id = 11, name = "judge-facades",
+      filter_config = FilterConfig(language = Seq("en"))))
+    val progress = new ProgressStore
+    Jobs.runGeneration(store, progress, new DeterministicStubClient, 11L, parallelism = 2)
+    Jobs.runJudging(store, progress, new DeterministicStubClient, 11L, "j1", parallelism = 2)
+    Jobs.runJudging(store, progress, new DeterministicStubClient, 11L, "j2", parallelism = 2)
+
+    val cj = Api.compareJudges(store, 11L)
+    parse(cj)
+    for (k <- Seq("judge_model", "judged", "avg_score", "median_score"))
+      assert(cj.contains(s""""$k""""), k)
+    assert(cj.contains("\"j1\"") && cj.contains("\"j2\""))
+
+    val bq = Api.statsByQuestion(store, 11L)
+    parse(bq)
+    for (k <- Seq("question_id", "course", "area", "config", "mcq_correct",
+        "avg_score", "answer_count", "judgment_count"))
+      assert(bq.contains(s""""$k""""), k)
+    // reference dict order: question_id first, judgment_count last per row
+    val firstRow = bq.substring(bq.indexOf('{'))
+    assert(firstRow.indexOf("question_id") < firstRow.indexOf("avg_score"))
+    assert(firstRow.indexOf("avg_score") < firstRow.indexOf("judgment_count"))
+    // sorted by avg_score desc (nulls treated like 0 by the reference)
+    val avgs = "\"avg_score\": ([0-9.]+)".r.findAllMatchIn(bq)
+      .map(_.group(1).toDouble).toSeq
+    assert(avgs === avgs.sortBy(-(_: Double)))
+
+    val js = Api.judgeSummary(store, 11L)
+    parse(js)
+    for (k <- Seq("judge_model", "count", "avg_score"))
+      assert(js.contains(s""""$k""""), k)
+    // judge-summary counts include NULL-score judgments
+    // (routers/judging.py:111-132 has no score filter)
+    val total = "\"count\": (\\d+)".r.findAllMatchIn(js).map(_.group(1).toLong).sum
+    assert(total === store.judgments
+      .join(store.answers.where(org.apache.spark.sql.functions.col("experiment_id") === 11L)
+        .select(org.apache.spark.sql.functions.col("id").as("answer_id")),
+        Seq("answer_id"), "left_semi").count())
+    // non-existent experiment → error, like the reference 404
+    intercept[NoSuchElementException](Api.compareJudges(store, 999L))
+  }
+
   test("experiment stats JSON: full reference shape") {
     val dir = java.nio.file.Files.createTempDirectory("api_store").toString
     val store = new LexamStore(spark, dir)

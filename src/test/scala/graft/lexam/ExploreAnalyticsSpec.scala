@@ -98,7 +98,7 @@ class ExploreAnalyticsSpec extends AnyFunSuite {
     val wcs = DatasetAnalytics.answerWordCounts(dq, vs)
     val hist = DatasetAnalytics.answerLengthHistogram(wcs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // q3 dev answer = 51 words → "50–100"; remaining 4 open answers < 50
+    // q3 dev answer = 50 words → "50–100" ([50,100)); remaining 4 open answers < 50
     assert(hist === Map("< 50 words" -> 4L, "50–100" -> 1L))
   }
 

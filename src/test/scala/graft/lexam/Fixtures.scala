@@ -41,7 +41,7 @@ object Fixtures {
       choices = Some(Seq("Diebstahl", "Betrug", "Raub", "Nichts")), gold = Some(1)),
     // q3: open only, dev+test splits
     Variant(5, "q3", "open_question", "dev",
-      answer = Some("Powers are divided among branches. " + ("word " * 45))), // 51 words
+      answer = Some("Powers are divided among branches. " + ("word " * 45))), // 50 words
     Variant(6, "q3", "open_question", "test",
       answer = Some("Separation prevents concentration of authority.")),
     // q4: mcq_16 + open

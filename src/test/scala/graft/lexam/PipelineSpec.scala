@@ -186,6 +186,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(n2 === 7)
   }
 
+  test("experiment CRUD: create mints ids, validates name; update merges partially") {
+    val store = freshStore()
+    val a = store.createExperiment(Experiment(id = 0, name = "crud-a",
+      filter_config = FilterConfig(language = Seq("en"))))
+    val b = store.createExperiment(Experiment(id = 0, name = "crud-b"))
+    assert(a.id === 1L && b.id === 2L && a.status === "created")
+    assert(a.created_at.isDefined)
+    // name constraints (models.py:45 unique + nullable=False)
+    intercept[IllegalArgumentException](
+      store.createExperiment(Experiment(id = 0, name = "crud-a")))
+    intercept[IllegalArgumentException](
+      store.createExperiment(Experiment(id = 0, name = "")))
+
+    // partial merge: only provided fields overwrite (experiments.py:115-128)
+    val updated = store.updateExperiment(a.id, ExperimentPatch(
+      description = Some("updated"), temperature = Some(0.2)))
+    assert(updated.description === Some("updated"))
+    assert(updated.temperature === 0.2)
+    assert(updated.name === "crud-a" && updated.model_name === a.model_name)
+    assert(store.getExperiment(a.id).get.description === Some("updated"))
+    // renaming onto an existing name is rejected; onto itself is fine
+    intercept[IllegalArgumentException](
+      store.updateExperiment(a.id, ExperimentPatch(name = Some("crud-b"))))
+    store.updateExperiment(a.id, ExperimentPatch(name = Some("crud-a")))
+    // missing id → reference 404
+    intercept[NoSuchElementException](
+      store.updateExperiment(999L, ExperimentPatch(name = Some("x"))))
+    // update rejected while a worker owns the experiment
+    store.setStatus(a.id, "generating")
+    intercept[IllegalArgumentException](
+      store.updateExperiment(a.id, ExperimentPatch(description = Some("nope"))))
+  }
+
+  test("filter_config normalization: scalars promoted, falsy inactive, unknown ignored") {
+    val fc = FilterConfig.fromMap(Map(
+      "config" -> "open_question",            // bare scalar → singleton
+      "language" -> Seq("en", "de"),
+      "year" -> Seq(2020L, 2021),             // any integral type
+      "area" -> null,                         // null → inactive
+      "course" -> "",                         // empty string → inactive
+      "negative_question" -> true,
+      "international" -> null,                // null tri-state → None
+      "bogus_key" -> "ignored"))
+    assert(fc.config === Seq("open_question"))
+    assert(fc.language === Seq("en", "de"))
+    assert(fc.year === Seq(2020, 2021))
+    assert(fc.area === Nil && fc.course === Nil)
+    assert(fc.negative_question === Some(true) && fc.international === None)
+    assert(FilterConfig.fromMap(Map.empty) === FilterConfig())
+  }
+
   test("cascade delete removes answers and judgments (S8)") {
     val store = freshStore()
     store.saveExperiment(exp.copy(id = 4))
