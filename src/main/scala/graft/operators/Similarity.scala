@@ -189,6 +189,71 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** One-call IVF search surface: build the index over the corpus,
+    * probe with every `sampleMod`-th vector — the `queries()` entry for
+    * the IVF path (everything downstream of the k-row centroid collect
+    * stays distributed). */
+  def ivfSearch(emb: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
+                sampleMod: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val (index, assigned) = buildIvf(base, nCentroids)
+    ivfTopK(index, assigned, base.where(col("vec_id") % sampleMod === 0),
+      k, nProbe)
+  }
+
+  /** DuckDB oracle for [[ivfSearch]]: the whole IVF pipeline in SQL —
+    * same centroid seed (every (n/k)-th vector by vec_id), same
+    * assignment (squared-L2 argmin, first-wins ties = ORDER BY dist,ci),
+    * same nProbe cells, same in-order cosine — so results match
+    * bit-for-bit, not just approximately. */
+  def ivfSearchSql(dim: Int, k: Int, nCentroids: Int, nProbe: Int,
+                   sampleMod: Int): String = {
+    def sq(a: String, b: String, i: Int) =
+      s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+    def dist(a: String, b: String) = (1 to dim)
+      .map(i => s"${sq(a, b, i)}*${sq(a, b, i)}").mkString(" + ")
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t[$i] AS DOUBLE)*CAST($t[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def dot(a: String, b: String) = (1 to dim)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH p AS (SELECT GREATEST(1, COUNT(*) // $nCentroids) AS step FROM embeddings),
+       |cent AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS ci, e.embedding
+       |  FROM embeddings e, p WHERE e.vec_id % p.step = 0
+       |  ORDER BY e.vec_id LIMIT $nCentroids),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ci AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dist("e.embedding", "c.embedding")}, c.ci) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id % $sampleMod = 0),
+       |probe AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.ci AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${dist("q.q_emb", "c.embedding")}, c.ci) AS rn
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id,
+       |         (${dot("p.q_emb", "a.embedding")}) /
+       |         (sqrt(${n2("p.q_emb")}) * sqrt(${n2("a.embedding")})) AS cos
+       |  FROM probe p JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Cosine over two array<double> columns. */
   def cosineArrays(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

@@ -26,12 +26,18 @@ object VectorQueries {
 
     "v3_embedding_neardup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), minCos = 0.35,
-        sampleMod = Some(2)))
+        sampleMod = Some(2))),
+
+    "v4_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfSearch(Tables.embeddings(s, dir), k = TopK,
+        nCentroids = 16, nProbe = 4, sampleMod = SampleMod))
   )
 
   def oracles: Map[String, String] = Map(
     "v1_cosine_topk" -> Similarity.bruteForceTopKSql(Dim, SampleMod, TopK),
     "v2_lsh_cosine_pairs" -> Similarity.lshCosinePairsSql(Dim, nBits = 12, minCos = 0.2),
-    "v3_embedding_neardup_pairs" -> Similarity.nearDupPairsSql(Dim, minCos = 0.35, sampleMod = Some(2))
+    "v3_embedding_neardup_pairs" -> Similarity.nearDupPairsSql(Dim, minCos = 0.35, sampleMod = Some(2)),
+    "v4_ivf_topk" -> Similarity.ivfSearchSql(Dim, k = TopK,
+      nCentroids = 16, nProbe = 4, sampleMod = SampleMod)
   )
 }

@@ -51,6 +51,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GlobalLimit") || p.contains("TakeOrdered"), p)
   }
 
+  test("d3/v2: LSH candidate joins are bucket-key equi-joins, never cross products") {
+    for (name <- Seq("d3_minhash_lsh_pairs", "v2_lsh_cosine_pairs")) {
+      val p = physical(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      // the equi-join keys are the LSH bucket columns — the property
+      // that keeps the pair search shuffle-bounded at 100×
+      val leftKeys = p.linesIterator.filter(_.contains("Left keys")).mkString
+      assert(leftKeys.contains("bucket"), s"$name:\n$p")
+    }
+  }
+
   test("lexam filter pushdown: question predicates reach the parquet scan") {
     val store = new graft.lexam.pipeline.LexamStore(spark,
       java.nio.file.Files.createTempDirectory("plan_store").toString)

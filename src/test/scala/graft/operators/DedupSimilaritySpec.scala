@@ -60,6 +60,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF: full probe equals brute force exactly; partial probe recalls (recall@k)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, sampleMod = 10, k = 5))
+    // probing every cell degenerates to exhaustive search — results must
+    // match brute force bit-for-bit (same candidates, same tie order)
+    val full = pairs(Similarity.ivfSearch(emb, k = 5, nCentroids = 8,
+      nProbe = 8, sampleMod = 10))
+    assert(full === exact)
+    // the accuracy/throughput dial: half the cells still recalls most
+    // true neighbors on the testdata
+    val partial = pairs(Similarity.ivfSearch(emb, k = 5, nCentroids = 8,
+      nProbe = 4, sampleMod = 10))
+    val recall = exact.count(partial.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+
   test("nearDupPairs refuses a silent full-corpus cross join") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
