@@ -131,6 +131,55 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-batch sessionization: watermark advance, cross-batch merge, late row dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1710000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_multi_out")
+      .outputMode("append").start()
+    try {
+      // trigger 1: user 1 (two events), user 3 (one) — all sessions open
+      input.addData(
+        EventStreams.Event(1, ts(0), 1, "click", 1.0),
+        EventStreams.Event(2, ts(5), 1, "click", 2.0),
+        EventStreams.Event(3, ts(2), 3, "view", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_multi_out").isEmpty)
+
+      // trigger 2: user 1 continues within the gap (cross-batch state
+      // merge); user 2 far ahead pushes the watermark to ts(110). The
+      // engine's trailing no-data micro-batch then fires the timeouts
+      // for users 1 and 3 (session ends ts(8)/ts(2) + 30min < ts(110))
+      input.addData(
+        EventStreams.Event(4, ts(8), 1, "click", 4.0),
+        EventStreams.Event(5, ts(120), 2, "click", 8.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_multi_out").count() === 2)
+
+      // trigger 3: user 4's row is LATE (ts(15) < watermark ts(110)) and
+      // must be dropped without creating state or output
+      input.addData(
+        EventStreams.Event(6, ts(125), 2, "click", 16.0),
+        EventStreams.Event(7, ts(15), 4, "late", 99.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sess_multi_out").as[EventStreams.UserSession].collect()
+      assert(out.map(_.user_id).sorted.toSeq === Seq(1L, 3L), s"got ${out.toSeq}")
+      val u1 = out.find(_.user_id == 1L).get
+      assert(u1.n_events === 3 && u1.total_value === 7.0)
+      assert(u1.session_start.getTime === ts(0).getTime &&
+        u1.session_end.getTime === ts(8).getTime)
+      val u3 = out.find(_.user_id == 3L).get
+      assert(u3.n_events === 1 && u3.total_value === 5.0)
+      // user 2's session is still open; user 4's late row left no trace
+      assert(!out.exists(_.user_id == 2L) && !out.exists(_.user_id == 4L))
+    } finally q.stop()
+  }
+
   test("sessionization: explicit gap fixture") {
     val t0 = 1700000000000L
     def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
