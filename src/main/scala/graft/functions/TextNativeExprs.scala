@@ -96,17 +96,23 @@ case class StopwordHits(child: Expression, wordlists: Seq[Seq[String]])
     copy(child = newChild)
 }
 
-/** Cosine similarity of two array<float> embeddings in one loop:
+/** Cosine similarity of two array<float|double> embeddings in one loop:
   * dot and both norms accumulate left-to-right in double — bit-exact
-  * with the oracle's left-associated unrolled SQL chains. The unrolled
-  * Column-expression formulation generated 64-term codegen trees whose
-  * per-element ANSI bounds checks made it slower than interpreted HOFs;
-  * this native loop beats both.
+  * with the oracle's left-associated unrolled SQL chains (float→double
+  * widening is exact, so mixed element types still compare exactly).
+  * The unrolled Column-expression formulation generated 64-term codegen
+  * trees whose per-element ANSI bounds checks made it slower than
+  * interpreted HOFs; this native loop beats both.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -114,7 +120,8 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }

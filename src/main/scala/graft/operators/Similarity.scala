@@ -182,7 +182,10 @@ object Similarity {
       .partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
     probed.join(assigned, Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosineArrays(col("q_vec"), col("vec")))
+      // native one-loop cosine on the candidate pairs — the hot path
+      // (|probe cells| × cell size pairs); same in-order double
+      // accumulation as the HOF form, so scores are bit-identical
+      .withColumn("cos", Registry.cosineSim(col("q_vec"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))

@@ -67,17 +67,24 @@ object CoverageQueries {
         .orderBy(col("c_nationkey"))
     }),
 
-    // A13: conditional accuracy-style aggregation (experiment_stats.py:31-35)
+    // A13: conditional accuracy-style aggregation (experiment_stats.py:31-35).
+    // The per-line counts aggregate below the join (one row per orderkey
+    // into the shuffle instead of one per line — at 100× the join input
+    // shrinks by the avg lines-per-order factor); integer partial sums
+    // re-aggregate exactly, so results are bit-identical to the
+    // join-first formulation the oracle uses.
     "a13_return_rate_by_priority" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o  = Tables.orders(s, dir)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val perOrder = li.groupBy(col("l_orderkey")).agg(
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r"),
+        count(lit(1)).as("n"))
+      perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
-          count(lit(1)).as("n_lines"),
-          (sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double") /
-            count(lit(1))).as("return_rate"))
+          sum(col("r")).as("n_returned"),
+          sum(col("n")).as("n_lines"),
+          (sum(col("r")).cast("double") / sum(col("n"))).as("return_rate"))
         .orderBy(col("o_orderpriority"))
     }),
 

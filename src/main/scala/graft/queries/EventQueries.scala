@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.Num
+import graft.operators.TemporalJoin
 
 /** Event-stream analytics (batch view of the semantics the streaming
   * module runs incrementally — SURVEY §2.8): tumbling-window
@@ -42,6 +43,33 @@ object EventQueries {
         .agg(sum(col("k")).as("sum_k"),
              count(col("k")).as("n_with_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // As-of join: each purchase looks up the user's latest prior click
+    // (point-in-time feature lookup; union + window, zero joins).
+    "e3_asof_purchase_click" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      TemporalJoin.asOfJoin(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "click"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Interval join: clicks attributed into 10-minute windows opened by
+    // high-value errors — keyless range join, blocked on time bins.
+    "e4_interval_error_clicks" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val windows = ev
+        .where(col("event_type") === "error" && col("value") > 100.0)
+        .select(col("event_id").as("window_id"), col("ts").as("ws"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("we"))
+      val points = ev.where(col("event_type") === "click")
+        .select(col("ts"), col("value"))
+      TemporalJoin.intervalJoin(windows, points, binMicros = 10L * 60 * 1000000)
     })
   )
 
@@ -61,6 +89,13 @@ object EventQueries {
       """SELECT event_type,
         |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e3_asof_purchase_click" ->
+      TemporalJoin.asOfJoinSql(leftType = "purchase", rightType = "click"),
+
+    "e4_interval_error_clicks" ->
+      TemporalJoin.intervalJoinSql(windowType = "error", minValue = 100.0,
+        pointType = "click", widthMinutes = 10)
   )
 }

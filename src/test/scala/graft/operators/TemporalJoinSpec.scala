@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Temporal join edge semantics: as-of tie rules and null handling;
+  * interval-join bin-boundary correctness and zero-match windows.
+  */
+class TemporalJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val t0 = 1700000000000000L // epoch micros
+  private def ts(offsetSec: Long) =
+    new java.sql.Timestamp((t0 + offsetSec * 1000000L) / 1000)
+
+  test("asOfJoin: <= tie, highest-event-id tie among rights, null when no prior") {
+    // rights (clicks): user 1 at t10 (ids 100,101 — same ts), t30; user 2 none
+    val right = Seq(
+      (100L, ts(10), 1L, 3.0),
+      (101L, ts(10), 1L, 4.0),
+      (102L, ts(30), 1L, 5.0)).toDF("event_id", "ts", "user_id", "value")
+    // lefts (purchases): user 1 at t10 (same ts as clicks), t20, t40; user 2 at t15
+    val left = Seq(
+      (200L, ts(10), 1L, 0.0),
+      (201L, ts(20), 1L, 0.0),
+      (202L, ts(40), 1L, 0.0),
+      (203L, ts(15), 2L, 0.0)).toDF("event_id", "ts", "user_id", "value")
+    val out = TemporalJoin.asOfJoin(left, right).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out(200L) === Some(4.0)) // same-ts click matches; id 101 beats 100
+    assert(out(201L) === Some(4.0)) // still the t10 winner
+    assert(out(202L) === Some(5.0)) // t30 click now latest
+    assert(out(203L) === None)      // user 2 has no clicks at all
+  }
+
+  test("intervalJoin: [start,end) boundaries, bin-spanning windows, zero-match kept") {
+    val W = 600L * 1000000 // 10-minute bins
+    // window A [100, 700): spans two 600s bins; window B [5000, 5600): empty
+    val windows = Seq(
+      (1L, ts(100), ts(700)),
+      (2L, ts(5000), ts(5600))).toDF("window_id", "ws", "we")
+    val points = Seq(
+      (ts(100), 1.0),   // == start → included
+      (ts(650), 2.0),   // in the second bin of window A → included
+      (ts(700), 4.0),   // == end → excluded
+      (ts(99), 8.0)     // before start → excluded
+    ).toDF("ts", "value")
+    val out = TemporalJoin.intervalJoin(windows, points, W).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toList
+    assert(out === List(
+      (1L, 2L, Some(3.0)), // 1.0 + 2.0, decimal-exact
+      (2L, 0L, None)))     // zero-match window kept with NULL total
+  }
+
+  test("interval join physical plan is a bin equi-join, not a cross product") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val windows = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("window_id"), col("ts").as("ws"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("we"))
+    val points = ev.where(col("event_type") === "click").select(col("ts"), col("value"))
+    val p = TemporalJoin.intervalJoin(windows, points, 600L * 1000000)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
