@@ -220,6 +220,45 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic near-dup pairs: partition the embedding
+    * space into IVF cells (deterministic centroid seed — the cheap
+    * k-means-lite the index already uses), then compare pairs only
+    * WITHIN a cell. The cluster-then-compare shape is what makes
+    * embedding dedup tractable at corpus scale: the cross product never
+    * materializes, and each cell's pair block shuffles independently.
+    * Recall is bounded by the cell assignment (near-dups straddling a
+    * cell boundary are missed) — the standard SemDeDup trade. */
+  def semanticNearDupPairs(emb: DataFrame, nCentroids: Int,
+                           minCos: Double): DataFrame = {
+    val (_, assigned) = Similarity.buildIvf(
+      emb.select(col("vec_id"), col("embedding")), nCentroids)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Registry.cosineSim(col("a.vec"), col("b.vec")))
+      .where(col("cos") >= minCos)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB oracle for [[semanticNearDupPairs]]: the IVF assignment CTE
+    * plus an in-cell pair join with the unrolled in-order cosine. */
+  def semanticNearDupSql(dim: Int, nCentroids: Int, minCos: Double): String = {
+    val dot = (1 to dim)
+      .map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t.embedding[$i] AS DOUBLE)*CAST($t.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""${Similarity.ivfAssignCte(dim, nCentroids)}
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       ($dot) / (sqrt(${n2("a")}) * sqrt(${n2("b")})) AS cos
+       |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ($dot) / (sqrt(${n2("a")}) * sqrt(${n2("b")})) >= $minCos
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   // ---------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc via the native [[graft.functions.SimHash64]]

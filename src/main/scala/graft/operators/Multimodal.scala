@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, partition-friendly batch
   * shape (mapPartitions so per-batch decoder setup amortizes, the JVM
   * equivalent of `mapInPandas` batches), pushdown-friendly metadata
-  * predicates. The actual codec work is STUBBED deterministically
-  * (`StubCodec`): this container has no image/audio libraries, so the
-  * stub derives pseudo-features from the payload bytes — swap
-  * `MediaCodec` for a real implementation to productionize.
+  * predicates. Codec status: PPM/PGM images decode for REAL
+  * ([[Multimodal.PnmCodec]] — pure JVM byte parsing, no libraries), so
+  * the decode stage is exercised honestly on one format; every other
+  * format goes through the deterministic [[Multimodal.StubCodec]] (this
+  * container has no image/audio libraries) — swap `MediaCodec` for a
+  * full implementation to productionize.
   */
 object Multimodal {
 
@@ -46,6 +48,53 @@ object Multimodal {
         i += 1
       }
       (nFrames, features.map(f => f / math.max(1, payload.length / featureDim)))
+    }
+  }
+
+  /** REAL codec for binary PPM (P6) / PGM (P5) images — pure JVM byte
+    * parsing, no native libraries, so the decode stage of the pipeline
+    * is exercised end-to-end on at least one honest format. Features:
+    * [mean R, mean G, mean B, mean luma], each normalized to [0,1]
+    * (PGM: gray replicated across channels). Formats beyond PNM still
+    * go through [[StubCodec]] until real libraries are available. */
+  class PnmCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], meta: MediaMeta): (Int, Array[Float]) = {
+      var pos = 0
+      def skipWs(): Unit = {
+        var done = false
+        while (!done && pos < payload.length) {
+          val c = payload(pos).toChar
+          if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+          else if (c.isWhitespace) pos += 1
+          else done = true
+        }
+      }
+      def token(): String = {
+        skipWs(); val start = pos
+        while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+        new String(payload, start, pos - start, "US-ASCII")
+      }
+      val magic = token()
+      require(magic == "P5" || magic == "P6", s"not a binary PGM/PPM payload: $magic")
+      val w = token().toInt; val h = token().toInt; val maxval = token().toInt
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
+      pos += 1 // exactly one whitespace byte separates header and raster
+      val channels = if (magic == "P6") 3 else 1
+      val n = w * h
+      require(payload.length - pos >= n * channels, "truncated raster")
+      var r = 0L; var g = 0L; var b = 0L
+      var i = pos; var px = 0
+      while (px < n) {
+        if (channels == 3) {
+          r += payload(i) & 0xff; g += payload(i + 1) & 0xff
+          b += payload(i + 2) & 0xff; i += 3
+        } else { val v = payload(i) & 0xff; r += v; g += v; b += v; i += 1 }
+        px += 1
+      }
+      val d = n.toFloat * maxval
+      val mr = r / d; val mg = g / d; val mb = b / d
+      (1, Array(mr, mg, mb, 0.299f * mr + 0.587f * mg + 0.114f * mb))
     }
   }
 

@@ -204,23 +204,21 @@ object Similarity {
       k, nProbe)
   }
 
-  /** DuckDB oracle for [[ivfSearch]]: the whole IVF pipeline in SQL —
-    * same centroid seed (every (n/k)-th vector by vec_id), same
-    * assignment (squared-L2 argmin, first-wins ties = ORDER BY dist,ci),
-    * same nProbe cells, same in-order cosine — so results match
-    * bit-for-bit, not just approximately. */
-  def ivfSearchSql(dim: Int, k: Int, nCentroids: Int, nProbe: Int,
-                   sampleMod: Int): String = {
-    def sq(a: String, b: String, i: Int) =
-      s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
-    def dist(a: String, b: String) = (1 to dim)
-      .map(i => s"${sq(a, b, i)}*${sq(a, b, i)}").mkString(" + ")
-    def n2(t: String) = (1 to dim)
-      .map(i => s"CAST($t[$i] AS DOUBLE)*CAST($t[$i] AS DOUBLE)")
-      .mkString(" + ")
-    def dot(a: String, b: String) = (1 to dim)
-      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
-      .mkString(" + ")
+  private def sqlDist(dim: Int)(a: String, b: String) = {
+    def sq(i: Int) = s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+    (1 to dim).map(i => s"${sq(i)}*${sq(i)}").mkString(" + ")
+  }
+  private def sqlN2(dim: Int)(t: String) = (1 to dim)
+    .map(i => s"CAST($t[$i] AS DOUBLE)*CAST($t[$i] AS DOUBLE)")
+    .mkString(" + ")
+  private def sqlDot(dim: Int)(a: String, b: String) = (1 to dim)
+    .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+    .mkString(" + ")
+
+  /** Shared CTE prefix replicating [[buildIvf]] in DuckDB SQL: same
+    * centroid seed (every (n/k)-th vector by vec_id), same assignment
+    * (squared-L2 argmin, first-wins ties = ORDER BY dist,ci). */
+  private[operators] def ivfAssignCte(dim: Int, nCentroids: Int): String =
     s"""WITH p AS (SELECT GREATEST(1, COUNT(*) // $nCentroids) AS step FROM embeddings),
        |cent AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS ci, e.embedding
@@ -230,9 +228,19 @@ object Similarity {
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.ci AS cell,
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${dist("e.embedding", "c.embedding")}, c.ci) AS rn
+       |             ORDER BY ${sqlDist(dim)("e.embedding", "c.embedding")}, c.ci) AS rn
        |    FROM embeddings e CROSS JOIN cent c)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB oracle for [[ivfSearch]]: the whole IVF pipeline in SQL —
+    * [[ivfAssignCte]] plus the same nProbe cells and the same in-order
+    * cosine — so results match bit-for-bit, not just approximately. */
+  def ivfSearchSql(dim: Int, k: Int, nCentroids: Int, nProbe: Int,
+                   sampleMod: Int): String = {
+    val dist = sqlDist(dim) _
+    val n2 = sqlN2(dim) _
+    val dot = sqlDot(dim) _
+    s"""${ivfAssignCte(dim, nCentroids)},
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |      WHERE vec_id % $sampleMod = 0),
        |probe AS (

@@ -30,6 +30,13 @@ object DedupQueries {
     "d4_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
 
+    // SemDeDup-style: IVF-cell clustering, then cosine pairs within a
+    // cell only — embedding dedup that never materializes the cross
+    // product (cell-boundary misses are the documented trade).
+    "d6_semantic_neardup_pairs" -> ((s, dir) =>
+      Dedup.semanticNearDupPairs(Tables.embeddings(s, dir),
+        nCentroids = 16, minCos = 0.3)),
+
     // Edit-distance near-dup on short strings (part names): the
     // fuzzy-matching member of the dedup family. Sampled — O(n·m) per
     // pair is for short keys, not documents.
@@ -58,6 +65,9 @@ object DedupQueries {
       Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05),
 
     "d4_simhash_pairs" -> Dedup.simhashPairsSql(maxDist = 3),
+
+    "d6_semantic_neardup_pairs" ->
+      Dedup.semanticNearDupSql(dim = 64, nCentroids = 16, minCos = 0.3),
 
     "d5_levenshtein_pairs" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,

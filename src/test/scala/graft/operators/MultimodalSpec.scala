@@ -33,6 +33,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out1.values.forall(_.length === 8))
   }
 
+  test("PnmCodec decodes real PPM/PGM payloads through the Spark pipeline") {
+    // P6 2x2, maxval 255: pixels red, green, blue, white
+    val ppm = ("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](
+      255.toByte, 0, 0,  0, 255.toByte, 0,
+      0, 0, 255.toByte,  255.toByte, 255.toByte, 255.toByte))
+    // P5 2x1 with a header comment: gray 0 and 255
+    val pgm = ("P5\n# synthetic\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 255.toByte))
+    val files = Seq(
+      MediaFile(1L, "ppm", ppm, MediaMeta("image", 2, 2, 0L, "ppm")),
+      MediaFile(2L, "pgm", pgm, MediaMeta("image", 2, 1, 0L, "pgm")))
+    val out = decodeAndFeaturize(files.toDS(), new PnmCodec).collect()
+      .map(d => d.media_id -> d.features).toMap
+    // mean of (255,0,0,255)/4 per channel = 127.5/255 = 0.5 exactly
+    val Array(r, g, b, luma) = out(1L)
+    assert(r === 0.5f && g === 0.5f && b === 0.5f)
+    assert(math.abs(luma - 0.5f) < 1e-6)
+    val Array(r2, g2, b2, _) = out(2L)
+    assert(r2 === 0.5f && g2 === 0.5f && b2 === 0.5f)
+    // malformed payloads are rejected, not silently featurized
+    intercept[IllegalArgumentException](
+      new PnmCodec().decode("JFIF-not-pnm".getBytes, files.head.meta))
+    intercept[IllegalArgumentException](
+      new PnmCodec().decode("P6\n9 9\n255\nxx".getBytes, files.head.meta))
+  }
+
   test("metadata filters never need the payload (pruned scan shape)") {
     val df = media.toDS().toDF()
     val filtered = filterByMeta(df, minWidth = 700, mediaTypes = Seq("image", "video"))
