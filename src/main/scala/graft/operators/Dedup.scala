@@ -220,6 +220,42 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ------------------------------------- components / survivor pick
+
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into dedup clusters (one survivor each).
+    * HashMin label propagation: every node starts as its own label and
+    * takes the min label among itself and its neighbors each round;
+    * converges in O(component diameter) rounds, each a plain
+    * shuffle-bounded join+groupBy — the standard big-graph CC that needs
+    * no adjacency in memory. Near-dup graphs are overwhelmingly tiny
+    * cliques, so rounds ≈ 2-3 in practice; `maxIter` bounds pathology.
+    *
+    * Input columns (`id1`,`id2`); output (`id`,`comp`) with comp = min
+    * node id in the component, covering only ids that appear in pairs. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges = e.union(e.select(col("dst"), col("src"))).distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")).cache()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .where(col("comp") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic near-dup pairs: partition the embedding

@@ -40,17 +40,26 @@ object DedupQueries {
     // Edit-distance near-dup on short strings (part names): the
     // fuzzy-matching member of the dedup family. Sampled — O(n·m) per
     // pair is for short keys, not documents.
-    "d5_levenshtein_pairs" -> ((s, dir) => {
-      val p = Tables.part(s, dir)
-        .where(pmod(col("p_partkey"), lit(50)) === 0)
-        .select(col("p_partkey"), col("p_name"))
-      p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
-        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
-          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
-        .where(col("dist") <= 10)
-        .orderBy(col("id1"), col("id2"))
-    })
+    "d5_levenshtein_pairs" -> ((s, dir) =>
+      levenshteinPairs(s, dir).orderBy(col("id1"), col("id2"))),
+
+    // Pairs → clusters: connected components over the d5 near-dup
+    // graph (HashMin label propagation) — the survivor-selection step
+    // of the dedup pipeline.
+    "d7_neardup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(levenshteinPairs(s, dir))
+        .orderBy(col("id")))
   )
+
+  private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .where(pmod(col("p_partkey"), lit(50)) === 0)
+      .select(col("p_partkey"), col("p_name"))
+    p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .where(col("dist") <= 10)
+  }
 
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup_summary" ->
@@ -76,6 +85,24 @@ object DedupQueries {
         |JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) b
         |  ON a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 10
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Recursive-CTE reachability: comp = min id reachable from each
+    // node in the undirected pair graph — the same fixpoint HashMin
+    // label propagation converges to.
+    "d7_neardup_components" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.p_partkey AS id1, b.p_partkey AS id2
+        |  FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) a
+        |  JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) b
+        |    ON a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 10),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM p
+        |          UNION SELECT id2, id1 FROM p),
+        |walk(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst)
+        |SELECT id, MIN(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin
   )
 }

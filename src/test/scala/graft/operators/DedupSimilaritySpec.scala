@@ -60,6 +60,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains, cliques, singleton pairs, multi-round convergence") {
+    // component {1,2,3,4} is a 4-chain (needs >1 HashMin round),
+    // {10,11,12} a triangle, {20,21} a lone pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("IVF: full probe equals brute force exactly; partial probe recalls (recall@k)") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
