@@ -265,6 +265,101 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  // ----------------------------------------- int8 scalar quantization
+
+  /** Per-vector max-abs int8 quantization: q_i = floor(v_i/scale·127
+    * + 0.5). The explicit floor-of-shifted form (not round()) pins the
+    * tie rule identically across Spark and the SQL twin. */
+  def quantizeI8(emb: Column): Column = {
+    val scale = greatest(
+      aggregate(transform(emb, x => abs(x.cast("double"))),
+        lit(0.0), (a, v) => greatest(a, v)),
+      lit(1e-30))
+    transform(emb, x =>
+      floor(x.cast("double") / scale * 127 + 0.5).cast("int"))
+  }
+
+  /** Quantized ANN top-k with exact rescoring: rank all candidates by
+    * int8-dot quantized cosine (integer partial sums — order-independent
+    * and exactly reproducible, unlike float accumulation), keep the best
+    * `rescoreK` per query, rescore those with exact float cosine, return
+    * top `k`. The scale story: 4 bytes/dim shrink to 1, so the candidate
+    * scan reads a quarter of the bytes and the exact-cosine work drops
+    * from |corpus| to `rescoreK` per query. Recall < 1 when quantization
+    * reorders a true neighbor below rank `rescoreK` — the dial is
+    * `rescoreK`, asserted in the spec. */
+  def quantizedTopK(emb: DataFrame, sampleMod: Int, k: Int,
+                    rescoreK: Int): DataFrame = {
+    def intSum(c: Column) = aggregate(c, lit(0L), (a, v) => a + v)
+    val base = emb.select(col("vec_id"), col("embedding"),
+        quantizeI8(col("embedding")).as("q"))
+      .withColumn("nq", intSum(transform(col("q"), x => (x * x).cast("long"))))
+    val queries = base
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("q").as("qq"), col("nq").as("nqq"))
+      .where(col("q_id") % sampleMod === 0)
+    val wq = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("dotq", intSum(
+        zip_with(col("q"), col("qq"), (x, y) => (x * y).cast("long"))))
+      .withColumn("qcos",
+        col("dotq").cast("double") / sqrt((col("nq") * col("nqq")).cast("double")))
+      .withColumn("qrank", row_number().over(wq))
+      .where(col("qrank") <= rescoreK)
+      .withColumn("cos", Registry.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[quantizedTopK]]: same quantization formula,
+    * unrolled integer dot/norm chains (integer sums need no IEEE-order
+    * care), same two-stage ranking with the same tie-breaks, exact
+    * rescore via the in-order float cosine chain. */
+  def quantizedTopKSql(dim: Int, sampleMod: Int, k: Int,
+                       rescoreK: Int): String = {
+    val qdot = (1 to dim).map(i => s"a.q[$i]*q.qq[$i]").mkString(" + ")
+    val n2q = (1 to dim).map(i => s"q[$i]*q[$i]").mkString(" + ")
+    val dotE = (1 to dim)
+      .map(i => s"CAST(c.q_emb[$i] AS DOUBLE)*CAST(c.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t[$i] AS DOUBLE)*CAST($t[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(floor(
+       |      CAST(x AS DOUBLE) / GREATEST(list_aggregate(
+       |        list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max'),
+       |        1e-30) * 127 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |bn AS (SELECT vec_id, embedding, q, $n2q AS nq FROM b),
+       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, q AS qq, nq AS nqq
+       |       FROM bn WHERE vec_id % $sampleMod = 0),
+       |scored AS (
+       |  SELECT q.q_id, q.q_emb, a.vec_id, a.embedding,
+       |         CAST(($qdot) AS DOUBLE) / sqrt(CAST(a.nq * q.nqq AS DOUBLE)) AS qcos
+       |  FROM bn a JOIN qs q ON a.vec_id <> q.q_id),
+       |cand AS (
+       |  SELECT q_id, q_emb, vec_id, embedding,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY qcos DESC, vec_id) AS qrank
+       |  FROM scored),
+       |rescored AS (
+       |  SELECT q_id, vec_id,
+       |         ($dotE) / (sqrt(${n2("c.q_emb")}) * sqrt(${n2("c.embedding")})) AS cos
+       |  FROM cand c WHERE qrank <= $rescoreK),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rescored)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Cosine over two array<double> columns. */
   def cosineArrays(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

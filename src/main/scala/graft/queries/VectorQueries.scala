@@ -30,7 +30,11 @@ object VectorQueries {
 
     "v4_ivf_topk" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir), k = TopK,
-        nCentroids = 16, nProbe = 4, sampleMod = SampleMod))
+        nCentroids = 16, nProbe = 4, sampleMod = SampleMod)),
+
+    "v5_quantized_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(Tables.embeddings(s, dir),
+        sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK))
   )
 
   def oracles: Map[String, String] = Map(
@@ -38,6 +42,8 @@ object VectorQueries {
     "v2_lsh_cosine_pairs" -> Similarity.lshCosinePairsSql(Dim, nBits = 12, minCos = 0.2),
     "v3_embedding_neardup_pairs" -> Similarity.nearDupPairsSql(Dim, minCos = 0.35, sampleMod = Some(2)),
     "v4_ivf_topk" -> Similarity.ivfSearchSql(Dim, k = TopK,
-      nCentroids = 16, nProbe = 4, sampleMod = SampleMod)
+      nCentroids = 16, nProbe = 4, sampleMod = SampleMod),
+    "v5_quantized_topk" -> Similarity.quantizedTopKSql(Dim,
+      sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK)
   )
 }

@@ -91,6 +91,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("int8-quantized top-k: high recall vs brute force; rescore scores are exact") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, sampleMod = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getAs[Double]("cos")).toMap
+    val quant = Similarity.quantizedTopK(emb, sampleMod = 10, k = 5, rescoreK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getAs[Double]("cos")).toMap
+    val recall = exact.keySet.count(quant.keySet.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@5 = $recall")
+    // every surviving neighbor's score comes from the EXACT rescore —
+    // identical to brute force where the pair overlaps
+    quant.keySet.intersect(exact.keySet).foreach { k =>
+      assert(quant(k) === exact(k))
+    }
+  }
+
   test("nearDupPairs refuses a silent full-corpus cross join") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
