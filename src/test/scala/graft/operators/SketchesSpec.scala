@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Sketch aggregates vs their exact answers: the correctness check for
+  * approximate operators is the error CONTRACT, not a value match.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val li = graft.sources.Tables.lineitem(spark, sf)
+
+  test("HLL distinct count lands within 3·rsd of exact, grouped and global") {
+    val exact = li.select(countDistinct(col("l_orderkey"))).first().getLong(0)
+    val approx = Sketches.approxDistinct(li, Nil, "l_orderkey", rsd = 0.05)
+      .first().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 3 * 0.05,
+      s"approx=$approx exact=$exact")
+
+    val exactByFlag = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sketches.approxDistinct(li, Seq("l_returnflag"), "l_orderkey", rsd = 0.05)
+      .collect().foreach { r =>
+        val e = exactByFlag(r.getString(0))
+        assert(math.abs(r.getLong(1) - e).toDouble / e <= 3 * 0.05)
+      }
+  }
+
+  test("approx quantiles respect the rank-error bound") {
+    val n = li.count()
+    val accuracy = 10000
+    val sorted = li.select(col("l_quantity")).orderBy(col("l_quantity"))
+      .as[Double].collect()
+    val probs = Seq(0.1, 0.5, 0.9)
+    val got = Sketches.approxQuantiles(li, "l_quantity", probs, accuracy)
+      .first().getSeq[Double](0)
+    probs.zip(got).foreach { case (p, v) =>
+      // value must sit within ±n/accuracy ranks of the true quantile
+      val rankLo = math.max(0, (p * n - n / accuracy - 1).toInt)
+      val rankHi = math.min(n - 1, (p * n + n / accuracy).toInt).toInt
+      assert(v >= sorted(rankLo) && v <= sorted(rankHi),
+        s"p=$p v=$v allowed [${sorted(rankLo)}, ${sorted(rankHi)}]")
+    }
+  }
+
+  test("frequent items never miss a true heavy hitter") {
+    // l_returnflag has 3 values, each with support far above 0.2
+    val items = Sketches.frequentItems(li, Seq("l_returnflag"), support = 0.2)
+      .first().getSeq[String](0).toSet
+    val truth = li.groupBy(col("l_returnflag")).count()
+      .where(col("count") > lit(0.2) * li.count())
+      .select("l_returnflag").as[String].collect().toSet
+    assert(truth.subsetOf(items), s"missing ${truth.diff(items)}")
+  }
+}
