@@ -132,6 +132,8 @@ object Registry {
         exprs(2).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("int_dot",
+      exprs => IntDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_stopword_hits",
       exprs => StopwordHits(exprs.head,
         graft.operators.TextAnalysis.LangWords.map(_._2)), "scala_udf")
@@ -139,6 +141,7 @@ object Registry {
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def intDot(a: Column, b: Column): Column = call_function("int_dot", a, b)
   def hyperplaneSig(emb: Column, nBits: Int, dim: Int): Column =
     call_function("hyperplane_sig", emb, lit(nBits), lit(dim))
   def langStopwordHits(tokens: Column): Column =

@@ -132,6 +132,29 @@ case class CosineSim(left: Expression, right: Expression)
       newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
 }
 
+/** Σ aᵢ·bᵢ over two array<int> columns as one long-accumulating loop —
+  * the int8-quantized scoring hot path. Integer sums are
+  * order-independent, so unlike the float cosines the loop exists
+  * purely for speed (interpreted zip_with+aggregate walks the arrays
+  * three times through lambda closures).
+  */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) { s += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDot = copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH bucket for an array<float> embedding: bit i =
   * sign of the projection onto a deterministic pseudo-hyperplane. One
   * loop over nBits×dim; replaces an nBits×dim-term generated expression

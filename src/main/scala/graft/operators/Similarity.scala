@@ -301,8 +301,8 @@ object Similarity {
     val wq = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), col("vec_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
     base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("dotq", intSum(
-        zip_with(col("q"), col("qq"), (x, y) => (x * y).cast("long"))))
+      // native one-loop integer dot — this runs |queries|×|corpus| times
+      .withColumn("dotq", Registry.intDot(col("q"), col("qq")))
       .withColumn("qcos",
         col("dotq").cast("double") / sqrt((col("nq") * col("nqq")).cast("double")))
       .withColumn("qrank", row_number().over(wq))
