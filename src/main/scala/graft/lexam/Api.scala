@@ -158,9 +158,50 @@ object Api {
       "items" -> page.collect().toSeq))
   }
 
+  /** `_serialize` twin (routers/experiments.py:192-211) — full field
+    * set in the reference dict order. filter_config renders the typed
+    * normalized form (all dimensions, inactive = []/null) rather than
+    * the reference's raw stored dict. */
+  def serializeExperiment(e: Experiment): scala.collection.immutable.ListMap[String, Any] =
+    scala.collection.immutable.ListMap(
+      "id" -> e.id, "name" -> e.name, "description" -> e.description,
+      "filter_config" -> scala.collection.immutable.ListMap(
+        "config" -> e.filter_config.config, "split" -> e.filter_config.split,
+        "area" -> e.filter_config.area, "language" -> e.filter_config.language,
+        "course" -> e.filter_config.course,
+        "jurisdiction" -> e.filter_config.jurisdiction,
+        "year" -> e.filter_config.year,
+        "negative_question" -> e.filter_config.negative_question,
+        "international" -> e.filter_config.international),
+      "open_question_prompt" -> e.open_question_prompt,
+      "mcq_prompt" -> e.mcq_prompt,
+      "judge_system_prompt" -> e.judge_system_prompt,
+      "judge_prompt" -> e.judge_prompt,
+      "model_name" -> e.model_name, "temperature" -> e.temperature,
+      "max_tokens" -> e.max_tokens,
+      "judge_temperature" -> e.judge_temperature,
+      "judge_max_tokens" -> e.judge_max_tokens,
+      "n_answers" -> e.n_answers, "status" -> e.status,
+      "created_at" -> e.created_at, "updated_at" -> e.updated_at)
+
+  /** Per-experiment judge breakdown rows (`_judge_breakdown`,
+    * routers/experiments.py:180-189), keyed by experiment id — ALL
+    * experiments in one grouped pass instead of the reference's
+    * per-experiment query. */
+  private def judgeBreakdowns(store: pipeline.LexamStore):
+      Map[Long, Seq[scala.collection.immutable.ListMap[String, Any]]] =
+    store.judgments
+      .groupBy(col("experiment_id").cast("long").as("eid"), col("judge_model"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("judge_model")).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.toSeq.map(r => scala.collection.immutable.ListMap[String, Any](
+        "model" -> r.getString(1), "count" -> r.getLong(2)))).toMap
+
   /** GET /api/experiments (routers/experiments.py:72-95): experiments
-    * newest-first with answer/judgment counts — the per-experiment
-    * count queries collapse into two grouped aggregates. */
+    * newest-first, full serialization + answer/judgment counts + judge
+    * breakdown — the reference's three-per-experiment N+1 queries
+    * collapse into three grouped aggregates total. */
   def listExperiments(store: pipeline.LexamStore): String = {
     // partition-column inference reads experiment_id back as int
     val aCounts = store.answers.groupBy(col("experiment_id").cast("long"))
@@ -171,18 +212,29 @@ object Api {
       .groupBy(col("experiment_id").cast("long"))
       .agg(count(lit(1)).as("judgment_count")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val judges = judgeBreakdowns(store)
     val items = store.experiments
       .sortBy(e => (-e.created_at.map(_.getTime).getOrElse(0L), -e.id))
       .map { e =>
-        scala.collection.immutable.ListMap(
-          "id" -> e.id, "name" -> e.name, "description" -> e.description,
-          "model_name" -> e.model_name, "n_answers" -> e.n_answers,
-          "status" -> e.status,
+        serializeExperiment(e) ++ scala.collection.immutable.ListMap[String, Any](
           "answer_count" -> aCounts.getOrElse(e.id, 0L),
           "judgment_count" -> jCounts.getOrElse(e.id, 0L),
-          "created_at" -> e.created_at)
+          "judges" -> judges.getOrElse(e.id, Nil))
       }
     render(items)
+  }
+
+  /** GET /api/experiments/{id} (routers/experiments.py:96-113). */
+  def getExperiment(store: pipeline.LexamStore, experimentId: Long): String = {
+    val e = store.getExperiment(experimentId)
+      .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
+    val answerCount = store.answers
+      .where(col("experiment_id") === experimentId).count()
+    val judgmentCount = store.judgments
+      .where(col("experiment_id").cast("long") === experimentId).count()
+    render(serializeExperiment(e) ++ scala.collection.immutable.ListMap[String, Any](
+      "answer_count" -> answerCount, "judgment_count" -> judgmentCount,
+      "judges" -> judgeBreakdowns(store).getOrElse(experimentId, Nil)))
   }
 
   /** GET /api/experiments/{id}/question-count

@@ -92,6 +92,17 @@ class ApiSpec extends AnyFunSuite {
     parse(listJson)
     assert(listJson.contains("\"answer_count\": 7") &&
       listJson.contains("\"judgment_count\": 4"))
+    // full _serialize field set + per-judge breakdown (experiments.py:180-211)
+    for (k <- Seq("filter_config", "open_question_prompt", "mcq_prompt",
+        "judge_system_prompt", "judge_prompt", "temperature", "max_tokens",
+        "judge_temperature", "judge_max_tokens", "updated_at", "judges"))
+      assert(listJson.contains(s""""$k""""), k)
+    assert(listJson.contains(""""judges": [{"model": "j1", "count": 4}]"""))
+    val oneJson = Api.getExperiment(store, 8L)
+    parse(oneJson)
+    assert(oneJson.contains("\"answer_count\": 7") &&
+      oneJson.contains(""""judges": [{"model": "j1", "count": 4}]"""))
+    intercept[NoSuchElementException](Api.getExperiment(store, 12345L))
     assert(Api.questionCount(store,
       FilterConfig(language = Seq("en"))) === 7L)
   }
