@@ -91,6 +91,64 @@ object TextAnalysis {
 
   def qualityScore(text: Column): Column = qualityScoreFromTokens(toks(text))
 
+  /** Gopher-style quality rule columns (the published heuristic filter
+    * set from the Gopher paper): each is a boolean "passes rule"
+    * Column over (text, its token array, its line array). Ratios are
+    * single divisions over integer counts, so Spark and the SQL twin
+    * agree exactly. */
+  def gopherRules(text: Column, t: Column, lines: Column): Map[String, Column] = {
+    val n = size(t).cast("double")
+    val charSum = aggregate(transform(t, x => length(x).cast("long")),
+      lit(0L), (a, v) => a + v).cast("double")
+    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
+    val ellipses = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("double")
+    val alphaWords = size(filter(t, w => w.rlike("[a-z]"))).cast("double")
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•"))).cast("double")
+    val ellipsisLines = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("double")
+    Map(
+      "word_count" -> (size(t) >= 50 && size(t) <= 100000),
+      "mean_word_len" -> (n > 0 && charSum / n >= 3.0 && charSum / n <= 10.0),
+      "symbol_ratio" -> (n > 0 && (hashes + ellipses) / n < 0.1),
+      "bullet_lines" -> (nLines > 0 && bulletLines / nLines < 0.9),
+      "ellipsis_lines" -> (nLines > 0 && ellipsisLines / nLines < 0.3),
+      "alpha_words" -> (n > 0 && alphaWords / n > 0.8),
+      "stopword_hits" -> (langHitsFromTokens(t, LangWords.head._2) >= 2))
+  }
+
+  val GopherRuleNames: Seq[String] = Seq("word_count", "mean_word_len",
+    "symbol_ratio", "bullet_lines", "ellipsis_lines", "alpha_words",
+    "stopword_hits")
+
+  /** DuckDB twins of [[gopherRules]], same names, over column `col`. */
+  def gopherRulesSql(col: String): Map[String, String] = {
+    val t = TextFunctions.wsTokensSql(s"lower($col)")
+    val ws = LangWords.head._2.map(w => s"'$w'").mkString(",")
+    val lines = s"string_split($col, chr(10))"
+    def n = s"CAST(len($t) AS DOUBLE)"
+    val charSum = s"CAST(list_sum(list_transform($t, x -> strlen(x))) AS DOUBLE)"
+    val hashes = s"CAST(strlen($col) - strlen(replace($col, '#', '')) AS DOUBLE)"
+    val ellipses = s"CAST((strlen($col) - strlen(replace($col, '...', ''))) // 3 AS DOUBLE)"
+    val alphaWords = s"CAST(len(list_filter($t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)"
+    val nLines = s"CAST(len($lines) AS DOUBLE)"
+    val bulletLines = s"CAST(len(list_filter($lines, l -> starts_with(ltrim(l), '-') " +
+      s"OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS DOUBLE)"
+    val ellipsisLines = s"CAST(len(list_filter($lines, l -> ends_with(rtrim(l), '...') " +
+      s"OR ends_with(rtrim(l), '…'))) AS DOUBLE)"
+    Map(
+      "word_count" -> s"(len($t) >= 50 AND len($t) <= 100000)",
+      "mean_word_len" -> s"($n > 0 AND $charSum / $n >= 3.0 AND $charSum / $n <= 10.0)",
+      "symbol_ratio" -> s"($n > 0 AND ($hashes + $ellipses) / $n < 0.1)",
+      "bullet_lines" -> s"($nLines > 0 AND $bulletLines / $nLines < 0.9)",
+      "ellipsis_lines" -> s"($nLines > 0 AND $ellipsisLines / $nLines < 0.3)",
+      "alpha_words" -> s"($n > 0 AND $alphaWords / $n > 0.8)",
+      "stopword_hits" -> s"(len(list_filter($t, x -> x IN ($ws))) >= 2)")
+  }
+
   def qualitySql(col: String): String = {
     val t = TextFunctions.wsTokensSql(s"lower($col)")
     val ws = LangWords.head._2.map(w => s"'$w'").mkString(",")

@@ -145,6 +145,21 @@ object TextQueries {
         .where(pmod(col("doc_id"), lit(25)) === 0)
         .select(col("doc_id"), PolyHash64.polyHash64(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Extension: Gopher-rule quality filter — per-rule failing counts +
+    // survivors, one map-side pass over the corpus
+    "t7_gopher_filter" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(s, dir)
+        .withColumn("t", TextAnalysis.toks(col("text")))
+        .withColumn("lines", split(col("text"), "\n"))
+      val rules = TextAnalysis.gopherRules(col("text"), col("t"), col("lines"))
+      val pass = TextAnalysis.GopherRuleNames.map(rules).reduce(_ && _)
+      val aggs = TextAnalysis.GopherRuleNames.map(r =>
+        sum(when(!rules(r), 1).otherwise(0)).as(s"fail_$r")) :+
+        sum(when(pass, 1).otherwise(0)).as("n_pass")
+      docs.agg(count(lit(1)).as("n_docs"), aggs: _*)
     })
   )
 
@@ -212,6 +227,18 @@ object TextQueries {
 
     "t6_repetition_ratio" ->
       (graft.operators.Scrub.repetitionRatioSql(2, "WHERE doc_id % 25 = 0") +
-        " ORDER BY doc_id")
+        " ORDER BY doc_id"),
+
+    "t7_gopher_filter" -> {
+      import graft.operators.TextAnalysis
+      val rules = TextAnalysis.gopherRulesSql("text")
+      val fails = TextAnalysis.GopherRuleNames.map(r =>
+        s"CAST(SUM(CASE WHEN NOT ${rules(r)} THEN 1 ELSE 0 END) AS BIGINT) AS fail_$r")
+      val pass = TextAnalysis.GopherRuleNames.map(rules).mkString("(", " AND ", ")")
+      s"""SELECT COUNT(*) AS n_docs,
+         |  ${fails.mkString(",\n  ")},
+         |  CAST(SUM(CASE WHEN $pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM documents""".stripMargin
+    }
   )
 }
