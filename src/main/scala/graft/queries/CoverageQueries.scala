@@ -30,6 +30,18 @@ object CoverageQueries {
         .orderBy(col("brand_num"))
     }),
 
+    // S6: deterministic stratified sampling (training-data mixing) —
+    // content-hash decisions, identical across runs/retries/engines
+    "s6_stratified_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang",
+          concat(col("doc_id").cast("string"), lit("/"), col("lang")),
+          Map("en" -> 0.5, "de" -> 0.3), defaultFraction = 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("lang"))
+    }),
+
     // J3: one-to-many nested materialization (main.py:189,554-577) —
     // compared as a deterministic csv (list ordering is engine-defined)
     "j3_orders_per_customer_csv" -> ((s, dir) => {
@@ -249,6 +261,16 @@ object CoverageQueries {
     "s5_substring_cast" ->
       """SELECT CAST(substring(p_brand, 7, 2) AS INT) AS brand_num, COUNT(*) AS n
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s6_stratified_sample" -> {
+      val pred = graft.operators.Sampling.stratifiedSampleSql("lang",
+        "(CAST(doc_id AS VARCHAR) || '/' || lang)",
+        Map("en" -> 0.5, "de" -> 0.3), defaultFraction = 0.1)
+      s"""SELECT lang, COUNT(*) AS n_sampled,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM documents WHERE $pred
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "j3_orders_per_customer_csv" ->
       """SELECT o_custkey,

@@ -48,6 +48,23 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sampling: deterministic across partitionings, rate near target") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "lang",
+        concat(col("doc_id").cast("string"), lit("/"), col("lang")),
+        Map("en" -> 0.5), defaultFraction = 0.1)
+    val ids = sample(docs).select("doc_id").as[Long].collect().toSet
+    // repartitioning must not change a single decision (content hash,
+    // not partition-seeded RNG)
+    val ids2 = sample(docs.repartition(7)).select("doc_id").as[Long].collect().toSet
+    assert(ids === ids2)
+    val enTotal = docs.where(col("lang") === "en").count().toDouble
+    val enKept = sample(docs).where(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / enTotal - 0.5) < 0.15,
+      s"en rate ${enKept / enTotal}")
+  }
+
   test("frequent items never miss a true heavy hitter") {
     // l_returnflag has 3 values, each with support far above 0.2
     val items = Sketches.frequentItems(li, Seq("l_returnflag"), support = 0.2)
