@@ -236,16 +236,21 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     val edges = e.union(e.select(col("dst"), col("src"))).distinct().cache()
+    def propagate(l: DataFrame): DataFrame =
+      l.union(edges
+          .join(l.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("src").as("id"), col("comp")))
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")).cache()
+      // one propagation round per convergence check: near-dup graphs
+      // are shallow (diameter 2-3), so the check converges after ~3
+      // rounds — batching rounds between checks was measured slower
+      // (extra propagations cost more than the checks they save)
+      val next = propagate(labels).cache()
       converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .where(col("comp") < col("prev")).isEmpty
       labels.unpersist()
