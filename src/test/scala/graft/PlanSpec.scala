@@ -63,6 +63,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e3: as-of join compiles to one window pass — no join operator at all") {
+    val p = physical("e3_asof_purchase_click")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("lexam filter pushdown: question predicates reach the parquet scan") {
     val store = new graft.lexam.pipeline.LexamStore(spark,
       java.nio.file.Files.createTempDirectory("plan_store").toString)
