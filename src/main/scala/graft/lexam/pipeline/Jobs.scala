@@ -252,6 +252,38 @@ object Jobs {
     }
   }
 
+  /** DELETE /{id}/answers (routers/generation.py:73-84): drop the
+    * answers, force status "created", clear the generation progress
+    * entry. Judgments are left in place like the reference's bulk
+    * `query.delete()` (which bypasses ORM cascade) — they become
+    * unreachable either way, since every judgment read path joins
+    * through answers. */
+  def deleteAnswers(store: LexamStore, progress: ProgressStore,
+                    experimentId: Long): Unit = {
+    val exp = store.getExperiment(experimentId)
+      .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
+    store.deleteAnswers(experimentId)
+    store.saveExperiment(exp.copy(status = "created"))
+    progress.remove(s"generate:$experimentId")
+  }
+
+  /** DELETE /{id}/judgments (routers/judging.py:80-108): drop the
+    * experiment's judgments (optionally one judge model only); when no
+    * judgments remain and the experiment was "completed", roll status
+    * back to "generated" — written via saveExperiment like reset-status,
+    * since completed→generated is exactly the data-repair transition the
+    * guard table forbids for workers. */
+  def deleteJudgments(store: LexamStore, experimentId: Long,
+                      judgeModel: Option[String] = None): Unit = {
+    val exp = store.getExperiment(experimentId)
+      .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
+    store.deleteJudgments(experimentId, judgeModel)
+    val remaining = store.judgments
+      .where(col("experiment_id").cast("long") === experimentId).count()
+    if (remaining == 0 && exp.status == "completed")
+      store.saveExperiment(exp.copy(status = "generated"))
+  }
+
   /** reset-status from data (routers/experiments.py:140-162). */
   def resetStatus(store: LexamStore, experimentId: Long): String = {
     val answerCount = store.answers.where(col("experiment_id") === experimentId).count()

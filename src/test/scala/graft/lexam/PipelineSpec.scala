@@ -186,6 +186,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(n2 === 7)
   }
 
+  test("delete endpoints: judgments roll completed→generated, answers reset to created") {
+    val store = freshStore()
+    store.saveExperiment(Experiment(id = 3, name = "del",
+      filter_config = FilterConfig(language = Seq("de"))))
+    val progress = new ProgressStore
+    val client = new DeterministicStubClient
+    Jobs.runGeneration(store, progress, client, 3L, parallelism = 2)
+    Jobs.runJudging(store, progress, client, 3L, "j1", parallelism = 2)
+    Jobs.runJudging(store, progress, client, 3L, "j2", parallelism = 2)
+    assert(store.getExperiment(3L).get.status === "completed")
+
+    // one judge removed, the other remains → status untouched
+    Jobs.deleteJudgments(store, 3L, judgeModel = Some("j1"))
+    assert(store.getExperiment(3L).get.status === "completed")
+    // last judge removed → rollback (judging.py:100-107)
+    Jobs.deleteJudgments(store, 3L)
+    assert(store.getExperiment(3L).get.status === "generated")
+
+    // answers delete resets to created and clears generation progress
+    Jobs.deleteAnswers(store, progress, 3L)
+    assert(store.getExperiment(3L).get.status === "created")
+    assert(store.answers.where(col("experiment_id") === 3L).isEmpty)
+    assert(progress.get("generate:3")("status") === "idle") // entry removed
+    intercept[NoSuchElementException](Jobs.deleteAnswers(store, progress, 99L))
+  }
+
   test("experiment CRUD: create mints ids, validates name; update merges partially") {
     val store = freshStore()
     val a = store.createExperiment(Experiment(id = 0, name = "crud-a",
