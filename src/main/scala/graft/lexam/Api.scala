@@ -68,6 +68,13 @@ object Api {
       "items" -> page.items.collect().toSeq))
   }
 
+  /** GET /api/questions/{id} (main.py:210-221): one question with its
+    * nested variants, or the reference's not-found error object. */
+  def question(questions: DataFrame, variants: DataFrame, id: String): String =
+    QuestionService.getQuestion(questions, variants, id).collect().headOption
+      .map(render)
+      .getOrElse("""{"error": "not found"}""")
+
   /** GET /api/stats (main.py:223-249). */
   def stats(questions: DataFrame, variants: DataFrame): String = {
     val s = DatasetAnalytics.stats(questions, variants)

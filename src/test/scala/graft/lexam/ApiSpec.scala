@@ -29,6 +29,14 @@ class ApiSpec extends AnyFunSuite {
     assert(json.contains("\"variants\": ["))
   }
 
+  test("single question JSON: nested variants; not-found error object") {
+    val json = Api.question(qs, vs, "q1")
+    parse(json)
+    assert(json.contains("\"id\": \"q1\"") && json.contains("\"variants\": ["))
+    assert(json.contains("\"mcq_8_choices\""))
+    assert(Api.question(qs, vs, "nope") === """{"error": "not found"}""")
+  }
+
   test("stats JSON: full golden equality on the fixtures (SURVEY §5.2)") {
     val expected =
       """{"total_questions": 6, "total_variants": 10, """ +
