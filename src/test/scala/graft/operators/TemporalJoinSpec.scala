@@ -55,6 +55,42 @@ class TemporalJoinSpec extends AnyFunSuite {
       (2L, 0L, None)))     // zero-match window kept with NULL total
   }
 
+  test("property: asOfJoin matches a naive per-row scan on random event sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small key/time domains force heavy collisions and ties
+    val genEvents: Gen[(List[(Long, Long, Long, Double)], List[(Long, Long, Long, Double)])] =
+      for {
+        nl <- Gen.choose(0, 15); nr <- Gen.choose(0, 15)
+        l <- Gen.listOfN(nl, for {
+          u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 10L)
+        } yield (u, t, 0L, 0.0))
+        r <- Gen.listOfN(nr, for {
+          u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 10L); v <- Gen.choose(1, 99)
+        } yield (u, t, 0L, v.toDouble))
+      } yield (l, r)
+    (0 until 12).foreach { i =>
+      val Some((l0, r0)) = genEvents.apply(Gen.Parameters.default, Seed(7L + i))
+      // unique event ids: left 1000+, right 2000+
+      val l = l0.zipWithIndex.map { case ((u, t, _, _), j) => (1000L + j, ts(t), u, 0.0) }
+      val r = r0.zipWithIndex.map { case ((u, t, _, v), j) => (2000L + j, ts(t), u, v) }
+      val got = TemporalJoin.asOfJoin(
+          l.toDF("event_id", "ts", "user_id", "value"),
+          r.toDF("event_id", "ts", "user_id", "value"))
+        .collect()
+        .map(row => row.getLong(0) ->
+          (Option(row.get(3)).map(_.toString), Option(row.get(4)))).toMap
+      // naive oracle: per left row, max (ts, event_id) right row at-or-before
+      l.foreach { case (id, t, u, _) =>
+        val best = r.filter(x => x._3 == u && !x._2.after(t))
+          .sortBy(x => (x._2.getTime, x._1)).lastOption
+        assert(got(id)._1 === best.map(_._2.toString), s"seed ${7 + i} left $id")
+        assert(got(id)._2 === best.map(_._4), s"seed ${7 + i} left $id")
+      }
+      assert(got.size === l.size)
+    }
+  }
+
   test("interval join physical plan is a bin equi-join, not a cross product") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val windows = ev.where(col("event_type") === "error")
