@@ -63,6 +63,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("v5: quantized ranking prunes per-query partially (WindowGroupLimit) before rescoring") {
+    val p = physical("v5_quantized_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e3: as-of join compiles to one window pass — no join operator at all") {
     val p = physical("e3_asof_purchase_click")
     assert(!p.contains("Join"), p)
