@@ -60,6 +60,21 @@ object Demo {
       s"avg=${open.avgScore}) consistency=$cons")
     ExperimentAnalytics.breakdownByField(enriched, store.judgments, "area").show(false)
     println(s"[status] ${store.getExperiment(1L).get.status}")
+
+    // Training-data operators over the star-schema testdata, when present
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(s"$sf/documents.parquet").exists) {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      val pairs = graft.operators.Dedup
+        .minhashLshPairs(docs, k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      println(s"[dedup] minhash-LSH pairs=${pairs.count()} " +
+        s"clusters=${comps.select("comp").distinct().count()}")
+      val emb = graft.sources.Tables.embeddings(spark, sf)
+      val ann = graft.operators.Similarity
+        .quantizedTopK(emb, sampleMod = 50, k = 5, rescoreK = 20)
+      println(s"[ann] int8-quantized top-5 rows=${ann.count()}")
+    }
     spark.stop()
   }
 }
