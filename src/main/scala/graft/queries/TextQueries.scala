@@ -147,6 +147,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Extension: adjacent-token pair counts (the first step of BPE
+    // vocabulary induction) — map-side pair explode, one shuffle
+    "t8_bpe_pair_counts" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val t = TextAnalysis.toks(col("text"))
+      Tables.documents(s, dir)
+        .where(size(t) >= 2)
+        .select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+    }),
+
     // Extension: Gopher-rule quality filter — per-rule failing counts +
     // survivors, one map-side pass over the corpus
     "t7_gopher_filter" -> ((s, dir) => {
@@ -228,6 +242,18 @@ object TextQueries {
     "t6_repetition_ratio" ->
       (graft.operators.Scrub.repetitionRatioSql(2, "WHERE doc_id % 25 = 0") +
         " ORDER BY doc_id"),
+
+    "t8_bpe_pair_counts" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TF.wsTokensSql("lower(text)")} AS t FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT a.tok || ' ' || b.tok AS pair
+         |  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
+         |SELECT pair, COUNT(*) AS n FROM pairs
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "t7_gopher_filter" -> {
       import graft.operators.TextAnalysis
