@@ -161,6 +161,28 @@ object TextQueries {
         .orderBy(desc("n"), col("pair")).limit(20)
     }),
 
+    // Extension: unigram-LM document likelihood — each doc scored by the
+    // mean corpus frequency of its tokens (rare-token docs score low:
+    // the importance/quality-filter signal). Deliberately Σfreq/(n·total)
+    // rather than mean log-prob: integer sums + one division give exact
+    // cross-engine parity, where ln() would expose libm rounding drift.
+    "t9_unigram_likelihood" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.toks(col("text"))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val total = freq.agg(sum(col("f")).as("total"))
+      toks.join(freq, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("f")).as("fsum"), count(lit(1)).as("ntok"))
+        .crossJoin(broadcast(total))
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"),
+          (col("fsum").cast("double") / (col("ntok") * col("total"))).as("mean_tok_freq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Extension: Gopher-rule quality filter — per-rule failing counts +
     // survivors, one map-side pass over the corpus
     "t7_gopher_filter" -> ((s, dir) => {
@@ -254,6 +276,18 @@ object TextQueries {
          |  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
          |SELECT pair, COUNT(*) AS n FROM pairs
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "t9_unigram_likelihood" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${TF.wsTokensSql("lower(text)")}) AS tok
+         |  FROM documents),
+         |freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM freq)
+         |SELECT doc_id,
+         |       CAST(SUM(f) AS DOUBLE) / (COUNT(*) * total) AS mean_tok_freq
+         |FROM toks JOIN freq USING (tok), tot
+         |WHERE doc_id % 25 = 0
+         |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin,
 
     "t7_gopher_filter" -> {
       import graft.operators.TextAnalysis
