@@ -70,6 +70,26 @@ object EventQueries {
       val points = ev.where(col("event_type") === "click")
         .select(col("ts"), col("value"))
       TemporalJoin.intervalJoin(windows, points, binMicros = 10L * 60 * 1000000)
+    }),
+
+    // Same semantics written as the NAIVE range join — the
+    // RangeJoinRule optimizer extension (plans/RangeJoinRule.scala)
+    // rewrites it to the binned equi-join automatically; inner-join
+    // semantics, so zero-match windows are absent here (vs e4).
+    "e5_range_join_auto" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val windows = ev
+        .where(col("event_type") === "error" && col("value") > 100.0)
+        .select(col("event_id").as("window_id"), col("ts").as("ws"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("we"))
+      val points = ev.where(col("event_type") === "click")
+        .select(col("ts"), col("value"))
+      windows.join(points,
+          points("ts") >= windows("ws") && points("ts") < windows("we"))
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"),
+          Num.sumExact(col("value")).as("total_value"))
+        .orderBy(col("window_id"))
     })
   )
 
@@ -96,6 +116,17 @@ object EventQueries {
 
     "e4_interval_error_clicks" ->
       TemporalJoin.intervalJoinSql(windowType = "error", minValue = 100.0,
-        pointType = "click", widthMinutes = 10)
+        pointType = "click", widthMinutes = 10),
+
+    "e5_range_join_auto" ->
+      s"""WITH w AS (SELECT event_id AS window_id, ts AS ws,
+         |                  ts + INTERVAL 10 MINUTE AS we
+         |           FROM events
+         |           WHERE event_type = 'error' AND value > 100.0),
+         |p AS (SELECT ts, value FROM events WHERE event_type = 'click')
+         |SELECT w.window_id, COUNT(*) AS n_events,
+         |       ${Num.sqlSumExact("p.value")} AS total_value
+         |FROM w JOIN p ON p.ts >= w.ws AND p.ts < w.we
+         |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * lazy val; sharing across suites is safe and faster). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.plans.GraftExtensions.install(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
