@@ -129,6 +129,21 @@ object EventStreams {
       .drop("session_id")
   }
 
+  /** Streaming deduplication on event_id with a bounded state horizon:
+    * duplicates arriving within the watermark window are dropped
+    * exactly; state for ids older than the watermark is evicted (the
+    * at-least-once-source → effectively-once-sink ingest pattern). */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: each micro-batch hash-joins against the
+    * static dimension — no state, the standard dimension-lookup shape
+    * (the static side re-plans per batch, so a small dim broadcasts). */
+  def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(users, Seq("user_id"), "left_outer")
+
   /** Continuous parquet sink with checkpointing: processes whatever is
     * currently available and stops. Re-invoking with the same
     * checkpoint resumes exactly where the last run stopped — the file

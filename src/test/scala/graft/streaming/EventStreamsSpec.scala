@@ -180,6 +180,55 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: cross-batch duplicates within the watermark are dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1720000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts(0), 1, "click", 1.0),
+        EventStreams.Event(2, ts(1), 1, "click", 2.0),
+        EventStreams.Event(1, ts(0), 1, "click", 1.0)) // in-batch dup
+      q.processAllAvailable()
+      // cross-batch dup of id 2 arrives within the watermark → dropped
+      input.addData(
+        EventStreams.Event(2, ts(1), 1, "click", 2.0),
+        EventStreams.Event(3, ts(2), 1, "click", 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_out")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins each micro-batch to the dimension") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1720000000000L
+    val users = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams
+      .enrichWithUsers(input.toDS().toDF(), users)
+      .writeStream.format("memory").queryName("enrich_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, new java.sql.Timestamp(t0), 1, "click", 1.0),
+        EventStreams.Event(2, new java.sql.Timestamp(t0), 9, "click", 2.0))
+      q.processAllAvailable()
+      val byId = spark.table("enrich_stream_out")
+        .select("event_id", "name").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(byId === Map(1L -> Some("alice"), 2L -> None)) // unknown user kept
+    } finally q.stop()
+  }
+
   test("sessionization: explicit gap fixture") {
     val t0 = 1700000000000L
     def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
