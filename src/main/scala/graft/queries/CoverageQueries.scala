@@ -240,6 +240,34 @@ object CoverageQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Window: lag delta — exact integer micros between consecutive
+    // orders per customer (inter-arrival time analysis)
+    "w3_order_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .where(pmod(col("o_custkey"), lit(100)) === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ; UTC session makes the cast a
+          // pure reinterpretation, matching DuckDB's naive-as-UTC epoch
+          (unix_micros(col("o_orderdate").cast("timestamp")) -
+            lag(unix_micros(col("o_orderdate").cast("timestamp")), 1).over(w))
+            .as("micros_since_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Window: bounded sliding frame — decimal-exact 3-order moving spend
+    "w4_moving_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, dir)
+        .where(pmod(col("o_custkey"), lit(100)) === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(Num.dec(col("o_totalprice"))).over(w).cast("double").as("moving_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Window: rank with deterministic tiebreak
     "w2_top2_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -383,6 +411,22 @@ object CoverageQueries {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w3_order_gap" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate), 1)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    AS micros_since_prev
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w4_moving_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_spend
+        |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "w2_top2_orders_per_customer" ->
