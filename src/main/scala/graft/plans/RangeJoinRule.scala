@@ -107,8 +107,12 @@ object RangeJoinRule extends Rule[LogicalPlan] {
               val binAttr = AttributeReference("graft_w_bin", LongType)()
               val gen = Generate(
                 // TimeZoneAwareExpression: tz must be pinned for the
-                // plan to stay resolved, even for a pure LongType range
-                Explode(Sequence(b0.toAttribute, b1.toAttribute,
+                // plan to stay resolved, even for a pure LongType range.
+                // The stop is clamped to >= start: a degenerate window
+                // (hi <= lo) must match nothing like the naive join
+                // does, not crash sequence() with inverted bounds.
+                Explode(Sequence(b0.toAttribute,
+                  Greatest(Seq(b0.toAttribute, b1.toAttribute)),
                   Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))),
                 unrequiredChildIndex = Nil, outer = false, qualifier = None,
                 generatorOutput = Seq(binAttr), child = boundsProj)

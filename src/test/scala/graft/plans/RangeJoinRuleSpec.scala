@@ -48,6 +48,21 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate windows (end <= start) match nothing instead of crashing") {
+    import spark.implicits._
+    withRule(600) {
+      val t0 = 1700000000000L
+      val windows = Seq(
+        (1L, new java.sql.Timestamp(t0 + 60000), new java.sql.Timestamp(t0)), // inverted
+        (2L, new java.sql.Timestamp(t0), new java.sql.Timestamp(t0))          // empty
+      ).toDF("window_id", "ws", "we")
+      val points = Seq((new java.sql.Timestamp(t0), 1.0)).toDF("ts", "value")
+      val out = windows.join(points,
+        points("ts") >= windows("ws") && points("ts") < windows("we")).collect()
+      assert(out.isEmpty)
+    }
+  }
+
   test("rule leaves equi-joins and non-range conditions alone") {
     withRule(600) {
       val ev = graft.sources.Tables.events(spark, sf)
