@@ -144,6 +144,25 @@ object EventStreams {
   def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
     events.join(users, Seq("user_id"), "left_outer")
 
+  /** Stream-stream interval join (attribution): every purchase matched
+    * to same-user clicks within the trailing `windowMinutes`. Both sides
+    * are watermarked, and the time-range condition bounds the state the
+    * engine must hold (clicks older than purchase-watermark − window are
+    * evicted) — the canonical watermarked stream-stream join shape. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      windowMinutes: Int = 15): DataFrame =
+    purchases
+      .selectExpr("event_id AS p_id", "ts AS p_ts",
+        "user_id AS p_user", "value AS p_value")
+      .withWatermark("p_ts", "10 minutes")
+      .join(
+        clicks.selectExpr("event_id AS c_id", "ts AS c_ts",
+            "user_id AS c_user", "value AS c_value")
+          .withWatermark("c_ts", "30 minutes"),
+        expr(s"""p_user = c_user AND
+                 c_ts >= p_ts - INTERVAL $windowMinutes MINUTES AND
+                 c_ts <= p_ts"""))
+
   /** Continuous parquet sink with checkpointing: processes whatever is
     * currently available and stops. Re-invoking with the same
     * checkpoint resumes exactly where the last run stopped — the file

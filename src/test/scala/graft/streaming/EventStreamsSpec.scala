@@ -229,6 +229,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: in-window clicks match, out-of-window don't") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1730000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+
+    val clicks = MemoryStream[EventStreams.Event]
+    val purchases = MemoryStream[EventStreams.Event]
+    val q = EventStreams
+      .attributionJoin(purchases.toDS().toDF(), clicks.toDS().toDF(),
+        windowMinutes = 15)
+      .writeStream.format("memory").queryName("attr_stream_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: clicks only — nothing joins yet
+      clicks.addData(
+        EventStreams.Event(1, ts(0), 1, "click", 1.0),
+        EventStreams.Event(2, ts(50), 1, "click", 2.0), // outside any window
+        EventStreams.Event(3, ts(5), 2, "click", 4.0))  // other user
+      q.processAllAvailable()
+      // batch 2: purchase at t10 → joins user 1's click at t0 (within
+      // 15 min) but not the t50 click (after) nor user 2's
+      purchases.addData(EventStreams.Event(10, ts(10), 1, "purchase", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_stream_out")
+        .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((10L, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionization: explicit gap fixture") {
     val t0 = 1700000000000L
     def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
