@@ -158,6 +158,29 @@ object Similarity {
     best
   }
 
+  /** Persist an IVF index: assignments as a CELL-PARTITIONED parquet
+    * table plus a k-row centroid table. Partitioning by cell is the
+    * point — a probe joins on the partition column, so Spark's dynamic
+    * partition pruning reads only the nProbe probed cells' files, the
+    * disk-level analogue of an inverted file. Build once, reuse across
+    * queries/sessions. */
+  def saveIvf(index: IvfIndex, assigned: DataFrame, path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    index.centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
+      .toDF("ci", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession,
+              path: String): (IvfIndex, DataFrame) = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    (IvfIndex(centroids), spark.read.parquet(s"$path/cells"))
+  }
+
   /** IVF top-k: probe the query's `nProbe` nearest cells only; exact
     * cosine within the probed cells. Recall < 1 by construction — the
     * accuracy/throughput dial of a vector index. */

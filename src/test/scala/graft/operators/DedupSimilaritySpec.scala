@@ -91,6 +91,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("persisted IVF index: reload probes identically; scan prunes to probed cells") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val (index, assigned) = Similarity.buildIvf(emb, k = 8)
+    val queries = emb.where(col("vec_id") % 10 === 0)
+    val fresh = Similarity.ivfTopK(index, assigned, queries, k = 5, nProbe = 3)
+      .collect().map(_.toSeq).toSeq
+
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.saveIvf(index, assigned, path)
+    val (loaded, cells) = Similarity.loadIvf(spark, path)
+    assert(loaded.centroids.map(_._1).toSeq === index.centroids.map(_._1).toSeq)
+    val reloaded = Similarity.ivfTopK(loaded, cells, queries, k = 5, nProbe = 3)
+    assert(reloaded.collect().map(_.toSeq).toSeq === fresh)
+    // the probe joins on the PARTITION column: dynamic partition
+    // pruning restricts the cells scan to the probed partitions
+    val plan = reloaded.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("int8-quantized top-k: high recall vs brute force; rescore scores are exact") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, sampleMod = 10, k = 5).collect()
