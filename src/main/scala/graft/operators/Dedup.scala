@@ -261,6 +261,54 @@ object Dedup {
     labels
   }
 
+  // -------------------------------------------------- decontamination
+
+  /** Benchmark-contamination check: for each document in the benchmark
+    * cohort, the fraction of its k-shingles that appear ANYWHERE in the
+    * rest of the corpus (containment). High containment = the benchmark
+    * text leaked into the training set — the decontamination signal.
+    * Long shingles (k=8 default) are the standard anti-false-positive
+    * choice. Shuffle-bounded: a distinct corpus shingle-hash set
+    * semi-joined to the benchmark's shingles — never doc×doc pairs. */
+  def contamination(docs: DataFrame, benchPred: Column, k: Int = 8): DataFrame = {
+    val withSh = docs.select(col("doc_id"), benchPred.as("is_bench"),
+      explode(Registry.shingleHashes(
+        TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val corpus = withSh.where(!col("is_bench"))
+      .select(col("h")).distinct().withColumn("_in_corpus", lit(true))
+    withSh.where(col("is_bench"))
+      .join(corpus, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("_in_corpus")).as("n_hit"))
+      .withColumn("containment",
+        col("n_hit").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[contamination]] with the benchmark cohort
+    * `doc_id % benchMod = 0`: same FNV-1a shingles, same distinct-set
+    * containment. */
+  def contaminationSql(k: Int, benchMod: Int): String = {
+    val joins = (1 until k).map(j =>
+      s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
+    val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+       |shs AS (SELECT t0.doc_id, $catted AS s FROM p t0 $joins),
+       |sh AS (SELECT DISTINCT doc_id, ${fnvSql("s")} AS h FROM shs),
+       |corpus AS (SELECT DISTINCT h FROM sh WHERE doc_id % $benchMod <> 0),
+       |bench AS (SELECT doc_id, h FROM sh WHERE doc_id % $benchMod = 0)
+       |SELECT b.doc_id, COUNT(*) AS n_shingles,
+       |       CAST(COUNT(c.h) AS BIGINT) AS n_hit,
+       |       CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+       |FROM bench b LEFT JOIN corpus c ON c.h = b.h
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic near-dup pairs: partition the embedding

@@ -37,6 +37,12 @@ object DedupQueries {
       Dedup.semanticNearDupPairs(Tables.embeddings(s, dir),
         nCentroids = 16, minCos = 0.3)),
 
+    // Decontamination: shingle containment of the benchmark cohort
+    // (doc_id % 97 = 0 as the stand-in benchmark) against the rest
+    "d8_contamination" -> ((s, dir) =>
+      Dedup.contamination(Tables.documents(s, dir),
+        benchPred = pmod(col("doc_id"), lit(97)) === 0, k = 3)),
+
     // Edit-distance near-dup on short strings (part names): the
     // fuzzy-matching member of the dedup family. Sampled — O(n·m) per
     // pair is for short keys, not documents.
@@ -77,6 +83,8 @@ object DedupQueries {
 
     "d6_semantic_neardup_pairs" ->
       Dedup.semanticNearDupSql(dim = 64, nCentroids = 16, minCos = 0.3),
+
+    "d8_contamination" -> Dedup.contaminationSql(k = 3, benchMod = 97),
 
     "d5_levenshtein_pairs" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
