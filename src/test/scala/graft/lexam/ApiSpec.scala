@@ -149,11 +149,27 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("dashboard JSON respects config + language filters (main.py:320-337)") {
+    // only q1 (en) and q2 (de) have an mcq_4 variant — full golden
+    val expected =
+      """{"total_questions": 2, "total_courses": 2, "total_de": 1, "total_en": 1, """ +
+      """"min_year": 2020, "max_year": 2021, """ +
+      """"courses": [{"course": "Strafrecht I", "area": "Criminal", "count": 1, "lang_de": 1, "lang_en": 0}, """ +
+      """{"course": "US Business Law", "area": "Private", "count": 1, "lang_de": 0, "lang_en": 1}], """ +
+      """"areas": [{"name": "Criminal", "value": 1}, {"name": "Private", "value": 1}], """ +
+      """"jurisdictions": [{"name": "International", "value": 1}, {"name": "Swiss", "value": 1}], """ +
+      """"years": [{"year": 2020, "Private": 1, "Public": 0, "Criminal": 0, "Interdisciplinary": 0, "total": 1}, """ +
+      """{"year": 2021, "Private": 0, "Public": 0, "Criminal": 1, "Interdisciplinary": 0, "total": 1}], """ +
+      """"splits": [{"name": "dev", "value": 1, "pct": "50%"}, {"name": "test", "value": 1, "pct": "50%"}], """ +
+      """"area_jurisdiction": [{"area": "Private", "Swiss": 0, "International": 1, "Generic": 0}, """ +
+      """{"area": "Criminal", "Swiss": 1, "International": 0, "Generic": 0}], """ +
+      """"lang_area": [{"area": "Private", "de": 0, "en": 1}, {"area": "Criminal", "de": 1, "en": 0}], """ +
+      """"answer_lengths": [{"range": "< 50 words", "count": 1}, {"range": "50–100", "count": 0}, """ +
+      """{"range": "100–200", "count": 0}, {"range": "200–400", "count": 0}, """ +
+      """{"range": "400–600", "count": 0}, {"range": "600+", "count": 0}], """ +
+      """"answer_stats": [{"area": "Private", "avgWords": 7, "medianWords": 7, "minWords": 7, "maxWords": 7}]}"""
     val got = Api.dashboard(qs, vs, config = Seq("mcq_4_choices"))
     parse(got)
-    // only q1 (en) and q2 (de) have an mcq_4 variant
-    assert(got.contains("\"total_questions\": 2"))
-    assert(got.contains("\"total_de\": 1") && got.contains("\"total_en\": 1"))
+    assert(got === expected)
     val gotLang = Api.dashboard(qs, vs, language = Seq("de"))
     parse(gotLang)
     assert(gotLang.contains("\"total_questions\": 2")) // q2, q4
