@@ -42,6 +42,25 @@ object CoverageQueries {
         .orderBy(col("lang"))
     }),
 
+    // S7: sequence packing — greedy contiguous fill of documents into
+    // fixed token budgets (a doc's pack = its starting offset's budget
+    // slot, so packs stay ≤ budget + one overflowing doc, the standard
+    // streaming pack). Packing is inherently an ordered scan: the global
+    // cumsum window is single-partition by nature; at scale you shard
+    // first (pack within shard) — here the corpus IS one shard.
+    "s7_token_packing" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("pack", expr("(cum - tok) div 2000"))
+        .groupBy(col("pack"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+        .orderBy(col("pack"))
+    }),
+
     // J3: one-to-many nested materialization (main.py:189,554-577) —
     // compared as a deterministic csv (list ordering is engine-defined)
     "j3_orders_per_customer_csv" -> ((s, dir) => {
@@ -298,6 +317,22 @@ object CoverageQueries {
          |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          |FROM documents WHERE $pred
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "s7_token_packing" -> {
+      import graft.functions.{TextFunctions => TF}
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(${TF.tokenCountSql("text")} AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |         SUM(tok) OVER (ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT CAST((cum - tok) // 2000 AS BIGINT) AS pack,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(tok) AS BIGINT) AS tokens
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "j3_orders_per_customer_csv" ->
