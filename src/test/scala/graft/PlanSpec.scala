@@ -76,6 +76,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("t4: document scan is pruned to the two referenced columns") {
+    val p = physical("t4_fingerprint_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("lexam filter pushdown: question predicates reach the parquet scan") {
     val store = new graft.lexam.pipeline.LexamStore(spark,
       java.nio.file.Files.createTempDirectory("plan_store").toString)
