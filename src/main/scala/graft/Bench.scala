@@ -23,9 +23,17 @@ object Bench {
       // a failed query must not read as a (fast) success — report -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the driver parses the JSON line out of a ~2.2 KB stdout tail —
+    // full query names at full double precision overflow it (r2/r3 both
+    // came back "parsed": null). Short ids (the unique family prefix,
+    // "d7_neardup_components" -> "d7") at millisecond precision keep the
+    // whole line under 1 KB with headroom for more queries.
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "query id prefixes must stay unique — a collision would merge two timings")
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val total = f"${results.map(_._2).sum}%.3f"
     // stop BEFORE printing so the JSON is the last stdout line the
     // driver sees (shutdown chatter goes to the log4j stderr appender)
     spark.stop()

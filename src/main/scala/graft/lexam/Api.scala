@@ -191,14 +191,24 @@ object Api {
       "n_answers" -> e.n_answers, "status" -> e.status,
       "created_at" -> e.created_at, "updated_at" -> e.updated_at)
 
+  /** Judgments joined to their surviving parent answers, keyed by the
+    * ANSWER's experiment id. The reference counts judgments through
+    * ExperimentAnswer (routers/experiments.py:79-84,183-189), so
+    * judgments orphaned by a bulk answer delete never surface in any
+    * count or breakdown — every judgment read path goes through here. */
+  private def liveJudgments(store: pipeline.LexamStore): DataFrame =
+    store.judgments.drop("experiment_id")
+      .join(store.answers.select(col("id").as("answer_id"),
+        col("experiment_id").cast("long").as("eid")), Seq("answer_id"))
+
   /** Per-experiment judge breakdown rows (`_judge_breakdown`,
     * routers/experiments.py:180-189), keyed by experiment id — ALL
     * experiments in one grouped pass instead of the reference's
     * per-experiment query. */
   private def judgeBreakdowns(store: pipeline.LexamStore):
       Map[Long, Seq[scala.collection.immutable.ListMap[String, Any]]] =
-    store.judgments
-      .groupBy(col("experiment_id").cast("long").as("eid"), col("judge_model"))
+    liveJudgments(store)
+      .groupBy(col("eid"), col("judge_model"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("judge_model")).collect()
       .groupBy(_.getLong(0))
@@ -214,9 +224,10 @@ object Api {
     val aCounts = store.answers.groupBy(col("experiment_id").cast("long"))
       .agg(count(lit(1)).as("answer_count")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // judgments carry experiment_id as their storage partition key
-    val jCounts = store.judgments
-      .groupBy(col("experiment_id").cast("long"))
+    // judgment counts via the answers join (reference semantics: a
+    // judgment whose answer was deleted counts as 0, experiments.py:79-84)
+    val jCounts = liveJudgments(store)
+      .groupBy(col("eid"))
       .agg(count(lit(1)).as("judgment_count")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val judges = judgeBreakdowns(store)
@@ -237,8 +248,8 @@ object Api {
       .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
     val answerCount = store.answers
       .where(col("experiment_id") === experimentId).count()
-    val judgmentCount = store.judgments
-      .where(col("experiment_id").cast("long") === experimentId).count()
+    val judgmentCount = liveJudgments(store)
+      .where(col("eid") === experimentId).count()
     render(serializeExperiment(e) ++ scala.collection.immutable.ListMap[String, Any](
       "answer_count" -> answerCount, "judgment_count" -> judgmentCount,
       "judges" -> judgeBreakdowns(store).getOrElse(experimentId, Nil)))

@@ -278,8 +278,11 @@ object Jobs {
     val exp = store.getExperiment(experimentId)
       .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
     store.deleteJudgments(experimentId, judgeModel)
+    // count through answers like the reference (judging.py:96-101 queries
+    // via the answer join) — and like every other judgment read path here
     val remaining = store.judgments
-      .where(col("experiment_id").cast("long") === experimentId).count()
+      .join(store.answers.where(col("experiment_id") === experimentId)
+        .select(col("id").as("answer_id")), Seq("answer_id"), "left_semi").count()
     if (remaining == 0 && exp.status == "completed")
       store.saveExperiment(exp.copy(status = "generated"))
   }

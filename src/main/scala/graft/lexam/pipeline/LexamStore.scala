@@ -159,8 +159,11 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
     judgeModel match {
       case None => dropPartition("judgments", experimentId)
       case Some(m) =>
+        // null-safe keep-predicate: judge_model is nullable in the
+        // reference model (models.py:164) and its equality delete filter
+        // keeps NULL-model rows — `=!=` would silently drop them
         rewritePartition("judgments", experimentId,
-          _.where(col("judge_model") =!= m))
+          _.where(!(col("judge_model") <=> m)))
     }
 
   /** Cascade delete (routers/experiments.py:130-137): judgments →

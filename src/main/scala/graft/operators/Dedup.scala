@@ -258,6 +258,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // HashMin needs O(component diameter) rounds — a silent stop on a
+    // deep chain would return half-propagated labels that diverge from
+    // the d7 recursive-CTE oracle fixpoint
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds; " +
+        "the pair graph has a component deeper than maxIter — raise it")
     labels
   }
 

@@ -91,7 +91,12 @@ object TemporalJoin {
                    binMicros: Long): DataFrame = {
     val wb = windows
       .withColumn("_b0", floor(unix_micros(col("ws")) / binMicros))
-      .withColumn("_b1", floor((unix_micros(col("we")) - 1) / binMicros))
+      // clamp to >= _b0: sequence(start, stop) DESCENDS when stop < start,
+      // so a degenerate window (we <= ws) would explode into spurious bins
+      // (or overflow sequence's max length) instead of matching nothing —
+      // same clamp RangeJoinRule applies via Greatest
+      .withColumn("_b1", greatest(col("_b0"),
+        floor((unix_micros(col("we")) - 1) / binMicros)))
       .withColumn("bin", explode(sequence(col("_b0"), col("_b1"))))
     val pb = points.withColumn("bin", floor(unix_micros(col("ts")) / binMicros))
     val counts = wb.join(pb, Seq("bin"))

@@ -113,6 +113,19 @@ class ApiSpec extends AnyFunSuite {
     intercept[NoSuchElementException](Api.getExperiment(store, 12345L))
     assert(Api.questionCount(store,
       FilterConfig(language = Seq("en"))) === 7L)
+
+    // orphaned judgments: a bulk answers delete (generation.py:73-84
+    // bypasses ORM cascade) leaves judgment rows on disk, but the
+    // reference counts judgments THROUGH ExperimentAnswer
+    // (experiments.py:79-84,183-189) — orphans must report as zero
+    store.deleteAnswers(8L)
+    assert(!store.judgments.isEmpty) // rows really are orphaned, not gone
+    val orphanedList = Api.listExperiments(store)
+    assert(orphanedList.contains("\"judgment_count\": 0") &&
+      orphanedList.contains("\"judges\": []"))
+    val orphanedOne = Api.getExperiment(store, 8L)
+    assert(orphanedOne.contains("\"judgment_count\": 0") &&
+      orphanedOne.contains("\"judges\": []"))
   }
 
   test("dashboard JSON: full golden equality on the fixtures (main.py:312-459)") {

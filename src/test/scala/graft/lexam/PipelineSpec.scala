@@ -197,9 +197,22 @@ class PipelineSpec extends AnyFunSuite {
     Jobs.runJudging(store, progress, client, 3L, "j2", parallelism = 2)
     assert(store.getExperiment(3L).get.status === "completed")
 
-    // one judge removed, the other remains → status untouched
+    // a NULL-judge_model judgment (nullable in the reference, models.py:164)
+    val anAnswerId = store.answers.where(col("experiment_id") === 3L)
+      .select("id").head().getLong(0)
+    store.appendJudgments(Seq(ExperimentJudgment(id = 999999L,
+      answer_id = anAnswerId, judge_model = null, judgment_text = "manual"))
+      .toDS().toDF().withColumn("experiment_id", lit(3L)))
+
+    // one judge removed, the other remains → status untouched; the
+    // NULL-judge row survives a judge-scoped delete (the reference's
+    // equality filter keeps NULLs — null-safe keep-predicate)
     Jobs.deleteJudgments(store, 3L, judgeModel = Some("j1"))
     assert(store.getExperiment(3L).get.status === "completed")
+    val models = store.judgments
+      .where(col("experiment_id").cast("long") === 3L)
+      .select("judge_model").collect().map(r => Option(r.getString(0)))
+    assert(models.contains(None) && models.flatten.toSet === Set("j2"))
     // last judge removed → rollback (judging.py:100-107)
     Jobs.deleteJudgments(store, 3L)
     assert(store.getExperiment(3L).get.status === "generated")

@@ -73,6 +73,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: throws instead of silently stopping short of the fixpoint") {
+    // a 7-chain needs ~3 HashMin rounds; maxIter=1 must fail loudly, not
+    // return labels that diverge from the d7 recursive-CTE oracle
+    val chain = (1L until 7L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 1).collect())
+    // and with headroom the same graph converges to one component
+    val ok = Dedup.connectedComponents(chain, maxIter = 10).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(ok === Set(1L))
+  }
+
   test("IVF: full probe equals brute force exactly; partial probe recalls (recall@k)") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

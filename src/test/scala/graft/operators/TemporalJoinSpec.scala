@@ -55,6 +55,19 @@ class TemporalJoinSpec extends AnyFunSuite {
       (2L, 0L, None)))     // zero-match window kept with NULL total
   }
 
+  test("intervalJoin: inverted window (we <= ws) matches nothing, no bin blow-up") {
+    val W = 600L * 1000000
+    // window 1 is inverted by ~28 hours: an unclamped sequence(b0, b1)
+    // would DESCEND through ~170 spurious bins; window 2 is zero-width
+    val windows = Seq(
+      (1L, ts(100000), ts(100)),
+      (2L, ts(500), ts(500))).toDF("window_id", "ws", "we")
+    val points = Seq((ts(500), 1.0), (ts(50000), 2.0)).toDF("ts", "value")
+    val out = TemporalJoin.intervalJoin(windows, points, W).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toList
+    assert(out === List((1L, 0L, None), (2L, 0L, None)))
+  }
+
   test("property: asOfJoin matches a naive per-row scan on random event sets") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
