@@ -40,4 +40,49 @@ object Sampling {
     s"(${PolyHash64.sql(keySql)}) % $Buckets < " +
       s"(CASE $cases ELSE ${(defaultFraction * Buckets).toInt} END)"
   }
+
+  // --------------------------------------------- epoch-weighted mixing
+
+  private def baseOf(w: Double): Int = math.floor(w).toInt
+  private def fracOf(w: Double): Int = math.round((w - math.floor(w)) * Buckets).toInt
+
+  /** Epoch-weighted mixture replication: each row is emitted
+    * floor(weight) times, plus one extra copy iff hash(key) mod 10000
+    * falls under the fractional part — the deterministic version of
+    * "repeat the high-quality source 2.3×, downsample the noisy one to
+    * 0.4×" that training-data mixing needs. Weight < 1 keeps only the
+    * fractional-copy chance; hash-derived, so the decision is a pure
+    * function of the data (stable across runs, retries, partitionings).
+    *
+    * Map-side only (a per-row explode over ≤ ceil(weight) copies — no
+    * shuffle), with an `epoch_copy` index column distinguishing the
+    * replicas downstream. */
+  def epochMix(df: DataFrame, strataCol: String, key: Column,
+               weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    def perStratum(f: Double => Int) =
+      weights.toSeq.sortBy(_._1).foldLeft(lit(f(defaultWeight))) {
+        case (acc, (s, w)) => when(col(strataCol) === s, lit(f(w))).otherwise(acc)
+      }
+    val copies = perStratum(baseOf) +
+      when(PolyHash64.polyHash64(key) % Buckets < perStratum(fracOf), 1).otherwise(0)
+    // copies = 0 → empty array → explode drops the row (the downsample
+    // path); sequence is never called with an inverted (1, 0) range
+    df.withColumn("epoch_copy", explode(
+      when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
+  /** DuckDB twin of the per-row copy count [[epochMix]] materializes. */
+  def epochMixCopiesSql(strata: String, keySql: String,
+                        weights: Map[String, Double],
+                        defaultWeight: Double): String = {
+    def cases(f: Double => Int) = {
+      val ws = weights.toSeq.sortBy(_._1).map { case (s, w) =>
+        s"WHEN $strata = '$s' THEN ${f(w)}"
+      }.mkString(" ")
+      s"(CASE $ws ELSE ${f(defaultWeight)} END)"
+    }
+    s"(${cases(baseOf)} + CASE WHEN (${PolyHash64.sql(keySql)}) % $Buckets < " +
+      s"${cases(fracOf)} THEN 1 ELSE 0 END)"
+  }
 }

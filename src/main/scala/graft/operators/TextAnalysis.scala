@@ -149,6 +149,50 @@ object TextAnalysis {
       "stopword_hits" -> s"(len(list_filter($t, x -> x IN ($ws))) >= 2)")
   }
 
+  /** TF-IDF relevance: top-N documents by Σ_t tf(t,d) · idf(t) over a
+    * fixed query-term set. idf is quantized to fixed point —
+    * `(N_docs · 10^6) div df(t)` in integer arithmetic — so the score
+    * is an exact BIGINT on both engines: floating idf (ln-based) would
+    * hang cross-engine parity on libm rounding and summation order,
+    * and ranking is insensitive to the quantization.
+    *
+    * Scale shape: the term filter prunes the exploded tokens to the
+    * query's terms BEFORE the shuffle; df and N are one-row/broadcast
+    * side inputs; the per-doc sum shuffles only (doc_id, term) pairs
+    * that matched. */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+                topN: Int): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("tf * ((n_docs * 1000000) div df)")).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[tfidfTopK]] (same fixed-point idf). */
+  def tfidfSql(terms: Seq[String], topN: Int): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextFunctions.wsTokensSql("lower(text)")}) AS tok
+       |  FROM documents),
+       |ft AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN ($in) GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM ft GROUP BY tok),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id,
+       |       CAST(SUM(tf * ((n_docs * 1000000) // df)) AS BIGINT) AS score
+       |FROM ft JOIN dfreq USING (tok), n
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
   def qualitySql(col: String): String = {
     val t = TextFunctions.wsTokensSql(s"lower($col)")
     val ws = LangWords.head._2.map(w => s"'$w'").mkString(",")

@@ -11,7 +11,27 @@ import graft.functions.{Num, TextFunctions => TF}
   */
 object CoverageQueries {
 
+  /** Per-source epoch weights for `s8_epoch_mix`: spread over the whole
+    * 0.x–3.x range so the query exercises full drop (weight 0), pure
+    * fractional sampling (< 1), and multi-epoch replication (> 1). */
+  private val EpochWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + (i * 37 % 100) / 100.0)).toMap
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S8: epoch-weighted mixture replication (training-data mixing) —
+    // floor(w) copies per row + hash-decided fractional epoch; emitted
+    // row counts and id-weighted checksums prove the replication
+    "s8_epoch_mix" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.epochMix(Tables.documents(s, dir), "source",
+          concat(col("doc_id").cast("string"), lit("/"), col("source")),
+          EpochWeights, defaultWeight = 1.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_emitted"),
+          sum(col("doc_id")).cast("long").as("id_weighted"))
+        .orderBy(col("source"))
+    }),
 
     // S4: derived membership column at ingest (seed.py:16-60,107)
     "s4_derived_isin_flag" -> ((s, dir) => {
@@ -308,6 +328,16 @@ object CoverageQueries {
     "s5_substring_cast" ->
       """SELECT CAST(substring(p_brand, 7, 2) AS INT) AS brand_num, COUNT(*) AS n
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s8_epoch_mix" -> {
+      val copies = graft.operators.Sampling.epochMixCopiesSql("source",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", EpochWeights,
+        defaultWeight = 1.0)
+      s"""SELECT source, CAST(SUM(c) AS BIGINT) AS n_emitted,
+         |       CAST(SUM(doc_id * c) AS BIGINT) AS id_weighted
+         |FROM (SELECT source, doc_id, $copies AS c FROM documents) t
+         |GROUP BY source HAVING SUM(c) > 0 ORDER BY source""".stripMargin
+    },
 
     "s6_stratified_sample" -> {
       val pred = graft.operators.Sampling.stratifiedSampleSql("lang",

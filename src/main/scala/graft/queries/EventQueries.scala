@@ -72,6 +72,18 @@ object EventQueries {
       TemporalJoin.intervalJoin(windows, points, binMicros = 10L * 60 * 1000000)
     }),
 
+    // Step funnel: signup → click strictly after → purchase strictly
+    // after that; per-user min-after chain, one row of stage counts.
+    "e6_funnel" -> ((s, dir) =>
+      graft.operators.Cohorts.funnel(Tables.events(s, dir),
+        Seq("signup", "click", "purchase"))),
+
+    // Weekly cohort retention: cohort = week of first event (integer
+    // week index — no engine-specific week truncation), retained at
+    // offset k = any event in cohort_week + k.
+    "e7_retention" -> ((s, dir) =>
+      graft.operators.Cohorts.retention(Tables.events(s, dir), "2024-01-01")),
+
     // Same semantics written as the NAIVE range join — the
     // RangeJoinRule optimizer extension (plans/RangeJoinRule.scala)
     // rewrites it to the binned equi-join automatically; inner-join
@@ -117,6 +129,12 @@ object EventQueries {
     "e4_interval_error_clicks" ->
       TemporalJoin.intervalJoinSql(windowType = "error", minValue = 100.0,
         pointType = "click", widthMinutes = 10),
+
+    "e6_funnel" ->
+      graft.operators.Cohorts.funnelSql(Seq("signup", "click", "purchase")),
+
+    "e7_retention" ->
+      graft.operators.Cohorts.retentionSql("2024-01-01"),
 
     "e5_range_join_auto" ->
       s"""WITH w AS (SELECT event_id AS window_id, ts AS ws,

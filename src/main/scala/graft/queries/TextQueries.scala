@@ -183,6 +183,12 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Extension: TF-IDF relevance top-20 for a fixed query-term set —
+    // fixed-point idf (integer arithmetic) for exact cross-engine scores
+    "t10_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir),
+        Seq("join", "window", "stream"), topN = 20)),
+
     // Extension: Gopher-rule quality filter — per-rule failing counts +
     // survivors, one map-side pass over the corpus
     "t7_gopher_filter" -> ((s, dir) => {
@@ -288,6 +294,9 @@ object TextQueries {
          |FROM toks JOIN freq USING (tok), tot
          |WHERE doc_id % 25 = 0
          |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin,
+
+    "t10_tfidf_topk" ->
+      TextAnalysis.tfidfSql(Seq("join", "window", "stream"), topN = 20),
 
     "t7_gopher_filter" -> {
       import graft.operators.TextAnalysis

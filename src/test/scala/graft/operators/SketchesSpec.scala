@@ -65,6 +65,31 @@ class SketchesSpec extends AnyFunSuite {
       s"en rate ${enKept / enTotal}")
   }
 
+  test("epoch mixing: floor+fractional copies, zero-weight drop, deterministic") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochMix(df, "lang",
+        concat(col("doc_id").cast("string"), lit("/"), col("lang")),
+        Map("en" -> 2.5, "de" -> 0.0), defaultWeight = 1.0)
+    val out = mix(docs)
+    // en rows appear 2 or 3 times, de rows vanish, others exactly once
+    val perDoc = out.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(perDoc.collect { case ("en", n) => n }.forall(n => n == 2 || n == 3))
+    assert(!perDoc.exists(_._1 == "de"))
+    assert(perDoc.collect { case (l, n) if l != "en" => n }.forall(_ == 1))
+    // fractional epoch lands near 50% of en docs
+    val en3 = perDoc.count(_ == ("en", 3L)).toDouble
+    val enAll = perDoc.count(_._1 == "en").toDouble
+    assert(math.abs(en3 / enAll - 0.5) < 0.2, s"frac-copy rate ${en3 / enAll}")
+    // content-hash decisions: repartitioning changes nothing
+    val a = out.groupBy(col("doc_id")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = mix(docs.repartition(7)).groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("frequent items never miss a true heavy hitter") {
     // l_returnflag has 3 values, each with support far above 0.2
     val items = Sketches.frequentItems(li, Seq("l_returnflag"), support = 0.2)
