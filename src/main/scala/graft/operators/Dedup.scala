@@ -267,6 +267,24 @@ object Dedup {
     labels
   }
 
+  /** Survivor selection — the step after [[connectedComponents]]: per
+    * near-dup cluster keep the best member (highest `quality`, ties to
+    * the lowest id). One window pass over (component ⋈ quality);
+    * shuffles on the component key only.
+    *
+    * `components`: (`id`, `comp`); `quality`: (`id`, `quality`).
+    * Output: (`comp`, `n_members`, `survivor`). */
+  def survivors(components: DataFrame, quality: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(desc("quality"), col("id"))
+    components.join(quality, Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("id"))).as("survivor"))
+      .orderBy(col("comp"))
+  }
+
   // -------------------------------------------------- decontamination
 
   /** Benchmark-contamination check: for each document in the benchmark

@@ -149,6 +149,50 @@ object TextAnalysis {
       "stopword_hits" -> s"(len(list_filter($t, x -> x IN ($ws))) >= 2)")
   }
 
+  /** Fixed-size token chunking with overlap: long documents split into
+    * training-window chunks of `chunk` tokens, consecutive chunks
+    * sharing `overlap` tokens (stride = chunk − overlap); the tail
+    * chunk may run short. Pure map-side explode — ≤ n/stride + 1 rows
+    * per doc, no shuffle — the standard context-window preprocessing
+    * for an embedding or LM training pipeline.
+    * Output: (`doc_id`, `chunk_idx`, `chunk` array). */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, chunk: Int,
+                  overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunk,
+      "overlap must be in [0, chunk) or the stride is not positive")
+    val stride = chunk - overlap
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") > 0)
+      // integer ceil of (n - overlap) / stride, min 1 — counted so the
+      // last stride-aligned start still covers the final token
+      .withColumn("n_chunks",
+        expr(s"(greatest(n - $overlap, 1) + ${stride - 1}) div $stride"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(t, CAST(chunk_idx * $stride + 1 AS INT), $chunk)").as("chunk"))
+  }
+
+  /** DuckDB twin of [[chunkTokens]] as a CTE block ending in relation
+    * `chunks(doc_id, chunk_idx, chunk)`; `filter` narrows the doc
+    * cohort. */
+  def chunkTokensCte(chunk: Int, overlap: Int, filter: String): String = {
+    val stride = chunk - overlap
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextFunctions.wsTokensSql("lower(text)")} AS t
+       |  FROM documents $filter),
+       |x AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+       |k AS (
+       |  SELECT doc_id, t, n,
+       |         unnest(range(0, (greatest(n - $overlap, 1) + ${stride - 1}) // $stride)) AS chunk_idx
+       |  FROM x),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |         list_slice(t, chunk_idx * $stride + 1, chunk_idx * $stride + $chunk) AS chunk
+       |  FROM k)""".stripMargin
+  }
+
   /** TF-IDF relevance: top-N documents by Σ_t tf(t,d) · idf(t) over a
     * fixed query-term set. idf is quantized to fixed point —
     * `(N_docs · 10^6) div df(t)` in integer arithmetic — so the score

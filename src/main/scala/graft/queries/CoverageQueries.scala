@@ -50,6 +50,20 @@ object CoverageQueries {
         .orderBy(col("brand_num"))
     }),
 
+    // S9: fixed-size token chunking with overlap (context-window prep) —
+    // per-chunk token counts + content fingerprints prove slicing parity
+    "s9_token_chunks" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      import graft.functions.PolyHash64
+      TextAnalysis.chunkTokens(
+          Tables.documents(s, dir).where(pmod(col("doc_id"), lit(25)) === 0),
+          chunk = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          PolyHash64.polyHash64(array_join(col("chunk"), " ")).as("fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // S6: deterministic stratified sampling (training-data mixing) —
     // content-hash decisions, identical across runs/retries/engines
     "s6_stratified_sample" -> ((s, dir) => {
@@ -337,6 +351,17 @@ object CoverageQueries {
          |       CAST(SUM(doc_id * c) AS BIGINT) AS id_weighted
          |FROM (SELECT source, doc_id, $copies AS c FROM documents) t
          |GROUP BY source HAVING SUM(c) > 0 ORDER BY source""".stripMargin
+    },
+
+    "s9_token_chunks" -> {
+      import graft.functions.PolyHash64
+      val cte = graft.operators.TextAnalysis
+        .chunkTokensCte(chunk = 64, overlap = 16, "WHERE doc_id % 25 = 0")
+      s"""$cte
+         |SELECT doc_id, chunk_idx,
+         |       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+         |       ${PolyHash64.sql("array_to_string(chunk, ' ')")} AS fp
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
     "s6_stratified_sample" -> {

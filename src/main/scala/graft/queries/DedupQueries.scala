@@ -54,7 +54,17 @@ object DedupQueries {
     // of the dedup pipeline.
     "d7_neardup_components" -> ((s, dir) =>
       Dedup.connectedComponents(levenshteinPairs(s, dir))
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+
+    // Clusters → survivors: keep the best member per near-dup cluster
+    // (highest retail price as the quality proxy, ties to lowest id) —
+    // the final step of the dedup pipeline: pairs → components → one
+    // canonical row each.
+    "d9_neardup_survivors" -> ((s, dir) =>
+      Dedup.survivors(
+        Dedup.connectedComponents(levenshteinPairs(s, dir)),
+        Tables.part(s, dir).select(col("p_partkey").as("id"),
+          col("p_retailprice").as("quality"))))
   )
 
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
@@ -111,6 +121,30 @@ object DedupQueries {
         |  SELECT src, src FROM edges
         |  UNION
         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst)
-        |SELECT id, MIN(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin
+        |SELECT id, MIN(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    // Same reachability fixpoint, then best-member pick per component.
+    "d9_neardup_survivors" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.p_partkey AS id1, b.p_partkey AS id2
+        |  FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) a
+        |  JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) b
+        |    ON a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 10),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM p
+        |          UNION SELECT id2, id1 FROM p),
+        |walk(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+        |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+        |r AS (
+        |  SELECT c.comp, c.id,
+        |         ROW_NUMBER() OVER (PARTITION BY c.comp
+        |                            ORDER BY pt.p_retailprice DESC, c.id) AS rn
+        |  FROM comps c JOIN part pt ON pt.p_partkey = c.id)
+        |SELECT comp, COUNT(*) AS n_members,
+        |       CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS survivor
+        |FROM r GROUP BY comp ORDER BY comp""".stripMargin
   )
 }
