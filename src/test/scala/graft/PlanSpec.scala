@@ -81,6 +81,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("s8/s9: mixing and chunking stay map-side — explode over the scan, no join") {
+    for (name <- Seq("s8_epoch_mix", "s9_token_chunks")) {
+      val p = physical(name)
+      assert(!p.contains("Join"), s"$name:\n$p")
+      assert(p.contains("Generate"), s"$name:\n$p")
+    }
+  }
+
+  test("t10: the query-term filter lands below the first shuffle; df/N are broadcast") {
+    val p = physical("t10_tfidf_topk")
+    // the filter must prune tokens BEFORE aggregation: at 100× the
+    // shuffle carries only (doc_id, matched-term) pairs
+    assert(p.contains("In(join,window,stream)") ||
+      p.contains("tok#") && p.contains("IN (join,window,stream)"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("e6: funnel steps join hash-broadcast on user_id, no cartesian stages") {
+    val p = physical("e6_funnel")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lexam filter pushdown: question predicates reach the parquet scan") {
     val store = new graft.lexam.pipeline.LexamStore(spark,
       java.nio.file.Files.createTempDirectory("plan_store").toString)
