@@ -243,6 +243,16 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
+    // convergence via a potential function instead of a per-round join:
+    // labels only ever DECREASE under HashMin, so Σcomp strictly drops
+    // on any change and the fixpoint is exactly "sum unchanged". One
+    // aggregate per round (which doubles as the cache materializer) —
+    // at scale this removes a full join stage from every iteration.
+    def compSum(l: DataFrame): java.math.BigDecimal = {
+      val d = l.agg(sum(col("comp")).cast("decimal(38,0)")).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty pair graph
+    }
+    var prevSum = compSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -251,8 +261,9 @@ object Dedup {
       // rounds — batching rounds between checks was measured slower
       // (extra propagations cost more than the checks they save)
       val next = propagate(labels).cache()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .where(col("comp") < col("prev")).isEmpty
+      val s = compSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
