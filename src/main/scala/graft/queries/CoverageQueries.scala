@@ -64,6 +64,22 @@ object CoverageQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // S10: snapshot diff (dataset versioning audit) — snapshot B is
+    // derived deterministically from A (drops, edits, additions), and
+    // the diff classifies every key by content digest
+    "s10_snapshot_diff" -> ((s, dir) => {
+      import graft.operators.Diff
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val next = base
+        .where(pmod(col("doc_id"), lit(31)) =!= 0) // deletions
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))) // edits
+        .unionByName(base.where(pmod(col("doc_id"), lit(41)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)) // additions
+      Diff.diffSummary(base, next, "doc_id", md5(col("text")))
+    }),
+
     // S6: deterministic stratified sampling (training-data mixing) —
     // content-hash decisions, identical across runs/retries/engines
     "s6_stratified_sample" -> ((s, dir) => {
@@ -352,6 +368,22 @@ object CoverageQueries {
          |FROM (SELECT source, doc_id, $copies AS c FROM documents) t
          |GROUP BY source HAVING SUM(c) > 0 ORDER BY source""".stripMargin
     },
+
+    "s10_snapshot_diff" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |next AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM base WHERE doc_id % 31 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 41 = 0),
+        |d AS (
+        |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM base a FULL OUTER JOIN next b ON a.doc_id = b.doc_id)
+        |SELECT status, COUNT(*) AS n FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     "s9_token_chunks" -> {
       import graft.functions.PolyHash64

@@ -33,6 +33,19 @@ class ChunkingSpec extends AnyFunSuite {
     assert(covered === (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classified per key") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val b = Seq((1L, "x"), (2L, "Y2"), (4L, "new")).toDF("doc_id", "text")
+    val out = Diff.snapshotDiff(a, b, "doc_id", md5(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val sums = Diff.diffSummary(a, b, "doc_id", md5(col("text"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums === Map("added" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "unchanged" -> 1L))
+  }
+
   test("survivors: best quality wins, ties to lowest id, singletons excluded") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("id", "comp")
