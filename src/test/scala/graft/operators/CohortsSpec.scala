@@ -36,6 +36,64 @@ class CohortsSpec extends AnyFunSuite {
     assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((4L, 3L, 2L)))
   }
 
+  test("property: funnel matches a naive per-user scan on random event sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val steps = Seq("s1", "s2", "s3")
+    val genEvents: Gen[List[(Long, Long, String)]] = for {
+      n <- Gen.choose(0, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 20L)
+        ty <- Gen.oneOf(steps :+ "noise")
+      } yield (u, t, ty))
+    } yield evs
+    (0 until 10).foreach { i =>
+      val Some(rows) = genEvents.apply(Gen.Parameters.default, Seed(11L + i))
+      val got = Cohorts.funnel(ev(rows: _*), steps).collect()(0)
+      // naive: per user walk min-after chain over the raw tuples
+      def reach(u: Long): Int = {
+        val mine = rows.filter(_._1 == u)
+        var prev = Long.MinValue
+        var depth = 0
+        var stop = false
+        for (s <- steps if !stop) {
+          val cand = mine.filter(e => e._3 == s &&
+            (if (depth == 0) true else e._2 > prev)).map(_._2)
+          if (cand.isEmpty) stop = true
+          else { prev = cand.min; depth += 1 }
+        }
+        depth
+      }
+      val users = rows.map(_._1).distinct
+      val want = (1 to steps.size).map(d => users.count(reach(_) >= d).toLong)
+      val gotCounts = (0 until steps.size).map(got.getLong)
+      assert(gotCounts === want, s"seed ${11 + i}: got $gotCounts want $want")
+    }
+  }
+
+  test("property: retention matches a naive per-user computation") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val day = 86400L
+    val genEvents: Gen[List[(Long, Long, String)]] = for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L); d <- Gen.choose(0L, 35L)
+      } yield (u, d * day, "click"))
+    } yield evs
+    (0 until 8).foreach { i =>
+      val Some(rows) = genEvents.apply(Gen.Parameters.default, Seed(23L + i))
+      val got = Cohorts.retention(ev(rows: _*), "2023-11-14").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val byUser = rows.groupBy(_._1).view.mapValues(_.map(_._2 / day / 7).distinct)
+      val want = byUser.toSeq.flatMap { case (_, weeks) =>
+        val cohort = weeks.min
+        weeks.map(w => (cohort, w - cohort))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got === want, s"seed ${23 + i}")
+    }
+  }
+
   test("retention: integer week cohorts, distinct users per offset") {
     // epoch-day week index: week 0 = days 0-6, week 1 = days 7-13, ...
     val day = 86400L
