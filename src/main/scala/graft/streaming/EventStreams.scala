@@ -129,6 +129,66 @@ object EventStreams {
       .drop("session_id")
   }
 
+  // ------------------------------------------------ streaming funnel
+
+  case class FunnelState(pending: List[Event], anchors: List[Long])
+  case class FunnelProgress(user_id: Long, depth: Int,
+                            reached_ts: java.sql.Timestamp)
+
+  /** Incremental step funnel: the streaming twin of
+    * [[graft.operators.Cohorts.funnel]], emitting one progress row per
+    * user each time they advance a step (depth = steps completed).
+    *
+    * Exactness under out-of-order arrival: an event can only anchor a
+    * step once no earlier event can still arrive, so rows buffer in
+    * per-user state until the watermark passes them and are folded into
+    * the anchor chain in event-time order. The fold in ts order IS the
+    * batch min-after semantics; events the engine admits late but
+    * within the watermark land in the buffer and sort into place.
+    * State is bounded by the watermark delay (the buffer never holds
+    * rows older than it) plus one Long per completed step. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val stepArr = steps.toArray
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+      val st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+      // batch execution has no watermark (the Try): everything is final
+      val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
+      val horizon = if (wm < 0) Long.MaxValue else wm
+      val incoming = rows.filter(e => stepArr.contains(e.event_type)).toList
+      val (ready, pending) = (st.pending ++ incoming)
+        .partition(_.ts.getTime <= horizon)
+      var anchors = st.anchors
+      val out = List.newBuilder[FunnelProgress]
+      ready.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val depth = anchors.length
+        if (depth < stepArr.length && e.event_type == stepArr(depth) &&
+            (depth == 0 || e.ts.getTime > anchors.last)) {
+          anchors = anchors :+ e.ts.getTime
+          out += FunnelProgress(userId, anchors.length, e.ts)
+        }
+      }
+      // a completed chain needs no buffer; an empty user needs no state
+      val keep = if (anchors.length == stepArr.length) Nil else pending
+      if (keep.isEmpty && anchors.isEmpty) state.remove()
+      else {
+        state.update(FunnelState(keep, anchors))
+        // wake when the watermark passes the oldest buffered row (all
+        // buffered rows are > horizon, so this is always legal)
+        if (keep.nonEmpty)
+          state.setTimeoutTimestamp(keep.map(_.ts.getTime).min)
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming deduplication on event_id with a bounded state horizon:
     * duplicates arriving within the watermark window are dropped
     * exactly; state for ids older than the watermark is evicted (the

@@ -180,6 +180,83 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: cross-batch anchors, out-of-order buffering, late rows dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1720000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelStream(input.toDS(),
+        Seq("signup", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1's purchase arrives BEFORE its click exists; u2 signs
+      // up. The trailing micro-batch advances the watermark to ts 15, so
+      // the signups (≤ 15) fold to depth 1 while u1's purchase@25 stays
+      // buffered — it cannot anchor ahead of a click that may still come.
+      input.addData(
+        EventStreams.Event(1, ts(0), 1, "signup", 0),
+        EventStreams.Event(2, ts(25), 1, "purchase", 0),
+        EventStreams.Event(3, ts(5), 2, "signup", 0))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel_stream_out")
+        .as[EventStreams.FunnelProgress].collect()
+      assert(b1.map(p => p.user_id -> p.depth).sorted.toSeq ===
+        Seq(1L -> 1, 2L -> 1))
+
+      // batch 2: the missing click lands (ts 18 — still above the
+      // batch-1 watermark of ts 15) plus a far-future u3 signup that
+      // drives the watermark to ts 90; the trailing micro-batch then
+      // folds u1's buffered rows IN TS ORDER: signup@0 → click@18 →
+      // purchase@25, full depth 3 despite the out-of-order arrival
+      input.addData(
+        EventStreams.Event(4, ts(18), 1, "click", 0),
+        EventStreams.Event(5, ts(100), 3, "signup", 0))
+      q.processAllAvailable()
+      val mid = spark.table("funnel_stream_out")
+        .as[EventStreams.FunnelProgress].collect()
+      assert(mid.filter(_.user_id == 1L).map(_.depth).sorted.toSeq === Seq(1, 2, 3))
+      assert(mid.filter(_.user_id == 2L).map(_.depth).toSeq === Seq(1))
+
+      // batch 3: u2's click@4 is LATE (< watermark 90) → dropped, u2
+      // stays at depth 1; u4's purchase-with-no-signup never advances
+      input.addData(
+        EventStreams.Event(6, ts(4), 2, "click", 0),
+        EventStreams.Event(7, ts(95), 4, "purchase", 0),
+        EventStreams.Event(8, ts(200), 5, "signup", 0))
+      q.processAllAvailable()
+
+      val out = spark.table("funnel_stream_out")
+        .as[EventStreams.FunnelProgress].collect()
+      val u1 = out.filter(_.user_id == 1L).sortBy(_.depth)
+      assert(u1.map(_.depth).toSeq === Seq(1, 2, 3))
+      assert(u1.map(_.reached_ts.getTime).toSeq ===
+        Seq(ts(0), ts(18), ts(25)).map(_.getTime))
+      assert(out.filter(_.user_id == 2L).map(_.depth).toSeq === Seq(1))
+      assert(!out.exists(_.user_id == 4L)) // purchase before signup: no depth
+      assert(!out.exists(_.user_id == 5L)) // still above the watermark
+    } finally q.stop()
+  }
+
+  test("funnelStream in batch mode reproduces the batch funnel stage counts") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .as[EventStreams.Event]
+    val steps = Seq("signup", "click", "purchase")
+    val byDepth = EventStreams.funnelStream(ev, steps)
+      .groupBy(col("depth")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Cohorts.funnel(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001"), steps)
+      .collect()(0)
+    // a user reaching depth k emitted one row per depth 1..k, so the
+    // per-depth row counts are exactly the funnel's stage counts
+    assert(byDepth.getOrElse(1, 0L) === want.getLong(0))
+    assert(byDepth.getOrElse(2, 0L) === want.getLong(1))
+    assert(byDepth.getOrElse(3, 0L) === want.getLong(2))
+  }
+
   test("streaming dedup: cross-batch duplicates within the watermark are dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
