@@ -80,4 +80,39 @@ object Bpe {
     syms.select(explode(col("syms")).as("sym"))
       .groupBy(col("sym")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("sym"))
+
+  /** Apply learned merges to a corpus — the tokenizer-inference side of
+    * [[train]]. Merges apply in learned order, each with the same
+    * greedy left-to-right fold, so
+    * `encode(docs, train(docs, n)._1) == train(docs, n)._2` exactly.
+    *
+    * Pure map-side: a per-partition imperative loop (no shuffle, no
+    * state), the shape tokenizer application always has at 100 TB. The
+    * in-JVM loop replaces m chained HOF folds — one array pass per
+    * merge rank without m plan nodes. */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.map(m => (m.a, m.b)).toArray
+    docs.select(col("doc_id"),
+        TextAnalysis.toks(col("text")).as("syms"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (id, toks0) =>
+          var toks = toks0
+          ms.foreach { case (a, b) =>
+            val merged = a + " " + b
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            toks.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.length - 1) = merged
+              else out += x
+            }
+            toks = out.toSeq
+          }
+          (id, toks)
+        }
+      }
+      .toDF("doc_id", "syms")
+  }
 }

@@ -63,6 +63,24 @@ class BpeSpec extends AnyFunSuite {
     } finally syms.unpersist()
   }
 
+  test("encode with the learned merges reproduces the trainer's final corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+    val (merges, syms) = Bpe.train(docs, nMerges = 4)
+    try {
+      val trained = syms.as[(Long, Vector[String])].collect().toMap
+      val encoded = Bpe.encode(docs, merges)
+        .as[(Long, Vector[String])].collect().toMap
+      assert(encoded === trained)
+      // and encoding UNSEEN text applies the same merges
+      val fresh = Seq((999L, merges.head.a + " " + merges.head.b + " zzz_unseen"))
+        .toDF("doc_id", "text")
+      val enc = Bpe.encode(fresh, merges)
+        .as[(Long, Vector[String])].collect().head._2
+      assert(enc.head === merges.head.a + " " + merges.head.b, enc)
+    } finally syms.unpersist()
+  }
+
   test("merge counts are non-increasing and early-exhaustion stops cleanly") {
     val tiny = Seq((1L, "x y x y x y"), (2L, "x y z")).toDF("doc_id", "text")
     val (merges, syms) = Bpe.train(tiny, nMerges = 50)
