@@ -14,7 +14,9 @@ object Explain {
       "j1_top_orders_by_revenue", "f1_filtered_lineitems", "f6_promo_parts_by_brand",
       "a9_pricing_summary", "v1_cosine_topk", "o3_orders_page",
       "d3_minhash_lsh_pairs", "v2_lsh_cosine_pairs", "v5_quantized_topk",
-      "e3_asof_purchase_click", "e4_interval_error_clicks", "s6_stratified_sample")
+      "e3_asof_purchase_click", "e4_interval_error_clicks", "s6_stratified_sample",
+      "e6_funnel", "t10_tfidf_topk", "s8_epoch_mix", "s9_token_chunks",
+      "s10_snapshot_diff", "d9_neardup_survivors")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
