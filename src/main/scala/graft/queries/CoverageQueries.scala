@@ -337,6 +337,23 @@ object CoverageQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Window: ntile quartile assignment over an aggregated frame — the
+    // global window runs on the already-reduced per-customer spends (a
+    // single small partition by design), and per-quartile outputs are
+    // count/min/max (order-independent, no float-sum hazard)
+    "w5_spend_quartiles" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(Num.sumExact(col("o_totalprice")).as("spend"))
+      val w = Window.orderBy(desc("spend"), col("o_custkey"))
+      spend.withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_cust"),
+          min(col("spend")).as("min_spend"),
+          max(col("spend")).as("max_spend"))
+        .orderBy(col("quartile"))
+    }),
+
     // Window: rank with deterministic tiebreak
     "w2_top2_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -542,6 +559,18 @@ object CoverageQueries {
         |    AS micros_since_prev
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w5_spend_quartiles" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${Num.sqlSumExact("o_totalprice")} AS spend
+         |  FROM orders GROUP BY o_custkey),
+         |q AS (
+         |  SELECT spend,
+         |         NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+         |  FROM spend)
+         |SELECT CAST(quartile AS INT) AS quartile, COUNT(*) AS n_cust,
+         |       MIN(spend) AS min_spend, MAX(spend) AS max_spend
+         |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
 
     "w4_moving_spend" ->
       """SELECT o_custkey, o_orderkey,

@@ -189,6 +189,32 @@ object TextQueries {
       TextAnalysis.tfidfTopK(Tables.documents(s, dir),
         Seq("join", "window", "stream"), topN = 20)),
 
+    // Extension: bigram-LM likelihood — per doc the mean fixed-point
+    // conditional probability (c(ab)·10^6 div c(a)) over its adjacent
+    // pairs; the KenLM-style fluency signal on top of t8's pair counts.
+    // Denominator = full unigram count (the standard simplification);
+    // integer score sums are order-independent, one final division.
+    "t11_bigram_likelihood" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = TextAnalysis.toks(col("text"))
+      val pairs = docs.where(size(t) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val c2 = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+      val c1 = docs.select(explode(t).as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("c1"))
+      pairs.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("(c2 * 1000000) div c1")).as("score_sum"),
+          count(lit(1)).as("n_pairs"))
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), col("score_sum"), col("n_pairs"),
+          (col("score_sum").cast("double") / col("n_pairs")).as("mean_bigram"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Extension: Gopher-rule quality filter — per-rule failing counts +
     // survivors, one map-side pass over the corpus
     "t7_gopher_filter" -> ((s, dir) => {
@@ -297,6 +323,25 @@ object TextQueries {
 
     "t10_tfidf_topk" ->
       TextAnalysis.tfidfSql(Seq("join", "window", "stream"), topN = 20),
+
+    "t11_bigram_likelihood" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TF.wsTokensSql("lower(text)")} AS t FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+         |  FROM toks),
+         |pr AS (
+         |  SELECT a.doc_id, a.tok AS a, b.tok AS b
+         |  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+         |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM pr GROUP BY a, b),
+         |c1 AS (SELECT tok AS a, COUNT(*) AS c1 FROM p GROUP BY tok)
+         |SELECT doc_id,
+         |       CAST(SUM((c2 * 1000000) // c1) AS BIGINT) AS score_sum,
+         |       COUNT(*) AS n_pairs,
+         |       CAST(SUM((c2 * 1000000) // c1) AS DOUBLE) / COUNT(*) AS mean_bigram
+         |FROM pr JOIN c2 USING (a, b) JOIN c1 USING (a)
+         |WHERE doc_id % 25 = 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t7_gopher_filter" -> {
       import graft.operators.TextAnalysis
