@@ -16,7 +16,9 @@ object Explain {
       "d3_minhash_lsh_pairs", "v2_lsh_cosine_pairs", "v5_quantized_topk",
       "e3_asof_purchase_click", "e4_interval_error_clicks", "s6_stratified_sample",
       "e6_funnel", "t10_tfidf_topk", "s8_epoch_mix", "s9_token_chunks",
-      "s10_snapshot_diff", "d9_neardup_survivors")
+      "s10_snapshot_diff", "d9_neardup_survivors",
+      "e8_sessions", "j9_salted_supplier_rollup", "a19_cube_status_priority",
+      "t12_source_composition")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -86,6 +86,60 @@ object Cohorts {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Gap-based sessionization: a user's events split into sessions
+    * wherever the gap to the previous event exceeds `gapMinutes`.
+    * Classic batch twin of streaming session windows
+    * (`session_window` / `flatMapGroupsWithState` in streaming/).
+    *
+    * Returns one row per (user_id, session) with `n_events` and
+    * `duration_us` (last-first, exact integer micros). One shuffle on
+    * `user_id` total: the boundary flag (lag), the running session
+    * index (sum over an unbounded-preceding frame on the SAME window
+    * spec) and the per-session aggregate all reuse that partitioning —
+    * at 100 TB the cost is the one event shuffle, same as any per-user
+    * rollup. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    // event_id tiebreak: equal timestamps within a user must order the
+    // same way in every engine or the running index diverges
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byTime) <= gapUs, 0)
+          .otherwise(1)) // null lag (first event) lands here too
+      .withColumn("session",
+        sum(col("new_sess")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
+  /** DuckDB twin of [[sessionize]] — identical lag/running-sum chain. */
+  def sessionizeSql(gapMinutes: Int): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+       |m AS (
+       |  SELECT user_id, event_id, ts_us,
+       |         CASE WHEN ts_us - LAG(ts_us) OVER
+       |                (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |              <= $gapUs THEN 0 ELSE 1 END AS new_sess
+       |  FROM e),
+       |s AS (
+       |  SELECT user_id, ts_us,
+       |         SUM(new_sess) OVER
+       |           (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS UNBOUNDED PRECEDING) AS session
+       |  FROM m),
+       |g AS (
+       |  SELECT user_id, session, COUNT(*) AS n_events,
+       |         MAX(ts_us) - MIN(ts_us) AS duration_us
+       |  FROM s GROUP BY 1, 2)""".stripMargin
+  }
+
   /** DuckDB twin of [[retention]] — same integer week index. */
   def retentionSql(epochDay: String): String =
     s"""WITH wk AS (

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (Deequ-style constraint suite): each
+  * check reduces a table to one (check, n_violations) row, and a suite
+  * is the union of its checks. A check list is plain data — Column
+  * expressions and table NAMES, no bound DataFrames — so the same list
+  * drives both the Spark plan ([[report]]) and the DuckDB twin
+  * ([[reportSql]]), the gopherRules pattern applied to DQ contracts.
+  *
+  * Scale posture: every check is a full-scan aggregate with a 1-row
+  * output — the union becomes ONE job whose repeated scans Catalyst
+  * de-duplicates (exchange reuse), and only the checks that must
+  * shuffle do: uniqueness on its audited key, orphans as an anti
+  * semi-join on the audited FK (broadcast when the parent key set is
+  * small). Everything else is map-side partial aggregation.
+  */
+object Quality {
+
+  /** A named constraint producing a violation COUNT over one table. */
+  sealed trait Check { def name: String }
+  /** Rows where the predicate is false or null. `pred` drives Spark,
+    * `sql` is its DuckDB spelling. */
+  final case class PredCheck(name: String, pred: Column, sql: String) extends Check
+  /** Key values appearing more than once (counts every row in a
+    * duplicated group). */
+  final case class UniqueCheck(name: String, key: String) extends Check
+  /** Child keys with no matching parent key (FK orphans). */
+  final case class OrphanCheck(name: String, childKey: String,
+                               parentTable: String, parentKey: String) extends Check
+
+  /** One (check, n_violations) row per check, unioned and name-sorted.
+    * `parents` resolves each OrphanCheck's parentTable name. */
+  def report(table: DataFrame, checks: Seq[Check],
+             parents: Map[String, DataFrame] = Map.empty): DataFrame =
+    checks.map {
+      case PredCheck(n, pred, _) =>
+        table.agg(coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L)).as("n_violations"))
+          .select(lit(n).as("check"), col("n_violations"))
+      case UniqueCheck(n, key) =>
+        table.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
+          .select(lit(n).as("check"), col("n_violations"))
+      case OrphanCheck(n, childKey, parentTable, parentKey) =>
+        table.join(parents(parentTable).select(col(parentKey)).distinct(),
+            col(childKey) === col(parentKey), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(n).as("check"), col("n_violations"))
+    }.reduce(_.unionByName(_)).orderBy(col("check"))
+
+  /** DuckDB twin: the same checks as a UNION ALL of one-row aggregates.
+    * `tableSql` is the audited table's name in the oracle schema. */
+  def reportSql(tableSql: String, checks: Seq[Check]): String =
+    checks.map {
+      case PredCheck(n, _, sql) =>
+        s"""SELECT '$n' AS "check",
+           |  CAST(COALESCE(SUM(CASE WHEN ($sql) THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_violations
+           |FROM $tableSql""".stripMargin
+      case UniqueCheck(n, key) =>
+        s"""SELECT '$n' AS "check",
+           |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_violations
+           |FROM (SELECT COUNT(*) AS c FROM $tableSql GROUP BY $key
+           |      HAVING COUNT(*) > 1) t""".stripMargin
+      case OrphanCheck(n, childKey, parentTable, parentKey) =>
+        s"""SELECT '$n' AS "check", COUNT(*) AS n_violations
+           |FROM $tableSql c
+           |WHERE NOT EXISTS (SELECT 1 FROM $parentTable p
+           |                  WHERE p.$parentKey = c.$childKey)""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) r ORDER BY \"check\"")
+}

@@ -17,6 +17,22 @@ object CoverageQueries {
   private val EpochWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> ((i % 4) + (i * 37 % 100) / 100.0)).toMap
 
+  /** Shared DQ contract for `q1_dq_report`: the Spark plan and the
+    * DuckDB twin grade the same list (operators.Quality). */
+  private val DqChecks: Seq[graft.operators.Quality.Check] = {
+    import graft.operators.Quality._
+    Seq(
+      UniqueCheck("pk_orderkey_unique", "o_orderkey"),
+      PredCheck("status_in_domain",
+        col("o_orderstatus").isin("F", "O", "P"),
+        "o_orderstatus IN ('F','O','P')"),
+      PredCheck("totalprice_positive",
+        col("o_totalprice") > 0, "o_totalprice > 0"),
+      PredCheck("orderdate_not_null",
+        col("o_orderdate").isNotNull, "o_orderdate IS NOT NULL"),
+      OrphanCheck("fk_custkey_resolves", "o_custkey", "customer", "c_custkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S8: epoch-weighted mixture replication (training-data mixing) —
@@ -297,6 +313,122 @@ object CoverageQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // S11: incremental aggregate maintenance — the merged state of a
+    // base refresh and a later delta batch must equal the full
+    // recompute the oracle runs. Partials are count + decimal sum
+    // (re-aggregatable exactly); the merge shuffles |keys| rows, not
+    // |orders| rows — the property that makes daily refreshes at 100 TB
+    // touch only the delta.
+    "s11_incremental_agg" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val o = Tables.orders(s, dir)
+      def state(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(Num.dec(col("o_totalprice"))).as("total"))
+      val base  = state(o.where(year(col("o_orderdate")) <  1997))
+      val delta = state(o.where(year(col("o_orderdate")) >= 1997))
+      Cdc.mergeAggStates(base, delta, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // S12: CDC changelog apply (set-based upsert/delete compaction) —
+    // a synthetic I/U/D log over orders is compacted latest-wins; the
+    // oracle states the expected FINAL state directly (deletes gone,
+    // updates applied), independent of the window mechanics.
+    "s12_cdc_apply" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Num.dec(col("o_totalprice")).as("price"))
+      val inserts = o
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("I").as("op"),
+          col("o_orderstatus"), col("price"))
+      val updates = o.where(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          col("o_orderstatus"),
+          // cast back so all three log branches union with one schema
+          (col("price") + lit(1000)).cast("decimal(18,2)").as("price"))
+      val deletes = o.where(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+          col("o_orderstatus"), col("price"))
+      Cdc.applyChangelog(inserts.unionByName(updates).unionByName(deletes),
+          key = "o_orderkey", seq = "seq")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // A20: unpivot (wide → long, a4's inverse) — pivot then unpivot
+    // round-trips to the plain long-form GROUP BY the oracle runs
+    "a20_unpivot_year_status" -> ((s, dir) => {
+      val wide = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy(col("o_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+      wide.unpivot(Array(col("o_year")), Array(col("F"), col("O"), col("P")),
+          "o_orderstatus", "n")
+        .where(col("n") > 0)
+        .orderBy(col("o_year"), col("o_orderstatus"))
+    }),
+
+    // Q1: declarative data-quality report (Deequ-style) — one shared
+    // check list drives both engines; see operators.Quality
+    "q1_dq_report" -> ((s, dir) => {
+      graft.operators.Quality.report(Tables.orders(s, dir), DqChecks,
+        parents = Map("customer" -> Tables.customer(s, dir)))
+    }),
+
+    // Beyond the reference: CUBE over two dims with explicit grouping
+    // flags (grouping-sets family, a18's rollup sibling). The flags are
+    // spelled grouping(a)*2 + grouping(b) rather than grouping_id() so
+    // the bit convention is pinned in the query, not in engine defaults.
+    "a19_cube_status_priority" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg((grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+               .cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          Num.sumExact(col("o_totalprice")).as("total_price"))
+        .orderBy(col("gid"),
+          asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // J-family at scale: two-phase SALTED aggregation (operators.Skew) —
+    // a hot supplier key is spread over 8 deterministic content-hash
+    // salts in phase 1, then re-reduced exactly in phase 2. Integer/
+    // decimal partials re-aggregate losslessly, so the result is
+    // bit-identical to the plain one-phase oracle GROUP BY.
+    "j9_salted_supplier_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      graft.operators.Skew.saltedAggregate(
+          Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_quantity")),
+          keys = Seq("l_suppkey"), salts = 8,
+          partials = Seq(
+            ("total_qty", sum(Num.dec(col("l_quantity"))),
+              (c: Column) => sum(c).cast("double")),
+            ("n_lines", count(lit(1)),
+              (c: Column) => sum(c).cast("bigint"))))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Window: percent_rank + cume_dist — relative standing of each
+    // customer inside its segment (both are pure rank arithmetic over
+    // the per-partition sort; the custkey tiebreak pins tied balances)
+    "w6_balance_standing" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .where(pmod(col("c_custkey"), lit(100)) === 0)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
     // Window: running sum in event-time order (streaming-adjacent)
     "w1_running_customer_spend" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -543,6 +675,48 @@ object CoverageQueries {
          |  ${Num.sqlSumExact("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "s11_incremental_agg" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${Num.sqlSumExact("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s12_cdc_apply" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey % 5 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+        |                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a20_unpivot_year_status" ->
+      """SELECT YEAR(o_orderdate) AS o_year, o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q1_dq_report" ->
+      graft.operators.Quality.reportSql("orders", DqChecks),
+
+    "a19_cube_status_priority" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+         |  COUNT(*) AS n, ${Num.sqlSumExact("o_totalprice")} AS total_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "j9_salted_supplier_rollup" ->
+      s"""SELECT l_suppkey, ${Num.sqlSumExact("l_quantity")} AS total_qty,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "w6_balance_standing" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  percent_rank() OVER
+        |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |  cume_dist() OVER
+        |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cume
+        |FROM customer WHERE c_custkey % 100 = 0
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "w1_running_customer_spend" ->
       """SELECT o_custkey, o_orderkey,

@@ -84,6 +84,17 @@ object EventQueries {
     "e7_retention" -> ((s, dir) =>
       graft.operators.Cohorts.retention(Tables.events(s, dir), "2024-01-01")),
 
+    // Gap-based sessionization (batch twin of streaming session
+    // windows): 30-min inactivity splits a user's events into sessions;
+    // reported as a session-size histogram (bounded output at any SF).
+    "e8_sessions" -> ((s, dir) => {
+      graft.operators.Cohorts.sessionize(Tables.events(s, dir), gapMinutes = 30)
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("duration_us")).as("total_duration_us"))
+        .orderBy(col("n_events"))
+    }),
+
     // Same semantics written as the NAIVE range join — the
     // RangeJoinRule optimizer extension (plans/RangeJoinRule.scala)
     // rewrites it to the binned equi-join automatically; inner-join
@@ -135,6 +146,12 @@ object EventQueries {
 
     "e7_retention" ->
       graft.operators.Cohorts.retentionSql("2024-01-01"),
+
+    "e8_sessions" ->
+      s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 30)}
+         |SELECT n_events, COUNT(*) AS n_sessions,
+         |       CAST(SUM(duration_us) AS BIGINT) AS total_duration_us
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e5_range_join_auto" ->
       s"""WITH w AS (SELECT event_id AS window_id, ts AS ws,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.{Num, TextFunctions => TF}
 import graft.functions.PolyHash64
@@ -215,6 +216,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Extension: per-source corpus composition report — the mixing
+    // dashboard a training-data pipeline reads before setting epoch
+    // weights: doc/token volume, language purity, token share of the
+    // whole corpus. Single map-side pass + tiny per-source aggregate;
+    // the corpus total rides an empty-frame window (x10 pattern, no
+    // second scan).
+    "t12_source_composition" -> ((s, dir) => {
+      val total = sum(col("tokens")).over(Window.partitionBy()).cast("double")
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tokens"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .withColumn("token_share", round(col("tokens") / total, 6))
+        .orderBy(col("source"))
+    }),
+
     // Extension: Gopher-rule quality filter — per-rule failing counts +
     // survivors, one map-side pass over the corpus
     "t7_gopher_filter" -> ((s, dir) => {
@@ -323,6 +343,18 @@ object TextQueries {
 
     "t10_tfidf_topk" ->
       TextAnalysis.tfidfSql(Seq("join", "window", "stream"), topN = 20),
+
+    "t12_source_composition" ->
+      s"""WITH t AS (
+         |  SELECT source, lang,
+         |         CAST(${TF.tokenCountSql("text")} AS BIGINT) AS tok
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(tok) AS BIGINT) AS tokens,
+         |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |       round(SUM(tok) / (SELECT CAST(SUM(tok) AS DOUBLE) FROM t), 6)
+         |         AS token_share
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "t11_bigram_likelihood" ->
       s"""WITH toks AS (

@@ -105,6 +105,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e8: sessionization runs on ONE user_id shuffle — lag, running index and session agg reuse it") {
+    val p = physical("e8_sessions")
+    // windows + per-session aggregate all cluster by user_id; the only
+    // other hash exchange allowed is the tiny n_events histogram
+    val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 2, p) // user_id once + n_events histogram once
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("j9: salted aggregation is two exchange-separated partial/final phases, both combining map-side") {
+    val p = physical("j9_salted_supplier_rollup")
+    assert(p.contains("partial_sum"), p)
+    val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 2, p) // (suppkey, salt) then suppkey
+  }
+
+  test("a19: cube expands once — a single Expand node feeding one aggregate exchange") {
+    val p = physical("a19_cube_status_priority")
+    assert("\\bExpand\\b".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("t12: composition report scans documents once, pruned to the three used columns") {
+    val p = physical("t12_source_composition")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+    assert(p.contains("ReadSchema: struct<text:string,lang:string,source:string>") ||
+           p.contains("ReadSchema: struct<lang:string,source:string,text:string>"), p)
+  }
+
   test("lexam filter pushdown: question predicates reach the parquet scan") {
     val store = new graft.lexam.pipeline.LexamStore(spark,
       java.nio.file.Files.createTempDirectory("plan_store").toString)

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** CDC compaction semantics (latest-wins, delete/reinsert, ties) and
+  * the DQ report's violation counting on hand fixtures.
+  */
+class CdcQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("applyChangelog: latest seq wins, trailing delete removes, reinsert after delete survives") {
+    val log = Seq(
+      // key 1: I then U → the update's payload
+      (1L, 1L, "I", "a"), (1L, 2L, "U", "b"),
+      // key 2: I then D → gone
+      (2L, 1L, "I", "x"), (2L, 5L, "D", "x"),
+      // key 3: I, D, then re-I at a higher seq → the new row survives
+      (3L, 1L, "I", "old"), (3L, 2L, "D", "old"), (3L, 9L, "I", "new"),
+      // key 4: out-of-order arrival (U read before I) — seq decides
+      (4L, 7L, "U", "late"), (4L, 3L, "I", "early"))
+      .toDF("k", "seq", "op", "payload")
+    val out = Cdc.applyChangelog(log, key = "k", seq = "seq").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "b", 3L -> "new", 4L -> "late"))
+  }
+
+  test("applyChangelog: seq collision resolved by the explicit tiebreak column") {
+    val log = Seq(
+      (1L, 1L, "I", 10L, "first"), (1L, 1L, "U", 20L, "second"))
+      .toDF("k", "seq", "op", "pos", "payload")
+    val out = Cdc.applyChangelog(log, "k", "seq", col("pos")).collect()
+    assert(out.map(_.getString(2)).toList === List("second"))
+  }
+
+  test("mergeAggStates: merged partial states equal the full-data aggregate") {
+    val rows = (1 to 200).map(i => (s"g${i % 7}", i.toLong))
+    val df = rows.toDF("g", "v")
+    def state(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    val (a, b) = (df.where($"v" <= 120), df.where($"v" > 120))
+    val merged = Cdc.mergeAggStates(state(a), state(b), Seq("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    val full = state(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    assert(merged === full)
+  }
+
+  test("DQ report: each check counts its own violation class exactly") {
+    import Quality._
+    val child = Seq(
+      (1L, "F", 10.0, Some(100L)),  // clean
+      (1L, "F", 20.0, Some(100L)),  // dup pk (both rows of key 1 count)
+      (2L, "Z", 30.0, Some(100L)),  // bad domain
+      (3L, "O", -5.0, Some(999L)),  // negative price AND orphan fk
+      (4L, "P", 40.0, None))        // null fk → orphan (null never matches)
+      .toDF("id", "status", "price", "fk")
+    val parent = Seq(100L).toDF("pid")
+    val got = report(child, Seq(
+        UniqueCheck("pk_unique", "id"),
+        PredCheck("status_domain", $"status".isin("F", "O", "P"),
+          "status IN ('F','O','P')"),
+        PredCheck("price_positive", $"price" > 0, "price > 0"),
+        OrphanCheck("fk_resolves", "fk", "parent", "pid")),
+      parents = Map("parent" -> parent))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "pk_unique" -> 2L, "status_domain" -> 1L,
+      "price_positive" -> 1L, "fk_resolves" -> 2L))
+  }
+
+  test("DQ report: a clean table reports zero violations on every check, not null/missing rows") {
+    import Quality._
+    val clean = Seq((1L, "F"), (2L, "O")).toDF("id", "status")
+    val got = report(clean, Seq(
+        UniqueCheck("pk_unique", "id"),
+        PredCheck("status_domain", $"status".isin("F", "O"), "status IN ('F','O')")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("pk_unique" -> 0L, "status_domain" -> 0L))
+  }
+}

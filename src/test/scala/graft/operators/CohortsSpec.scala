@@ -94,6 +94,61 @@ class CohortsSpec extends AnyFunSuite {
     }
   }
 
+  private def evId(rows: (Long, Long, Long)*) =
+    rows.map { case (id, u, t) => (id, u, ts(t)) }
+      .toDF("event_id", "user_id", "ts")
+
+  test("sessionize: 30-min gap splits, duration = last - first, ts ties keep one session") {
+    val g = 30 * 60L // gap in seconds
+    val events = evId(
+      // user 1: gaps of 100s and 1700s (both ≤ 30 min) keep one session;
+      // the 1901s gap to the fourth event opens a second one
+      (1L, 1L, 0), (2L, 1L, 100), (3L, 1L, g), (4L, 1L, g + 1901),
+      // user 2: single event → singleton session, zero duration
+      (5L, 2L, 50),
+      // user 3: two events at the identical timestamp → one session
+      (6L, 3L, 7), (7L, 3L, 7))
+    val out = Cohorts.sessionize(events, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(out === List(
+      (1L, 1L, 3L, g * 1000000L),
+      (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L),
+      (3L, 1L, 2L, 0L)))
+  }
+
+  test("property: sessionize matches a naive per-user gap scan") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gapMin = 3
+    val gapUs = gapMin * 60L * 1000000L
+    val genEvents: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 50)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 3000L)
+      } yield (u, t))
+    } yield evs.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+    (0 until 8).foreach { i =>
+      val Some(rows) = genEvents.apply(Gen.Parameters.default, Seed(31L + i))
+      val got = Cohorts.sessionize(evId(rows: _*), gapMin).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      // naive: per user, sort by (ts, event_id), split where gap > gapUs
+      val want = rows.groupBy(_._2).flatMap { case (u, mine) =>
+        val sorted = mine.map(e => (e._3 * 1000000L, e._1)).sorted
+        val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+          case (acc, e) =>
+            if (e._1 - acc.head.head._1 > gapUs) List(e) :: acc
+            else (e :: acc.head) :: acc.tail
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, k) =>
+          (u, (k + 1).toLong) -> (s.size.toLong, s.last._1 - s.head._1)
+        }
+      }.toMap
+      assert(got === want, s"seed ${31 + i}")
+    }
+  }
+
   test("retention: integer week cohorts, distinct users per offset") {
     // epoch-day week index: week 0 = days 0-6, week 1 = days 7-13, ...
     val day = 86400L
