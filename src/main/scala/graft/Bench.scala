@@ -19,7 +19,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries("a9_pricing_summary")(spark, sfDir).count()
     SparkEntry.queries("t3_token_count_by_lang")(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset for local iteration: `runMain graft.Bench d7 v1`
+    // times only the named id prefixes (the driver passes no args)
+    val wanted = args.map(_.takeWhile(_ != '_')).toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => wanted(n.takeWhile(_ != '_')) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

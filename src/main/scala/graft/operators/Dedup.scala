@@ -233,16 +233,24 @@ object Dedup {
     *
     * Input columns (`id1`,`id2`); output (`id`,`comp`) with comp = min
     * node id in the component, covering only ids that appear in pairs. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          broadcastNodeLimit: Long = 4000000L): DataFrame = {
     val e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     val edges = e.union(e.select(col("dst"), col("src"))).distinct().cache()
-    def propagate(l: DataFrame): DataFrame =
-      l.union(edges
-          .join(l.withColumnRenamed("id", "dst"), Seq("dst"))
-          .select(col("src").as("id"), col("comp")))
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
+    // the label table is |V| rows — tiny next to |E| for near-dup
+    // graphs. When it fits a broadcast, every propagation round drops
+    // from two shuffles (join + groupBy) to one (groupBy only): the
+    // same runtime small-side decision AQE makes for static joins,
+    // taken once here because the loop re-joins the SAME relation.
+    val smallLabels = labels.count() <= broadcastNodeLimit
+    def propagate(l: DataFrame): DataFrame =
+      l.union(edges
+          .join(if (smallLabels) broadcast(l.withColumnRenamed("id", "dst"))
+                else l.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("src").as("id"), col("comp")))
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
     // convergence via a potential function instead of a per-round join:
     // labels only ever DECREASE under HashMin, so Σcomp strictly drops
     // on any change and the fixpoint is exactly "sum unchanged". One
