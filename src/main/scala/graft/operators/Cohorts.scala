@@ -117,7 +117,11 @@ object Cohorts {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
 
-  /** DuckDB twin of [[sessionize]] — identical lag/running-sum chain. */
+  /** DuckDB twin of [[sessionize]] — identical lag/running-sum chain.
+    * An event exactly `gap` after its predecessor stays in the SAME
+    * session (inclusive boundary) — which is also what Spark's built-in
+    * `session_window` does (merge while next ≤ last + gap; pinned by
+    * CohortsSpec's boundary test), so this twin serves both e8 and e9. */
   def sessionizeSql(gapMinutes: Int): String = {
     val gapUs = gapMinutes * 60L * 1000000L
     s"""WITH e AS (

@@ -313,6 +313,25 @@ object CoverageQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // M1: multimodal binary-payload plumbing with an oracle — media
+    // rows are (id, source, payload: binary, byte-level metadata); the
+    // aggregate proves byte lengths, binary slicing and binary-key
+    // distinct counting agree with DuckDB's BLOB semantics. (The codec
+    // path over real payloads is operators.Multimodal + its spec; this
+    // covers the relational side of the media table at scale: pure
+    // map-side derivation + one small per-source aggregate.)
+    "m1_binary_payloads" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"), col("source"),
+          col("text").cast("binary").as("payload"))
+      media.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(length(col("payload"))).as("total_bytes"),
+          max(length(col("payload"))).cast("long").as("max_bytes"),
+          countDistinct(hex(substring(col("payload"), 1, 1))).as("n_first_bytes"))
+        .orderBy(col("source"))
+    }),
+
     // S11: incremental aggregate maintenance — the merged state of a
     // base refresh and a later delta batch must equal the full
     // recompute the oracle runs. Partials are count + decimal sum
@@ -675,6 +694,17 @@ object CoverageQueries {
          |  ${Num.sqlSumExact("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "m1_binary_payloads" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, source, encode(text) AS payload,
+        |         hex(encode(substring(text, 1, 1))) AS first_byte
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_media,
+        |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+        |       CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes,
+        |       COUNT(DISTINCT first_byte) AS n_first_bytes
+        |FROM media GROUP BY source ORDER BY source""".stripMargin,
 
     "s11_incremental_agg" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,

@@ -95,6 +95,23 @@ object EventQueries {
         .orderBy(col("n_events"))
     }),
 
+    // Built-in session_window (the native operator e8 hand-rolls):
+    // batch-mode gap sessions via groupBy(user, session_window). Its
+    // boundary is inclusive — an event landing EXACTLY gap after the
+    // previous one merges (pinned in CohortsSpec) — so it shares e8's
+    // oracle twin. At scale this is the same single user_id shuffle as
+    // e8, but the session assignment runs inside the aggregation
+    // operator instead of a window pass.
+    "e9_session_window_builtin" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_events"))
+    }),
+
     // Same semantics written as the NAIVE range join — the
     // RangeJoinRule optimizer extension (plans/RangeJoinRule.scala)
     // rewrites it to the binned equi-join automatically; inner-join
@@ -151,6 +168,11 @@ object EventQueries {
       s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 30)}
          |SELECT n_events, COUNT(*) AS n_sessions,
          |       CAST(SUM(duration_us) AS BIGINT) AS total_duration_us
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e9_session_window_builtin" ->
+      s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 30)}
+         |SELECT n_events, COUNT(*) AS n_sessions
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e5_range_join_auto" ->

@@ -149,6 +149,28 @@ class CohortsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize and built-in session_window agree, including the exact-gap boundary") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val g = 30 * 60L
+    def builtinCounts(events: org.apache.spark.sql.DataFrame) = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(2)).sorted.toList
+    def lagCounts(events: org.apache.spark.sql.DataFrame) =
+      Cohorts.sessionize(events, gapMinutes = 30)
+        .collect().map(_.getLong(2)).sorted.toList
+    // EXACTLY gap apart: both keep one session — session_window's merge
+    // is inclusive (next ≤ last + gap), same as the lag twin's `<=`.
+    // This is the boundary the e9 oracle relies on; if an upgrade flips
+    // session_window to a half-open boundary this pin fails first.
+    val boundary = evId((1L, 1L, 0), (2L, 1L, g))
+    assert(lagCounts(boundary) === List(2L))
+    assert(builtinCounts(boundary) === List(2L))
+    // one past the gap: both split
+    val past = evId((1L, 1L, 0), (2L, 1L, g + 1))
+    assert(lagCounts(past) === List(1L, 1L))
+    assert(builtinCounts(past) === List(1L, 1L))
+  }
+
   test("retention: integer week cohorts, distinct users per offset") {
     // epoch-day week index: week 0 = days 0-6, week 1 = days 7-13, ...
     val day = 86400L
