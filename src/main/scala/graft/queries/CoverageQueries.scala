@@ -313,6 +313,19 @@ object CoverageQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // Z1: Morton/z-value arithmetic for two-dimensional data-skipping
+    // layout — the interleave must be bit-exact across engines (the
+    // layout benefit itself is asserted in ZOrderSpec; this oracles
+    // the kernel the layout sorts by)
+    "z1_zorder_values" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      Tables.lineitem(s, dir)
+        .where(pmod(col("l_orderkey"), lit(500)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    }),
+
     // M1: multimodal binary-payload plumbing with an oracle — media
     // rows are (id, source, payload: binary, byte-level metadata); the
     // aggregate proves byte lengths, binary slicing and binary-key
@@ -694,6 +707,13 @@ object CoverageQueries {
          |  ${Num.sqlSumExact("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "z1_zorder_values" -> {
+      val z = graft.operators.ZOrder.zValueSql("l_partkey", "l_suppkey")
+      s"""SELECT l_orderkey, l_partkey, l_suppkey, $z AS z
+         |FROM lineitem WHERE l_orderkey % 500 = 0
+         |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin
+    },
 
     "m1_binary_payloads" ->
       """WITH media AS (
