@@ -32,13 +32,26 @@ object Quality {
                                parentTable: String, parentKey: String) extends Check
 
   /** One (check, n_violations) row per check, unioned and name-sorted.
-    * `parents` resolves each OrphanCheck's parentTable name. */
+    * `parents` resolves each OrphanCheck's parentTable name.
+    *
+    * ALL PredChecks share a single aggregate pass — one scan of the
+    * audited table no matter how many row-level constraints the suite
+    * carries (the design that keeps a 50-check contract a one-pass job
+    * at 100 TB); only Unique/Orphan checks, which need their own
+    * key shuffles, scan separately. */
   def report(table: DataFrame, checks: Seq[Check],
-             parents: Map[String, DataFrame] = Map.empty): DataFrame =
-    checks.map {
-      case PredCheck(n, pred, _) =>
-        table.agg(coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L)).as("n_violations"))
-          .select(lit(n).as("check"), col("n_violations"))
+             parents: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val preds = checks.collect { case p: PredCheck => p }
+    val predReport: Option[DataFrame] =
+      if (preds.isEmpty) None
+      else {
+        val aggs = preds.map(p =>
+          coalesce(sum(when(p.pred, 0L).otherwise(1L)), lit(0L)).as(p.name))
+        Some(table.agg(aggs.head, aggs.tail: _*)
+          .unpivot(Array.empty[Column], preds.map(p => col(p.name)).toArray,
+            "check", "n_violations"))
+      }
+    val rest = checks.collect {
       case UniqueCheck(n, key) =>
         table.groupBy(col(key)).agg(count(lit(1)).as("c"))
           .where(col("c") > 1)
@@ -49,7 +62,9 @@ object Quality {
             col(childKey) === col(parentKey), "left_anti")
           .agg(count(lit(1)).as("n_violations"))
           .select(lit(n).as("check"), col("n_violations"))
-    }.reduce(_.unionByName(_)).orderBy(col("check"))
+    }
+    (predReport.toSeq ++ rest).reduce(_.unionByName(_)).orderBy(col("check"))
+  }
 
   /** DuckDB twin: the same checks as a UNION ALL of one-row aggregates.
     * `tableSql` is the audited table's name in the oracle schema. */

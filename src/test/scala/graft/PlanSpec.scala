@@ -134,6 +134,13 @@ class PlanSpec extends AnyFunSuite {
            p.contains("ReadSchema: struct<lang:string,source:string,text:string>"), p)
   }
 
+  test("q1: all row-level DQ checks share ONE scan; only key-shuffle checks scan again") {
+    val p = physical("q1_dq_report")
+    // 3 PredChecks → 1 shared pass; UniqueCheck → 1; OrphanCheck → child + parent
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 4, p)
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("SortMergeJoin LeftAnti"), p)
+  }
+
   test("lexam filter pushdown: question predicates reach the parquet scan") {
     val store = new graft.lexam.pipeline.LexamStore(spark,
       java.nio.file.Files.createTempDirectory("plan_store").toString)
