@@ -41,6 +41,22 @@ object Sampling {
       s"(CASE $cases ELSE ${(defaultFraction * Buckets).toInt} END)"
   }
 
+  /** Importance sampling: keep each row with probability equal to its
+    * OWN (clamped to [0,1]) weight — per-document quality-weighted
+    * corpus selection, the DSIR-style refinement of per-stratum rates:
+    * the weight can come from any scoring pipeline (quality model,
+    * perplexity, dedup score). Same hash-decision machinery as
+    * [[stratifiedSample]], so it is deterministic, retry-stable,
+    * map-side only, and exactly reproducible in the oracle. */
+  def importanceSample(df: DataFrame, weight: Column, key: Column): DataFrame =
+    df.where(PolyHash64.polyHash64(key) % Buckets <
+      least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * Buckets)
+
+  /** DuckDB twin of the [[importanceSample]] keep-predicate. */
+  def importanceSampleSql(weightSql: String, keySql: String): String =
+    s"(${PolyHash64.sql(keySql)}) % $Buckets < " +
+      s"least(greatest(CAST($weightSql AS DOUBLE), 0.0), 1.0) * $Buckets"
+
   // --------------------------------------------- epoch-weighted mixing
 
   private def baseOf(w: Double): Int = math.floor(w).toInt

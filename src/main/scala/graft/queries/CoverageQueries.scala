@@ -108,6 +108,19 @@ object CoverageQueries {
         .orderBy(col("lang"))
     }),
 
+    // S13: importance sampling — keep probability = the document's own
+    // weight (here a length-derived quality proxy over n_chars), the
+    // per-document refinement of s6's per-stratum rates
+    "s13_importance_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.importanceSample(Tables.documents(s, dir),
+          weight = col("n_chars") / lit(2000.0),
+          key = concat(col("doc_id").cast("string"), lit("/"), col("source")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("lang"))
+    }),
+
     // S7: sequence packing — greedy contiguous fill of documents into
     // fixed token budgets (a doc's pack = its starting offset's budget
     // slot, so packs stay ≤ budget + one overflowing doc, the standard
@@ -575,6 +588,15 @@ object CoverageQueries {
          |       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
          |       ${PolyHash64.sql("array_to_string(chunk, ' ')")} AS fp
          |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    "s13_importance_sample" -> {
+      val pred = graft.operators.Sampling.importanceSampleSql(
+        "n_chars / 2000.0", "(CAST(doc_id AS VARCHAR) || '/' || source)")
+      s"""SELECT lang, COUNT(*) AS n_kept,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM documents WHERE $pred
+         |GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "s6_stratified_sample" -> {

@@ -65,6 +65,24 @@ class SketchesSpec extends AnyFunSuite {
       s"en rate ${enKept / enTotal}")
   }
 
+  test("importance sampling: per-row keep rate tracks the weight, clamps, deterministic") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val key = concat(col("doc_id").cast("string"), lit("/"), col("source"))
+    // weight ≥ 1 keeps everything; weight ≤ 0 keeps nothing
+    assert(Sampling.importanceSample(docs, lit(1.5), key).count() === docs.count())
+    assert(Sampling.importanceSample(docs, lit(-0.3), key).count() === 0L)
+    // a 0.3 constant weight lands near a 30% rate and repartitioning
+    // does not change a single decision
+    val kept = Sampling.importanceSample(docs, lit(0.3), key)
+      .select("doc_id").as[Long].collect().toSet
+    val kept2 = Sampling.importanceSample(docs.repartition(5), lit(0.3), key)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === kept2)
+    val rate = kept.size.toDouble / docs.count()
+    assert(math.abs(rate - 0.3) < 0.1, s"rate $rate")
+  }
+
   test("epoch mixing: floor+fractional copies, zero-weight drop, deterministic") {
     val docs = graft.sources.Tables.documents(spark, sf)
     def mix(df: org.apache.spark.sql.DataFrame) =
