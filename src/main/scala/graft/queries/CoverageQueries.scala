@@ -531,6 +531,23 @@ object CoverageQueries {
         .orderBy(col("quartile"))
     }),
 
+    // Window: value-based RANGE frame — trailing 7-DAY spend per
+    // customer (w4's ROWS sibling: the frame is defined by the ORDER
+    // key's VALUES, so gaps in the order history matter). Day numbers
+    // are integer epoch-days; rangeBetween(-6, 0) = this day and the
+    // six before it, whether or not orders exist on them.
+    "w7_trailing_week_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      Tables.orders(s, dir)
+        .where(pmod(col("o_custkey"), lit(100)) === 0)
+        .withColumn("day", datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          sum(Num.dec(col("o_totalprice"))).over(w).cast("double").as("week_spend"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    }),
+
     // Window: rank with deterministic tiebreak
     "w2_top2_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -825,6 +842,16 @@ object CoverageQueries {
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_spend
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w7_trailing_week_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS week_spend
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
 
     "w2_top2_orders_per_customer" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (

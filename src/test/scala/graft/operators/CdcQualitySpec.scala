@@ -35,6 +35,32 @@ class CdcQualitySpec extends AnyFunSuite {
     assert(out.map(_.getString(2)).toList === List("second"))
   }
 
+  test("property: applyChangelog matches a naive per-key replay on random logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genLog: Gen[List[(Long, Long, String, String)]] = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 8L)
+        op <- Gen.oneOf("I", "U", "D")
+        p <- Gen.alphaLowerStr.map(_.take(4))
+      } yield (k, op, p))
+    } yield rows.zipWithIndex.map { case ((k, op, p), i) => (k, i.toLong, op, p) }
+    (0 until 10).foreach { i =>
+      val Some(rows) = genLog.apply(Gen.Parameters.default, Seed(47L + i))
+      val got =
+        if (rows.isEmpty) Map.empty[Long, String]
+        else Cdc.applyChangelog(rows.toDF("k", "seq", "op", "payload"), "k", "seq")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // naive: per key, the row with max seq wins; D means absent
+      val want = rows.groupBy(_._1).flatMap { case (k, mine) =>
+        val last = mine.maxBy(_._2)
+        if (last._3 == "D") None else Some(k -> last._4)
+      }
+      assert(got === want, s"seed ${47 + i}")
+    }
+  }
+
   test("mergeAggStates: merged partial states equal the full-data aggregate") {
     val rows = (1 to 200).map(i => (s"g${i % 7}", i.toLong))
     val df = rows.toDF("g", "v")
