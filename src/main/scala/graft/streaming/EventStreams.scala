@@ -47,6 +47,21 @@ object EventStreams {
 
   // ------------------------------------------------- sessionization
 
+  /** Built-in session_window aggregation — the native-state sibling of
+    * [[sessionize]]: Spark's session operator keeps the merge state,
+    * the watermark closes sessions. Emits one row per CLOSED session in
+    * append mode. Same inclusive gap boundary as the custom-state
+    * variant and the batch twins (pinned in CohortsSpec). */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30,
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Int, totalValue: Double)

@@ -131,6 +131,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream: closed sessions carry the +gap end, cross-batch merge works") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1720000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionWindowCounts(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sw_stream_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 two events 5 min apart — session open
+      input.addData(EventStreams.Event(1, ts(0), 1, "click", 1.0),
+        EventStreams.Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: user 1 continues at ts(20) (cross-batch merge into the
+      // same session); user 2 at ts(120) advances the watermark past
+      // user 1's session end (ts(20)+30min=ts(50) < ts(110))
+      input.addData(EventStreams.Event(3, ts(20), 1, "click", 3.0),
+        EventStreams.Event(4, ts(120), 2, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(5, ts(125), 2, "click", 5.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sw_stream_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3)))
+      val u1 = out.filter(_._1 == 1L)
+      assert(u1.length === 1, s"user 1's merged session should be closed: ${out.toSeq}")
+      // session_window's end = last event + gap (vs the custom-state
+      // operator which reports the last EVENT time) — pin the contract
+      assert(u1.head === ((1L, t0, ts(20 + 30).getTime, 3L)))
+    } finally q.stop()
+  }
+
   test("multi-batch sessionization: watermark advance, cross-batch merge, late row dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
