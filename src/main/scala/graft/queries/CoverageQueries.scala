@@ -237,6 +237,20 @@ object CoverageQueries {
         .orderBy(col("r_name"), desc("n_custs"), col("n_name"))
     }),
 
+    // O6: keyset (cursor) pagination — OFFSET's at-scale replacement:
+    // the composite (date, key) cursor predicate pushes to the scan and
+    // the global TopK materializes only one page, where o3's OFFSET
+    // must sort past every skipped row on every page request
+    "o6_keyset_page" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1995-06-17").cast("timestamp_ntz") ||
+          (col("o_orderdate") === lit("1995-06-17").cast("timestamp_ntz") &&
+            col("o_orderkey") > 1000))
+        .orderBy(desc("o_orderdate"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(50)
+    }),
+
     // U1: union + distinct count (main.py:293)
     "u1_union_distinct_custs" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -692,6 +706,12 @@ object CoverageQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_custs DESC, n_name""".stripMargin,
+
+    "o6_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-06-17'
+        |   OR (o_orderdate = TIMESTAMP '1995-06-17' AND o_orderkey > 1000)
+        |ORDER BY o_orderdate DESC, o_orderkey LIMIT 50""".stripMargin,
 
     "u1_union_distinct_custs" ->
       """SELECT COUNT(*) AS n_custs FROM (

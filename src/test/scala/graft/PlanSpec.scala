@@ -134,6 +134,14 @@ class PlanSpec extends AnyFunSuite {
            p.contains("ReadSchema: struct<lang:string,source:string,text:string>"), p)
   }
 
+  test("o6: keyset cursor pushes to the scan and materializes one page, not a global sort") {
+    val p = physical("o6_keyset_page")
+    // the date half of the cursor reaches parquet as a pushed filter,
+    // and the page is a TakeOrdered, never a full Sort + Limit
+    assert(p.contains("LessThan(o_orderdate") || p.contains("Or(LessThan(o_orderdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q1: all row-level DQ checks share ONE scan; only key-shuffle checks scan again") {
     val p = physical("q1_dq_report")
     // 3 PredChecks → 1 shared pass; UniqueCheck → 1; OrphanCheck → child + parent
