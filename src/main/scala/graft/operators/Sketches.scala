@@ -17,6 +17,56 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Bottom-k (KMV) sketch as a custom typed Aggregator — the one
+    * sketch this family needs that Spark does NOT ship: the k smallest
+    * (hash, value) pairs per group. The state is an O(k) sorted list,
+    * mergeable by union+truncate, so it rides map-side partial
+    * aggregation like any built-in; the result doubles as (a) a
+    * DETERMINISTIC uniform k-sample of the group (hash order is content
+    * order, stable across runs/partitionings/retries) and (b) the KMV
+    * distinct-count estimator ((k−1)/h_(k) on the normalized k-th
+    * hash). Unlike the HLL/quantile built-ins, the output is exact
+    * bytes — which is why a21 can hash-match a DuckDB oracle.
+    *
+    * IN = (hash, value): the hash is computed OUTSIDE the aggregator
+    * (PolyHash64 — codegen'd, and reproducible in the oracle). */
+  class BottomK(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, String), Seq[(Long, String)], Seq[String]] {
+    require(k >= 1)
+    override def zero: Seq[(Long, String)] = Vector.empty
+    private def truncate(s: Seq[(Long, String)]) =
+      if (s.size <= k) s else s.take(k)
+    override def reduce(b: Seq[(Long, String)],
+                        in: (Long, String)): Seq[(Long, String)] = {
+      // insert in (hash, value) order; bail early when the new pair is
+      // past a full buffer's tail
+      if (b.size == k && implicitly[Ordering[(Long, String)]].lteq(b.last, in)) b
+      else {
+        val (lo, hi) = b.span(implicitly[Ordering[(Long, String)]].lt(_, in))
+        truncate((lo :+ in) ++ hi)
+      }
+    }
+    override def merge(a: Seq[(Long, String)],
+                       b: Seq[(Long, String)]): Seq[(Long, String)] = {
+      // merge two sorted runs, keep k
+      val out = Vector.newBuilder[(Long, String)]
+      var (i, j, n) = (0, 0, 0)
+      val ord = implicitly[Ordering[(Long, String)]]
+      while (n < k && (i < a.size || j < b.size)) {
+        val takeA = j >= b.size || (i < a.size && ord.lteq(a(i), b(j)))
+        if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+    override def finish(r: Seq[(Long, String)]): Seq[String] = r.map(_._2)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** HyperLogLog++ distinct count per group; `rsd` = target relative
     * standard deviation (Spark default 0.05). */
   def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,

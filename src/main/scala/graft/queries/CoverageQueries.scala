@@ -237,6 +237,21 @@ object CoverageQueries {
         .orderBy(col("r_name"), desc("n_custs"), col("n_name"))
     }),
 
+    // A21: bottom-k (KMV) sketch — custom typed Aggregator (the §2.9
+    // UDAF surface): deterministic k-sample per group in content-hash
+    // order, mergeable O(k) state. Exact output bytes → hash-matchable.
+    "a21_bottomk_sample" -> ((s, dir) => {
+      import graft.functions.PolyHash64
+      val bk = udaf(new graft.operators.Sketches.BottomK(8))
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderkey").cast("string").as("v"))
+        .withColumn("h", PolyHash64.polyHash64(col("v")))
+        .groupBy(col("o_orderstatus"))
+        .agg(array_join(bk(col("h"), col("v")), ",").as("sample_csv"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // O6: keyset (cursor) pagination — OFFSET's at-scale replacement:
     // the composite (date, key) cursor predicate pushes to the scan and
     // the global TopK materializes only one page, where o3's OFFSET
@@ -706,6 +721,24 @@ object CoverageQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_custs DESC, n_name""".stripMargin,
+
+    "a21_bottomk_sample" -> {
+      import graft.functions.PolyHash64
+      s"""WITH t AS (
+         |  SELECT o_orderstatus, CAST(o_orderkey AS VARCHAR) AS v,
+         |         ${PolyHash64.sql("CAST(o_orderkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |r AS (
+         |  SELECT o_orderstatus, v, h,
+         |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+         |                            ORDER BY h, v) AS rn
+         |  FROM t)
+         |SELECT o_orderstatus,
+         |       string_agg(CASE WHEN rn <= 8 THEN v END, ',' ORDER BY h, v)
+         |         AS sample_csv,
+         |       COUNT(*) AS n
+         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
 
     "o6_keyset_page" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

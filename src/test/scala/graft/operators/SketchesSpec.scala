@@ -108,6 +108,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("bottom-k aggregator: partition-independent, equals the sort-take oracle, buffers stay O(k)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val bk = udaf(new Sketches.BottomK(5))
+    val rows = (1 to 500).map(i => (s"g${i % 3}", (i * 2654435761L >>> 7) % 1000, s"v$i"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g").agg(bk($"h", $"v").as("sample"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val df = rows.toDF("g", "h", "v")
+    val got = run(df)
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).sorted.take(5).map(_._2).toList).toMap
+    assert(got === want)
+    // merge path: radically different partitioning, identical sketch
+    assert(run(df.repartition(13)) === want)
+  }
+
   test("frequent items never miss a true heavy hitter") {
     // l_returnflag has 3 values, each with support far above 0.2
     val items = Sketches.frequentItems(li, Seq("l_returnflag"), support = 0.2)
