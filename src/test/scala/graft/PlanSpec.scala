@@ -142,6 +142,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("a21: the custom bottom-k Aggregator combines map-side (partial sketch before the exchange)") {
+    val p = physical("a21_bottomk_sample")
+    assert(p.contains("partial_bottomk"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q1: all row-level DQ checks share ONE scan; only key-shuffle checks scan again") {
     val p = physical("q1_dq_report")
     // 3 PredChecks → 1 shared pass; UniqueCheck → 1; OrphanCheck → child + parent
