@@ -85,10 +85,10 @@ object EventQueries {
       graft.operators.Cohorts.retention(Tables.events(s, dir), "2024-01-01")),
 
     // Gap-based sessionization (batch twin of streaming session
-    // windows): 30-min inactivity splits a user's events into sessions;
+    // windows): 12-hour inactivity splits a user's events into sessions;
     // reported as a session-size histogram (bounded output at any SF).
     "e8_sessions" -> ((s, dir) => {
-      graft.operators.Cohorts.sessionize(Tables.events(s, dir), gapMinutes = 30)
+      graft.operators.Cohorts.sessionize(Tables.events(s, dir), gapMinutes = 720)
         .groupBy(col("n_events"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("duration_us")).as("total_duration_us"))
@@ -105,7 +105,7 @@ object EventQueries {
     "e9_session_window_builtin" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"),
-          session_window(col("ts"), "30 minutes").as("sw"))
+          session_window(col("ts"), "720 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"))
         .groupBy(col("n_events"))
         .agg(count(lit(1)).as("n_sessions"))
@@ -165,13 +165,13 @@ object EventQueries {
       graft.operators.Cohorts.retentionSql("2024-01-01"),
 
     "e8_sessions" ->
-      s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 30)}
+      s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 720)}
          |SELECT n_events, COUNT(*) AS n_sessions,
          |       CAST(SUM(duration_us) AS BIGINT) AS total_duration_us
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e9_session_window_builtin" ->
-      s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 30)}
+      s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 720)}
          |SELECT n_events, COUNT(*) AS n_sessions
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
