@@ -411,17 +411,28 @@ object Dedup {
       s"band blocking with $bands bands only guarantees recall for dist < $bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
+    def field(sig: Column, b: Int) =
+      shiftright(sig, b * width).bitwiseAND(lit(mask))
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
+      posexplode(array((0 until bands).map(field(col("simhash"), _)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // a pair colliding in k bands would surface k times; instead of a
+    // dropDuplicates SHUFFLE over the candidate set (the largest
+    // intermediate — near-dup-heavy corpora make it quadratic per
+    // cluster), keep each pair only in its FIRST colliding band: both
+    // full fingerprints ride the join row, so "is this the first
+    // band where we collide" is a map-side expression and the dedup
+    // costs zero exchanges.
+    val firstCollidingBand = least((0 until bands).map(b =>
+      when(field(col("a.simhash"), b) === field(col("b.simhash"), b), lit(b))
+        .otherwise(lit(bands))): _*)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.band") === firstCollidingBand)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
-      .dropDuplicates("id1", "id2")
       .where(col("dist") <= maxDist)
       .orderBy(col("id1"), col("id2"))
   }
