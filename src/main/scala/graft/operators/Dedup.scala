@@ -141,7 +141,11 @@ object Dedup {
     // band b = hash of sig[b*r .. b*r+r). The band join carries only
     // (doc_id, band, bucket) — shuffling the shingle-hash arrays bands×
     // on both sides would dominate at scale; the arrays join back once
-    // per side for the verification step only.
+    // per side for the verification step only. Candidate dedup stays a
+    // dropDuplicates here (unlike simhashPairs' map-side first-band
+    // filter): carrying the 8-entry bucket array through BOTH sides of
+    // the self-join was measured SLOWER (13.5 s vs 11.4 s on the 8×
+    // dup-heavy corpus) than shuffling the 16-byte pair ids once.
     val banded = withSig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), concat_ws(",",
