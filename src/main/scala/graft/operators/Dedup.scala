@@ -238,20 +238,22 @@ object Dedup {
     * Input columns (`id1`,`id2`); output (`id`,`comp`) with comp = min
     * node id in the component, covering only ids that appear in pairs. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          broadcastNodeLimit: Long = 4000000L): DataFrame = {
+                          broadcastNodeLimit: Long = 4000000L,
+                          assumeDistinctPairs: Boolean = false): DataFrame = {
     val e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-    val edges = e.union(e.select(col("dst"), col("src"))).distinct().cache()
+    // duplicate edges are harmless to the min-aggregate (idempotent) but
+    // cost every round's join; dedup once up front — unless the caller
+    // guarantees unique pairs, which this library's own producers do
+    // (d3 dropDuplicates, d4 first-band filter, d5 strict id1<id2), in
+    // which case the extra setup shuffle is pure overhead
+    val undirected = e.union(e.select(col("dst"), col("src")))
+    val edges = (if (assumeDistinctPairs) undirected
+                 else undirected.distinct()).cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
-    // the label table is |V| rows — tiny next to |E| for near-dup
-    // graphs. When it fits a broadcast, every propagation round drops
-    // from two shuffles (join + groupBy) to one (groupBy only): the
-    // same runtime small-side decision AQE makes for static joins,
-    // taken once here because the loop re-joins the SAME relation.
-    val smallLabels = labels.count() <= broadcastNodeLimit
-    def propagate(l: DataFrame): DataFrame =
+    def propagate(small: Boolean)(l: DataFrame): DataFrame =
       l.union(edges
-          .join(if (smallLabels) broadcast(l.withColumnRenamed("id", "dst"))
+          .join(if (small) broadcast(l.withColumnRenamed("id", "dst"))
                 else l.withColumnRenamed("id", "dst"), Seq("dst"))
           .select(col("src").as("id"), col("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
@@ -260,11 +262,18 @@ object Dedup {
     // on any change and the fixpoint is exactly "sum unchanged". One
     // aggregate per round (which doubles as the cache materializer) —
     // at scale this removes a full join stage from every iteration.
-    def compSum(l: DataFrame): java.math.BigDecimal = {
-      val d = l.agg(sum(col("comp")).cast("decimal(38,0)")).head().getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d // empty pair graph
+    def compSum(l: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = l.agg(sum(col("comp")).cast("decimal(38,0)"), count(lit(1))).head()
+      val d = r.getDecimal(0)
+      (if (d == null) java.math.BigDecimal.ZERO else d, r.getLong(1)) // null: empty pair graph
     }
-    var prevSum = compSum(labels)
+    // one aggregate delivers the initial potential AND the node count
+    // (which decides label broadcasting — the label table is |V| rows,
+    // tiny next to |E| for near-dup graphs; when it fits a broadcast,
+    // every round drops from two shuffles to one, the same runtime
+    // small-side decision AQE makes for static joins)
+    var (prevSum, nNodes) = compSum(labels)
+    val prop = propagate(nNodes <= broadcastNodeLimit) _
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -272,8 +281,8 @@ object Dedup {
       // are shallow (diameter 2-3), so the check converges after ~3
       // rounds — batching rounds between checks was measured slower
       // (extra propagations cost more than the checks they save)
-      val next = propagate(labels).cache()
-      val s = compSum(next)
+      val next = prop(labels).cache()
+      val (s, _) = compSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()

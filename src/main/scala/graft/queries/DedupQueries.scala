@@ -53,7 +53,8 @@ object DedupQueries {
     // graph (HashMin label propagation) — the survivor-selection step
     // of the dedup pipeline.
     "d7_neardup_components" -> ((s, dir) =>
-      Dedup.connectedComponents(levenshteinPairs(s, dir))
+      Dedup.connectedComponents(levenshteinPairs(s, dir),
+          assumeDistinctPairs = true) // strict id1<id2 join → unique pairs
         .orderBy(col("id"))),
 
     // Clusters → survivors: keep the best member per near-dup cluster
@@ -62,7 +63,8 @@ object DedupQueries {
     // canonical row each.
     "d9_neardup_survivors" -> ((s, dir) =>
       Dedup.survivors(
-        Dedup.connectedComponents(levenshteinPairs(s, dir)),
+        Dedup.connectedComponents(levenshteinPairs(s, dir),
+          assumeDistinctPairs = true),
         Tables.part(s, dir).select(col("p_partkey").as("id"),
           col("p_retailprice").as("quality"))))
   )
