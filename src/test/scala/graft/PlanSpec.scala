@@ -155,6 +155,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("SortMergeJoin LeftAnti"), p)
   }
 
+  test("suite-wide: no accidental cartesian/nested-loop joins in ANY declared query") {
+    // operators whose ALGORITHM is an intentional cross product:
+    // brute-force cosine ground truths (v1/v3/v5 — guarded or sampled
+    // cohorts), levenshtein all-pairs on a sampled cohort (feeds
+    // d7/d9), funnel stage counts (crossJoin of K single-row
+    // aggregates), and single-row broadcast scalars (t9/t10 corpus
+    // totals — a 1-row build side is the cheapest possible join)
+    val intendedCross = Set(
+      "v1_cosine_topk", "v3_embedding_neardup_pairs", "v5_quantized_topk",
+      "d5_levenshtein_pairs", "d7_neardup_components", "d9_neardup_survivors",
+      "e6_funnel", "t9_unigram_likelihood", "t10_tfidf_topk")
+    // e5 relies on the range-join rule, which activates on the same
+    // conf Bench/Verify set — sweep under production settings
+    spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")
+    val offenders =
+      try SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(intendedCross)
+        .flatMap { name =>
+          val p = physical(name)
+          if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+            Some(name)
+          else None
+        }
+      finally spark.conf.unset(graft.plans.RangeJoinRule.ConfKey)
+    assert(offenders.isEmpty,
+      s"unexpected cross-product joins in: $offenders — every pair algorithm " +
+        "must block on an equi-join key (LSH bucket, time bin, cell)")
+  }
+
   test("lexam filter pushdown: question predicates reach the parquet scan") {
     val store = new graft.lexam.pipeline.LexamStore(spark,
       java.nio.file.Files.createTempDirectory("plan_store").toString)
