@@ -237,9 +237,17 @@ object Dedup {
     *
     * Input columns (`id1`,`id2`); output (`id`,`comp`) with comp = min
     * node id in the component, covering only ids that appear in pairs. */
+  /** @param pointerJumping add a path-doubling round after each edge
+    *   propagation: labels chase their own label's label
+    *   (comp ← min(comp, comp(comp))), so convergence needs
+    *   O(log diameter) rounds instead of O(diameter) — the standard
+    *   escape hatch for DEEP pair graphs (long chains), at the price of
+    *   one extra label-size join per round. Near-dup graphs are shallow
+    *   cliques, so the default keeps the cheaper pure-HashMin loop. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           broadcastNodeLimit: Long = 4000000L,
-                          assumeDistinctPairs: Boolean = false): DataFrame = {
+                          assumeDistinctPairs: Boolean = false,
+                          pointerJumping: Boolean = false): DataFrame = {
     val e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     // duplicate edges are harmless to the min-aggregate (idempotent) but
     // cost every round's join; dedup once up front — unless the caller
@@ -249,14 +257,31 @@ object Dedup {
     val undirected = e.union(e.select(col("dst"), col("src")))
     val edges = (if (assumeDistinctPairs) undirected
                  else undirected.distinct()).cache()
+    // localCheckpoint (not cache) for the ITERATED relation: each round
+    // references the previous labels twice (union + join), so without
+    // lineage truncation the logical plan doubles per round — 2^rounds
+    // analysis blowup that OOMs the driver near round ~12. Checkpointing
+    // materializes eagerly and cuts the plan back to a leaf every round;
+    // edges is referenced once per round, so a plain cache suffices there.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
-    def propagate(small: Boolean)(l: DataFrame): DataFrame =
-      l.union(edges
+      .withColumn("comp", col("id")).localCheckpoint()
+    def propagate(small: Boolean)(l: DataFrame): DataFrame = {
+      val edgeMin = l.union(edges
           .join(if (small) broadcast(l.withColumnRenamed("id", "dst"))
                 else l.withColumnRenamed("id", "dst"), Seq("dst"))
           .select(col("src").as("id"), col("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      if (!pointerJumping) edgeMin
+      else {
+        // comp ← min(comp, comp's own comp): reach doubles per round
+        val parents = edgeMin.select(col("id").as("pid"), col("comp").as("pcomp"))
+        edgeMin.join(
+            if (small) broadcast(parents) else parents,
+            col("comp") === col("pid"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+      }
+    }
     // convergence via a potential function instead of a per-round join:
     // labels only ever DECREASE under HashMin, so Σcomp strictly drops
     // on any change and the fixpoint is exactly "sum unchanged". One
@@ -281,11 +306,12 @@ object Dedup {
       // are shallow (diameter 2-3), so the check converges after ~3
       // rounds — batching rounds between checks was measured slower
       // (extra propagations cost more than the checks they save)
-      val next = prop(labels).cache()
+      val next = prop(labels).localCheckpoint()
       val (s, _) = compSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
+      // superseded checkpoint blocks are released by the ContextCleaner
+      // once the old frame is unreferenced (unpersist doesn't apply)
       labels = next
       iter += 1
     }

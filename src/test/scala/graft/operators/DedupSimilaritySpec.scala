@@ -85,6 +85,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ok === Set(1L))
   }
 
+  test("connected components: pointer jumping converges a deep chain in O(log d) rounds") {
+    // a 64-node path has diameter 63: pure HashMin cannot finish inside
+    // 12 rounds, path doubling must (log2(63) ≈ 6 + slack)
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 12).collect())
+    val comps = Dedup.connectedComponents(chain, maxIter = 12,
+        pointerJumping = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet === Set(1L))
+    assert(comps.keySet === (1L to 64L).toSet)
+  }
+
   test("IVF: full probe equals brute force exactly; partial probe recalls (recall@k)") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
