@@ -181,6 +181,27 @@ object Similarity {
     (IvfIndex(centroids), spark.read.parquet(s"$path/cells"))
   }
 
+  /** Incremental index maintenance: assign a batch of NEW vectors with
+    * the index's EXISTING centroids and append them to the
+    * cell-partitioned table — no rebuild, no touch of resident cells
+    * (parquet append writes only the arriving cells' partitions). The
+    * daily-ingest path at scale: centroids drift slowly, so periodic
+    * rebuilds bracket many cheap appends; searches over the result are
+    * IDENTICAL to a fresh assignment of the union (same centroids ⇒
+    * same cells ⇒ same probes — asserted in the spec). */
+  def appendToIvf(index: IvfIndex, newVectors: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.Row
+    val sess = newVectors.sparkSession
+    val bc = sess.sparkContext.broadcast(index)
+    val assignRow = (r: Row) => {
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      IvfEntry(r.getLong(r.fieldIndex("vec_id")), nearestCentroid(bc.value, v), v)
+    }
+    newVectors.select(col("vec_id"), col("embedding"))
+      .map(assignRow)(org.apache.spark.sql.Encoders.product[IvfEntry]).toDF()
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** IVF top-k: probe the query's `nProbe` nearest cells only; exact
     * cosine within the probed cells. Recall < 1 by construction — the
     * accuracy/throughput dial of a vector index. */

@@ -136,6 +136,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("incremental IVF append: new vectors land in their nearest cells; exhaustive probe equals brute force over the union") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val old = emb.where(col("vec_id") % 2 === 0)
+    val fresh = emb.where(col("vec_id") % 2 =!= 0)
+    val (index, assigned) = Similarity.buildIvf(old, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    Similarity.saveIvf(index, assigned, path)
+    Similarity.appendToIvf(index, fresh, path)
+    val (loaded, cells) = Similarity.loadIvf(spark, path)
+    // nothing lost, nothing rebuilt: counts add up and the resident
+    // half's assignment is byte-identical to the original save
+    assert(cells.count() === emb.count())
+    val residentCells = cells.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assigned.select("vec_id", "cell").collect()
+      .foreach { r => assert(residentCells(r.getLong(0)) === r.getInt(1)) }
+    // probing every cell degenerates to exhaustive search over old+new
+    val queries = emb.where(col("vec_id") % 10 === 0)
+    val got = Similarity.ivfTopK(loaded, cells, queries, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, sampleMod = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === exact)
+  }
+
   test("int8-quantized top-k: high recall vs brute force; rescore scores are exact") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, sampleMod = 10, k = 5).collect()
