@@ -155,6 +155,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("SortMergeJoin LeftAnti"), p)
   }
 
+  test("s13: the importance-sample keep-decision is a scan-level filter — no shuffle before the tiny rollup") {
+    val p = physical("s13_importance_sample")
+    // the keep-decision Filter must be the scan's immediate parent —
+    // exchanges exist only above the aggregation
+    assert("""Filter \(\d+\)\s*\n\s*\+- Scan parquet""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("w7: the RANGE-frame window runs on one customer exchange") {
+    val p = physical("w7_trailing_week_spend")
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("RANGE BETWEEN 6 PRECEDING AND CURRENT ROW")
+      || p.contains("specifiedwindowframe(RangeFrame"), p)
+  }
+
   test("suite-wide: no accidental cartesian/nested-loop joins in ANY declared query") {
     // operators whose ALGORITHM is an intentional cross product:
     // brute-force cosine ground truths (v1/v3/v5 — guarded or sampled
