@@ -235,6 +235,31 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Capstone composition: the curation pipeline a training run feeds
+    // from — Gopher quality gate → exact dedup (keep first) → per-doc
+    // importance sample → per-language doc/token rollup. Each stage is
+    // the library operator; the oracle is the identical chain in SQL.
+    // Plan shape at scale: one scan, map-side filters on both ends,
+    // and the ONLY data-sized shuffle is the dedup's md5 window.
+    "c1_corpus_pipeline" -> ((s, dir) => {
+      import graft.operators.{Dedup, Sampling}
+      val docs = Tables.documents(s, dir)
+        .withColumn("t", TextAnalysis.toks(col("text")))
+        .withColumn("lines", split(col("text"), "\n"))
+      val rules = TextAnalysis.gopherRules(col("text"), col("t"), col("lines"))
+      val passed = docs
+        .where(TextAnalysis.GopherRuleNames.map(rules).reduce(_ && _))
+        .drop("t", "lines")
+      val sampled = Sampling.importanceSample(Dedup.exactDedup(passed),
+        weight = col("n_chars") / lit(2000.0),
+        key = concat(col("doc_id").cast("string"), lit("/"), col("source")))
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).cast("long").as("tokens"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("lang"))
+    }),
+
     // Extension: Gopher-rule quality filter — per-rule failing counts +
     // survivors, one map-side pass over the corpus
     "t7_gopher_filter" -> ((s, dir) => {
@@ -343,6 +368,26 @@ object TextQueries {
 
     "t10_tfidf_topk" ->
       TextAnalysis.tfidfSql(Seq("join", "window", "stream"), topN = 20),
+
+    "c1_corpus_pipeline" -> {
+      val pass = TextAnalysis.GopherRuleNames
+        .map(TextAnalysis.gopherRulesSql("text")).mkString("(", " AND ", ")")
+      val keep = graft.operators.Sampling.importanceSampleSql(
+        "n_chars / 2000.0", "(CAST(doc_id AS VARCHAR) || '/' || source)")
+      s"""WITH passed AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  WHERE $pass),
+         |deduped AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                                 ORDER BY doc_id) AS rn
+         |    FROM passed) WHERE rn = 1),
+         |sampled AS (SELECT * FROM deduped WHERE $keep)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(${TF.tokenCountSql("text")}) AS BIGINT) AS tokens,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "t12_source_composition" ->
       s"""WITH t AS (
