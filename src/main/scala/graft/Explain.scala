@@ -18,7 +18,8 @@ object Explain {
       "e6_funnel", "t10_tfidf_topk", "s8_epoch_mix", "s9_token_chunks",
       "s10_snapshot_diff", "d9_neardup_survivors",
       "e8_sessions", "j9_salted_supplier_rollup", "a19_cube_status_priority",
-      "t12_source_composition")
+      "t12_source_composition", "c1_corpus_pipeline", "q1_dq_report",
+      "a21_bottomk_sample", "o6_keyset_page", "z1_zorder_values")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

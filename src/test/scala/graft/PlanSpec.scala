@@ -169,6 +169,17 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("specifiedwindowframe(RangeFrame"), p)
   }
 
+  test("c1: the composed pipeline is one scan with ONE data-sized shuffle, dedup pre-limited map-side") {
+    val p = physical("c1_corpus_pipeline")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+    // quality gate sits on the scan; the md5 keep-first runs as a
+    // WindowGroupLimit BEFORE its exchange (partial top-1 per key),
+    // so the only full-width shuffle carries pre-deduped rows
+    assert("""Filter \(\d+\)\s*\n\s*\+- Scan parquet""".r.findFirstIn(p).isDefined, p)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size === 2, p) // md5 window + lang agg
+  }
+
   test("suite-wide: no accidental cartesian/nested-loop joins in ANY declared query") {
     // operators whose ALGORITHM is an intentional cross product:
     // brute-force cosine ground truths (v1/v3/v5 — guarded or sampled
