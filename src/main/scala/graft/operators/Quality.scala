@@ -66,6 +66,34 @@ object Quality {
     (predReport.toSeq ++ rest).reduce(_.unionByName(_)).orderBy(col("check"))
   }
 
+  /** Train/val/test leakage audit: pairs of rows sharing the same
+    * content digest but assigned DIFFERENT splits — the contamination
+    * a held-out set must not have. One shuffle on the digest; the pair
+    * count per split-combination comes off a per-digest-per-split
+    * count (n_a × n_b per digest), never a materialized pair join —
+    * at 100 TB the digest groups, not the pairs, cross the wire.
+    * Output: (split_a, split_b, n_leaked_pairs), split_a < split_b. */
+  def splitLeakage(rows: DataFrame, split: Column, digest: Column): DataFrame = {
+    val perSplit = rows.select(digest.as("h"), split.as("s"))
+      .groupBy(col("h"), col("s")).agg(count(lit(1)).as("n"))
+    perSplit.as("a").join(perSplit.as("b"),
+        col("a.h") === col("b.h") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("split_a"), col("b.s").as("split_b"))
+      .agg(sum(col("a.n") * col("b.n")).as("n_leaked_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** DuckDB twin of [[splitLeakage]] given SQL for the digest/split of
+    * a `rows` CTE (bound by the caller's WITH clause). */
+  def splitLeakageSql(rowsCte: String, digestSql: String, splitSql: String): String =
+    s"""per_split AS (
+       |  SELECT $digestSql AS h, $splitSql AS s, COUNT(*) AS n
+       |  FROM $rowsCte GROUP BY 1, 2)
+       |SELECT a.s AS split_a, b.s AS split_b,
+       |       CAST(SUM(a.n * b.n) AS BIGINT) AS n_leaked_pairs
+       |FROM per_split a JOIN per_split b ON a.h = b.h AND a.s < b.s
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** DuckDB twin: the same checks as a UNION ALL of one-row aggregates.
     * `tableSql` is the audited table's name in the oracle schema. */
   def reportSql(tableSql: String, checks: Seq[Check]): String =

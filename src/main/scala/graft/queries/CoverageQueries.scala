@@ -121,6 +121,24 @@ object CoverageQueries {
         .orderBy(col("lang"))
     }),
 
+    // S14: split-leakage audit — hash-assigned train/val/test splits,
+    // then count content-identical pairs straddling split boundaries
+    // (the held-out contamination check). Dups are synthesized (s10
+    // pattern: shifted-id copies of every 13th doc) since the corpus
+    // itself is exact-dup-free at sf0.01.
+    "s14_split_leakage" -> ((s, dir) => {
+      import graft.functions.PolyHash64
+      val base = Tables.documents(s, dir)
+      val extended = base.unionByName(
+        base.where(pmod(col("doc_id"), lit(13)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val bucket = PolyHash64.polyHash64(
+        concat(col("doc_id").cast("string"), lit("/"), col("source"))) % 10
+      val split = when(bucket < 8, "train")
+        .when(bucket === 8, "val").otherwise("test")
+      graft.operators.Quality.splitLeakage(extended, split, md5(col("text")))
+    }),
+
     // S7: sequence packing — greedy contiguous fill of documents into
     // fixed token budgets (a doc's pack = its starting offset's budget
     // slot, so packs stay ≤ budget + one overflowing doc, the standard
@@ -643,6 +661,19 @@ object CoverageQueries {
          |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          |FROM documents WHERE $pred
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "s14_split_leakage" -> {
+      import graft.functions.PolyHash64
+      val ph = PolyHash64.sql("(CAST(doc_id AS VARCHAR) || '/' || source)")
+      val splitSql = s"(CASE WHEN ($ph) % 10 < 8 THEN 'train' " +
+        s"WHEN ($ph) % 10 = 8 THEN 'val' ELSE 'test' END)"
+      s"""WITH rows_x AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, source FROM documents
+         |  WHERE doc_id % 13 = 0),
+         |${graft.operators.Quality.splitLeakageSql("rows_x", "md5(text)", splitSql)}""".stripMargin
     },
 
     "s6_stratified_sample" -> {

@@ -97,6 +97,20 @@ class CdcQualitySpec extends AnyFunSuite {
       "price_positive" -> 1L, "fk_resolves" -> 2L))
   }
 
+  test("splitLeakage: counts cross-split duplicate pairs per combination, multiplicities included") {
+    // digest d1: 2 train + 1 val + 1 test → 2 train-val, 2 train-test,
+    // 1 val-test; digest d2: both in train → clean; d3: unique → clean
+    val rows = Seq(
+      ("d1", "train"), ("d1", "train"), ("d1", "val"), ("d1", "test"),
+      ("d2", "train"), ("d2", "train"),
+      ("d3", "val"))
+      .toDF("h", "s")
+    val got = Quality.splitLeakage(rows, $"s", $"h").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(got === List(
+      ("test", "train", 2L), ("test", "val", 1L), ("train", "val", 2L)))
+  }
+
   test("DQ report: a clean table reports zero violations on every check, not null/missing rows") {
     import Quality._
     val clean = Seq((1L, "F"), (2L, "O")).toDF("id", "status")
