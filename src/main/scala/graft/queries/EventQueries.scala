@@ -112,6 +112,24 @@ object EventQueries {
         .orderBy(col("n_events"))
     }),
 
+    // LOCF gap-filling (last observation carried forward): non-click
+    // events have no reading here (synthesized nulls), and each row
+    // carries the user's most recent non-null value — the standard
+    // sensor/time-series repair, one window pass on the user shuffle.
+    "e10_locf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .where(pmod(col("user_id"), lit(25)) === 0)
+        .withColumn("reading",
+          when(col("event_type") === "click", col("value")))
+        .select(col("user_id"), col("event_id"),
+          last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Same semantics written as the NAIVE range join — the
     // RangeJoinRule optimizer extension (plans/RangeJoinRule.scala)
     // rewrites it to the binned equi-join automatically; inner-join
@@ -174,6 +192,14 @@ object EventQueries {
       s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 720)}
          |SELECT n_events, COUNT(*) AS n_sessions
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e10_locf" ->
+      """SELECT user_id, event_id,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM events WHERE user_id % 25 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "e5_range_join_auto" ->
       s"""WITH w AS (SELECT event_id AS window_id, ts AS ws,
