@@ -25,27 +25,35 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => wanted(n.takeWhile(_ != '_')) }
+    // validate BEFORE the multi-minute timing loop: a prefix collision
+    // discovered afterwards would discard the whole run's numbers
+    require(selected.keys.map(_.takeWhile(_ != '_')).toSeq.distinct.size == selected.size,
+      "query id prefixes must stay unique — a collision would merge two timings")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      // iterative operators (connected components, BPE) return cached
-      // frames; drop them so one query's leftovers never tax the next
-      spark.sharedState.cacheManager.clearCache()
       // a failed query must not read as a (fast) success — report -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // AFTER the clock stops: iterative operators (connected
+      // components, BPE) leave cached frames; drop them so one query's
+      // leftovers never tax the next — and so the teardown isn't billed
+      // to the query being measured
+      spark.sharedState.cacheManager.clearCache()
+      name -> elapsed
     }
     // the driver parses the JSON line out of a ~2.2 KB stdout tail —
     // full query names at full double precision overflow it (r2/r3 both
     // came back "parsed": null). Short ids (the unique family prefix,
     // "d7_neardup_components" -> "d7") at millisecond precision keep the
     // whole line under 1 KB with headroom for more queries.
-    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
-      "query id prefixes must stay unique — a collision would merge two timings")
+    // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR) would
+    // render 12,345 and break the driver's JSON parse
+    def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
     }.mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = ms(results.map(_._2).sum)
     // stop BEFORE printing so the JSON is the last stdout line the
     // driver sees (shutdown chatter goes to the log4j stderr appender)
     spark.stop()

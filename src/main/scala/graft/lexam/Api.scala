@@ -191,15 +191,9 @@ object Api {
       "n_answers" -> e.n_answers, "status" -> e.status,
       "created_at" -> e.created_at, "updated_at" -> e.updated_at)
 
-  /** Judgments joined to their surviving parent answers, keyed by the
-    * ANSWER's experiment id. The reference counts judgments through
-    * ExperimentAnswer (routers/experiments.py:79-84,183-189), so
-    * judgments orphaned by a bulk answer delete never surface in any
-    * count or breakdown — every judgment read path goes through here. */
+  /** The one judgment read path — see LexamStore.liveJudgments. */
   private def liveJudgments(store: pipeline.LexamStore): DataFrame =
-    store.judgments.drop("experiment_id")
-      .join(store.answers.select(col("id").as("answer_id"),
-        col("experiment_id").cast("long").as("eid")), Seq("answer_id"))
+    store.liveJudgments()
 
   /** Per-experiment judge breakdown rows (`_judge_breakdown`,
     * routers/experiments.py:180-189), keyed by experiment id — ALL

@@ -278,11 +278,7 @@ object Jobs {
     val exp = store.getExperiment(experimentId)
       .getOrElse(throw new NoSuchElementException(s"experiment $experimentId"))
     store.deleteJudgments(experimentId, judgeModel)
-    // count through answers like the reference (judging.py:96-101 queries
-    // via the answer join) — and like every other judgment read path here
-    val remaining = store.judgments
-      .join(store.answers.where(col("experiment_id") === experimentId)
-        .select(col("id").as("answer_id")), Seq("answer_id"), "left_semi").count()
+    val remaining = store.liveJudgments(Some(experimentId)).count()
     if (remaining == 0 && exp.status == "completed")
       store.saveExperiment(exp.copy(status = "generated"))
   }
@@ -290,9 +286,7 @@ object Jobs {
   /** reset-status from data (routers/experiments.py:140-162). */
   def resetStatus(store: LexamStore, experimentId: Long): String = {
     val answerCount = store.answers.where(col("experiment_id") === experimentId).count()
-    val judgmentCount = store.judgments
-      .join(store.answers.where(col("experiment_id") === experimentId)
-        .select(col("id").as("answer_id")), Seq("answer_id"), "left_semi").count()
+    val judgmentCount = store.liveJudgments(Some(experimentId)).count()
     val status = StatusMachine.recompute(answerCount, judgmentCount)
     store.getExperiment(experimentId).foreach(e => store.saveExperiment(e.copy(status = status)))
     status

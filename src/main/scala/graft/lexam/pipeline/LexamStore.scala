@@ -55,6 +55,22 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
     else spark.emptyDataset[ExperimentJudgment].toDF()
       .withColumn("experiment_id", lit(-1L))
 
+  /** Judgments still reachable through a surviving answer, with the
+    * answer's experiment id as `eid`. The reference counts judgments
+    * via the ExperimentAnswer join (routers/experiments.py:79-84,
+    * 183-189; routers/judging.py:96-101), so judgments orphaned by a
+    * bulk answer delete never surface anywhere — this is THE single
+    * judgment read path; Api counts/breakdowns and Jobs' status
+    * rollback both consume it, so the rule can't drift between them. */
+  def liveJudgments(experimentId: Option[Long] = None): DataFrame = {
+    val ans = experimentId
+      .map(id => answers.where(col("experiment_id") === id))
+      .getOrElse(answers)
+    judgments.drop("experiment_id")
+      .join(ans.select(col("id").as("answer_id"),
+        col("experiment_id").cast("long").as("eid")), Seq("answer_id"))
+  }
+
   def experiments: Seq[Experiment] =
     if (exists("experiments"))
       spark.read.parquet(p("experiments")).as[Experiment].collect().toSeq

@@ -288,7 +288,11 @@ object Dedup {
     // aggregate per round (which doubles as the cache materializer) —
     // at scale this removes a full join stage from every iteration.
     def compSum(l: DataFrame): (java.math.BigDecimal, Long) = {
-      val r = l.agg(sum(col("comp")).cast("decimal(38,0)"), count(lit(1))).head()
+      // cast BEFORE summing: ids may be 64-bit hash fingerprints, and a
+      // LongType sum of those overflows (ANSI throw / silent wrap —
+      // either corrupts the fixpoint check); decimal(38,0) partials
+      // cannot overflow any realistic |V|
+      val r = l.agg(sum(col("comp").cast("decimal(38,0)")), count(lit(1))).head()
       val d = r.getDecimal(0)
       (if (d == null) java.math.BigDecimal.ZERO else d, r.getLong(1)) // null: empty pair graph
     }

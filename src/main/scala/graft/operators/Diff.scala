@@ -24,7 +24,9 @@ object Diff {
       .select(coalesce(col("_k_a"), col("_k_b")).as(key),
         when(col("_k_a").isNull, "added")
           .when(col("_k_b").isNull, "removed")
-          .when(col("_dig_a") =!= col("_dig_b"), "changed")
+          // null-safe: a digest that is NULL on one side only (e.g.
+          // md5 of a NULL payload) IS a change, not an "unchanged"
+          .when(!(col("_dig_a") <=> col("_dig_b")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

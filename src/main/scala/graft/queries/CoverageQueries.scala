@@ -396,12 +396,17 @@ object CoverageQueries {
     "m1_binary_payloads" -> ((s, dir) => {
       val media = Tables.documents(s, dir)
         .select(col("doc_id").as("media_id"), col("source"),
-          col("text").cast("binary").as("payload"))
+          col("text").cast("binary").as("payload"),
+          // tag = the first CHARACTER's UTF-8 bytes (not the first raw
+          // byte: DuckDB cannot slice blobs, and slicing the string
+          // before encoding keeps both engines byte-exact on
+          // multi-byte leading characters)
+          hex(encode(substring(col("text"), 1, 1), "UTF-8")).as("first_char"))
       media.groupBy(col("source"))
         .agg(count(lit(1)).as("n_media"),
           sum(length(col("payload"))).as("total_bytes"),
           max(length(col("payload"))).cast("long").as("max_bytes"),
-          countDistinct(hex(substring(col("payload"), 1, 1))).as("n_first_bytes"))
+          countDistinct(col("first_char")).as("n_first_chars"))
         .orderBy(col("source"))
     }),
 
@@ -638,7 +643,7 @@ object CoverageQueries {
         |d AS (
         |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
         |              WHEN b.doc_id IS NULL THEN 'removed'
-        |              WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |              WHEN md5(a.text) IS DISTINCT FROM md5(b.text) THEN 'changed'
         |              ELSE 'unchanged' END AS status
         |  FROM base a FULL OUTER JOIN next b ON a.doc_id = b.doc_id)
         |SELECT status, COUNT(*) AS n FROM d GROUP BY status ORDER BY status""".stripMargin,
@@ -841,12 +846,12 @@ object CoverageQueries {
     "m1_binary_payloads" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id, source, encode(text) AS payload,
-        |         hex(encode(substring(text, 1, 1))) AS first_byte
+        |         hex(encode(substring(text, 1, 1))) AS first_char
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_media,
         |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
         |       CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes,
-        |       COUNT(DISTINCT first_byte) AS n_first_bytes
+        |       COUNT(DISTINCT first_char) AS n_first_chars
         |FROM media GROUP BY source ORDER BY source""".stripMargin,
 
     "s11_incremental_agg" ->
