@@ -85,6 +85,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ok === Set(1L))
   }
 
+  test("connected components: hash-scale node ids don't overflow the convergence potential") {
+    // ids near Long.MaxValue (the xxhash64 fingerprint regime): the
+    // potential Σcomp must accumulate in decimal, not long — a long sum
+    // of two such ids overflows (ANSI throw / silent wrap)
+    val m = Long.MaxValue
+    val pairs = Seq((m - 5, m - 1), (m - 9, m - 5), (m - 20, m - 18))
+      .toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(
+      (m - 1) -> (m - 9), (m - 5) -> (m - 9), (m - 9) -> (m - 9),
+      (m - 18) -> (m - 20), (m - 20) -> (m - 20)))
+  }
+
   test("connected components: pointer jumping converges a deep chain in O(log d) rounds") {
     // a 64-node path has diameter 63: pure HashMin cannot finish inside
     // 12 rounds, path doubling must (log2(63) ≈ 6 + slack)
