@@ -479,6 +479,23 @@ object CoverageQueries {
         parents = Map("customer" -> Tables.customer(s, dir)))
     }),
 
+    // A22: per-group argmax (majority vote) — the self-consistency
+    // "modal answer per question" shape (reference: most frequent
+    // extracted letter across n_answers runs), with a deterministic
+    // tiebreak so engines can't disagree on equal counts
+    "a22_majority_flag" -> ((s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .where(pmod(col("l_orderkey"), lit(500)) === 0)
+        .groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(desc("n"), col("l_returnflag"))
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_returnflag").as("majority_flag"), col("n"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Beyond the reference: CUBE over two dims with explicit grouping
     // flags (grouping-sets family, a18's rollup sibling). The flags are
     // spelled grouping(a)*2 + grouping(b) rather than grouping_id() so
@@ -874,6 +891,15 @@ object CoverageQueries {
 
     "q1_dq_report" ->
       graft.operators.Quality.reportSql("orders", DqChecks),
+
+    "a22_majority_flag" ->
+      """SELECT l_orderkey, majority_flag, n FROM (
+        |  SELECT l_orderkey, l_returnflag AS majority_flag, COUNT(*) AS n,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY COUNT(*) DESC, l_returnflag) AS rn
+        |  FROM lineitem WHERE l_orderkey % 500 = 0
+        |  GROUP BY l_orderkey, l_returnflag) t
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
 
     "a19_cube_status_priority" ->
       s"""SELECT o_orderstatus, o_orderpriority,
