@@ -293,6 +293,17 @@ object CoverageQueries {
       building.union(negative).distinct().agg(count(lit(1)).as("n_custs"))
     }),
 
+    // U4: INTERSECT / EXCEPT — the set-op family members u1/u2 leave
+    // out: customers active in both 1995 and 1996 but gone by 1997
+    // (retention-churn set algebra on distinct key sets)
+    "u4_intersect_except" -> ((s, dir) => {
+      def active(y: Int) = Tables.orders(s, dir)
+        .where(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+      active(1995).intersect(active(1996)).except(active(1997))
+        .agg(count(lit(1)).as("n_custs"))
+    }),
+
     // U3: config-family membership (Dashboard.jsx:578-580)
     "u3_priority_family" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -804,6 +815,14 @@ object CoverageQueries {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  UNION
         |  SELECT c_custkey FROM customer WHERE c_acctbal < 0) t""".stripMargin,
+
+    "u4_intersect_except" ->
+      """SELECT COUNT(*) AS n_custs FROM (
+        |  (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+        |   INTERSECT
+        |   SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996)
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997) t""".stripMargin,
 
     "u3_priority_family" ->
       s"""SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
