@@ -41,7 +41,10 @@ def frame_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 n_pass = n_fail = 0
+prefixes = sys.argv[3:]  # optional: only check queries with these name prefixes
 for name in sorted(oracle):
+    if prefixes and not any(name.startswith(p) for p in prefixes):
+        continue
     pq_dir = f"{outdir}/{name}"
     files = glob.glob(f"{pq_dir}/*.parquet")
     if not files:

@@ -122,7 +122,6 @@ object Similarity {
     * centroid. The scale path: the index build is one pass, the search
     * probes `nProbe` cells instead of the whole collection. */
   def buildIvf(emb: DataFrame, k: Int): (IvfIndex, DataFrame) = {
-    import org.apache.spark.sql.Row
     val n = emb.count()
     val step = math.max(1, n / k)
     // seed = every step-th vector BY vec_id VALUE — partition-layout
@@ -135,15 +134,39 @@ object Similarity {
         i -> r.getSeq[Float](0).map(_.toDouble).toArray
       }
     val index = IvfIndex(seed)
+    (index, assignToCells(index, emb))
+  }
+
+  /** Trained IVF: k-means‖ centroids ([[Clustering.kmeansEmbeddings]],
+    * deterministic seed) instead of [[buildIvf]]'s every-(n/k)-th seed.
+    * On clustered real embeddings the untrained seed collapses dense
+    * regions into hot cells (straggler probes, junk recall); Lloyd
+    * iterations place centroids where the density is, so cells balance
+    * and a probe's nearest cells actually hold the near neighbors —
+    * the production index build. [[buildIvf]] stays as the
+    * deterministic variant the bit-exact v4/v6 oracles replicate in
+    * SQL (a k-means fixpoint has no cross-engine SQL twin).
+    * Assignment goes through the same [[nearestCentroid]] code path as
+    * the probes, so index and search can never disagree on a boundary. */
+  def buildIvfTrained(emb: DataFrame, k: Int, maxIter: Int = 20,
+                      seed: Long = 42L): (IvfIndex, DataFrame) = {
+    val (_, centers) = Clustering.kmeansEmbeddings(emb, k, maxIter, seed)
+    val index = IvfIndex(centers.zipWithIndex.map { case (v, i) => i -> v.toArray })
+    (index, assignToCells(index, emb))
+  }
+
+  /** Nearest-centroid assignment of a (vec_id, embedding) frame — the
+    * single map-side assignment path shared by build/trained-build/
+    * append, so every entry point produces identical cells. */
+  private def assignToCells(index: IvfIndex, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
     val bc = emb.sparkSession.sparkContext.broadcast(index)
     val assignRow = (r: Row) => {
       val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
       IvfEntry(r.getLong(r.fieldIndex("vec_id")), nearestCentroid(bc.value, v), v)
     }
-    import emb.sparkSession.implicits._
-    val assigned = emb.select(col("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding"))
       .map(assignRow)(org.apache.spark.sql.Encoders.product[IvfEntry]).toDF()
-    (index, assigned)
   }
 
   case class IvfEntry(vec_id: Long, cell: Int, vec: Array[Double])
@@ -189,17 +212,46 @@ object Similarity {
     * rebuilds bracket many cheap appends; searches over the result are
     * IDENTICAL to a fresh assignment of the union (same centroids ⇒
     * same cells ⇒ same probes — asserted in the spec). */
-  def appendToIvf(index: IvfIndex, newVectors: DataFrame, path: String): Unit = {
-    import org.apache.spark.sql.Row
-    val sess = newVectors.sparkSession
-    val bc = sess.sparkContext.broadcast(index)
-    val assignRow = (r: Row) => {
-      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
-      IvfEntry(r.getLong(r.fieldIndex("vec_id")), nearestCentroid(bc.value, v), v)
-    }
-    newVectors.select(col("vec_id"), col("embedding"))
-      .map(assignRow)(org.apache.spark.sql.Encoders.product[IvfEntry]).toDF()
+  def appendToIvf(index: IvfIndex, newVectors: DataFrame, path: String): Unit =
+    assignToCells(index, newVectors)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+
+  /** Compact a persisted index's over-fragmented cells: every
+    * [[appendToIvf]] batch adds at least one file per arriving cell, so
+    * a daily-ingest index accretes small files until probe scans go
+    * metadata-bound. Cells whose parquet file count exceeds
+    * `maxFilesPerCell` are rewritten to `targetFiles` files, in place
+    * (read → coalesce → tmp → atomic-ish dir swap); untouched cells
+    * keep their files byte-identical, and search results are unchanged
+    * because compaction only rewrites row layout, never content
+    * (asserted in IvfPersistSpec). Returns the compacted cell ids. */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxFilesPerCell: Int, targetFiles: Int = 1): Seq[Int] = {
+    require(maxFilesPerCell >= 1 && targetFiles >= 1)
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val cellsRoot = new HPath(s"$path/cells")
+    val fs = FileSystem.get(cellsRoot.toUri, spark.sessionState.newHadoopConf())
+    val compacted = Seq.newBuilder[Int]
+    fs.listStatus(cellsRoot).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("cell=")).foreach { dir =>
+        val nFiles = fs.listStatus(dir)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (nFiles > maxFilesPerCell) {
+          val tmp = new HPath(s"$path/_compact_tmp_${dir.getName}")
+          // reading the partition dir directly drops the `cell` column —
+          // intended: the dir name carries it, rows need not
+          spark.read.parquet(dir.toString).coalesce(targetFiles)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(dir, true)
+          if (!fs.rename(tmp, dir))
+            throw new java.io.IOException(s"compaction rename failed for $dir")
+          compacted += dir.getName.stripPrefix("cell=").toInt
+        }
+      }
+    // Spark caches parquet file listings per path (SharedInMemoryCache):
+    // readers opened after the rewrite would otherwise chase deleted files
+    spark.catalog.refreshByPath(s"$path/cells")
+    compacted.result()
   }
 
   /** IVF top-k: probe the query's `nProbe` nearest cells only; exact
@@ -394,6 +446,125 @@ object Similarity {
        |rescored AS (
        |  SELECT q_id, vec_id,
        |         ($dotE) / (sqrt(${n2("c.q_emb")}) * sqrt(${n2("c.embedding")})) AS cos
+       |  FROM cand c WHERE qrank <= $rescoreK),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rescored)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------- IVF × int8 × rescore (serving)
+
+  /** The composed ANN serving path: IVF probe (touch nProbe cells, not
+    * the corpus) → int8 quantized scoring inside the probed cells (a
+    * quarter of the bytes, integer dot) → exact float rescore of the
+    * best `rescoreK` only. This is the 100 TB serving shape: the scan
+    * is DPP-pruned to the probed cells when `assigned` is the
+    * cell-partitioned table ([[saveIvf]]), the quantized rank prunes
+    * per-query partially (WindowGroupLimit) before the exchange, and
+    * exact cosine work is `rescoreK` rows per query, independent of
+    * corpus size. Recall dials: `nProbe` (cells touched) and
+    * `rescoreK` (quantization-reorder headroom). */
+  def ivfQuantizedTopK(index: IvfIndex, assigned: DataFrame, queries: DataFrame,
+                       k: Int, nProbe: Int, rescoreK: Int): DataFrame = {
+    val sess = assigned.sparkSession
+    val bc = sess.sparkContext.broadcast(index)
+    import sess.implicits._
+    def intSum(c: Column) = aggregate(c, lit(0L), (a, v) => a + v)
+    // corpus side quantizes BELOW the join — once per resident row,
+    // map-side, never per candidate pair
+    val cand = assigned.withColumn("q", quantizeI8(col("vec")))
+      .withColumn("nq", intSum(transform(col("q"), x => (x * x).cast("long"))))
+    val qCells = queries.select(col("vec_id").as("q_id"), col("embedding"))
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val byDist = bc.value.centroids.map { case (ci, c) =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+          ci -> d
+        }.sortBy(_._2).take(nProbe).map(_._1)
+        (r.getLong(0), v, byDist)
+      }.toDF("q_id", "q_vec", "cells")
+      .withColumn("qq", quantizeI8(col("q_vec")))
+      .withColumn("nqq", intSum(transform(col("qq"), x => (x * x).cast("long"))))
+    val probed = qCells.select(col("q_id"), col("q_vec"), col("qq"), col("nqq"),
+      explode(col("cells")).as("cell"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    probed.join(cand, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("dotq", Registry.intDot(col("q"), col("qq")))
+      .withColumn("qcos",
+        col("dotq").cast("double") / sqrt((col("nq") * col("nqq")).cast("double")))
+      .withColumn("qrank", row_number().over(wq))
+      .where(col("qrank") <= rescoreK)
+      .withColumn("cos", Registry.cosineSim(col("q_vec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** One-call surface for [[ivfQuantizedTopK]] — the `queries()` entry.
+    * Uses the deterministic-seed [[buildIvf]] so the DuckDB oracle can
+    * replicate the whole pipeline bit-for-bit; swap in
+    * [[buildIvfTrained]] for a production index (same search code). */
+  def ivfQuantizedSearch(emb: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
+                         rescoreK: Int, sampleMod: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val (index, assigned) = buildIvf(base, nCentroids)
+    ivfQuantizedTopK(index, assigned, base.where(col("vec_id") % sampleMod === 0),
+      k, nProbe, rescoreK)
+  }
+
+  /** DuckDB oracle for [[ivfQuantizedSearch]]: the full composed
+    * pipeline in SQL — [[ivfAssignCte]] assignment, the same max-abs
+    * int8 quantization and integer dot (order-free), the same nProbe
+    * probe and two-stage (qrank→rescore→rank) tie rules, exact float
+    * rescore via the in-order cosine chain. Bit-exact end to end. */
+  def ivfQuantizedSearchSql(dim: Int, k: Int, nCentroids: Int, nProbe: Int,
+                            rescoreK: Int, sampleMod: Int): String = {
+    val dist = sqlDist(dim) _
+    val n2 = sqlN2(dim) _
+    val dot = sqlDot(dim) _
+    val qdot = (1 to dim).map(i => s"a.q[$i]*q.qq[$i]").mkString(" + ")
+    val n2q = (1 to dim).map(i => s"q[$i]*q[$i]").mkString(" + ")
+    s"""${ivfAssignCte(dim, nCentroids)},
+       |bq AS (
+       |  SELECT vec_id, cell, embedding,
+       |    list_transform(embedding, x -> CAST(floor(
+       |      CAST(x AS DOUBLE) / GREATEST(list_aggregate(
+       |        list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max'),
+       |        1e-30) * 127 + 0.5) AS BIGINT)) AS q
+       |  FROM assign),
+       |bn AS (SELECT vec_id, cell, embedding, q, $n2q AS nq FROM bq),
+       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, q AS qq, nq AS nqq
+       |       FROM bn WHERE vec_id % $sampleMod = 0),
+       |probe AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.ci AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${dist("q.q_emb", "c.embedding")}, c.ci) AS rn
+       |    FROM qs q CROSS JOIN cent c)
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.q_id, q.q_emb, a.vec_id, a.embedding,
+       |         CAST(($qdot) AS DOUBLE) / sqrt(CAST(a.nq * q.nqq AS DOUBLE)) AS qcos
+       |  FROM probe p
+       |  JOIN bn a ON a.cell = p.cell
+       |  JOIN qs q ON q.q_id = p.q_id AND a.vec_id <> q.q_id),
+       |cand AS (
+       |  SELECT q_id, q_emb, vec_id, embedding,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY qcos DESC, vec_id) AS qrank
+       |  FROM scored),
+       |rescored AS (
+       |  SELECT q_id, vec_id,
+       |         (${dot("c.q_emb", "c.embedding")}) /
+       |         (sqrt(${n2("c.q_emb")}) * sqrt(${n2("c.embedding")})) AS cos
        |  FROM cand c WHERE qrank <= $rescoreK),
        |ranked AS (
        |  SELECT q_id, vec_id, cos,

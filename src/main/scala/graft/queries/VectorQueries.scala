@@ -34,7 +34,13 @@ object VectorQueries {
 
     "v5_quantized_topk" -> ((s, dir) =>
       Similarity.quantizedTopK(Tables.embeddings(s, dir),
-        sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK))
+        sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK)),
+
+    // The composed serving path: IVF probe × int8 scoring × exact
+    // rescore — v4's cell pruning and v5's byte shrink in one plan.
+    "v6_ivf_quantized_topk" -> ((s, dir) =>
+      Similarity.ivfQuantizedSearch(Tables.embeddings(s, dir), k = TopK,
+        nCentroids = 16, nProbe = 4, rescoreK = 4 * TopK, sampleMod = SampleMod))
   )
 
   def oracles: Map[String, String] = Map(
@@ -44,6 +50,8 @@ object VectorQueries {
     "v4_ivf_topk" -> Similarity.ivfSearchSql(Dim, k = TopK,
       nCentroids = 16, nProbe = 4, sampleMod = SampleMod),
     "v5_quantized_topk" -> Similarity.quantizedTopKSql(Dim,
-      sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK)
+      sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK),
+    "v6_ivf_quantized_topk" -> Similarity.ivfQuantizedSearchSql(Dim, k = TopK,
+      nCentroids = 16, nProbe = 4, rescoreK = 4 * TopK, sampleMod = SampleMod)
   )
 }

@@ -70,6 +70,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("v6: composed IVF serving path — cell equi-join, two-stage partial top-k, no cross product") {
+    val p = physical("v6_ivf_quantized_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate meeting happens ONLY inside a probed cell (equi-join on
+    // the cell key) — the property that keeps the serving scan
+    // |probes|-bounded instead of corpus-bounded
+    val leftKeys = p.linesIterator.filter(_.contains("Left keys")).mkString
+    assert(leftKeys.contains("cell"), p)
+    // both ranking stages (quantized qrank, exact rank) prune per-query
+    // partially before their exchange
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("e3: as-of join compiles to one window pass — no join operator at all") {
     val p = physical("e3_asof_purchase_click")
     assert(!p.contains("Join"), p)

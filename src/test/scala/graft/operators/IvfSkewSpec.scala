@@ -20,9 +20,11 @@ class IvfSkewSpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(emb, sampleMod = 100, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    // these synthetic embeddings are near-uniform (no cluster structure),
-    // the worst case for IVF — probing 6/16 cells still must beat 6/16
-    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // deterministic-seed variant (kept for the bit-exact v4/v6 oracles):
+    // on these near-uniform embeddings probing 6/16 cells must clearly
+    // beat the 6/16 random-probe floor; the PRODUCTION recall bar
+    // (trained centroids, >= 0.8) lives in TrainedIvfSpec
+    assert(recall >= 0.6, s"IVF recall $recall too low")
     // full probe = exact
     val full = Similarity.ivfTopK(index, assigned, queries, k = 5, nProbe = 16)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

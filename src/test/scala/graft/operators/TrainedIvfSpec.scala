@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The production IVF story: k-means-trained centroids
+  * (Similarity.buildIvfTrained) vs the deterministic every-(n/k)-th
+  * seed (buildIvf, kept for the bit-exact v4/v6 oracles).
+  *
+  * Two corpora probe the difference:
+  *  - the near-uniform testdata embeddings (IVF's worst case — no
+  *    cluster structure to exploit), where the bar is absolute recall;
+  *  - a clustered, source-ordered fixture (ids grouped by source, the
+  *    layout real ingests produce), where the untrained seed drops all
+  *    centroids into ONE source's cluster — hot cells, junk recall —
+  *    and training fixes both.
+  */
+class TrainedIvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def topkPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  private def maxOverMean(assigned: org.apache.spark.sql.DataFrame): Double = {
+    val sizes = assigned.groupBy("cell").count().collect().map(_.getLong(1))
+    sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+  }
+
+  test("trained IVF on testdata: recall@10 >= 0.8 at nProbe=10/16, cells balanced (max/mean <= 4)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (index, assigned) = Similarity.buildIvfTrained(emb, k = 16)
+    assert(index.centroids.length === 16)
+    assert(assigned.count() === emb.count())
+    assert(maxOverMean(assigned) <= 4.0)
+    val queries = emb.where(col("vec_id") % 25 === 0)
+    val exact = topkPairs(Similarity.bruteForceTopK(emb, sampleMod = 25, k = 10))
+    val ivf = topkPairs(
+      Similarity.ivfTopK(index, assigned, queries, k = 10, nProbe = 10))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"trained IVF recall@10 = $recall")
+    // exhaustive probe degenerates to exact search — trained centroids
+    // change WHERE vectors live, never what a full scan returns
+    val full = topkPairs(
+      Similarity.ivfTopK(index, assigned, queries, k = 10, nProbe = 16))
+    assert(full === exact)
+  }
+
+  /** Source-ordered clustered corpus: even ids are source A (half the
+    * mass), odd ids spread over 7 more clusters. Every (n/k)-th id is
+    * even, so the untrained seed puts ALL its centroids inside source
+    * A's cluster. Within-cluster spread (1.5) is comparable to the
+    * centroid spacing, so assignment of the other sources decorrelates
+    * from their true neighborhoods — the layout where an untrained
+    * index quietly degrades. Deterministic (fixed RNG). */
+  private lazy val clustered: org.apache.spark.sql.DataFrame = {
+    val dim = 16; val nClusters = 8; val n = 512
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian() * 1.6)
+    (0 until n).map { i =>
+      val c = if (i % 2 == 0) 0 else 1 + rnd.nextInt(nClusters - 1)
+      val v = centers(c).map(x => (x + 1.5 * rnd.nextGaussian()).toFloat).toSeq
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("clustered corpus: untrained seed centroids unbalance cells and drop recall; trained centroids fix both") {
+    val emb = clustered.cache()
+    try {
+      val exact = topkPairs(Similarity.bruteForceTopK(emb, sampleMod = 25,
+        k = 10, dim = 16))
+      val queries = emb.where(col("vec_id") % 25 === 0)
+      def recallAt(index: Similarity.IvfIndex,
+                   assigned: org.apache.spark.sql.DataFrame, nProbe: Int) = {
+        val got = topkPairs(
+          Similarity.ivfTopK(index, assigned, queries, k = 10, nProbe = nProbe))
+        (got & exact).size.toDouble / exact.size
+      }
+      val (seedIdx, seedAssigned) = Similarity.buildIvf(emb, k = 16)
+      val (trainIdx, trainAssigned) = Similarity.buildIvfTrained(emb, k = 16)
+      val (seedBal, trainBal) = (maxOverMean(seedAssigned), maxOverMean(trainAssigned))
+      val (seedRec, trainRec) = (recallAt(seedIdx, seedAssigned, 4),
+        recallAt(trainIdx, trainAssigned, 4))
+      withClue(s"seed(bal=$seedBal rec=$seedRec) trained(bal=$trainBal rec=$trainRec): ") {
+        // trained: every source owns centroids in proportion to its
+        // density — 4/16 probes recover the true neighbors, no hot cell
+        assert(trainRec >= 0.9)
+        assert(trainBal <= 2.5)
+        // untrained: all 16 centroids sit in source A's cluster — other
+        // sources assign by noise, probes rank uninformative centroids
+        assert(seedRec <= trainRec - 0.15)
+        assert(seedBal >= trainBal + 1.0)
+      }
+    } finally emb.unpersist()
+  }
+
+  test("composed IVF x int8 x rescore: exhaustive params degenerate to brute force; serving params keep recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = topkPairs(Similarity.bruteForceTopK(emb, sampleMod = 25, k = 5))
+    // probe all cells + rescore everything == exact search, bit for bit
+    val full = Similarity.ivfQuantizedSearch(emb, k = 5, nCentroids = 16,
+      nProbe = 16, rescoreK = 1000, sampleMod = 25)
+    assert(topkPairs(full) === exact)
+    // serving shape: trained index, partial probe, bounded rescore
+    val (index, assigned) = Similarity.buildIvfTrained(emb, k = 16)
+    val queries = emb.where(col("vec_id") % 25 === 0)
+    val served = topkPairs(Similarity.ivfQuantizedTopK(index, assigned, queries,
+      k = 5, nProbe = 10, rescoreK = 20))
+    val recall = (served & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"composed serving recall@5 = $recall")
+  }
+
+  test("composed path on the persisted index: scan is DPP-pruned to probed cells") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val (index, assigned) = Similarity.buildIvf(emb, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_q").toString
+    Similarity.saveIvf(index, assigned, path)
+    val (loaded, cells) = Similarity.loadIvf(spark, path)
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val df = Similarity.ivfQuantizedTopK(loaded, cells, queries,
+      k = 5, nProbe = 3, rescoreK = 20)
+    val fresh = Similarity.ivfQuantizedTopK(index, assigned, queries,
+      k = 5, nProbe = 3, rescoreK = 20)
+    assert(df.collect().map(_.toSeq).toSeq === fresh.collect().map(_.toSeq).toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
+  test("IVF cell compaction: fragmented cells collapse to one file; results and untouched cells unchanged") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") < 300)
+    val (index, assigned) = Similarity.buildIvf(resident, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    Similarity.saveIvf(index, assigned, path)
+    // five small ingest batches — each append adds files to its cells
+    (0 until 5).foreach { b =>
+      Similarity.appendToIvf(index,
+        emb.where(col("vec_id") >= 300 + b * 40 && col("vec_id") < 340 + b * 40), path)
+    }
+    def fileCounts(): Map[Int, Int] = {
+      val root = java.nio.file.Paths.get(s"$path/cells")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith("cell="))
+        .map { d =>
+          val n = java.nio.file.Files.list(d).iterator().asScala
+            .count(_.toString.endsWith(".parquet"))
+          d.getFileName.toString.stripPrefix("cell=").toInt -> n
+        }.toMap
+    }
+    val before = fileCounts()
+    assert(before.values.max > 3, s"fixture not fragmented: $before")
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val (_, cells0) = Similarity.loadIvf(spark, path)
+    // materialize BEFORE compaction: the pre-compaction frames chase
+    // deleted files if re-executed afterwards
+    val nRowsBefore = cells0.count()
+    val resultsBefore = Similarity.ivfTopK(index, cells0, queries, k = 5, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+
+    val compacted = Similarity.compactIvfCells(spark, path, maxFilesPerCell = 3)
+    val after = fileCounts()
+    assert(compacted.nonEmpty)
+    assert(after.values.max <= 3, s"still fragmented: $after")
+    compacted.foreach(c => assert(after(c) === 1))
+    // cells under the threshold were not rewritten
+    before.filter(_._2 <= 3).foreach { case (c, n) => assert(after(c) === n) }
+    // compaction rewrites layout, never content
+    val (_, cells1) = Similarity.loadIvf(spark, path)
+    val resultsAfter = Similarity.ivfTopK(index, cells1, queries, k = 5, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(resultsAfter === resultsBefore)
+    assert(cells1.count() === nRowsBefore)
+  }
+}
