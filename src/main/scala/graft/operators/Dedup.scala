@@ -347,6 +347,81 @@ object Dedup {
       .orderBy(col("comp"))
   }
 
+  // ------------------------------------- composed dedup pipeline (c2)
+
+  /** The whole dedup story as ONE operator — the 100 TB near-dup
+    * pipeline end to end: MinHash-LSH candidates ([[minhashLshPairs]])
+    * → connected components ([[connectedComponents]]) → best-member
+    * survivor per cluster ([[survivors]], quality = text length) →
+    * survivor-only corpus rollup. Returns one row:
+    * (n_docs, n_clustered, n_clusters, n_removed, n_kept, kept_chars).
+    *
+    * Scale shape: pairs exist only long enough to become component
+    * labels — the iterative CC loop consumes them and checkpoints the
+    * (id, comp) table, so the final rollup plan starts from that leaf
+    * and joins documents on the doc key; the pair relation never
+    * materializes past the components stage (plan-asserted in
+    * PlanSpec). Everything downstream of CC is doc-keyed: one window
+    * pass for survivors, one left join + aggregate for the rollup. */
+  def dedupPipelineSummary(docs: DataFrame, k: Int, bands: Int,
+                           rowsPerBand: Int, threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(docs, k, bands, rowsPerBand, threshold)
+      .select(col("id1"), col("id2"))
+    val comps = connectedComponents(pairs, assumeDistinctPairs = true)
+    val quality = docs.select(col("doc_id").as("id"),
+      length(col("text")).cast("long").as("quality"))
+    val surv = survivors(comps, quality)
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("chars"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(surv.select(col("survivor").as("doc_id"), lit(true).as("is_surv")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("removed", col("comp").isNotNull && col("is_surv").isNull)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("comp")).as("n_clustered"),
+        countDistinct(col("comp")).as("n_clusters"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("removed"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("removed"), col("chars")).otherwise(0L)).as("kept_chars"))
+  }
+
+  /** DuckDB oracle for [[dedupPipelineSummary]]: the full pipeline in
+    * SQL — the [[minhashLshSql]] candidate query as a nested CTE, the
+    * recursive-CTE reachability fixpoint HashMin converges to, the same
+    * (quality desc, id) survivor pick, the same survivor-only rollup. */
+  def dedupPipelineSql(k: Int, bands: Int, rowsPerBand: Int,
+                       threshold: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashLshSql(k, bands, rowsPerBand, threshold)}),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |walk(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |q AS (SELECT doc_id AS id, length(text) AS quality FROM documents),
+       |r AS (
+       |  SELECT c.comp, c.id,
+       |         ROW_NUMBER() OVER (PARTITION BY c.comp
+       |                            ORDER BY q.quality DESC, c.id) AS rn
+       |  FROM comps c JOIN q USING (id)),
+       |surv AS (SELECT comp, MAX(CASE WHEN rn = 1 THEN id END) AS survivor
+       |         FROM r GROUP BY comp),
+       |flags AS (
+       |  SELECT d.doc_id, c.comp,
+       |         c.comp IS NOT NULL AND
+       |           d.doc_id NOT IN (SELECT survivor FROM surv) AS removed,
+       |         length(d.text) AS chars
+       |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(comp) AS BIGINT) AS n_clustered,
+       |       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_clusters,
+       |       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST(SUM(CASE WHEN NOT removed THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN NOT removed THEN chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM flags""".stripMargin
+
   // -------------------------------------------------- decontamination
 
   /** Benchmark-contamination check: for each document in the benchmark

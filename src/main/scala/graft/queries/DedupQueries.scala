@@ -66,7 +66,13 @@ object DedupQueries {
         Dedup.connectedComponents(levenshteinPairs(s, dir),
           assumeDistinctPairs = true),
         Tables.part(s, dir).select(col("p_partkey").as("id"),
-          col("p_retailprice").as("quality"))))
+          col("p_retailprice").as("quality")))),
+
+    // The whole dedup pipeline end to end over documents: LSH
+    // candidates → components → survivors → survivor-only rollup.
+    "c2_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipelineSummary(Tables.documents(s, dir),
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05))
   )
 
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
@@ -147,6 +153,9 @@ object DedupQueries {
         |  FROM comps c JOIN part pt ON pt.p_partkey = c.id)
         |SELECT comp, COUNT(*) AS n_members,
         |       CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS survivor
-        |FROM r GROUP BY comp ORDER BY comp""".stripMargin
+        |FROM r GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "c2_dedup_pipeline" ->
+      Dedup.dedupPipelineSql(k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)
   )
 }

@@ -193,6 +193,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Arguments: hashpartitioning".r.findAllIn(p).size === 2, p) // md5 window + lang agg
   }
 
+  test("c2: pair relation never materializes past the components stage — rollup starts from the checkpointed label leaf") {
+    val p = physical("c2_dedup_pipeline")
+    // connected components consumed the LSH pairs and checkpointed the
+    // (id, comp) labels: the final plan's only non-parquet input is that
+    // RDD leaf, and none of the band/bucket pair machinery appears
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("bucket"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // documents is read for quality/chars only — pairs contribute no scan
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 2, p)
+  }
+
   test("suite-wide: no accidental cartesian/nested-loop joins in ANY declared query") {
     // operators whose ALGORITHM is an intentional cross product:
     // brute-force cosine ground truths (v1/v3/v5 — guarded or sampled
