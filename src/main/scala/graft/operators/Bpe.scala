@@ -75,6 +75,129 @@ object Bpe {
     (merges.result(), syms)
   }
 
+  /** Greedy left-to-right application of `ms` in order — the same
+    * non-overlapping fold as [[mergeColumn]], in plain JVM code (shared
+    * by [[encode]], [[trainBatched]] and [[trainSampled]]). */
+  private def applyMergesSeq(toks0: Seq[String],
+                             ms: Array[(String, String)]): Seq[String] = {
+    var toks = toks0
+    ms.foreach { case (a, b) =>
+      val merged = a + " " + b
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      toks.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = merged
+        else out += x
+      }
+      toks = out.toSeq
+    }
+    toks
+  }
+
+  /** Scale-shaped trainer: per round, take the GLOBAL top pairs once
+    * and accept a maximal prefix whose symbols are pairwise disjoint
+    * (merging (a,b) only perturbs counts of pairs touching a or b, so
+    * disjoint pairs' counts stay exact), bounded by the halving rule
+    * (stop the batch when a count drops below half the round's top —
+    * the window where a merge-created pair could outrank a stale
+    * count). One batch = one count job + one merge pass instead of one
+    * PER MERGE: a 32k-merge vocabulary stops being 32k sequential
+    * driver round-trips ([[train]]'s shape) and becomes
+    * ~32k/batch rounds — the standard batched-BPE trick. Batching may
+    * LOCALLY reorder equal-count merges relative to [[train]] (a
+    * skipped overlapping pair waits for the next recount), but the
+    * sequence stays a valid greedy BPE run: each round's first pick is
+    * the global argmax, and every recorded count is the TRUE corpus
+    * count at the moment its merge applies — BpeSpec replays the
+    * sequence with exact recounting to prove it, alongside the ≥10×
+    * job-count reduction. For bit-identical-to-sequential merges use
+    * [[trainSampled]]. */
+  def trainBatched(docs: DataFrame, nMerges: Int,
+                   batchCap: Int = 64): (Seq[Merge], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var syms = docs.select(col("doc_id"),
+      TextAnalysis.toks(col("text")).as("syms")).cache()
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      // fetch extra rows beyond the cap: overlap-skipped pairs make the
+      // accepted set a subsequence of the fetched prefix
+      val top = adjacentPairs(syms)
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(math.max(4 * batchCap, 64)).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet[String]()
+        val accepted = scala.collection.mutable.ArrayBuffer[Merge]()
+        val roundTop = top(0).getLong(2)
+        val roundCap = math.min(batchCap, nMerges - merges.size)
+        var i = 0
+        var stop = false
+        while (i < top.length && accepted.size < roundCap && !stop) {
+          val (a, b, n) = (top(i).getString(0), top(i).getString(1),
+            top(i).getLong(2))
+          // halving rule: below roundTop/2 a pair CREATED by an earlier
+          // accepted merge could legitimately outrank these stale
+          // counts — end the batch and recount
+          if (accepted.nonEmpty && n * 2 <= roundTop) stop = true
+          else if (!used(a) && !used(b)) {
+            accepted += Merge(a, b, n); used += a; used += b
+          }
+          i += 1
+        }
+        val ms = accepted.map(m => (m.a, m.b)).toArray
+        val next = syms.as[(Long, Seq[String])]
+          .mapPartitions(_.map { case (id, t) => (id, applyMergesSeq(t, ms)) })
+          .toDF("doc_id", "syms").cache()
+        next.count() // materialize before releasing the parent's blocks
+        syms.unpersist()
+        syms = next
+        merges ++= accepted
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  /** Driver-local sampled trainer — what production tokenizer trainers
+    * actually do (a vocabulary converges on a few hundred MB of
+    * representative text; the corpus-scale machinery is for ENCODE,
+    * which stays fully distributed). Deterministic content-independent
+    * sample: doc_id-hash one-in-`sampleMod`. Runs the exact [[train]]
+    * semantics in memory: total Spark jobs = 1 collect, regardless of
+    * vocabulary size. */
+  def trainSampled(docs: DataFrame, nMerges: Int, sampleMod: Int): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var corpus: Array[Seq[String]] = docs
+      .where(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+      .select(TextAnalysis.toks(col("text")))
+      .as[Seq[String]].collect()
+    val merges = Seq.newBuilder[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      corpus.foreach { toks =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + 1
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += Merge(a, b, n)
+        val ms = Array((a, b))
+        corpus = corpus.map(applyMergesSeq(_, ms))
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
   /** Final vocabulary: symbol frequencies after training. */
   def vocab(syms: DataFrame): DataFrame =
     syms.select(explode(col("syms")).as("sym"))
@@ -97,22 +220,7 @@ object Bpe {
     docs.select(col("doc_id"),
         TextAnalysis.toks(col("text")).as("syms"))
       .as[(Long, Seq[String])]
-      .mapPartitions { it =>
-        it.map { case (id, toks0) =>
-          var toks = toks0
-          ms.foreach { case (a, b) =>
-            val merged = a + " " + b
-            val out = scala.collection.mutable.ArrayBuffer[String]()
-            toks.foreach { x =>
-              if (out.nonEmpty && out.last == a && x == b)
-                out(out.length - 1) = merged
-              else out += x
-            }
-            toks = out.toSeq
-          }
-          (id, toks)
-        }
-      }
+      .mapPartitions(_.map { case (id, toks0) => (id, applyMergesSeq(toks0, ms)) })
       .toDF("doc_id", "syms")
   }
 }

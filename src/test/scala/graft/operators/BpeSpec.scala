@@ -81,6 +81,72 @@ class BpeSpec extends AnyFunSuite {
     } finally syms.unpersist()
   }
 
+  private def countJobs(group: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(group, group)
+    try body finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(1000) // status tracker is fed asynchronously
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("batched trainer: valid BPE merge sequence (every count true at application time), >=10x fewer Spark jobs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .where(pmod(col("doc_id"), lit(3)) === 0)
+    var seq: (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame) = null
+    var bat: (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame) = null
+    val seqJobs = countJobs("bpe_seq") { seq = Bpe.train(docs, nMerges = 40) }
+    val batJobs = countJobs("bpe_bat") { bat = Bpe.trainBatched(docs, nMerges = 40) }
+    try {
+      // every round's FIRST pick is the global argmax — provably the
+      // same pair the per-merge loop takes
+      assert(bat._1.head === seq._1.head)
+      assert(bat._1.size === 40)
+      // replay validity: disjoint batching promises each recorded count
+      // is the TRUE pair count at the moment the merge applies (stale
+      // counts are exactly what the disjointness + halving rules
+      // exclude) — replay the sequence with exact recounting and check
+      var corpus = docs
+        .select(col("doc_id"), TextAnalysis.toks(col("text")).as("syms"))
+        .as[(Long, Vector[String])].collect().toMap
+      bat._1.foreach { m =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        corpus.values.foreach(_.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+          case _ =>
+        })
+        assert(counts.getOrElse((m.a, m.b), 0L) === m.n,
+          s"stale count recorded for $m")
+        val mm = m.a + " " + m.b
+        corpus = corpus.view.mapValues(_.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == m.a && x == m.b) acc.init :+ mm
+          else acc :+ x
+        }).toMap
+      }
+      // the replayed corpus is exactly the trainer's final corpus
+      assert(bat._2.as[(Long, Vector[String])].collect().toMap === corpus)
+      assert(seqJobs >= 10 * batJobs,
+        s"jobs: per-merge=$seqJobs batched=$batJobs — batching lost its point")
+    } finally { seq._2.unpersist(); bat._2.unpersist() }
+  }
+
+  test("sampled trainer: merges identical to the distributed reference, >=10x fewer Spark jobs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+    var ref: (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame) = null
+    var sampled: Seq[Bpe.Merge] = null
+    val refJobs = countJobs("bpe_ref") { ref = Bpe.train(docs, nMerges = 6) }
+    val samJobs = countJobs("bpe_sam") {
+      sampled = Bpe.trainSampled(docs, nMerges = 6, sampleMod = 1)
+    }
+    try {
+      assert(sampled === ref._1)
+      assert(refJobs >= 10 * samJobs,
+        s"jobs: distributed=$refJobs sampled=$samJobs")
+      // encode with sampled merges is the fully-distributed path
+      val enc = Bpe.encode(docs, sampled).as[(Long, Vector[String])].collect().toMap
+      assert(enc === ref._2.as[(Long, Vector[String])].collect().toMap)
+    } finally ref._2.unpersist()
+  }
+
   test("merge counts are non-increasing and early-exhaustion stops cleanly") {
     val tiny = Seq((1L, "x y x y x y"), (2L, "x y z")).toDF("doc_id", "text")
     val (merges, syms) = Bpe.train(tiny, nMerges = 50)
