@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Bench regression tripwire.
+
+Compares a bench run's per-query times against the committed snapshot
+(scripts/bench_baseline_r04.json) and fails when any query regresses
+more than THRESHOLD x, or the total does. Guards against the r3-style
+silent inflation (cached-relation leaks, accidental plan changes)
+shipping unnoticed.
+
+Usage:
+  # run the bench at sf0.1 and compare (the default):
+  python3 scripts/bench_regression.py --run
+  # or compare an existing bench JSON line / driver BENCH_r*.json:
+  python3 scripts/bench_regression.py bench_output.json
+
+New queries (not in the snapshot) are reported informationally and do
+not fail. Queries under MIN_SECS in the baseline are compared against
+an absolute floor instead of the ratio (sub-300ms timings are mostly
+job-scheduling jitter at local[32]).
+"""
+import json, os, re, subprocess, sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE = os.path.join(HERE, "bench_baseline_r04.json")
+THRESHOLD = 1.5   # fail when query_time > THRESHOLD * baseline
+MIN_SECS = 0.3    # ratio only meaningful above scheduling jitter
+ABS_SLACK = 0.45  # small queries fail only past baseline + ABS_SLACK
+
+
+def load_bench(path):
+    with open(path) as f:
+        data = json.load(f)
+    if "parsed" in data and data["parsed"]:   # driver BENCH_r*.json shape
+        data = data["parsed"]
+    return data
+
+
+def run_bench(sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(HERE)).stdout
+    m = None
+    for line in out.splitlines():
+        mm = re.search(r'\{"metric".*\}', line)
+        if mm:
+            m = mm.group(0)
+    if not m:
+        print("FATAL: no bench JSON line in sbt output")
+        sys.exit(2)
+    return json.loads(m)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--run" in sys.argv or not args:
+        bench = run_bench(os.environ.get("SPARK_GRAFT_SF_DIR",
+                                         "/root/testdata/sf0.1"))
+    else:
+        bench = load_bench(args[0])
+    base = json.load(open(BASELINE))
+    bq, cq = base["queries"], bench.get("queries", {})
+
+    failures, new = [], []
+    for q, t in sorted(cq.items()):
+        if q not in bq:
+            new.append(f"  new  {q}: {t:.3f}s (no baseline)")
+            continue
+        b = bq[q]
+        if b >= MIN_SECS:
+            if t > THRESHOLD * b:
+                failures.append(f"  REGRESSED {q}: {t:.3f}s vs baseline {b:.3f}s "
+                                f"({t / b:.2f}x > {THRESHOLD}x)")
+        elif t > b + ABS_SLACK and t > THRESHOLD * b:
+            failures.append(f"  REGRESSED {q}: {t:.3f}s vs baseline {b:.3f}s "
+                            f"(small-query floor {b + ABS_SLACK:.3f}s)")
+    missing = sorted(set(bq) - set(cq))
+
+    total, btotal = bench.get("value"), base["total"]
+    total_bad = total is not None and total > THRESHOLD * btotal
+    print(f"total: {total}s vs baseline {btotal}s"
+          + (" REGRESSED" if total_bad else " ok"))
+    for line in new:
+        print(line)
+    if missing:
+        print(f"  note: baseline queries absent from this run: {', '.join(missing)}")
+    if failures or total_bad:
+        print(f"\n{len(failures)} per-query regression(s) > {THRESHOLD}x:")
+        for f in failures:
+            print(f)
+        sys.exit(1)
+    print(f"no regressions > {THRESHOLD}x across {len(cq)} queries")
+
+
+if __name__ == "__main__":
+    main()

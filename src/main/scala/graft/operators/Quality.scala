@@ -41,6 +41,14 @@ object Quality {
     * key shuffles, scan separately. */
   def report(table: DataFrame, checks: Seq[Check],
              parents: Map[String, DataFrame] = Map.empty): DataFrame = {
+    require(checks.nonEmpty, "Quality.report needs at least one check")
+    checks.foreach {
+      case OrphanCheck(n, _, parentTable, _) =>
+        require(parents.contains(parentTable),
+          s"OrphanCheck '$n' references parent table '$parentTable' " +
+            s"but parents only has ${parents.keys.mkString("[", ", ", "]")}")
+      case _ =>
+    }
     val preds = checks.collect { case p: PredCheck => p }
     val predReport: Option[DataFrame] =
       if (preds.isEmpty) None

@@ -39,9 +39,12 @@ object Sketches {
       if (s.size <= k) s else s.take(k)
     override def reduce(b: Seq[(Long, String)],
                         in: (Long, String)): Seq[(Long, String)] = {
-      // insert in (hash, value) order; bail early when the new pair is
-      // past a full buffer's tail
-      if (b.size == k && implicitly[Ordering[(Long, String)]].lteq(b.last, in)) b
+      // insert in (hash, value) order; bail early only when the new
+      // pair is STRICTLY past a full buffer's tail — an equal pair
+      // takes the insert path, so tie handling matches the non-full
+      // case and the sort-take/ROW_NUMBER oracle (duplicates kept)
+      // regardless of buffer fill
+      if (b.size == k && implicitly[Ordering[(Long, String)]].lt(b.last, in)) b
       else {
         val (lo, hi) = b.span(implicitly[Ordering[(Long, String)]].lt(_, in))
         truncate((lo :+ in) ++ hi)

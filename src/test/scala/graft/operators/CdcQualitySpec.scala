@@ -27,6 +27,43 @@ class CdcQualitySpec extends AnyFunSuite {
     assert(out === Map(1L -> "b", 3L -> "new", 4L -> "late"))
   }
 
+  test("applyChangelog: guards — unknown/null op fails the job, input _rn column survives untouched") {
+    val bad = Seq((1L, 1L, "X", "a")).toDF("k", "seq", "op", "payload")
+    val e = intercept[Exception] {
+      Cdc.applyChangelog(bad, key = "k", seq = "seq").collect()
+    }
+    assert(e.getMessage.contains("op must be one of I/U/D"), e.getMessage)
+    val nul = Seq((1L, 1L, null: String, "a")).toDF("k", "seq", "op", "payload")
+    intercept[Exception] {
+      Cdc.applyChangelog(nul, key = "k", seq = "seq").collect()
+    }
+    // a payload column named _rn must not be clobbered by the helper
+    val withRn = Seq((1L, 1L, "I", "keep-me"), (1L, 2L, "U", "latest"))
+      .toDF("k", "seq", "op", "_rn")
+    val out = Cdc.applyChangelog(withRn, key = "k", seq = "seq").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "latest")))
+  }
+
+  test("mergeAggStates: key-only inputs are rejected instead of crashing opaquely") {
+    val a = Seq((1L, "x")).toDF("k1", "k2")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.mergeAggStates(a, a, keys = Seq("k1", "k2"))
+    }
+    assert(e.getMessage.contains("no partial columns"), e.getMessage)
+  }
+
+  test("DQ report: empty check list and unresolvable parent table are rejected with clear errors") {
+    val t = Seq((1L, "a")).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Quality.report(t, Seq.empty)
+    }
+    assert(e1.getMessage.contains("at least one check"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Quality.report(t, Seq(Quality.OrphanCheck("fk", "id", "missing_tbl", "id")))
+    }
+    assert(e2.getMessage.contains("missing_tbl"), e2.getMessage)
+  }
+
   test("applyChangelog: seq collision resolved by the explicit tiebreak column") {
     val log = Seq(
       (1L, 1L, "I", 10L, "first"), (1L, 1L, "U", 20L, "second"))
