@@ -195,6 +195,32 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
     }
   }
 
+  /** Startup schema migration (main.py:14-30 `_migrate_experiments_table`):
+    * add late columns with defaults to an EXISTING experiments table
+    * that predates them. ALTER TABLE ADD COLUMN on immutable parquet =
+    * read → withColumn(default) → rewrite-and-swap. Idempotent like the
+    * reference: a no-op when the table is absent or already carries
+    * every column. Returns the column names actually added. */
+  def migrateExperimentsSchema(migrations: Seq[(String, org.apache.spark.sql.Column)]
+                                 = LexamStore.ExperimentMigrations): Seq[String] =
+    writeLock.synchronized {
+      if (!exists("experiments")) Seq.empty
+      else {
+        val df = spark.read.parquet(p("experiments"))
+        val missing = migrations.filterNot { case (n, _) => df.columns.contains(n) }
+        if (missing.isEmpty) Seq.empty
+        else {
+          val migrated = missing.foldLeft(df) {
+            case (d, (n, default)) => d.withColumn(n, default)
+          }
+          val tmp = p("experiments_tmp")
+          migrated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+          swap(Paths.get(tmp), Paths.get(p("experiments")))
+          missing.map(_._1)
+        }
+      }
+    }
+
   /** Compact one experiment's partition into `targetFiles` files —
     * streaming/incremental appends (S7) accumulate small files; compaction
     * is the standard maintenance pass that keeps scans fast. */
@@ -231,6 +257,19 @@ class LexamStore(val spark: SparkSession, val baseDir: String) {
     Files.walk(path).iterator().asScala.toSeq.reverse
       .foreach(Files.deleteIfExists(_))
   }
+}
+
+object LexamStore {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+
+  /** The reference's migration set (main.py:20-26), with its defaults. */
+  val ExperimentMigrations: Seq[(String, Column)] = Seq(
+    "judge_system_prompt" -> lit(null).cast("string"),
+    "temperature"         -> lit(0.7),
+    "max_tokens"          -> lit(2048),
+    "judge_temperature"   -> lit(0.3),
+    "judge_max_tokens"    -> lit(4096))
 }
 
 /** Experiment status state machine (P6; models.py:131 + transitions in

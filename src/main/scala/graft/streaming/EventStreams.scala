@@ -213,6 +213,33 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Session configs for the RocksDB state-store backend. The default
+    * HDFS-backed provider keeps EVERY live state row on the executor
+    * heap — fine for bounded demo windows, an OOM by construction when
+    * 100 TB of events hold hundreds of millions of open sessions or
+    * in-watermark dedup keys. RocksDB keeps the working set on local
+    * disk with a block-cache in front, and changelog checkpointing
+    * ships per-batch deltas instead of full snapshots. Apply BEFORE a
+    * query starts (the provider is fixed at query start); see
+    * [[withRocksDbStateStore]] for a scoped form. */
+  val RocksDbStateStoreConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
+  /** Run `body` (start streaming queries inside it) with the RocksDB
+    * state store, restoring the previous provider after. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val prev = RocksDbStateStoreConfigs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    RocksDbStateStoreConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Stream-static enrichment: each micro-batch hash-joins against the
     * static dimension — no state, the standard dimension-lookup shape
     * (the static side re-plans per batch, so a small dim broadcasts). */

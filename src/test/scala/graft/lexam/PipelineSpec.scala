@@ -288,4 +288,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.judgments.count() === 0)
     assert(store.getExperiment(4L).isEmpty)
   }
+
+  test("schema migration: late columns land with the reference defaults, idempotently (main.py:14-30)") {
+    val store = freshStore()
+    // a pre-upgrade experiments table: written before the tuning/judge
+    // columns existed (exactly the reference's migration scenario)
+    store.saveExperiment(exp)
+    val legacy = spark.read.parquet(s"${store.baseDir}/experiments")
+      .drop("judge_system_prompt", "temperature", "max_tokens",
+        "judge_temperature", "judge_max_tokens")
+    val tmp = s"${store.baseDir}/experiments_legacy"
+    legacy.write.parquet(tmp)
+    store.spark.catalog.refreshByPath(store.baseDir)
+    val target = java.nio.file.Paths.get(s"${store.baseDir}/experiments")
+    org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+
+    val added = store.migrateExperimentsSchema()
+    assert(added.toSet === Set("judge_system_prompt", "temperature",
+      "max_tokens", "judge_temperature", "judge_max_tokens"))
+    // typed reads work again and the defaults are the reference's
+    val e = store.getExperiment(1L).get
+    assert(e.temperature === 0.7 && e.max_tokens === 2048)
+    assert(e.judge_temperature === 0.3 && e.judge_max_tokens === 4096)
+    assert(e.judge_system_prompt === null) // TEXT with no default
+    assert(e.name === exp.name) // pre-existing data untouched
+    // second run is a no-op (reference re-runs this on every startup)
+    assert(store.migrateExperimentsSchema() === Seq.empty)
+    // schema evolution on an APPEND table: a new batch carrying a late
+    // column coexists with old files via mergeSchema — old rows null
+    store.appendAnswers(Seq((10L, 1L, "a")).toDF("id", "experiment_id", "answer_text"))
+    store.appendAnswers(Seq((11L, 1L, "b", 42))
+      .toDF("id", "experiment_id", "answer_text", "tokens_used"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"${store.baseDir}/answers")
+    val byId = merged.select("id", "tokens_used").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId === Map(10L -> None, 11L -> Some(42)))
+  }
 }
