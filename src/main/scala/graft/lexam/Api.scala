@@ -254,6 +254,20 @@ object Api {
   def questionCount(store: pipeline.LexamStore, fc: FilterConfig): Long =
     Filters.filterVariants(store.variants, store.questions, fc).count()
 
+  /** POST /api/experiments/{id}/question-count
+    * (routers/experiments.py:174-178): preview the variant count for an
+    * UNSAVED config. The body is the reference's loose dict — a missing
+    * or null `filter_config` means "no filters" (`body.get(...)` with a
+    * `{}` default), and a partial one normalizes through the same
+    * scalar-promoting, falsy-inactive rules as create/update. */
+  def questionCountPreview(store: pipeline.LexamStore,
+                           body: Map[String, Any]): Long =
+    questionCount(store, body.get("filter_config") match {
+      case Some(m: Map[_, _]) =>
+        FilterConfig.fromMap(m.asInstanceOf[Map[String, Any]])
+      case _ => FilterConfig()
+    })
+
   /** GET /api/experiments/{id}/stats (experiment_stats.py:13-114). */
   def experimentStats(store: pipeline.LexamStore, experimentId: Long,
                       modelName: Option[String] = None,

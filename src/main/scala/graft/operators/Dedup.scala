@@ -248,7 +248,12 @@ object Dedup {
                           broadcastNodeLimit: Long = 4000000L,
                           assumeDistinctPairs: Boolean = false,
                           pointerJumping: Boolean = false): DataFrame = {
-    val e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    // cache the DIRECTED pairs before doubling: both union branches
+    // reference the pair subtree, which is typically the expensive part
+    // of the whole job (an LSH candidate join, a sampled cross join) —
+    // without the cache it executes twice inside the edges
+    // materialization. Released as soon as edges itself is cached.
+    val e = pairs.select(col("id1").as("src"), col("id2").as("dst")).cache()
     // duplicate edges are harmless to the min-aggregate (idempotent) but
     // cost every round's join; dedup once up front — unless the caller
     // guarantees unique pairs, which this library's own producers do
@@ -265,6 +270,7 @@ object Dedup {
     // edges is referenced once per round, so a plain cache suffices there.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    e.unpersist() // edges is materialized now; the pair subtree ran once
     def propagate(small: Boolean)(l: DataFrame): DataFrame = {
       val edgeMin = l.union(edges
           .join(if (small) broadcast(l.withColumnRenamed("id", "dst"))

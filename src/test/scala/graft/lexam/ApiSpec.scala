@@ -113,6 +113,15 @@ class ApiSpec extends AnyFunSuite {
     intercept[NoSuchElementException](Api.getExperiment(store, 12345L))
     assert(Api.questionCount(store,
       FilterConfig(language = Seq("en"))) === 7L)
+    // POST-body-shaped preview (experiments.py:174-178): partial dict
+    // normalizes (bare scalar promoted), absent/null filter_config
+    // counts everything, unknown keys ignored
+    assert(Api.questionCountPreview(store,
+      Map("filter_config" -> Map("language" -> "en", "bogus" -> 1))) === 7L)
+    val total = Api.questionCount(store, FilterConfig())
+    assert(Api.questionCountPreview(store, Map.empty) === total)
+    assert(Api.questionCountPreview(store,
+      Map("filter_config" -> null)) === total)
 
     // orphaned judgments: a bulk answers delete (generation.py:73-84
     // bypasses ORM cascade) leaves judgment rows on disk, but the
