@@ -224,7 +224,7 @@ object Similarity {
     * (read → coalesce → tmp → atomic-ish dir swap); untouched cells
     * keep their files byte-identical, and search results are unchanged
     * because compaction only rewrites row layout, never content
-    * (asserted in IvfPersistSpec). Returns the compacted cell ids. */
+    * (asserted in TrainedIvfSpec). Returns the compacted cell ids. */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerCell: Int, targetFiles: Int = 1): Seq[Int] = {
     require(maxFilesPerCell >= 1 && targetFiles >= 1)

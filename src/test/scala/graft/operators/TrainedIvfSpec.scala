@@ -95,6 +95,35 @@ class TrainedIvfSpec extends AnyFunSuite {
     } finally emb.unpersist()
   }
 
+  test("dup-heavy corpus: seed centroids collapse into hot cells (a full scan in disguise); trained cells stay balanced") {
+    // 8 exact copies of every vector, ids shifted per copy — the
+    // duplicate-heavy layout real web corpora have. The every-(n/k)-th
+    // seed then draws its 16 centroids from very few DISTINCT vectors,
+    // so the whole corpus lands in a couple of cells and a 4/16-probe
+    // search silently degenerates to scanning everything (measured on
+    // the 8x sf0.1 corpus: v6-with-seed 27.6 s ~= flat v5, 2 effective
+    // cells of ~8k rows; v6-with-trained 9.0 s, 16 cells, max/mean 1.4)
+    val base = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val emb = (0 until 8).map(c =>
+        base.select((col("vec_id") + lit(c * 10000L)).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_)).cache()
+    try {
+      val n = emb.count()
+      val (_, seedAssigned) = Similarity.buildIvf(emb, k = 16)
+      val seedSizes = seedAssigned.groupBy("cell").count().collect().map(_.getLong(1))
+      // the seed index degenerates: nearly everything in a few hot cells
+      assert(seedSizes.length <= 4,
+        s"expected collapsed seed cells, got ${seedSizes.length}")
+      assert(seedSizes.max >= n / 4, s"expected a hot cell, got ${seedSizes.toSeq}")
+      val (_, trainAssigned) = Similarity.buildIvfTrained(emb, k = 16)
+      val trainSizes = trainAssigned.groupBy("cell").count().collect().map(_.getLong(1))
+      assert(trainSizes.length === 16)
+      assert(trainSizes.max.toDouble / (n.toDouble / 16) <= 2.5,
+        s"trained cells unbalanced: ${trainSizes.sorted.toSeq}")
+    } finally emb.unpersist()
+  }
+
   test("composed IVF x int8 x rescore: exhaustive params degenerate to brute force; serving params keep recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = topkPairs(Similarity.bruteForceTopK(emb, sampleMod = 25, k = 5))
