@@ -30,7 +30,11 @@ ABS_SLACK = 0.45  # small queries fail only past baseline + ABS_SLACK
 def load_bench(path):
     with open(path) as f:
         data = json.load(f)
-    if "parsed" in data and data["parsed"]:   # driver BENCH_r*.json shape
+    if "parsed" in data:                      # driver BENCH_r*.json shape
+        if not data["parsed"]:
+            print(f"FATAL: {path} has parsed=null — the bench run was "
+                  "not parseable; that is itself a regression")
+            sys.exit(2)
         data = data["parsed"]
     return data
 

@@ -111,9 +111,11 @@ object Bpe {
     * count at the moment its merge applies — BpeSpec replays the
     * sequence with exact recounting to prove it, alongside the ≥10×
     * job-count reduction. For bit-identical-to-sequential merges use
-    * [[trainSampled]]. */
+    * [[trainSampled]]. Returned symbol frame is CACHED (same contract
+    * as [[train]]) — unpersist it when done. */
   def trainBatched(docs: DataFrame, nMerges: Int,
                    batchCap: Int = 64): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 0 && batchCap >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
     var syms = docs.select(col("doc_id"),

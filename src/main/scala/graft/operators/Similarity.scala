@@ -231,6 +231,8 @@ object Similarity {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val cellsRoot = new HPath(s"$path/cells")
     val fs = FileSystem.get(cellsRoot.toUri, spark.sessionState.newHadoopConf())
+    require(fs.exists(cellsRoot),
+      s"$path is not a saved IVF index (no cells/ directory — see saveIvf)")
     val compacted = Seq.newBuilder[Int]
     fs.listStatus(cellsRoot).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("cell=")).foreach { dir =>
