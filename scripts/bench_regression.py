@@ -68,6 +68,11 @@ def main():
 
     failures, new = [], []
     for q, t in sorted(cq.items()):
+        if t < 0:
+            # Bench records a CRASHED query as -1.0 so it can't read as a
+            # fast success — neither may the tripwire
+            failures.append(f"  FAILED {q}: bench recorded {t} (query crashed)")
+            continue
         if q not in bq:
             new.append(f"  new  {q}: {t:.3f}s (no baseline)")
             continue
@@ -79,7 +84,12 @@ def main():
         elif t > b + ABS_SLACK and t > THRESHOLD * b:
             failures.append(f"  REGRESSED {q}: {t:.3f}s vs baseline {b:.3f}s "
                             f"(small-query floor {b + ABS_SLACK:.3f}s)")
+    # a baseline query absent from the run is a failure, not a footnote:
+    # vanishing queries (dropped from SparkEntry, truncated JSON) are the
+    # r2/r3 silent-shrinkage mode this script exists to catch
     missing = sorted(set(bq) - set(cq))
+    for q in missing:
+        failures.append(f"  MISSING {q}: in baseline but absent from this run")
 
     total, btotal = bench.get("value"), base["total"]
     total_bad = total is not None and total > THRESHOLD * btotal
@@ -87,10 +97,8 @@ def main():
           + (" REGRESSED" if total_bad else " ok"))
     for line in new:
         print(line)
-    if missing:
-        print(f"  note: baseline queries absent from this run: {', '.join(missing)}")
     if failures or total_bad:
-        print(f"\n{len(failures)} per-query regression(s) > {THRESHOLD}x:")
+        print(f"\n{len(failures)} per-query failure(s):")
         for f in failures:
             print(f)
         sys.exit(1)

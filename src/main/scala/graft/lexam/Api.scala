@@ -265,7 +265,14 @@ object Api {
     questionCount(store, body.get("filter_config") match {
       case Some(m: Map[_, _]) =>
         FilterConfig.fromMap(m.asInstanceOf[Map[String, Any]])
-      case _ => FilterConfig()
+      case None | Some(null) => FilterConfig()
+      case Some(other) =>
+        // a present-but-non-object config (e.g. double-encoded JSON
+        // string) errors in the reference too (dict ops on a str) —
+        // returning the unfiltered total would be a plausible-looking
+        // wrong answer
+        throw new IllegalArgumentException(
+          s"filter_config must be an object, got ${other.getClass.getSimpleName}")
     })
 
   /** GET /api/experiments/{id}/stats (experiment_stats.py:13-114). */

@@ -190,7 +190,13 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        val ((a, b), n) = counts.reduce { (p, q) =>
+          val better =
+            if (p._2 != q._2) p._2 > q._2
+            else if (p._1._1 != q._1._1) utf8Lt(p._1._1, q._1._1)
+            else utf8Lt(p._1._2, q._1._2)
+          if (better) p else q
+        }
         merges += Merge(a, b, n)
         val ms = Array((a, b))
         corpus = corpus.map(applyMergesSeq(_, ms))
@@ -198,6 +204,24 @@ object Bpe {
       round += 1
     }
     merges.result()
+  }
+
+  /** Spark's StringType sort order is unsigned UTF-8 BYTE lexicographic
+    * (UTF8String.compareTo); the JVM's String ordering compares UTF-16
+    * code units and disagrees for supplementary-plane characters. The
+    * driver-local tie-break must match [[train]]'s `orderBy` exactly,
+    * so compare bytes. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Final vocabulary: symbol frequencies after training. */

@@ -181,6 +181,19 @@ object Similarity {
     best
   }
 
+  /** The `nProbe` nearest centroid ids by squared L2 (ties keep
+    * centroid order — stable sort, same first-wins rule as
+    * [[nearestCentroid]]). The SINGLE probe-selection path shared by
+    * [[ivfTopK]] and [[ivfQuantizedTopK]], so the two search surfaces
+    * can never diverge on a probe boundary. */
+  private def nearestCells(idx: IvfIndex, v: Array[Double],
+                           nProbe: Int): Array[Int] =
+    idx.centroids.map { case (ci, c) =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+      ci -> d
+    }.sortBy(_._2).take(nProbe).map(_._1)
+
   /** Persist an IVF index: assignments as a CELL-PARTITIONED parquet
     * table plus a k-row centroid table. Partitioning by cell is the
     * point — a probe joins on the partition column, so Spark's dynamic
@@ -244,9 +257,20 @@ object Similarity {
           // intended: the dir name carries it, rows need not
           spark.read.parquet(dir.toString).coalesce(targetFiles)
             .write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(dir, true)
-          if (!fs.rename(tmp, dir))
+          // move the live dir ASIDE before renaming the replacement in:
+          // a crash between a delete and a rename would silently drop
+          // the whole cell from the index; with the trash two-step every
+          // crash point leaves the data recoverable (underscore-prefixed
+          // dirs are invisible to parquet readers)
+          val trash = new HPath(s"$path/_compact_old_${dir.getName}")
+          if (fs.exists(trash)) fs.delete(trash, true)
+          if (!fs.rename(dir, trash))
+            throw new java.io.IOException(s"compaction could not stage $dir aside")
+          if (!fs.rename(tmp, dir)) {
+            fs.rename(trash, dir) // restore the original cell
             throw new java.io.IOException(s"compaction rename failed for $dir")
+          }
+          fs.delete(trash, true)
           compacted += dir.getName.stripPrefix("cell=").toInt
         }
       }
@@ -267,12 +291,7 @@ object Similarity {
     val qCells = queries.select(col("vec_id").as("q_id"), col("embedding"))
       .map { r =>
         val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        val byDist = bc.value.centroids.map { case (ci, c) =>
-          var d = 0.0; var i = 0
-          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
-          ci -> d
-        }.sortBy(_._2).take(nProbe).map(_._1)
-        (r.getLong(0), v, byDist)
+        (r.getLong(0), v, nearestCells(bc.value, v, nProbe))
       }.toDF("q_id", "q_vec", "cells")
     val probed = qCells.select(col("q_id"), col("q_vec"),
       explode(col("cells")).as("cell"))
@@ -483,12 +502,7 @@ object Similarity {
     val qCells = queries.select(col("vec_id").as("q_id"), col("embedding"))
       .map { r =>
         val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        val byDist = bc.value.centroids.map { case (ci, c) =>
-          var d = 0.0; var i = 0
-          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
-          ci -> d
-        }.sortBy(_._2).take(nProbe).map(_._1)
-        (r.getLong(0), v, byDist)
+        (r.getLong(0), v, nearestCells(bc.value, v, nProbe))
       }.toDF("q_id", "q_vec", "cells")
       .withColumn("qq", quantizeI8(col("q_vec")))
       .withColumn("nqq", intSum(transform(col("qq"), x => (x * x).cast("long"))))

@@ -122,6 +122,9 @@ class ApiSpec extends AnyFunSuite {
     assert(Api.questionCountPreview(store, Map.empty) === total)
     assert(Api.questionCountPreview(store,
       Map("filter_config" -> null)) === total)
+    // a present-but-non-object config is rejected, not treated as empty
+    intercept[IllegalArgumentException](Api.questionCountPreview(store,
+      Map("filter_config" -> """{"language": "en"}""")))
 
     // orphaned judgments: a bulk answers delete (generation.py:73-84
     // bypasses ORM cascade) leaves judgment rows on disk, but the
