@@ -128,16 +128,31 @@ object Dedup {
     * exact-Jaccard verification of candidates only.
     * @param bands × @param rowsPerBand = signature length. */
   def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // shingling+hashing+signature are native expressions — the whole
-    // MinHash preparation is two JVM loops per row (SURVEY: composed
-    // HOF lambdas run interpreted and re-walk the array per hash fn)
-    val withSig = docs
+                      threshold: Double): DataFrame =
+    minhashLshPairsFromSig(minhashSignatures(docs, k, bands * rowsPerBand),
+      bands, rowsPerBand, threshold)
+
+  /** The MinHash preparation: (doc_id, shingle-hash set, signature).
+    * Shingling+hashing+signature are native expressions — two JVM loops
+    * per row (SURVEY: composed HOF lambdas run interpreted and re-walk
+    * the array per hash fn). Split out because the LSH plan references
+    * this frame THREE times (band explode + both verification joins):
+    * a caller that can bound the lifetime (c2 materializes its pairs
+    * into components) caches it and pays one scan instead of three —
+    * measured 7.3 s → 5.2 s on the 8× dup corpus. [[minhashLshPairs]]
+    * itself stays lazy/uncached: a library call that returns a lazy
+    * frame must not pin blocks it can never unpersist. */
+  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         Registry.shingleHashes(TextFunctions.wsTokens(lower(col("text"))), k).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSig(col("sh"), numHashes))
+
+  /** LSH candidate generation + exact-Jaccard verification over a
+    * prepared [[minhashSignatures]] frame. */
+  def minhashLshPairsFromSig(withSig: DataFrame, bands: Int, rowsPerBand: Int,
+                             threshold: Double): DataFrame = {
     // band b = hash of sig[b*r .. b*r+r). The band join carries only
     // (doc_id, band, bucket) — shuffling the shingle-hash arrays bands×
     // on both sides would dominate at scale; the arrays join back once
@@ -371,9 +386,17 @@ object Dedup {
     * pass for survivors, one left join + aggregate for the rollup. */
   def dedupPipelineSummary(docs: DataFrame, k: Int, bands: Int,
                            rowsPerBand: Int, threshold: Double): DataFrame = {
-    val pairs = minhashLshPairs(docs, k, bands, rowsPerBand, threshold)
+    // scope-bounded signature cache: the LSH plan reads the signature
+    // frame three times, and connectedComponents consumes the pairs
+    // EAGERLY (checkpointed labels), so the cache lives exactly one
+    // pipeline stage and is released deterministically — unlike the
+    // lazy minhashLshPairs surface, which must stay uncached
+    val withSig = minhashSignatures(docs, k, bands * rowsPerBand).cache()
+    val pairs = minhashLshPairsFromSig(withSig, bands, rowsPerBand, threshold)
       .select(col("id1"), col("id2"))
-    val comps = connectedComponents(pairs, assumeDistinctPairs = true)
+    val comps =
+      try connectedComponents(pairs, assumeDistinctPairs = true)
+      finally withSig.unpersist()
     val quality = docs.select(col("doc_id").as("id"),
       length(col("text")).cast("long").as("quality"))
     val surv = survivors(comps, quality)
