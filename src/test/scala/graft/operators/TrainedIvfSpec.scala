@@ -204,4 +204,41 @@ class TrainedIvfSpec extends AnyFunSuite {
     assert(resultsAfter === resultsBefore)
     assert(cells1.count() === nRowsBefore)
   }
+
+  test("production lifecycle: trained build → save → incremental appends → compaction → composed search, DPP intact") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") < 350)
+    // day 0: train on the resident corpus, persist
+    val (index, assigned) = Similarity.buildIvfTrained(resident, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_life").toString
+    Similarity.saveIvf(index, assigned, path)
+    // days 1..3: ingest batches append under the SAME centroids
+    (0 until 3).foreach { b =>
+      Similarity.appendToIvf(index,
+        emb.where(col("vec_id") >= 350 + b * 50 && col("vec_id") < 400 + b * 50), path)
+    }
+    // maintenance: compact whatever fragmented
+    Similarity.compactIvfCells(spark, path, maxFilesPerCell = 2)
+    // serve: composed search over the reloaded index
+    val (loaded, cells) = Similarity.loadIvf(spark, path)
+    assert(loaded.centroids.map(_._1).toSeq === index.centroids.map(_._1).toSeq)
+    assert(cells.count() === emb.count())
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val df = Similarity.ivfQuantizedTopK(loaded, cells, queries,
+      k = 5, nProbe = 3, rescoreK = 20)
+    assert(df.count() > 0)
+    // the whole lifecycle (train, persist, 3 appends, compaction,
+    // reload) must be invisible to search: an exhaustive probe over the
+    // lifecycle index equals brute force over the full corpus
+    val full = Similarity.ivfQuantizedTopK(loaded, cells, queries,
+      k = 5, nProbe = 8, rescoreK = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, sampleMod = 50, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full === exact)
+    // the serving scan still DPP-prunes to the probed partitions
+    assert(df.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"))
+  }
 }
