@@ -84,8 +84,15 @@ class BpeSpec extends AnyFunSuite {
   private def countJobs(group: String)(body: => Unit): Int = {
     spark.sparkContext.setJobGroup(group, group)
     try body finally spark.sparkContext.clearJobGroup()
-    Thread.sleep(1000) // status tracker is fed asynchronously
-    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    // the status tracker is fed asynchronously — poll until the count
+    // stabilizes instead of trusting one fixed sleep
+    def count() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    var (prev, cur, waited) = (-1, count(), 0)
+    while (cur != prev && waited < 5000) {
+      Thread.sleep(200); waited += 200
+      prev = cur; cur = count()
+    }
+    cur
   }
 
   test("batched trainer: valid BPE merge sequence (every count true at application time), >=10x fewer Spark jobs") {
