@@ -19,7 +19,8 @@ object Explain {
       "s10_snapshot_diff", "d9_neardup_survivors",
       "e8_sessions", "j9_salted_supplier_rollup", "a19_cube_status_priority",
       "t12_source_composition", "c1_corpus_pipeline", "q1_dq_report",
-      "a21_bottomk_sample", "o6_keyset_page", "z1_zorder_values")
+      "a21_bottomk_sample", "o6_keyset_page", "z1_zorder_values",
+      "v6_ivf_quantized_topk", "c2_dedup_pipeline")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
