@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Model-based quality filtering — the second tier of corpus curation
+  * after the heuristic gates (TextAnalysis.qualitySignals t2, Gopher
+  * rules t7): train a linear classifier to separate a curated "good"
+  * cohort from raw corpus text, then keep documents the model scores
+  * above a threshold. This is the standard web-scale recipe (a cheap
+  * linear model over hashed token counts; GPT-3/CCNet-style curated-vs-
+  * crawl discrimination), expressed Spark-first:
+  *
+  *  - features are [[HashingTF]] over the SAME whitespace tokenization
+  *    as every other text operator (TextFunctions.wsTokens) — hashed,
+  *    fixed-width, no vocabulary state to ship;
+  *  - training runs on a (small, labeled) cohort; at 100 TB you train
+  *    on thousands of rows and SCORE billions, so the expensive side is
+  *    scoring, which is a broadcast-coefficient dot product per row —
+  *    pure map-side, no shuffle (plan-asserted in the spec);
+  *  - deterministic: HashingTF is stateless, logistic regression on a
+  *    fixed dataset converges to the same coefficients.
+  *
+  * No DuckDB oracle: an LBFGS fixpoint has no SQL twin (same status as
+  * [[Clustering]]); the spec pins held-out accuracy, determinism, the
+  * map-side scoring plan, and the filter contract instead.
+  */
+object QualityClassifier {
+
+  /** (tokenizer + hasher) shared by train and score — one definition so
+    * the two sides can never disagree on the feature space. */
+  private def featurize(docs: DataFrame, textCol: String,
+                        numFeatures: Int): DataFrame = {
+    val withToks = docs.withColumn("_toks",
+      TextFunctions.wsTokens(lower(col(textCol))))
+    new HashingTF().setInputCol("_toks").setOutputCol("features")
+      .setNumFeatures(numFeatures)
+      .transform(withToks).drop("_toks")
+  }
+
+  /** Train on a labeled cohort (`labelCol` ∈ {0.0, 1.0}; 1 = keep-worthy
+    * text). `regParam` keeps the hashed weights from overfitting the
+    * small curated cohort. */
+  def train(labeled: DataFrame, textCol: String = "text",
+            labelCol: String = "label", numFeatures: Int = 1 << 12,
+            maxIter: Int = 50, regParam: Double = 0.01): LogisticRegressionModel =
+    new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .fit(featurize(labeled, textCol, numFeatures))
+
+  /** Score every document: adds `quality_prob` = P(label=1 | text).
+    * Map-side — the model's coefficient vector rides the closure, the
+    * probability is one sparse dot product per row. */
+  def score(model: LogisticRegressionModel, docs: DataFrame,
+            textCol: String = "text"): DataFrame = {
+    val secondProb = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    model.setFeaturesCol("features").setProbabilityCol("_prob")
+      .setPredictionCol("_pred").setRawPredictionCol("_raw")
+      .transform(featurize(docs, textCol, model.numFeatures))
+      .withColumn("quality_prob", secondProb(col("_prob")))
+      .drop("features", "_prob", "_pred", "_raw")
+  }
+
+  /** The curation gate: keep documents scoring ≥ `minProb`. */
+  def filterByQuality(model: LogisticRegressionModel, docs: DataFrame,
+                      minProb: Double, textCol: String = "text"): DataFrame =
+    score(model, docs, textCol).where(col("quality_prob") >= minProb)
+}
