@@ -154,6 +154,46 @@ class BpeSpec extends AnyFunSuite {
     } finally ref._2.unpersist()
   }
 
+  test("property: batched replay validity holds on random overlap-heavy corpora, and encode reproduces the trainer") {
+    // tiny vocabulary forces heavy pair overlap — the regime where the
+    // disjointness/halving reasoning earns its keep. The invariant is
+    // UNIVERSAL (disjoint accepted pairs cannot perturb each other's
+    // counts), so any seed failing here is a real trainer bug.
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 30).map { i =>
+        (i.toLong, (0 until 15).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val (merges, syms) = Bpe.trainBatched(docs, nMerges = 8, batchCap = 4)
+      try {
+        var corpus = docs
+          .select(col("doc_id"), TextAnalysis.toks(col("text")).as("syms"))
+          .as[(Long, Vector[String])].collect().toMap
+        merges.foreach { m =>
+          val counts = scala.collection.mutable.Map[(String, String), Long]()
+          corpus.values.foreach(_.sliding(2).foreach {
+            case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+            case _ =>
+          })
+          assert(counts.getOrElse((m.a, m.b), 0L) === m.n,
+            s"seed $seed: stale count recorded for $m")
+          val mm = m.a + " " + m.b
+          corpus = corpus.view.mapValues(_.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == m.a && x == m.b) acc.init :+ mm
+            else acc :+ x
+          }).toMap
+        }
+        assert(syms.as[(Long, Vector[String])].collect().toMap === corpus,
+          s"seed $seed: trainer corpus != replay")
+        // encode(learned merges) over the raw docs = the trainer's corpus
+        val enc = Bpe.encode(docs, merges)
+          .as[(Long, Vector[String])].collect().toMap
+        assert(enc === corpus, s"seed $seed: encode != trainer corpus")
+      } finally syms.unpersist()
+    }
+  }
+
   test("merge counts are non-increasing and early-exhaustion stops cleanly") {
     val tiny = Seq((1L, "x y x y x y"), (2L, "x y z")).toDF("doc_id", "text")
     val (merges, syms) = Bpe.train(tiny, nMerges = 50)
