@@ -95,6 +95,18 @@ def main():
     total_bad = total is not None and total > THRESHOLD * btotal
     print(f"total: {total}s vs baseline {btotal}s"
           + (" REGRESSED" if total_bad else " ok"))
+    # Bench's own isolation tripwire: it re-runs the first substantial
+    # queries after the full suite and reports the worst re-run/first-run
+    # ratio. > THRESHOLD means cross-query residue survived the per-query
+    # scrub — exactly the r05 contamination mode.
+    iso = bench.get("iso")
+    if iso is not None:
+        iso_bad = iso > THRESHOLD
+        print(f"isolation re-run ratio: {iso:.3f}"
+              + (" RESIDUE DETECTED" if iso_bad else " ok"))
+        if iso_bad:
+            failures.append(f"  ISOLATION: post-suite re-run {iso:.2f}x slower "
+                            f"than first run (> {THRESHOLD}x) — residue leak")
     for line in new:
         print(line)
     if failures or total_bad:

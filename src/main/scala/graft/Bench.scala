@@ -10,9 +10,27 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees broadcast/RDD blocks only after their weak
+      // refs are GC'd; the default 30 min periodic GC means a 90 s bench
+      // never gets one. 30 s keeps residue bounded even between scrubs.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config(graft.plans.RangeJoinRule.ConfKey, "600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Cross-query isolation. cacheManager.clearCache() only drops SQL-layer
+    // cache entries; the localCheckpoint blocks the iterative operators pin
+    // (connected components in c2/d7/d9) live as plain persistent RDDs, and
+    // accumulated broadcasts (v4-v6's index/centroid maps) are freed by the
+    // ContextCleaner only after a GC cycle collects their weak refs. Without
+    // all three steps, residue from one query taxes every later one (the
+    // BENCH_r05 86s-vs-52.7s forensic: d*/w*/x* regressed 2-6x directly
+    // after the heavy c2/v4-v6 in alphabetical order).
+    def scrub(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     // absorb JVM/codegen warmup so the first measured queries aren't
     // taxed: one relational shape and one document-explode shape cover
     // the two codegen families the suite alternates between
@@ -29,18 +47,35 @@ object Bench {
     // discovered afterwards would discard the whole run's numbers
     require(selected.keys.map(_.takeWhile(_ != '_')).toSeq.distinct.size == selected.size,
       "query id prefixes must stay unique — a collision would merge two timings")
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    scrub() // warmup queries above leave the same class of residue
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       // a failed query must not read as a (fast) success — report -1
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // AFTER the clock stops: iterative operators (connected
-      // components, BPE) leave cached frames; drop them so one query's
-      // leftovers never tax the next — and so the teardown isn't billed
-      // to the query being measured
-      spark.sharedState.cacheManager.clearCache()
-      name -> elapsed
+      // AFTER the clock stops, so the teardown isn't billed to the
+      // query being measured
+      scrub()
+      elapsed
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time(name, fn)
+    }
+    // Isolation self-tripwire: re-run the first few substantial queries
+    // (>=0.3s first time — sub-300ms timings are scheduling jitter at
+    // local[32]) and compare to their own first measurement. If residue
+    // from the full suite survives the per-query scrub, these re-runs
+    // come back slower — making the r05 "later queries taxed by earlier
+    // ones" failure mode a red number in the bench output itself rather
+    // than a judge-forensics exercise. bench_regression.py fails on
+    // iso > 1.5.
+    val isoRatio: Double = {
+      val candidates = results.filter(_._2 >= 0.3).take(3)
+      val ratios = candidates.map { case (name, first) =>
+        time(name, selected(name)) / first
+      }
+      if (ratios.isEmpty) 1.0 else ratios.max
     }
     // the driver parses the JSON line out of a ~2.2 KB stdout tail —
     // full query names at full double precision overflow it (r2/r3 both
@@ -57,6 +92,6 @@ object Bench {
     // stop BEFORE printing so the JSON is the last stdout line the
     // driver sees (shutdown chatter goes to the log4j stderr appender)
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iso":${ms(isoRatio)},"queries":$qs,"sf":"$sfDir"}""")
   }
 }
