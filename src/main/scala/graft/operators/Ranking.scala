@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact global ranking / NTILE.
+  *
+  * A bare `Window.orderBy(...)` (no partitionBy) funnels the whole frame
+  * through ONE task — tolerable on a reduced frame at sf0.1, a scale-killer
+  * at 100 TB (the per-customer spend frame is millions of rows). The classic
+  * distributed fix: range-partition on the sort key, rank locally within
+  * each range, and add broadcasted per-partition row-count offsets. Two
+  * narrow shuffles plus one numPartitions-row collect replace the
+  * single-partition sort; no task ever sees more than its range.
+  *
+  * Reference analog: the dashboard's client-side quartile bucketing
+  * (frontend/src/components/Dashboard.jsx:762-781) — here re-expressed as
+  * an exact, distributed NTILE so the semantics survive a 100x scale-up.
+  */
+object Ranking {
+
+  /** Range-partitioned frame + exact global row count, shared by
+    * globalRank/ntileExact so the count comes from the same tiny collect
+    * that builds the offsets (no extra job over the data).
+    *
+    * Determinism note: we deliberately do NOT cache `parts` between the
+    * offset-count job and the ranking job. RangePartitioner's sampling is
+    * seeded per-partition (byteswap32 of the partition index), so the
+    * boundaries — and hence the per-partition counts — are identical
+    * across the two computations of this deterministic input. At 100 TB
+    * you would persist the input once; at oracle scale the recompute is
+    * cheaper than managing block lifetimes.
+    */
+  private def rankedParts(df: DataFrame, sortCols: Seq[Column],
+                          rankCol: String, numPartitions: Int)
+      : (DataFrame, Long) = {
+    val parts = df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("_rk_pid", spark_partition_id())
+    // partition ids ascend along the range order, so pid p's offset is
+    // the total row count of partitions < p. numPartitions rows — tiny.
+    val counts = parts.groupBy(col("_rk_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      pids.map { p => val o = acc; acc += counts(p); p -> o }.toMap
+    val w = Window.partitionBy(col("_rk_pid")).orderBy(sortCols: _*)
+    val ranked = parts
+      .withColumn(rankCol, row_number().over(w).cast("long") +
+        element_at(typedLit(offsets), col("_rk_pid")))
+      .drop("_rk_pid")
+    (ranked, acc)
+  }
+
+  /** Adds `rankCol` = exact 1-based global rank under `sortCols`. The sort
+    * keys must form a total order (include a unique tiebreak column). */
+  def globalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+                 numPartitions: Int = 32): DataFrame =
+    rankedParts(df, sortCols, rankCol, numPartitions)._1
+
+  /** Adds `tileCol` = NTILE(k) under `sortCols` — identical to SQL NTILE
+    * semantics (the first N%k tiles get one extra row) computed from the
+    * exact distributed rank, with no single-partition Window anywhere in
+    * the plan. */
+  def ntileExact(df: DataFrame, k: Int, sortCols: Seq[Column],
+                 tileCol: String, numPartitions: Int = 32): DataFrame = {
+    require(k >= 1, "ntile requires k >= 1")
+    val (ranked, n) = rankedParts(df, sortCols, "_nt_rank", numPartitions)
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1) // ranks <= cut fall in the base+1-sized tiles
+    // base == 0 only when n < k; then every rank is <= cut and the
+    // otherwise-branch is never evaluated — max(base,1) just keeps the
+    // unevaluated divisor nonzero under ANSI mode.
+    val smallSz = math.max(base, 1L)
+    val r = col("_nt_rank")
+    // long/long division of rank-magnitude values is exact in double
+    // (both operands and any integer quotient are < 2^53), so the
+    // truncating cast implements integer division correctly here.
+    ranked.withColumn(tileCol,
+        when(r <= cut, ((r - 1) / (base + 1)).cast("long") + 1)
+          .otherwise(lit(rem) + ((r - cut - 1) / smallSz).cast("long") + 1)
+          .cast("int"))
+      .drop("_nt_rank")
+  }
+}

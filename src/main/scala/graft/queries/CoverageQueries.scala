@@ -158,6 +158,28 @@ object CoverageQueries {
         .orderBy(col("pack"))
     }),
 
+    // S15: SHARDED sequence packing — the scale-safe form of s7. Docs are
+    // hash-sharded (pmod(doc_id, 8)); each shard packs independently under
+    // its own token budget with a PARTITIONED cumulative-sum window, so no
+    // task ever scans more than one shard's worth of docs. At 100 TB you
+    // raise the shard count with the data; pack ids are (shard, pack)
+    // pairs so shards never collide. Slightly different pack boundaries
+    // than the global-order s7 — by design: packing only needs ANY
+    // deterministic grouping under the budget, not a global order.
+    "s15_sharded_packing" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("pack", expr("(cum - tok) div 2000"))
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+        .orderBy(col("shard"), col("pack"))
+    }),
+
     // J3: one-to-many nested materialization (main.py:189,554-577) —
     // compared as a deterministic csv (list ordering is engine-defined)
     "j3_orders_per_customer_csv" -> ((s, dir) => {
@@ -594,16 +616,20 @@ object CoverageQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
-    // Window: ntile quartile assignment over an aggregated frame — the
-    // global window runs on the already-reduced per-customer spends (a
-    // single small partition by design), and per-quartile outputs are
-    // count/min/max (order-independent, no float-sum hazard)
+    // Window: ntile quartile assignment, computed distributed — NTILE over
+    // a bare ORDER BY would funnel the whole per-customer spend frame
+    // through one task (millions of rows at 100x this sf). Ranking
+    // .ntileExact range-partitions on the sort key, ranks locally, and
+    // applies the exact NTILE group-size formula, so the plan has no
+    // single-partition Window while staying hash-identical to the NTILE
+    // oracle. Per-quartile outputs are count/min/max (order-independent,
+    // no float-sum hazard).
     "w5_spend_quartiles" -> ((s, dir) => {
       val spend = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(Num.sumExact(col("o_totalprice")).as("spend"))
-      val w = Window.orderBy(desc("spend"), col("o_custkey"))
-      spend.withColumn("quartile", ntile(4).over(w))
+      graft.operators.Ranking.ntileExact(spend, 4,
+          Seq(desc("spend"), col("o_custkey")), "quartile")
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n_cust"),
           min(col("spend")).as("min_spend"),
@@ -733,6 +759,24 @@ object CoverageQueries {
          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(tok) AS BIGINT) AS tokens
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "s15_sharded_packing" -> {
+      import graft.functions.{TextFunctions => TF}
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |         CAST(${TF.tokenCountSql("text")} AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, doc_id, tok,
+         |         SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST((cum - tok) // 2000 AS BIGINT) AS pack,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(tok) AS BIGINT) AS tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "j3_orders_per_customer_csv" ->

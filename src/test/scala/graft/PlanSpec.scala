@@ -123,7 +123,7 @@ class PlanSpec extends AnyFunSuite {
     // windows + per-session aggregate all cluster by user_id; the only
     // other hash exchange allowed is the tiny n_events histogram
     val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
-    assert(exchanges >= 1 && exchanges <= 2, p) // user_id (+ optional n_events histogram)
+    assert(exchanges === 2, p) // user_id + the tiny n_events histogram
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
@@ -131,7 +131,7 @@ class PlanSpec extends AnyFunSuite {
     val p = physical("j9_salted_supplier_rollup")
     assert(p.contains("partial_sum"), p)
     val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
-    assert(exchanges >= 1 && exchanges <= 2, p) // (suppkey, salt) then suppkey
+    assert(exchanges === 2, p) // (suppkey, salt) then suppkey
   }
 
   test("a19: cube expands once — a single Expand node feeding one aggregate exchange") {
@@ -143,7 +143,7 @@ class PlanSpec extends AnyFunSuite {
   test("t12: composition report scans documents once, pruned to the three used columns") {
     val p = physical("t12_source_composition")
     val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
-    assert(scans >= 1 && scans <= 1, p)
+    assert(scans === 1, p)
     assert(p.contains("ReadSchema: struct<text:string,lang:string,source:string>") ||
            p.contains("ReadSchema: struct<lang:string,source:string,text:string>"), p)
   }
@@ -166,7 +166,7 @@ class PlanSpec extends AnyFunSuite {
     val p = physical("q1_dq_report")
     // 3 PredChecks → 1 shared pass; UniqueCheck → 1; OrphanCheck → child + parent
     val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
-    assert(scans >= 1 && scans <= 4, p)
+    assert(scans === 4, p)
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("SortMergeJoin LeftAnti"), p)
   }
 
@@ -180,22 +180,38 @@ class PlanSpec extends AnyFunSuite {
   test("w7: the RANGE-frame window runs on one customer exchange") {
     val p = physical("w7_trailing_week_spend")
     val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
-    assert(exchanges >= 1 && exchanges <= 1, p)
+    assert(exchanges === 1, p)
     assert(p.contains("RANGE BETWEEN 6 PRECEDING AND CURRENT ROW")
       || p.contains("specifiedwindowframe(RangeFrame"), p)
+  }
+
+  test("w5: quartile ranking has NO single-partition stage — range-partitioned rank + offsets") {
+    val p = physical("w5_spend_quartiles")
+    // the plan this replaces (NTILE over a bare ORDER BY) funneled the
+    // whole spend frame through `Exchange SinglePartition` into one
+    // Window task; the distributed form must never reintroduce one
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("s15: sharded packing's cumulative window is partitioned — no single-partition stage") {
+    val p = physical("s15_sharded_packing")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
   }
 
   test("c1: the composed pipeline is one scan with ONE data-sized shuffle, dedup pre-limited map-side") {
     val p = physical("c1_corpus_pipeline")
     val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
-    assert(scans >= 1 && scans <= 1, p)
+    assert(scans === 1, p)
     // quality gate sits on the scan; the md5 keep-first runs as a
     // WindowGroupLimit BEFORE its exchange (partial top-1 per key),
     // so the only full-width shuffle carries pre-deduped rows
     assert("""Filter \(\d+\)\s*\n\s*\+- Scan parquet""".r.findFirstIn(p).isDefined, p)
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
     val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
-    assert(exchanges >= 1 && exchanges <= 2, p) // md5 window + lang agg
+    assert(exchanges === 2, p) // md5 window + lang agg
   }
 
   test("c2: pair relation never materializes past the components stage — rollup starts from the checkpointed label leaf") {
