@@ -147,10 +147,28 @@ object Similarity {
     * deterministic variant the bit-exact v4/v6 oracles replicate in
     * SQL (a k-means fixpoint has no cross-engine SQL twin).
     * Assignment goes through the same [[nearestCentroid]] code path as
-    * the probes, so index and search can never disagree on a boundary. */
+    * the probes, so index and search can never disagree on a boundary.
+    *
+    * `sampleMod` > 1 trains k-means on a deterministic 1/sampleMod
+    * subsample and then assigns the FULL corpus with the sampled
+    * centroids. Lloyd's objective needs only enough points per cell to
+    * place the centroids where the density is, so at 100 TB you train
+    * on ~1% and cut the dominant one-off build cost (the k-means pass
+    * was 5.4 s of the 8x-corpus build; see SURVEY §6) while the
+    * assignment pass — one map over the corpus either way — is
+    * unchanged. The sample key is xxhash64(vec_id) % sampleMod, NOT
+    * vec_id % sampleMod: raw-id periodicity aliases with real corpus
+    * structure (ids assigned per source/ingest interleave sources by
+    * parity — the spec fixture demonstrates a mod-2 sample that sees
+    * ONE cluster), while the hash decorrelates the sample from any id
+    * pattern and stays content-stable and layout-independent. */
   def buildIvfTrained(emb: DataFrame, k: Int, maxIter: Int = 20,
-                      seed: Long = 42L): (IvfIndex, DataFrame) = {
-    val (_, centers) = Clustering.kmeansEmbeddings(emb, k, maxIter, seed)
+                      seed: Long = 42L, sampleMod: Long = 1L): (IvfIndex, DataFrame) = {
+    require(sampleMod >= 1, "sampleMod must be >= 1 (1 = train on everything)")
+    val trainSet =
+      if (sampleMod == 1L) emb
+      else emb.where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    val (_, centers) = Clustering.kmeansEmbeddings(trainSet, k, maxIter, seed)
     val index = IvfIndex(centers.zipWithIndex.map { case (v, i) => i -> v.toArray })
     (index, assignToCells(index, emb))
   }
