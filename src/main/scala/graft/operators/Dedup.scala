@@ -513,13 +513,40 @@ object Dedup {
                            minCos: Double): DataFrame = {
     val (_, assigned) = Similarity.buildIvf(
       emb.select(col("vec_id"), col("embedding")), nCentroids)
+    inCellPairs(assigned, minCos)
+  }
+
+  /** Production variant of [[semanticNearDupPairs]]: k-means-trained
+    * cells ([[Similarity.buildIvfTrained]], optionally sample-trained)
+    * instead of the deterministic seed. The seed variant stays for the
+    * bit-exact d6 oracle (a k-means fixpoint has no SQL twin), but on
+    * dup-heavy corpora its every-(n/k)-th centroids are drawn from few
+    * DISTINCT vectors, so cells collapse (TrainedIvfSpec) — and for
+    * DEDUP the cost is quadratic, not just slow probes: the in-cell
+    * pair join does Σ C(cell,2) work, so one hot cell holding half the
+    * corpus is (n/2)² comparisons. Trained centroids keep cell sizes
+    * bounded, which bounds every cell's pair block — the property that
+    * makes cluster-then-compare tractable at 100 TB. Exact duplicates
+    * are never missed by either variant: identical vectors share a
+    * nearest centroid by construction (one assignment path). */
+  def semanticNearDupPairsTrained(emb: DataFrame, nCentroids: Int,
+                                  minCos: Double,
+                                  sampleMod: Long = 1L): DataFrame = {
+    val (_, assigned) = Similarity.buildIvfTrained(
+      emb.select(col("vec_id"), col("embedding")), nCentroids,
+      sampleMod = sampleMod)
+    inCellPairs(assigned, minCos)
+  }
+
+  /** Shared in-cell comparison stage: pairs meet ONLY inside a cell
+    * (equi-join on the cell key), cosine filters map-side. */
+  private def inCellPairs(assigned: DataFrame, minCos: Double): DataFrame =
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", Registry.cosineSim(col("a.vec"), col("b.vec")))
       .where(col("cos") >= minCos)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))
-  }
 
   /** DuckDB oracle for [[semanticNearDupPairs]]: the IVF assignment CTE
     * plus an in-cell pair join with the unrolled in-order cosine. */

@@ -208,4 +208,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
     assert(kept === Set(2L, 9L))
   }
+
+  test("semantic dedup through trained centroids: dup-heavy corpus keeps cells (and pair work) bounded; exact dups never missed") {
+    // 8 exact copies of every embedding, ids shifted per copy — the
+    // corpus where the seed IVF collapses (TrainedIvfSpec pins the
+    // assignment side). For DEDUP the collapse is quadratic, not just
+    // slow: the in-cell pair join does sum(C(cell,2)) comparisons, so
+    // one hot cell holding most of the corpus is ~(n/2)^2 pair work.
+    val base = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val nBase = base.count()
+    val emb = (0 until 8).map(c =>
+        base.select((col("vec_id") + lit(c * 10000L)).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_)).cache()
+    try {
+      def pairWork(assigned: org.apache.spark.sql.DataFrame): Long =
+        assigned.groupBy("cell").count()
+          .collect().map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
+      val (_, seedCells) = Similarity.buildIvf(emb, k = 16)
+      val (_, trainedCells) = Similarity.buildIvfTrained(emb, k = 16)
+      val (seedWork, trainedWork) = (pairWork(seedCells), pairWork(trainedCells))
+      // trained cells bound every pair block; collapsed seed cells pay
+      // multiples of that (>= 3x on this fixture; measured ~8x)
+      assert(trainedWork * 3 <= seedWork,
+        s"seed pair work $seedWork vs trained $trainedWork")
+      // correctness of the trained variant: every one of the 8-copy
+      // groups' C(8,2) identical pairs is found — identical vectors
+      // share a nearest centroid by construction, so exact-dup recall
+      // is 1.0 regardless of where k-means put the centroids
+      val pairs = Dedup.semanticNearDupPairsTrained(emb, nCentroids = 16,
+        minCos = 0.999999)
+      val exactDupPairs = pairs
+        .where(pmod(col("id1"), lit(10000L)) === pmod(col("id2"), lit(10000L)))
+        .count()
+      assert(exactDupPairs >= nBase * 28,
+        s"expected >= ${nBase * 28} exact-dup pairs (8 copies = C(8,2)=28 per " +
+          s"base vector), got $exactDupPairs")
+    } finally emb.unpersist()
+  }
 }
