@@ -145,6 +145,13 @@ object Bpe {
           if (accepted.nonEmpty && n * 2 <= roundTop) stop = true
           else if (!used(a) && !used(b)) {
             accepted += Merge(a, b, n); used += a; used += b
+            // the merged PRODUCT joins the used set too: space-joined
+            // symbols are ambiguous ('a'+' '+'b c' and 'a b'+' '+'c'
+            // both read "a b c"), so a later pair in this batch could
+            // be string-equal to a token this merge just created — its
+            // recorded count would then not be the true corpus count at
+            // application time. Defer any such pair to the recount.
+            used += a + " " + b
           }
           i += 1
         }

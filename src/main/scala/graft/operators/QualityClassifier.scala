@@ -58,7 +58,11 @@ object QualityClassifier {
   def score(model: LogisticRegressionModel, docs: DataFrame,
             textCol: String = "text"): DataFrame = {
     val secondProb = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
-    model.setFeaturesCol("features").setProbabilityCol("_prob")
+    // configure a COPY: setters on the caller's model would be a visible
+    // side effect on a shared object (concurrent scorers with different
+    // column configs would interfere)
+    val scorer = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+    scorer.setFeaturesCol("features").setProbabilityCol("_prob")
       .setPredictionCol("_pred").setRawPredictionCol("_raw")
       .transform(featurize(docs, textCol, model.numFeatures))
       .withColumn("quality_prob", secondProb(col("_prob")))

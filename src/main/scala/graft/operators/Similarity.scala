@@ -264,6 +264,26 @@ object Similarity {
     val fs = FileSystem.get(cellsRoot.toUri, spark.sessionState.newHadoopConf())
     require(fs.exists(cellsRoot),
       s"$path is not a saved IVF index (no cells/ directory — see saveIvf)")
+    // Startup recovery: a previous compaction that crashed mid-swap
+    // leaves _compact_tmp_*/_compact_old_* dirs behind. The dangerous
+    // window is between rename(live -> old) and rename(tmp -> live):
+    // there the cell is ABSENT from the index and only the trash copy
+    // holds its data — without this sweep the loss is silent (probes
+    // just skip the missing cell) and recovery is manual. Restore the
+    // trash copy when the live dir is missing; otherwise the swap
+    // completed (or never started) and the leftovers are just litter.
+    fs.listStatus(new HPath(path)).map(_.getPath)
+      .filter(p => p.getName.startsWith("_compact_old_")).foreach { trash =>
+        val live = new HPath(cellsRoot, trash.getName.stripPrefix("_compact_old_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(trash, live))
+            throw new java.io.IOException(
+              s"crash recovery could not restore $trash to $live")
+        } else fs.delete(trash, true)
+      }
+    fs.listStatus(new HPath(path)).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_tmp_"))
+      .foreach(fs.delete(_, true)) // incomplete rewrites — always safe to drop
     val compacted = Seq.newBuilder[Int]
     fs.listStatus(cellsRoot).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("cell=")).foreach { dir =>

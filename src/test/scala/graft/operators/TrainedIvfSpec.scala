@@ -247,6 +247,40 @@ class TrainedIvfSpec extends AnyFunSuite {
     assert(cells1.count() === nRowsBefore)
   }
 
+  test("compaction crash recovery: a cell stranded mid-swap is restored at the next compaction entry") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val (index, assigned) = Similarity.buildIvf(emb, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    Similarity.saveIvf(index, assigned, path)
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val before = Similarity.ivfTopK(index, spark.read.parquet(s"$path/cells"),
+      queries, k = 5, nProbe = 8).collect().map(_.toSeq).toSeq
+    val nBefore = spark.read.parquet(s"$path/cells").count()
+    // simulate the crash window between rename(live -> old) and
+    // rename(tmp -> live): the live cell dir is gone, only the trash
+    // copy holds the data, plus an incomplete tmp rewrite of another
+    import java.nio.file.{Files, Paths}
+    val cellsDir = Paths.get(s"$path/cells")
+    import scala.jdk.CollectionConverters._
+    val someCell = Files.list(cellsDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("cell=")).get
+    val cellName = someCell.getFileName.toString
+    Files.move(someCell, Paths.get(path, s"_compact_old_$cellName"))
+    Files.createDirectory(Paths.get(path, s"_compact_tmp_$cellName"))
+    spark.catalog.refreshByPath(s"$path/cells")
+    assert(spark.read.parquet(s"$path/cells").count() < nBefore) // data IS missing
+    // next maintenance entry must restore the stranded cell and drop litter
+    Similarity.compactIvfCells(spark, path, maxFilesPerCell = 1000)
+    assert(Files.exists(someCell), "stranded cell was not restored")
+    assert(!Files.exists(Paths.get(path, s"_compact_old_$cellName")))
+    assert(!Files.exists(Paths.get(path, s"_compact_tmp_$cellName")))
+    val after = Similarity.ivfTopK(index, spark.read.parquet(s"$path/cells"),
+      queries, k = 5, nProbe = 8).collect().map(_.toSeq).toSeq
+    assert(after === before)
+    assert(spark.read.parquet(s"$path/cells").count() === nBefore)
+  }
+
   test("production lifecycle: trained build → save → incremental appends → compaction → composed search, DPP intact") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))
