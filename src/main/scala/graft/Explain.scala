@@ -20,7 +20,8 @@ object Explain {
       "e8_sessions", "j9_salted_supplier_rollup", "a19_cube_status_priority",
       "t12_source_composition", "c1_corpus_pipeline", "q1_dq_report",
       "a21_bottomk_sample", "o6_keyset_page", "z1_zorder_values",
-      "v6_ivf_quantized_topk", "c2_dedup_pipeline")
+      "v6_ivf_quantized_topk", "c2_dedup_pipeline",
+      "w5_spend_quartiles", "s15_sharded_packing")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -24,19 +24,24 @@ object Ranking {
     * globalRank/ntileExact so the count comes from the same tiny collect
     * that builds the offsets (no extra job over the data).
     *
-    * Determinism note: we deliberately do NOT cache `parts` between the
-    * offset-count job and the ranking job. RangePartitioner's sampling is
-    * seeded per-partition (byteswap32 of the partition index), so the
-    * boundaries — and hence the per-partition counts — are identical
-    * across the two computations of this deterministic input. At 100 TB
-    * you would persist the input once; at oracle scale the recompute is
-    * cheaper than managing block lifetimes.
-    */
+    * The INPUT frame is localCheckpoint'ed (eager): without it the
+    * upstream executes three times — the range-sampling pass, the
+    * offset-count job, and the ranking job each recompute it (measured
+    * 2.7x on w5's agg input). One materialization serves all three, and
+    * it is the frame you would persist at 100 TB anyway: ranking inputs
+    * are already-reduced aggregates, orders of magnitude smaller than
+    * their source. The range-SHUFFLED frame is checkpointed too, so the
+    * exchange also runs once (offset-count and rank jobs read its
+    * blocks instead of re-shuffling). Same lineage-cut pattern as the
+    * connected-components loop; Bench's per-query scrub reclaims the
+    * blocks. */
   private def rankedParts(df: DataFrame, sortCols: Seq[Column],
                           rankCol: String, numPartitions: Int)
       : (DataFrame, Long) = {
-    val parts = df.repartitionByRange(numPartitions, sortCols: _*)
+    val snap = df.localCheckpoint()
+    val parts = snap.repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("_rk_pid", spark_partition_id())
+      .localCheckpoint()
     // partition ids ascend along the range order, so pid p's offset is
     // the total row count of partitions < p. numPartitions rows — tiny.
     val counts = parts.groupBy(col("_rk_pid")).count()

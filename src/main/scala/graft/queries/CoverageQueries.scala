@@ -144,7 +144,8 @@ object CoverageQueries {
     // slot, so packs stay ≤ budget + one overflowing doc, the standard
     // streaming pack). Packing is inherently an ordered scan: the global
     // cumsum window is single-partition by nature; at scale you shard
-    // first (pack within shard) — here the corpus IS one shard.
+    // first (pack within shard) — that form is s15_sharded_packing;
+    // this global-order variant stays as the one-shard ground truth.
     "s7_token_packing" -> ((s, dir) => {
       import graft.functions.{TextFunctions => TF}
       val w = Window.orderBy(col("doc_id"))

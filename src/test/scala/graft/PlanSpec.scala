@@ -191,7 +191,10 @@ class PlanSpec extends AnyFunSuite {
     // whole spend frame through `Exchange SinglePartition` into one
     // Window task; the distributed form must never reintroduce one
     assert(!p.contains("SinglePartition"), p)
-    assert(p.contains("rangepartitioning"), p)
+    // the rank reads the ONE localCheckpoint materialization of the
+    // range-partitioned frame (the range exchange ran inside it), so
+    // the final plan starts from an RDD leaf — same shape as c2
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(p.contains("Window"), p)
   }
 
