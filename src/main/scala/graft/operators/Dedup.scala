@@ -548,6 +548,56 @@ object Dedup {
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))
 
+  /** Semantic decontamination: flag corpus vectors within cosine ≥
+    * `minCos` of ANY benchmark vector — [[contamination]]'s embedding-
+    * space sibling (shingle containment catches verbatim leaks; this
+    * catches paraphrases sharing an embedding neighborhood). The
+    * SemDeDup cluster-then-compare shape bounds the work: both sides
+    * are assigned to the same deterministic IVF cells, and comparisons
+    * happen only inside a shared cell. At 100 TB the benchmark side is
+    * tiny by construction (eval suites, not corpora) — it broadcasts,
+    * the corpus never self-joins, and the cell key prunes each corpus
+    * row to the benchmark rows of ONE cell (~1/nCentroids of an
+    * already-small broadcast). Recall is cell-bounded, same trade as
+    * [[semanticNearDupPairs]] — raise nCentroids-probes or fall back
+    * to [[Similarity]] ANN for boundary-straddling paraphrases. */
+  def semanticContamination(emb: DataFrame, benchPred: Column,
+                            nCentroids: Int, minCos: Double): DataFrame = {
+    val (_, assigned) = Similarity.buildIvf(
+      emb.select(col("vec_id"), col("embedding")), nCentroids)
+    val bench = assigned.where(benchPred)
+      .select(col("cell"), col("vec").as("bench_vec"))
+    val corpus = assigned.where(!benchPred)
+    corpus.join(broadcast(bench), Seq("cell"))
+      .withColumn("cos", Registry.cosineSim(col("vec"), col("bench_vec")))
+      .where(col("cos") >= minCos)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[semanticContamination]]: the shared IVF
+    * assignment CTE, benchmark split by the same vec_id-mod predicate,
+    * in-cell join with the unrolled in-order cosine. */
+  def semanticContaminationSql(dim: Int, nCentroids: Int, minCos: Double,
+                               benchMod: Int): String = {
+    val dot = (1 to dim)
+      .map(i => s"CAST(c.embedding[$i] AS DOUBLE)*CAST(b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t.embedding[$i] AS DOUBLE)*CAST($t.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val cos = s"($dot) / (sqrt(${n2("c")}) * sqrt(${n2("b")}))"
+    s"""${Similarity.ivfAssignCte(dim, nCentroids)}
+       |SELECT c.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |       MAX($cos) AS max_cos
+       |FROM (SELECT * FROM assign WHERE vec_id % $benchMod <> 0) c
+       |JOIN (SELECT * FROM assign WHERE vec_id % $benchMod = 0) b
+       |  USING (cell)
+       |WHERE $cos >= $minCos
+       |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[semanticNearDupPairs]]: the IVF assignment CTE
     * plus an in-cell pair join with the unrolled in-order cosine. */
   def semanticNearDupSql(dim: Int, nCentroids: Int, minCos: Double): String = {

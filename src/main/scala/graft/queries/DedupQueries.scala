@@ -43,6 +43,14 @@ object DedupQueries {
       Dedup.contamination(Tables.documents(s, dir),
         benchPred = pmod(col("doc_id"), lit(97)) === 0, k = 3)),
 
+    // Semantic decontamination: d8's embedding-space sibling — flag
+    // corpus vectors in a benchmark vector's cosine neighborhood,
+    // compared only inside a shared IVF cell (benchmark broadcast)
+    "d10_semantic_contamination" -> ((s, dir) =>
+      Dedup.semanticContamination(Tables.embeddings(s, dir),
+        benchPred = pmod(col("vec_id"), lit(97)) === 0,
+        nCentroids = 16, minCos = 0.25)),
+
     // Edit-distance near-dup on short strings (part names): the
     // fuzzy-matching member of the dedup family. Sampled — O(n·m) per
     // pair is for short keys, not documents.
@@ -103,6 +111,9 @@ object DedupQueries {
       Dedup.semanticNearDupSql(dim = 64, nCentroids = 16, minCos = 0.3),
 
     "d8_contamination" -> Dedup.contaminationSql(k = 3, benchMod = 97),
+
+    "d10_semantic_contamination" -> Dedup.semanticContaminationSql(
+      dim = 64, nCentroids = 16, minCos = 0.25, benchMod = 97),
 
     "d5_levenshtein_pairs" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
