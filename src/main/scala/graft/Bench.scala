@@ -17,20 +17,11 @@ object Bench {
       .config(graft.plans.RangeJoinRule.ConfKey, "600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Cross-query isolation. cacheManager.clearCache() only drops SQL-layer
-    // cache entries; the localCheckpoint blocks the iterative operators pin
-    // (connected components in c2/d7/d9) live as plain persistent RDDs, and
-    // accumulated broadcasts (v4-v6's index/centroid maps) are freed by the
-    // ContextCleaner only after a GC cycle collects their weak refs. Without
-    // all three steps, residue from one query taxes every later one (the
-    // BENCH_r05 86s-vs-52.7s forensic: d*/w*/x* regressed 2-6x directly
-    // after the heavy c2/v4-v6 in alphabetical order).
-    def scrub(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-    }
+    // Cross-query isolation (graft.Isolation.scrub): without it, residue
+    // from one query taxes every later one — the BENCH_r05 86s-vs-52.7s
+    // forensic, where d*/w*/x* regressed 2-6x directly after the heavy
+    // c2/v4-v6 in alphabetical order.
+    def scrub(): Unit = Isolation.scrub(spark)
     // absorb JVM/codegen warmup so the first measured queries aren't
     // taxed: one relational shape and one document-explode shape cover
     // the two codegen families the suite alternates between
@@ -68,12 +59,16 @@ object Bench {
     // from the full suite survives the per-query scrub, these re-runs
     // come back slower — making the r05 "later queries taxed by earlier
     // ones" failure mode a red number in the bench output itself rather
-    // than a judge-forensics exercise. bench_regression.py fails on
-    // iso > 1.5.
+    // than a judge-forensics exercise. Re-runs are JIT-warm (clean runs
+    // measure ~0.6x), so bench_regression.py's iso threshold is 1.2 —
+    // roughly 2x the warm-true time — not the cold 1.5x bar. A re-run
+    // that CRASHES reports ratio 99.0: -1.0/first would go negative and
+    // silently pass the max(), hiding the worst residue outcome (OOM).
     val isoRatio: Double = {
       val candidates = results.filter(_._2 >= 0.3).take(3)
       val ratios = candidates.map { case (name, first) =>
-        time(name, selected(name)) / first
+        val rerun = time(name, selected(name))
+        if (rerun < 0) 99.0 else rerun / first
       }
       if (ratios.isEmpty) 1.0 else ratios.max
     }

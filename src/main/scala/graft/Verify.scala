@@ -28,12 +28,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // same cross-query isolation as Bench: iterative/ranking
-        // operators leave localCheckpoint RDDs the SQL cache manager
-        // can't see — 106 queries of accumulation taxes driver memory
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // same cross-query isolation as Bench (shared helper so the two
+        // mains can't drift): iterative/ranking operators leave
+        // localCheckpoint RDDs and broadcasts the SQL cache manager
+        // can't see — 107 queries of accumulation taxes driver memory
+        Isolation.scrub(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -38,10 +38,17 @@ object Ranking {
   private def rankedParts(df: DataFrame, sortCols: Seq[Column],
                           rankCol: String, numPartitions: Int)
       : (DataFrame, Long) = {
-    val snap = df.localCheckpoint()
-    val parts = snap.repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn("_rk_pid", spark_partition_id())
-      .localCheckpoint()
+    // persist (SQL-layer), not localCheckpoint, for the input snapshot:
+    // its blocks are dead the moment the shuffled frame materializes,
+    // and only cacheManager-tracked frames can be unpersisted cleanly
+    // here — a leaked checkpoint per call would be exactly the residue
+    // class the round-6 bench forensic closed.
+    val snap = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts =
+      try snap.repartitionByRange(numPartitions, sortCols: _*)
+        .withColumn("_rk_pid", spark_partition_id())
+        .localCheckpoint() // eager: range sampling + shuffle run ONCE here
+      finally snap.unpersist(blocking = false)
     // partition ids ascend along the range order, so pid p's offset is
     // the total row count of partitions < p. numPartitions rows — tiny.
     val counts = parts.groupBy(col("_rk_pid")).count()

@@ -167,7 +167,19 @@ object Similarity {
     require(sampleMod >= 1, "sampleMod must be >= 1 (1 = train on everything)")
     val trainSet =
       if (sampleMod == 1L) emb
-      else emb.where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      else {
+        val s = emb.where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+        // enforce the regime rule the docstring states: an over-thinned
+        // sample trains k-means on fewer points than centroids — the
+        // result is fewer-than-k (or degenerate) cells, the exact
+        // hot-cell pathology this API exists to prevent, surfaced as an
+        // opaque MLlib error. Fail with the actionable message instead.
+        val n = s.count()
+        require(n >= k,
+          s"sampleMod=$sampleMod leaves only $n training vectors for k=$k " +
+            "centroids — lower sampleMod (points-per-centroid must stay high)")
+        s
+      }
     val (_, centers) = Clustering.kmeansEmbeddings(trainSet, k, maxIter, seed)
     val index = IvfIndex(centers.zipWithIndex.map { case (v, i) => i -> v.toArray })
     (index, assignToCells(index, emb))

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Pins the distributed ranking contract: globalRank equals the rank a
+  * single-partition window would assign (without ever building one),
+  * and ntileExact reproduces SQL NTILE's group-size rule exactly —
+  * including the uneven-remainder and n < k edges the w5 oracle's data
+  * happens not to exercise. */
+class RankingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalRank assigns exact 1-based ranks under a total order") {
+    // values deliberately unsorted and spread over many input partitions
+    val rows = (1 to 97).map(i => (i.toLong, (i * 37 % 97).toLong))
+    val df = spark.createDataset(rows).repartition(7).toDF("id", "v")
+    val ranked = Ranking.globalRank(df, Seq(desc("v"), col("id")), "rnk",
+      numPartitions = 5)
+    // v = i*37 mod 97 is a permutation of 0..96, so rank by v desc is
+    // 97 - v; ids never tie-break here but are part of the total order
+    val got = ranked.select(col("v"), col("rnk")).as[(Long, Long)]
+      .collect().toMap
+    (0L to 96L).foreach { v => assert(got(v) === 97 - v, s"v=$v") }
+    // helper column must not leak
+    assert(!ranked.columns.contains("_rk_pid"))
+  }
+
+  test("ntileExact matches SQL NTILE group sizes when n % k != 0") {
+    // n=10, k=4 -> NTILE sizes 3,3,2,2 (first n%k tiles get the extra)
+    val df = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val tiles = Ranking.ntileExact(df, 4, Seq(desc("v"), col("id")), "t")
+      .groupBy("t").count().as[(Int, Long)].collect().toMap
+    assert(tiles === Map(1 -> 3L, 2 -> 3L, 3 -> 2L, 4 -> 2L))
+    // and membership follows the order: the top-3 v values are tile 1
+    val t1 = Ranking.ntileExact(df, 4, Seq(desc("v"), col("id")), "t")
+      .where(col("t") === 1).select("v").as[Long].collect().toSet
+    assert(t1 === Set(10L, 9L, 8L))
+  }
+
+  test("ntileExact with n < k: one row per tile, low tiles filled first") {
+    val df = Seq((1L, 5L), (2L, 3L)).toDF("id", "v")
+    val tiles = Ranking.ntileExact(df, 4, Seq(desc("v"), col("id")), "t")
+      .select("v", "t").as[(Long, Int)].collect().toMap
+    assert(tiles === Map(5L -> 1, 3L -> 2)) // tiles 3,4 stay empty
+  }
+
+  test("buildIvfTrained rejects an over-thinned training sample with an actionable error") {
+    val emb = (0L until 40L).map(i => (i, Seq.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfTrained(emb, k = 16, sampleMod = 1024L)
+    }
+    assert(e.getMessage.contains("sampleMod"))
+    assert(e.getMessage.contains("points-per-centroid"))
+  }
+}
