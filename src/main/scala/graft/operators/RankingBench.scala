@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One-off measurement main for the distributed-NTILE trade (SURVEY
+  * §6): on a synthetic frame big enough that one task matters, time
+  * quartile assignment via the single-partition global window (w5's
+  * old plan) vs Ranking.ntileExact, and assert the outputs agree.
+  * Usage: runMain graft.operators.RankingBench [nRows]
+  */
+object RankingBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // deterministic pseudo-random spend per id; 32 input partitions
+    val df = spark.range(0, n, 1, 32)
+      .select(col("id"), (xxhash64(col("id")) % 1000000).as("v"))
+    def timed(f: => Array[org.apache.spark.sql.Row]): (Array[org.apache.spark.sql.Row], Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def summarize(d: org.apache.spark.sql.DataFrame, tile: String) =
+      d.groupBy(col(tile)).agg(count(lit(1)).as("n"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy(col(tile)).collect()
+    val (gRes, gSec) = timed {
+      val w = Window.orderBy(desc("v"), col("id"))
+      summarize(df.withColumn("q", ntile(4).over(w)), "q")
+    }
+    graft.Isolation.scrub(spark)
+    val (dRes, dSec) = timed {
+      summarize(Ranking.ntileExact(df, 4, Seq(desc("v"), col("id")), "q"), "q")
+    }
+    require(gRes.map(_.toSeq).toSeq == dRes.map(_.toSeq).toSeq,
+      s"distributed NTILE diverged from the global window:\n" +
+        s"${gRes.toSeq}\nvs\n${dRes.toSeq}")
+    println(f"n=$n globalWindow=${gSec}%.1fs distributed=${dSec}%.1fs " +
+      f"speedup=${gSec / dSec}%.2fx (outputs identical)")
+    spark.stop()
+  }
+}
