@@ -563,9 +563,14 @@ object Dedup {
     * to [[Similarity]] ANN for boundary-straddling paraphrases. */
   def semanticContamination(emb: DataFrame, benchPred: Column,
                             nCentroids: Int, minCos: Double): DataFrame = {
-    val (_, assigned) = Similarity.buildIvf(
-      emb.select(col("vec_id"), col("embedding")), nCentroids)
-    val bench = assigned.where(benchPred)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val (index, assigned) = Similarity.buildIvf(vecs, nCentroids)
+    // assign the benchmark side SEPARATELY (same centroids, same
+    // assignment path ⇒ same cells): deriving it by filtering
+    // `assigned` would re-run the nearest-centroid map over the WHOLE
+    // corpus just to materialize the tiny broadcast side — at 100 TB
+    // that doubles the dominant pass for ~1% of the rows
+    val bench = Similarity.assignToCells(index, vecs.where(benchPred))
       .select(col("cell"), col("vec").as("bench_vec"))
     val corpus = assigned.where(!benchPred)
     corpus.join(broadcast(bench), Seq("cell"))

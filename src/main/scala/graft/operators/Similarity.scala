@@ -173,11 +173,11 @@ object Similarity {
         // sample trains k-means on fewer points than centroids — the
         // result is fewer-than-k (or degenerate) cells, the exact
         // hot-cell pathology this API exists to prevent, surfaced as an
-        // opaque MLlib error. Fail with the actionable message instead.
-        val n = s.count()
-        require(n >= k,
-          s"sampleMod=$sampleMod leaves only $n training vectors for k=$k " +
-            "centroids — lower sampleMod (points-per-centroid must stay high)")
+        // opaque MLlib error. limit(k) early-terminates the scan — a
+        // bare count() would read the whole corpus just to validate.
+        require(s.limit(k).count() >= k,
+          s"sampleMod=$sampleMod leaves fewer than k=$k training vectors — " +
+            "lower sampleMod (points-per-centroid must stay high)")
         s
       }
     val (_, centers) = Clustering.kmeansEmbeddings(trainSet, k, maxIter, seed)
@@ -187,8 +187,9 @@ object Similarity {
 
   /** Nearest-centroid assignment of a (vec_id, embedding) frame — the
     * single map-side assignment path shared by build/trained-build/
-    * append, so every entry point produces identical cells. */
-  private def assignToCells(index: IvfIndex, emb: DataFrame): DataFrame = {
+    * append (and Dedup's contamination split), so every entry point
+    * produces identical cells. */
+  private[operators] def assignToCells(index: IvfIndex, emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     val bc = emb.sparkSession.sparkContext.broadcast(index)
     val assignRow = (r: Row) => {

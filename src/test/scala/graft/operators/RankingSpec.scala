@@ -40,6 +40,19 @@ class RankingSpec extends AnyFunSuite {
     assert(t1 === Set(10L, 9L, 8L))
   }
 
+  test("ntileExact leaves a caller's cache entry for the input intact") {
+    val df = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("id", "v").cache()
+    try {
+      df.count()
+      Ranking.ntileExact(df, 4, Seq(desc("v"), col("id")), "t").count()
+      // the transient internal persist/unpersist must not evict the
+      // caller's entry (cacheManager matches by plan, not by reference)
+      assert(spark.sharedState.cacheManager
+        .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .isDefined, "caller's cache entry was evicted by ntileExact")
+    } finally df.unpersist()
+  }
+
   test("ntileExact with n < k: one row per tile, low tiles filled first") {
     val df = Seq((1L, 5L), (2L, 3L)).toDF("id", "v")
     val tiles = Ranking.ntileExact(df, 4, Seq(desc("v"), col("id")), "t")
@@ -47,13 +60,4 @@ class RankingSpec extends AnyFunSuite {
     assert(tiles === Map(5L -> 1, 3L -> 2)) // tiles 3,4 stay empty
   }
 
-  test("buildIvfTrained rejects an over-thinned training sample with an actionable error") {
-    val emb = (0L until 40L).map(i => (i, Seq.fill(4)(i.toFloat)))
-      .toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
-      Similarity.buildIvfTrained(emb, k = 16, sampleMod = 1024L)
-    }
-    assert(e.getMessage.contains("sampleMod"))
-    assert(e.getMessage.contains("points-per-centroid"))
-  }
 }

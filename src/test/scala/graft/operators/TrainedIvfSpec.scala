@@ -137,6 +137,17 @@ class TrainedIvfSpec extends AnyFunSuite {
     } finally emb.unpersist()
   }
 
+  test("buildIvfTrained rejects an over-thinned training sample with an actionable error") {
+    import spark.implicits._
+    val emb = (0L until 40L).map(i => (i, Seq.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfTrained(emb, k = 16, sampleMod = 1024L)
+    }
+    assert(e.getMessage.contains("sampleMod"))
+    assert(e.getMessage.contains("points-per-centroid"))
+  }
+
   test("dup-heavy corpus: seed centroids collapse into hot cells (a full scan in disguise); trained cells stay balanced") {
     // 8 exact copies of every vector, ids shifted per copy — the
     // duplicate-heavy layout real web corpora have. The every-(n/k)-th
