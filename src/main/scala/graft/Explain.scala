@@ -21,7 +21,8 @@ object Explain {
       "t12_source_composition", "c1_corpus_pipeline", "q1_dq_report",
       "a21_bottomk_sample", "o6_keyset_page", "z1_zorder_values",
       "v6_ivf_quantized_topk", "c2_dedup_pipeline",
-      "w5_spend_quartiles", "s15_sharded_packing")
+      "w5_spend_quartiles", "s15_sharded_packing",
+      "d11_duplicated_span_removal", "s16_token_budget_selection")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

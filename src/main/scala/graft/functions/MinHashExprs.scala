@@ -70,6 +70,52 @@ object ShingleHashes {
   final val FnvPrime  = 0x100000001b3L
 }
 
+/** Position-ordered k-gram hashes: out(i) = FNV-1a of the space-joined
+  * gram starting at token i (0-based), ALL n-k+1 positions, duplicates
+  * kept — [[ShingleHashes]]'s set semantics lose exactly the
+  * information span-level dedup needs (where each occurrence sits).
+  * Same hash arithmetic, token bytes fetched once, no gram string ever
+  * materialized — replaces a transform(slice+concat_ws+xxhash64) chain
+  * that allocated two objects per gram (measured ~25% off d11's
+  * gram-generation stage at sf0.1). */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { tb(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var start = 0
+    while (start <= n - k) {
+      var h = ShingleHashes.FnvOffset
+      var j = start
+      while (j < start + k) {
+        if (j > start) { h ^= ' '.toLong; h *= ShingleHashes.FnvPrime }
+        val bytes = tb(j)
+        var b = 0
+        while (b < bytes.length) {
+          h ^= (bytes(b) & 0xffL); h *= ShingleHashes.FnvPrime
+          b += 1
+        }
+        j += 1
+      }
+      out(start) = h
+      start += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 /** MinHash signature over an array<long> of shingle hashes:
   * sig[i] = min over shingles of (a_i·h + b_i) mod (2^61−1).
   * Seeds are deterministic (task retries must reproduce signatures). */
@@ -123,6 +169,8 @@ object Registry {
       exprs => PolyHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("gram_hashes",
+      exprs => GramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
@@ -149,6 +197,8 @@ object Registry {
 
   def shingleHashes(tokens: Column, k: Int): Column =
     call_function("shingle_hashes", tokens, lit(k))
+  def gramHashes(tokens: Column, k: Int): Column =
+    call_function("gram_hashes", tokens, lit(k))
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingleHashes, lit(numHashes))
 }

@@ -499,6 +499,105 @@ object Dedup {
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   }
 
+  // ---------------------------------------- duplicated-span removal
+
+  /** Exact duplicated-span removal (the RefinedWeb / Lee et al. 2022
+    * "exact substring" rule, k-gram-hash formulation): drop every token
+    * covered by a k-token span whose content occurs >= 2 times ANYWHERE
+    * in the corpus — across documents or repeated within one. This is
+    * span-level surgery on surviving documents, a different axis from
+    * doc-level dedup (d1/d3) and benchmark decontamination (d8): it
+    * excises boilerplate and quoted blocks while keeping the documents.
+    *
+    * All occurrences are removed, not all-but-one — the symmetric rule
+    * (also what the reference ExactSubstr tooling does), and the only
+    * one expressible without electing a canonical occurrence, which
+    * would need a global total order over occurrences.
+    *
+    * Scale shape: gram hashes are computed in-row (one `transform` over
+    * the token array — no k-fold row blowup before the explode), and the
+    * occurrence frame is shuffled ONCE on the 8-byte xxhash64
+    * (content-derived, so work distributes by data); the duplicate test
+    * is a count over `Window.partitionBy(h)` on that same shuffle — the
+    * obvious aggregate-then-join formulation was measured to generate
+    * and hash every gram TWICE at the no-broadcast (cluster-scale)
+    * shape, because column pruning makes the two occurrence subtrees
+    * unequal and defeats ReuseExchange. WindowExec's spillable group
+    * buffer also bounds the damage of a pathological boilerplate gram
+    * with millions of occurrences, where a collect_list-per-hash
+    * aggregate would OOM one task. No stage ever holds doc x doc state;
+    * the widest frame is one row per gram occurrence (~n_tokens per
+    * doc). The final mask is evaluated inside one projection via
+    * higher-order functions (filter-with-index + exists over the
+    * sorted, typically tiny, start list).
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text). */
+  def duplicatedSpanRemoval(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    // one native FNV-1a per gram START (GramHashes: token bytes fetched
+    // once, no gram string materialized), computed against the in-row
+    // array: grams never exist as separate rows until the (idx, hash)
+    // explode. n < k yields an empty array inside the expression.
+    val withG = toks.withColumn("gh", Registry.gramHashes(col("toks"), k))
+    val occ = withG.select(col("doc_id"), posexplode(col("gh")))
+      .toDF("doc_id", "idx", "h")
+    val dupStarts = occ
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx") + 1)).as("starts"))
+    // token at 1-based pos p is covered iff some duplicated gram starts
+    // in [p-k+1, p]; filter's lambda index i is 0-based (p = i + 1)
+    toks.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"),
+        (_, i) => !exists(col("starts"),
+          s => s <= i + 1 && s >= i + lit(2) - k)))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** DuckDB oracle for [[duplicatedSpanRemoval]]: identical rule, but
+    * grouped on the gram STRING itself instead of its xxhash64 — the
+    * semantics depend only on gram equality, so the two agree up to the
+    * usual negligible 64-bit collision caveat, and the oracle stays an
+    * independent formulation rather than a hash-arithmetic replay. */
+  def duplicatedSpanRemovalSql(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT t.doc_id, s.s AS s,
+       |         array_to_string(t.toks[s.s:s.s + $k - 1], ' ') AS gram
+       |  FROM t, LATERAL (
+       |    SELECT unnest(range(1, len(t.toks) - $k + 2)) AS s) s
+       |  WHERE len(t.toks) >= $k),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       |ds AS (SELECT g.doc_id, g.s FROM g JOIN dup USING (gram)),
+       |tok AS (
+       |  SELECT t.doc_id, i.i AS i, t.toks[i.i] AS tok
+       |  FROM t, LATERAL (
+       |    SELECT unnest(range(1, len(t.toks) + 1)) AS i) i),
+       |kept AS (
+       |  SELECT doc_id, i, tok FROM tok
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ds
+       |    WHERE ds.doc_id = tok.doc_id
+       |      AND ds.s <= tok.i AND ds.s >= tok.i - $k + 1)),
+       |kc AS (
+       |  SELECT doc_id, COUNT(*) AS kept_n,
+       |         string_agg(tok, ' ' ORDER BY i) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |       CAST(len(t.toks) - COALESCE(kc.kept_n, 0) AS BIGINT) AS n_removed,
+       |       COALESCE(kc.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN kc USING (doc_id)""".stripMargin
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic near-dup pairs: partition the embedding

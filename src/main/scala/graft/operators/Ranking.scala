@@ -34,42 +34,88 @@ object Ranking {
     * lineage-cut pattern as the connected-components loop; Bench's
     * per-query scrub reclaims those blocks. If the caller already
     * cached the input, their cache entry is used and left untouched. */
-  private def rankedParts(df: DataFrame, sortCols: Seq[Column],
-                          rankCol: String, numPartitions: Int)
-      : (DataFrame, Long) = {
-    // persist (SQL-layer), not localCheckpoint, for the input snapshot:
-    // its blocks are dead the moment the shuffled frame materializes,
-    // and only cacheManager-tracked frames can be unpersisted cleanly
-    // here — a leaked checkpoint per call would be exactly the residue
-    // class the round-6 bench forensic closed. If the CALLER persisted
-    // this plan, persist() would be a no-op but unpersist() would evict
-    // THEIR entry (cacheManager matches by plan) and silently force
-    // full recomputation on their next use — so skip both in that case.
+  /** Range-shuffled, checkpointed snapshot of `df` with a partition-id
+    * column — the shared first stage of every exact-global operator here
+    * (rank, NTILE, prefix sum).
+    *
+    * persist (SQL-layer), not localCheckpoint, for the input snapshot:
+    * its blocks are dead the moment the shuffled frame materializes,
+    * and only cacheManager-tracked frames can be unpersisted cleanly
+    * here — a leaked checkpoint per call would be exactly the residue
+    * class the round-6 bench forensic closed. If the CALLER persisted
+    * this plan, persist() would be a no-op but unpersist() would evict
+    * THEIR entry (cacheManager matches by plan) and silently force
+    * full recomputation on their next use — so skip both in that case. */
+  private def rangeSnapshot(df: DataFrame, sortCols: Seq[Column],
+                            numPartitions: Int, pidCol: String): DataFrame = {
     val callerCached = df.sparkSession.sharedState.cacheManager
       .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
       .isDefined
     val snap =
       if (callerCached) df
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val parts =
-      try snap.repartitionByRange(numPartitions, sortCols: _*)
-        .withColumn("_rk_pid", spark_partition_id())
-        .localCheckpoint() // eager: range sampling + shuffle run ONCE here
-      finally if (!callerCached) snap.unpersist(blocking = false)
-    // partition ids ascend along the range order, so pid p's offset is
-    // the total row count of partitions < p. numPartitions rows — tiny.
+    try snap.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint() // eager: range sampling + shuffle run ONCE here
+    finally if (!callerCached) snap.unpersist(blocking = false)
+  }
+
+  /** Exclusive per-partition prefix offsets from a (pid → value) map:
+    * pid p's offset is the sum of values of all partitions < p. Partition
+    * ids ascend along the range order, so this is the global prefix.
+    * Returns (offsets, grand total). */
+  private def prefixOffsets(perPart: Map[Int, Long]): (Map[Int, Long], Long) = {
+    val pids = perPart.keys.toSeq.sorted
+    var acc = 0L
+    val offsets = pids.map { p => val o = acc; acc += perPart(p); p -> o }.toMap
+    (offsets, acc)
+  }
+
+  private def rankedParts(df: DataFrame, sortCols: Seq[Column],
+                          rankCol: String, numPartitions: Int)
+      : (DataFrame, Long) = {
+    val parts = rangeSnapshot(df, sortCols, numPartitions, "_rk_pid")
+    // numPartitions rows — tiny collect, also yields the global count.
     val counts = parts.groupBy(col("_rk_pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = counts.keys.toSeq.sorted
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      pids.map { p => val o = acc; acc += counts(p); p -> o }.toMap
+    val (offsets, n) = prefixOffsets(counts)
     val w = Window.partitionBy(col("_rk_pid")).orderBy(sortCols: _*)
     val ranked = parts
       .withColumn(rankCol, row_number().over(w).cast("long") +
         element_at(typedLit(offsets), col("_rk_pid")))
       .drop("_rk_pid")
-    (ranked, acc)
+    (ranked, n)
+  }
+
+  /** Adds `cumCol` = exact global running sum of `valueCol` (cast to long;
+    * nulls count as 0 on both the offset and the window side) under the
+    * total order `sortCols` — SQL's
+    * `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` without the
+    * single-partition window: per-range partial sums are collected
+    * (numPartitions rows) and broadcast back as offsets, exactly the
+    * rank/NTILE scheme with SUM in place of COUNT. The sort keys must
+    * form a total order (unique tiebreak) or the running sum at ties is
+    * nondeterministic. Long-typed by design: exact prefix sums need
+    * integer (or decimal) values — float running sums are
+    * order-dependent in a way no distribution scheme can fix. */
+  def cumsumExact(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                  cumCol: String, numPartitions: Int = 32): DataFrame = {
+    val parts = rangeSnapshot(
+      df.withColumn("_cs_v", coalesce(valueCol.cast("long"), lit(0L))),
+      sortCols, numPartitions, "_cs_pid")
+    val sums = parts.groupBy(col("_cs_pid"))
+      .agg(sum(col("_cs_v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (offsets, _) = prefixOffsets(sums)
+    // ROWS, not the default RANGE frame: under RANGE, peer rows (ties in
+    // sortCols) would each see the full tie-group's sum. sortCols are
+    // required to be a total order anyway, but ROWS keeps the semantics
+    // honest if that contract is violated upstream.
+    val w = Window.partitionBy(col("_cs_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.withColumn(cumCol,
+        sum(col("_cs_v")).over(w) + element_at(typedLit(offsets), col("_cs_pid")))
+      .drop("_cs_pid", "_cs_v")
   }
 
   /** Adds `rankCol` = exact 1-based global rank under `sortCols`. The sort

@@ -181,6 +181,27 @@ object CoverageQueries {
         .orderBy(col("shard"), col("pack"))
     }),
 
+    // S16: token-budget corpus selection — fill a fixed global token
+    // budget with the highest-quality documents (lexical diversity as
+    // the quality proxy): the "select the best 1T tokens" curation op.
+    // The global running sum is EXACT but never single-partition —
+    // Ranking.cumsumExact range-partitions on the quality order and
+    // broadcasts per-range partial sums as offsets, the same scheme as
+    // w5's distributed NTILE (SUM in place of COUNT).
+    "s16_token_budget_selection" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      import graft.operators.Ranking
+      val t = TF.wsTokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+          (size(array_distinct(t)).cast("double") / size(t)).as("diversity"))
+        .where(col("n_tokens") > 0)
+      Ranking.cumsumExact(scored, Seq(desc("diversity"), col("doc_id")),
+          col("n_tokens"), "cum_tokens")
+        .where(col("cum_tokens") <= 20000)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    }),
+
     // J3: one-to-many nested materialization (main.py:189,554-577) —
     // compared as a deterministic csv (list ordering is engine-defined)
     "j3_orders_per_customer_csv" -> ((s, dir) => {
@@ -778,6 +799,23 @@ object CoverageQueries {
          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(tok) AS BIGINT) AS tokens
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "s16_token_budget_selection" -> {
+      import graft.functions.{TextFunctions => TF}
+      val toks = TF.wsTokensSql("text")
+      s"""WITH s AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks)
+         |           AS diversity
+         |  FROM documents WHERE len($toks) > 0),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         SUM(n_tokens) OVER (ORDER BY diversity DESC, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM s)
+         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 20000""".stripMargin
     },
 
     "j3_orders_per_customer_csv" ->

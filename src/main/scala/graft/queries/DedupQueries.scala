@@ -76,6 +76,18 @@ object DedupQueries {
         Tables.part(s, dir).select(col("p_partkey").as("id"),
           col("p_retailprice").as("quality")))),
 
+    // Exact duplicated-span removal (RefinedWeb-style): excise every
+    // 13-token span occurring >= 2x anywhere in the corpus — span-level
+    // surgery on kept documents, vs d1/d3's whole-doc dedup. The
+    // drop-now-empty-docs step is the standard pipeline tail, and it
+    // also makes the query benchmarkable: under Bench's count()
+    // consumption, the bare per-doc frame's outer join (unique-keyed
+    // right side) is legally ELIMINATED by Catalyst — the filter on
+    // clean_text forces the surgery to actually run.
+    "d11_duplicated_span_removal" -> ((s, dir) =>
+      Dedup.duplicatedSpanRemoval(Tables.documents(s, dir), k = 13)
+        .where(col("clean_text") =!= "")),
+
     // The whole dedup pipeline end to end over documents: LSH
     // candidates → components → survivors → survivor-only rollup.
     "c2_dedup_pipeline" -> ((s, dir) =>
@@ -165,6 +177,11 @@ object DedupQueries {
         |SELECT comp, COUNT(*) AS n_members,
         |       CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS survivor
         |FROM r GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "d11_duplicated_span_removal" ->
+      s"""SELECT * FROM (
+         |${Dedup.duplicatedSpanRemovalSql(k = 13)}
+         |) WHERE clean_text <> ''""".stripMargin,
 
     "c2_dedup_pipeline" ->
       Dedup.dedupPipelineSql(k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)

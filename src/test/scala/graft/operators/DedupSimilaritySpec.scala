@@ -60,6 +60,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("gram_hashes: position order, duplicates kept, FNV-1a of the joined gram") {
+    import graft.functions.{Registry, ShingleHashes}
+    // reference: FNV-1a over the UTF-8 bytes of the space-joined gram —
+    // the exact arithmetic the oracle's gram-string grouping stands in for
+    def fnv(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(ShingleHashes.FnvOffset) { (h, b) =>
+        (h ^ (b & 0xffL)) * ShingleHashes.FnvPrime
+      }
+    val df = Seq((1L, "m n o m n o"), (2L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Registry.gramHashes(split(col("text"), " "), 3).as("gh"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val t = "m n o m n o".split(" ")
+    val want = (0 to 3).map(i => fnv(t.slice(i, i + 3).mkString(" ")))
+    assert(got(1L) === want)              // all 4 positions, in order
+    assert(got(1L)(0) === got(1L)(3))     // duplicate gram hashes KEPT
+    assert(got(2L) === Seq.empty)         // n < k -> empty
+  }
+
+  test("duplicated-span removal: cross-doc and within-doc spans excised, short docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // shares "a b c" with doc 2
+      (2L, "x y a b c z"),
+      (3L, "p q r"),         // unique 3-gram — untouched
+      (4L, "s t"),           // n < k — no grams, untouched
+      (5L, "m n o m n o")    // within-doc repeat: every token covered
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanRemoval(docs, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((6L, 3L, "d e f")))
+    assert(got(2L) === ((6L, 3L, "x y z")))
+    assert(got(3L) === ((3L, 0L, "p q r")))
+    assert(got(4L) === ((2L, 0L, "s t")))
+    // "m n o" occurs at starts 1 and 4: both occurrences removed (the
+    // symmetric all-occurrences rule), leaving an empty document
+    assert(got(5L) === ((6L, 6L, "")))
+  }
+
   test("connected components: chains, cliques, singleton pairs, multi-round convergence") {
     // component {1,2,3,4} is a 4-chain (needs >1 HashMin round),
     // {10,11,12} a triangle, {20,21} a lone pair

@@ -40,6 +40,26 @@ class RankingSpec extends AnyFunSuite {
     assert(t1 === Set(10L, 9L, 8L))
   }
 
+  test("cumsumExact equals the single-partition running sum, distributed") {
+    // values unsorted, spread over many input partitions, with a null
+    // (counts as 0) — compare against the one-task window ground truth
+    val rows = (1 to 200).map(i => (i.toLong, (i * 61 % 211).toLong,
+      if (i % 17 == 0) null else java.lang.Long.valueOf(i % 7 + 1)))
+    val df = spark.createDataset(rows).repartition(9).toDF("id", "v", "tok")
+    val got = Ranking.cumsumExact(df, Seq(desc("v"), col("id")), col("tok"),
+        "cum", numPartitions = 5)
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("v"), col("id"))
+      .rowsBetween(Long.MinValue, 0)
+    val want = df.withColumn("cum",
+        sum(coalesce(col("tok"), lit(0L))).over(w))
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(!Ranking.cumsumExact(df, Seq(col("id")), col("tok"), "c")
+      .columns.exists(c => c.startsWith("_cs_")))
+  }
+
   test("ntileExact leaves a caller's cache entry for the input intact") {
     val df = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("id", "v").cache()
     try {
