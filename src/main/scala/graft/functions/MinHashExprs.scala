@@ -43,18 +43,7 @@ case class ShingleHashes(child: Expression, k: Int)
     val out = new scala.collection.mutable.ArrayBuffer[Long](n - k + 1)
     var start = 0
     while (start <= n - k) {
-      var h = ShingleHashes.FnvOffset
-      var j = start
-      while (j < start + k) {
-        if (j > start) { h ^= ' '.toLong; h *= ShingleHashes.FnvPrime }
-        val bytes = tb(j)
-        var b = 0
-        while (b < bytes.length) {
-          h ^= (bytes(b) & 0xffL); h *= ShingleHashes.FnvPrime
-          b += 1
-        }
-        j += 1
-      }
+      val h = ShingleHashes.hashGram(tb, start, k)
       if (seen.add(h)) out += h
       start += 1
     }
@@ -68,6 +57,27 @@ case class ShingleHashes(child: Expression, k: Int)
 object ShingleHashes {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime  = 0x100000001b3L
+
+  /** FNV-1a of the space-joined k-gram starting at `start` in the
+    * pre-fetched token-bytes array — THE gram hash, shared by
+    * [[ShingleHashes]] (set semantics) and [[GramHashes]] (positional):
+    * the d11 oracle's gram-string grouping stands in for exactly this
+    * arithmetic, so the two expressions must never diverge. */
+  def hashGram(tb: Array[Array[Byte]], start: Int, k: Int): Long = {
+    var h = FnvOffset
+    var j = start
+    while (j < start + k) {
+      if (j > start) { h ^= ' '.toLong; h *= FnvPrime }
+      val bytes = tb(j)
+      var b = 0
+      while (b < bytes.length) {
+        h ^= (bytes(b) & 0xffL); h *= FnvPrime
+        b += 1
+      }
+      j += 1
+    }
+    h
+  }
 }
 
 /** Position-ordered k-gram hashes: out(i) = FNV-1a of the space-joined
@@ -94,19 +104,7 @@ case class GramHashes(child: Expression, k: Int)
     val out = new Array[Long](n - k + 1)
     var start = 0
     while (start <= n - k) {
-      var h = ShingleHashes.FnvOffset
-      var j = start
-      while (j < start + k) {
-        if (j > start) { h ^= ' '.toLong; h *= ShingleHashes.FnvPrime }
-        val bytes = tb(j)
-        var b = 0
-        while (b < bytes.length) {
-          h ^= (bytes(b) & 0xffL); h *= ShingleHashes.FnvPrime
-          b += 1
-        }
-        j += 1
-      }
-      out(start) = h
+      out(start) = ShingleHashes.hashGram(tb, start, k)
       start += 1
     }
     new GenericArrayData(out)

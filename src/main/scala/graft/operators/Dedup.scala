@@ -514,10 +514,11 @@ object Dedup {
     * one expressible without electing a canonical occurrence, which
     * would need a global total order over occurrences.
     *
-    * Scale shape: gram hashes are computed in-row (one `transform` over
-    * the token array — no k-fold row blowup before the explode), and the
-    * occurrence frame is shuffled ONCE on the 8-byte xxhash64
-    * (content-derived, so work distributes by data); the duplicate test
+    * Scale shape: gram hashes are computed in-row (native
+    * [[graft.functions.GramHashes]] over the token array — no k-fold
+    * row blowup before the explode, no per-gram string allocation), and
+    * the occurrence frame is shuffled ONCE on the 8-byte FNV-1a gram
+    * hash (content-derived, so work distributes by data); the duplicate test
     * is a count over `Window.partitionBy(h)` on that same shuffle — the
     * obvious aggregate-then-join formulation was measured to generate
     * and hash every gram TWICE at the no-broadcast (cluster-scale)
@@ -563,7 +564,7 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[duplicatedSpanRemoval]]: identical rule, but
-    * grouped on the gram STRING itself instead of its xxhash64 — the
+    * grouped on the gram STRING itself instead of its FNV-1a hash — the
     * semantics depend only on gram equality, so the two agree up to the
     * usual negligible 64-bit collision caveat, and the oracle stays an
     * independent formulation rather than a hash-arithmetic replay. */

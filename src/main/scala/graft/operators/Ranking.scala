@@ -20,29 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Range-partitioned frame + exact global row count, shared by
-    * globalRank/ntileExact so the count comes from the same tiny collect
-    * that builds the offsets (no extra job over the data).
-    *
-    * The INPUT frame is transiently persisted (SQL-layer cache, dropped
-    * as soon as the shuffled frame materializes): without it the
-    * upstream executes three times — the range-sampling pass, the
-    * offset-count job, and the ranking job each recompute it (measured
-    * 2.7x on w5's agg input). The range-SHUFFLED frame is then
-    * localCheckpoint'ed so the exchange also runs once (offset-count
-    * and rank jobs read its blocks instead of re-shuffling) — the same
-    * lineage-cut pattern as the connected-components loop; Bench's
-    * per-query scrub reclaims those blocks. If the caller already
-    * cached the input, their cache entry is used and left untouched. */
   /** Range-shuffled, checkpointed snapshot of `df` with a partition-id
     * column — the shared first stage of every exact-global operator here
     * (rank, NTILE, prefix sum).
     *
-    * persist (SQL-layer), not localCheckpoint, for the input snapshot:
+    * The INPUT frame is transiently persisted (SQL-layer cache, dropped
+    * as soon as the shuffled frame materializes): without it the
+    * upstream executes three times — the range-sampling pass, the
+    * offset job, and the final job each recompute it (measured 2.7x on
+    * w5's agg input). persist, not localCheckpoint, for that snapshot:
     * its blocks are dead the moment the shuffled frame materializes,
     * and only cacheManager-tracked frames can be unpersisted cleanly
     * here — a leaked checkpoint per call would be exactly the residue
-    * class the round-6 bench forensic closed. If the CALLER persisted
+    * class the round-6 bench forensic closed. The range-SHUFFLED frame
+    * is localCheckpoint'ed so the exchange also runs once (offset and
+    * final jobs read its blocks instead of re-shuffling); Bench's
+    * per-query scrub reclaims those blocks. If the CALLER persisted
     * this plan, persist() would be a no-op but unpersist() would evict
     * THEIR entry (cacheManager matches by plan) and silently force
     * full recomputation on their next use — so skip both in that case. */
@@ -100,9 +93,13 @@ object Ranking {
     * order-dependent in a way no distribution scheme can fix. */
   def cumsumExact(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
                   cumCol: String, numPartitions: Int = 32): DataFrame = {
-    val parts = rangeSnapshot(
-      df.withColumn("_cs_v", coalesce(valueCol.cast("long"), lit(0L))),
-      sortCols, numPartitions, "_cs_pid")
+    // the value column is derived AFTER the snapshot: wrapping df in a
+    // withColumn first would make rangeSnapshot's caller-cache lookup
+    // miss (cacheManager matches by plan), re-persisting data the
+    // caller already cached. Post-checkpoint it's a cheap projection
+    // over the snapshot's blocks, evaluated once per downstream job.
+    val parts = rangeSnapshot(df, sortCols, numPartitions, "_cs_pid")
+      .withColumn("_cs_v", coalesce(valueCol.cast("long"), lit(0L)))
     val sums = parts.groupBy(col("_cs_pid"))
       .agg(sum(col("_cs_v")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

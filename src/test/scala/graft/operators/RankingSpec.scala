@@ -60,16 +60,21 @@ class RankingSpec extends AnyFunSuite {
       .columns.exists(c => c.startsWith("_cs_")))
   }
 
-  test("ntileExact leaves a caller's cache entry for the input intact") {
+  test("ntileExact and cumsumExact leave a caller's cache entry for the input intact") {
     val df = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("id", "v").cache()
     try {
       df.count()
-      Ranking.ntileExact(df, 4, Seq(desc("v"), col("id")), "t").count()
-      // the transient internal persist/unpersist must not evict the
-      // caller's entry (cacheManager matches by plan, not by reference)
-      assert(spark.sharedState.cacheManager
+      def callerEntryLives = spark.sharedState.cacheManager
         .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-        .isDefined, "caller's cache entry was evicted by ntileExact")
+        .isDefined
+      // the transient internal persist/unpersist must not evict the
+      // caller's entry (cacheManager matches by plan, not by reference);
+      // cumsumExact must also LOOK UP on the caller's plan — deriving
+      // its value column before the lookup would make the guard miss
+      Ranking.ntileExact(df, 4, Seq(desc("v"), col("id")), "t").count()
+      assert(callerEntryLives, "caller's cache entry was evicted by ntileExact")
+      Ranking.cumsumExact(df, Seq(desc("v"), col("id")), col("v"), "c").count()
+      assert(callerEntryLives, "caller's cache entry was evicted by cumsumExact")
     } finally df.unpersist()
   }
 
