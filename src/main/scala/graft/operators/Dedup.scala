@@ -519,14 +519,22 @@ object Dedup {
     * row blowup before the explode, no per-gram string allocation), and
     * the occurrence frame is shuffled ONCE on the 8-byte FNV-1a gram
     * hash (content-derived, so work distributes by data); the duplicate test
-    * is a count over `Window.partitionBy(h)` on that same shuffle — the
-    * obvious aggregate-then-join formulation was measured to generate
-    * and hash every gram TWICE at the no-broadcast (cluster-scale)
-    * shape, because column pruning makes the two occurrence subtrees
-    * unequal and defeats ReuseExchange. WindowExec's spillable group
-    * buffer also bounds the damage of a pathological boilerplate gram
-    * with millions of occurrences, where a collect_list-per-hash
-    * aggregate would OOM one task. No stage ever holds doc x doc state;
+    * is a count over `Window.partitionBy(h)` on that same shuffle. The
+    * obvious aggregate-then-join formulation generates and hashes every
+    * gram TWICE at the no-broadcast (cluster-scale) shape — column
+    * pruning makes the two occurrence subtrees unequal and defeats
+    * ReuseExchange — and shuffles the occurrence frame twice.
+    * SpanDedupBench races the two at that shape with checksum-identical
+    * outputs: at a realistic duplicate density (320k docs, ~9% of
+    * tokens removed) the windowed form is 1.47x faster (7.0s vs
+    * 10.3s); only at a pathological all-duplicate shape (98% removed,
+    * where per-group window buffering dominates a streaming merge) does
+    * the join form win by the same factor — the regime a curated
+    * corpus is never in after doc-level dedup (d1/d3) has run.
+    * WindowExec's spillable group buffer also bounds the damage of a
+    * pathological boilerplate gram with millions of occurrences, where
+    * a collect_list-per-hash aggregate would OOM one task. No stage
+    * ever holds doc x doc state;
     * the widest frame is one row per gram occurrence (~n_tokens per
     * doc). The final mask is evaluated inside one projection via
     * higher-order functions (filter-with-index + exists over the
