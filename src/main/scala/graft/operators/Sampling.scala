@@ -57,6 +57,72 @@ object Sampling {
     s"(${PolyHash64.sql(keySql)}) % $Buckets < " +
       s"least(greatest(CAST($weightSql AS DOUBLE), 0.0), 1.0) * $Buckets"
 
+  // ------------------------------------- temperature source rebalancing
+
+  /** Integer bucket cutoffs for √-temperature source rebalancing (the
+    * multilingual `n_i^α` mix at α = 0.5): source i is kept at a rate
+    * ∝ sqrt(n_i)/n_i, normalized so the expected total is
+    * total/targetDenom rows — dominant sources are downsampled hardest,
+    * tail sources kept (rate clamps at 1). Rates are DERIVED FROM THE
+    * DATA by one tiny aggregate (|sources| rows collected) and applied
+    * as a map-side hash predicate — the two-phase shape that holds at
+    * 100 TB.
+    *
+    * All cutoff arithmetic is INTEGER on purpose: IEEE sqrt is
+    * correctly rounded, so floor(sqrt(n)) is engine-portable for
+    * n < 2^52, and everything after is BIGINT — the DuckDB oracle
+    * reproduces every cutoff bit-exactly with no cross-engine pow()
+    * last-ulp hazard. Overflow bound: T·s_i·Buckets must stay under
+    * 2^63 — fine through ~1e11-row corpora at Buckets=10000; swap the
+    * multiply to DECIMAL(38,0) beyond that. */
+  def sqrtTemperatureCutoffs(df: DataFrame, strataCol: String,
+                             targetDenom: Long): Map[String, Long] = {
+    require(targetDenom >= 1, s"targetDenom must be >= 1, got $targetDenom")
+    // null strata are excluded from the derivation and dropped by the
+    // filter (the fold's default cutoff is 0) — same posture as a null
+    // group key anywhere else in the curation pipeline
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val isqrt = counts.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }.toMap
+    val bigN = counts.map(_._2).sum
+    val bigS = isqrt.values.sum
+    val t = bigN / targetDenom
+    counts.map { case (s, n) =>
+      s -> math.min(Buckets.toLong, t * isqrt(s) * Buckets / (bigS * n))
+    }.toMap
+  }
+
+  /** Keep-filter applying [[sqrtTemperatureCutoffs]]: the same
+    * deterministic content-hash decision as [[stratifiedSample]], with
+    * the fractions computed from the observed source distribution
+    * instead of caller-supplied constants. */
+  def temperatureMix(df: DataFrame, strataCol: String, key: Column,
+                     targetDenom: Long): DataFrame = {
+    val cutoffs = sqrtTemperatureCutoffs(df, strataCol, targetDenom)
+    val cutoff = cutoffs.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, c)) => when(col(strataCol) === s, lit(c)).otherwise(acc)
+    }
+    df.where(PolyHash64.polyHash64(key) % Buckets < cutoff)
+  }
+
+  /** DuckDB twin of the whole derivation: CTEs computing the identical
+    * integer cutoffs from the same table, usable as
+    * `WITH $sql SELECT ... FROM documents d JOIN _tm_rates r ...`. */
+  def temperatureMixRatesSql(table: String, strata: String,
+                             targetDenom: Long): String =
+    s"""_tm_counts AS (
+       |  SELECT $strata AS _tm_s, COUNT(*) AS n FROM $table GROUP BY 1),
+       |_tm_sqrts AS (
+       |  SELECT _tm_s, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s
+       |  FROM _tm_counts),
+       |_tm_tot AS (SELECT SUM(n) AS big_n, SUM(s) AS big_s FROM _tm_sqrts),
+       |_tm_rates AS (
+       |  SELECT _tm_s, LEAST($Buckets,
+       |           ((t.big_n // $targetDenom) * q.s * $Buckets) // (t.big_s * q.n))
+       |         AS cutoff
+       |  FROM _tm_sqrts q, _tm_tot t)""".stripMargin
+
   // --------------------------------------------- epoch-weighted mixing
 
   private def baseOf(w: Double): Int = math.floor(w).toInt

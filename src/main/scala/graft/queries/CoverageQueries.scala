@@ -121,6 +121,21 @@ object CoverageQueries {
         .orderBy(col("lang"))
     }),
 
+    // S17: √-temperature source rebalancing — the multilingual n^0.5
+    // mix: per-source keep rates DERIVED from the observed source
+    // distribution (one tiny collected aggregate), applied map-side as
+    // a deterministic content-hash filter; integer cutoff arithmetic
+    // keeps Spark and the oracle bit-identical (no pow() ulp hazard)
+    "s17_temperature_mix" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.temperatureMix(Tables.documents(s, dir), "source",
+          key = concat(col("doc_id").cast("string"), lit("/"), col("source")),
+          targetDenom = 4L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source"))
+    }),
+
     // S14: split-leakage audit — hash-assigned train/val/test splits,
     // then count content-identical pairs straddling split boundaries
     // (the held-out contamination check). Dups are synthesized (s10
@@ -742,6 +757,18 @@ object CoverageQueries {
          |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          |FROM documents WHERE $pred
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "s17_temperature_mix" -> {
+      import graft.functions.PolyHash64
+      import graft.operators.Sampling
+      val ph = PolyHash64.sql("(CAST(d.doc_id AS VARCHAR) || '/' || d.source)")
+      s"""WITH ${Sampling.temperatureMixRatesSql("documents", "source", 4L)}
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum
+         |FROM documents d JOIN _tm_rates r ON r._tm_s = d.source
+         |WHERE ($ph) % ${Sampling.Buckets} < r.cutoff
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
 
     "s14_split_leakage" -> {

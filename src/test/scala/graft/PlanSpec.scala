@@ -204,6 +204,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("s16: token-budget selection's global cumsum has NO single-partition stage") {
+    val p = physical("s16_token_budget_selection")
+    // the whole point of Ranking.cumsumExact: SUM OVER (ORDER BY ...)
+    // without funneling the frame through one task — same contract as w5
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // the one checkpointed range shuffle
+    assert(p.contains("Window"), p)
+  }
+
+  test("d11: span removal generates grams once — one Generate, windowed dup count, no second doc scan of the gram subtree") {
+    val p = physical("d11_duplicated_span_removal")
+    // the agg-then-join formulation would show TWO Generates (the gram
+    // explode evaluated once per occurrence subtree); the windowed form
+    // must keep exactly one
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+    // two parquet scans total: the gram subtree and the cheap
+    // reconstruction side (tokenize only — no gram hashing)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 2, p)
+  }
+
   test("c1: the composed pipeline is one scan with ONE data-sized shuffle, dedup pre-limited map-side") {
     val p = physical("c1_corpus_pipeline")
     val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size

@@ -83,6 +83,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(rate - 0.3) < 0.1, s"rate $rate")
   }
 
+  test("temperature mixing: sqrt rebalance downsamples the dominant source hardest, integer cutoffs, deterministic") {
+    // 1600 docs src_big vs 100 src_small: under sqrt-temperature the
+    // big source's keep RATE must fall well below the small one's
+    val rows = (0 until 1600).map(i => (i.toLong, "src_big")) ++
+      (10000 until 10100).map(i => (i.toLong, "src_small"))
+    val df = rows.toDF("doc_id", "source").repartition(6)
+    val key = concat(col("doc_id").cast("string"), lit("/"), col("source"))
+    val cut = Sampling.sqrtTemperatureCutoffs(df, "source", targetDenom = 4L)
+    // exact integer expectations: N=1700, T=425, S=floor(sqrt(1600))+
+    // floor(sqrt(100))=50; big: 425*40*10000/(50*1600)=2125;
+    // small: 425*10*10000/(50*100)=8500 — 4x the rate for 1/16 the size
+    assert(cut === Map("src_big" -> 2125L, "src_small" -> 8500L))
+    val kept = Sampling.temperatureMix(df, "source", key, 4L)
+    val bigRate = kept.where(col("source") === "src_big").count() / 1600.0
+    val smallRate = kept.where(col("source") === "src_small").count() / 100.0
+    assert(math.abs(bigRate - 0.2125) < 0.05, s"big rate $bigRate")
+    assert(math.abs(smallRate - 0.85) < 0.12, s"small rate $smallRate")
+    // content-hash decisions: partitioning must not change the sample
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.temperatureMix(df.repartition(3), "source", key, 4L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === ids2)
+  }
+
   test("epoch mixing: floor+fractional copies, zero-weight drop, deterministic") {
     val docs = graft.sources.Tables.documents(spark, sf)
     def mix(df: org.apache.spark.sql.DataFrame) =
