@@ -576,9 +576,9 @@ object Dedup {
     * semantics depend only on gram equality, so the two agree up to the
     * usual negligible 64-bit collision caveat, and the oracle stays an
     * independent formulation rather than a hash-arithmetic replay. */
-  def duplicatedSpanRemovalSql(k: Int): String =
+  def duplicatedSpanRemovalSql(k: Int, from: String = "documents"): String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM $from),
        |g AS (
        |  SELECT t.doc_id, s.s AS s,
        |         array_to_string(t.toks[s.s:s.s + $k - 1], ' ') AS gram

@@ -136,6 +136,33 @@ object CoverageQueries {
         .orderBy(col("source"))
     }),
 
+    // C3: curation pipeline v2 — the round-6 operators composed in the
+    // order a real corpus build runs them: cheap map-side source
+    // rebalancing FIRST (s17), exact span surgery on the survivors
+    // (d11), then fill a token budget best-diversity-first with the
+    // distributed cumsum (s16), rolled up per source. One declared
+    // query so the oracle checks the COMPOSITION, not just the parts.
+    "c3_curation_v2" -> ((s, dir) => {
+      import graft.operators.{Dedup, Ranking, Sampling}
+      val docs = Tables.documents(s, dir)
+      val key = concat(col("doc_id").cast("string"), lit("/"), col("source"))
+      val mixed = Sampling.temperatureMix(docs, "source", key, targetDenom = 4L)
+      val cleaned = Dedup.duplicatedSpanRemoval(mixed, k = 13)
+        .where(col("clean_text") =!= "")
+      val t = TF.wsTokens(col("clean_text"))
+      val scored = cleaned.select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          (size(array_distinct(t)).cast("double") / size(t)).as("diversity"))
+        .where(col("n_tokens") > 0)
+      val sel = Ranking.cumsumExact(scored,
+          Seq(desc("diversity"), col("doc_id")), col("n_tokens"), "cum_tokens")
+        .where(col("cum_tokens") <= 4000)
+      sel.join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy(col("source"))
+    }),
+
     // S14: split-leakage audit — hash-assigned train/val/test splits,
     // then count content-identical pairs straddling split boundaries
     // (the held-out contamination check). Dups are synthesized (s10
@@ -769,6 +796,35 @@ object CoverageQueries {
          |FROM documents d JOIN _tm_rates r ON r._tm_s = d.source
          |WHERE ($ph) % ${Sampling.Buckets} < r.cutoff
          |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
+
+    "c3_curation_v2" -> {
+      import graft.functions.PolyHash64
+      import graft.operators.{Dedup, Sampling}
+      val ph = PolyHash64.sql("(CAST(d.doc_id AS VARCHAR) || '/' || d.source)")
+      val toks = TF.wsTokensSql("clean_text")
+      s"""WITH ${Sampling.temperatureMixRatesSql("documents", "source", 4L)},
+         |mixed AS (
+         |  SELECT d.* FROM documents d JOIN _tm_rates r ON r._tm_s = d.source
+         |  WHERE ($ph) % ${Sampling.Buckets} < r.cutoff),
+         |sr AS (SELECT * FROM (
+         |${Dedup.duplicatedSpanRemovalSql(k = 13, from = "mixed")}
+         |)),
+         |scored AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks)
+         |           AS diversity
+         |  FROM sr WHERE clean_text <> '' AND len($toks) > 0),
+         |sel AS (
+         |  SELECT doc_id, n_tokens,
+         |         SUM(n_tokens) OVER (ORDER BY diversity DESC, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM scored)
+         |SELECT m.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(sel.n_tokens) AS BIGINT) AS tokens
+         |FROM sel JOIN mixed m USING (doc_id)
+         |WHERE sel.cum_tokens <= 4000
+         |GROUP BY m.source ORDER BY m.source""".stripMargin
     },
 
     "s14_split_leakage" -> {

@@ -28,9 +28,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       """SELECT doc_id,
         |  size(minhash_sig(shingle_hashes(split(lower(text), '\\s+'), 3), 16)) AS siglen,
         |  simhash64(split(lower(text), '\\s+')) AS sh,
-        |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS self_cos
+        |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS self_cos,
+        |  size(gram_hashes(split(text, ' '), 3)) AS ngrams,
+        |  size(split(text, ' ')) AS ntoks
         |FROM documents WHERE doc_id < 2""".stripMargin).collect()
     assert(mh.forall(_.getAs[Int]("siglen") === 16))
     assert(mh.forall(r => math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-12))
+    // positional grams: exactly n-k+1 of them, duplicates kept
+    assert(mh.forall(r => r.getAs[Int]("ngrams") === r.getAs[Int]("ntoks") - 2))
   }
 }
