@@ -70,14 +70,19 @@ object Sampling {
     *
     * All cutoff arithmetic is INTEGER on purpose: IEEE sqrt is
     * correctly rounded, so floor(sqrt(n)) is engine-portable for
-    * n < 2^52, and everything after is BIGINT — the DuckDB oracle
-    * reproduces every cutoff bit-exactly with no cross-engine pow()
-    * last-ulp hazard. Overflow bound: T·s_i·Buckets must stay under
-    * 2^63 — fine through ~1e11-row corpora at Buckets=10000; swap the
-    * multiply to DECIMAL(38,0) beyond that. */
+    * n < 2^52, and everything after is exact integer math — the cutoff
+    * products run in driver-side BigInt (they are |sources| tiny
+    * multiplications; T·s_i·Buckets would wrap a Long at ~2.4e10 rows
+    * with targetDenom=4), mirroring DuckDB's HUGEINT, so the oracle
+    * reproduces every cutoff bit-exactly at ANY corpus size with no
+    * cross-engine pow() last-ulp hazard. */
   def sqrtTemperatureCutoffs(df: DataFrame, strataCol: String,
                              targetDenom: Long): Map[String, Long] = {
     require(targetDenom >= 1, s"targetDenom must be >= 1, got $targetDenom")
+    require(df.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"strata column '$strataCol' must be a string (cutoff lookup and " +
+        "the SQL twin both compare string keys) — cast it first")
     // null strata are excluded from the derivation and dropped by the
     // filter (the fold's default cutoff is 0) — same posture as a null
     // group key anywhere else in the curation pipeline
@@ -87,9 +92,10 @@ object Sampling {
     val isqrt = counts.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }.toMap
     val bigN = counts.map(_._2).sum
     val bigS = isqrt.values.sum
-    val t = bigN / targetDenom
+    val t = BigInt(bigN / targetDenom)
     counts.map { case (s, n) =>
-      s -> math.min(Buckets.toLong, t * isqrt(s) * Buckets / (bigS * n))
+      s -> (t * isqrt(s) * Buckets / (BigInt(bigS) * n))
+        .min(BigInt(Buckets)).toLong
     }.toMap
   }
 
@@ -112,7 +118,8 @@ object Sampling {
   def temperatureMixRatesSql(table: String, strata: String,
                              targetDenom: Long): String =
     s"""_tm_counts AS (
-       |  SELECT $strata AS _tm_s, COUNT(*) AS n FROM $table GROUP BY 1),
+       |  SELECT $strata AS _tm_s, COUNT(*) AS n FROM $table
+       |  WHERE $strata IS NOT NULL GROUP BY 1),
        |_tm_sqrts AS (
        |  SELECT _tm_s, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s
        |  FROM _tm_counts),

@@ -146,7 +146,13 @@ object CoverageQueries {
       import graft.operators.{Dedup, Ranking, Sampling}
       val docs = Tables.documents(s, dir)
       val key = concat(col("doc_id").cast("string"), lit("/"), col("source"))
+      // localCheckpoint: the mixed frame is consumed three times (gram
+      // subtree, reconstruction side, final source join) — without the
+      // cut each consumer re-scans parquet and re-hashes every key.
+      // Same pattern as c2's components leaf; the per-query scrub in
+      // Bench/Verify reclaims the blocks.
       val mixed = Sampling.temperatureMix(docs, "source", key, targetDenom = 4L)
+        .localCheckpoint()
       val cleaned = Dedup.duplicatedSpanRemoval(mixed, k = 13)
         .where(col("clean_text") =!= "")
       val t = TF.wsTokens(col("clean_text"))

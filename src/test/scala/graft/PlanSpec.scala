@@ -225,6 +225,16 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 2, p)
   }
 
+  test("c3: curation v2 reads only checkpointed leaves — no parquet re-scan per consumer") {
+    val p = physical("c3_curation_v2")
+    // mixed is localCheckpoint'ed and the budget-selection side rides
+    // cumsumExact's own checkpoint, so the final plan must touch NO
+    // parquet: every consumer reads materialized blocks
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("c1: the composed pipeline is one scan with ONE data-sized shuffle, dedup pre-limited map-side") {
     val p = physical("c1_corpus_pipeline")
     val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
