@@ -14,6 +14,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // idempotent: suites that exercise operators directly (no Tables
+    // read first) still need the native expressions resolvable
+    graft.functions.Registry.registerAll(s)
     s
   }
 }

@@ -99,6 +99,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(5L) === ((6L, 6L, "")))
   }
 
+  test("duplicated-span removal: randomized corpora match an independent in-memory reference") {
+    // brute-force reference: gram STRINGS counted globally, token kept
+    // iff no duplicated gram covers its position — the same independent
+    // formulation as the DuckDB oracle, here over random corpora and
+    // several k (the fixed fixture can't explore overlap interactions)
+    def reference(docs: Seq[(Long, String)], k: Int): Map[Long, String] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val grams = toks.toSeq.flatMap { case (id, ts) =>
+        (0 to ts.length - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+      toks.map { case (id, ts) =>
+        val starts = grams.collect { case (`id`, i, g) if dup(g) => i }.toSet
+        id -> ts.zipWithIndex.collect {
+          case (t, i) if !(math.max(0, i - k + 1) to i).exists(starts) => t
+        }.mkString(" ")
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3; k <- Seq(2, 3, 5)) {
+      val vocab = Vector("a", "b", "c", "d") // tiny vocab forces dups
+      val docs = (1L to 40L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup.duplicatedSpanRemoval(docs.toDF("doc_id", "text"), k)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(got === reference(docs, k), s"trial=$trial k=$k")
+    }
+  }
+
   test("connected components: chains, cliques, singleton pairs, multi-round convergence") {
     // component {1,2,3,4} is a 4-chain (needs >1 HashMin round),
     // {10,11,12} a triangle, {20,21} a lone pair

@@ -56,6 +56,15 @@ class RankingSpec extends AnyFunSuite {
         sum(coalesce(col("tok"), lit(0L))).over(w))
       .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
     assert(got === want)
+    // degenerate partition counts: one range (the single-task shape)
+    // and more ranges than rows (empty partitions must contribute
+    // zero offsets, not missing map keys)
+    for (np <- Seq(1, 64)) {
+      val g = Ranking.cumsumExact(df, Seq(desc("v"), col("id")), col("tok"),
+          "cum", numPartitions = np)
+        .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+      assert(g === want, s"numPartitions=$np")
+    }
     assert(!Ranking.cumsumExact(df, Seq(col("id")), col("tok"), "c")
       .columns.exists(c => c.startsWith("_cs_")))
   }
