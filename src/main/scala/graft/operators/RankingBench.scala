@@ -56,6 +56,32 @@ object RankingBench {
     println(f"n=$n globalWindow=${gSec}%.1fs distributed=${dSec}%.1fs " +
       f"speedup=${gSec / dSec}%.2fx (per-tile counts, min/max and id " +
       "checksums identical)")
+
+    // ---- same race for the exact global running sum (cumsumExact,
+    // s16's machinery: SUM offsets in place of COUNT offsets). The
+    // checksum is an order-independent sum of per-row cum residues, so
+    // any single row's running sum differing between the paths shows.
+    def sumCheck(d: org.apache.spark.sql.DataFrame) =
+      d.agg(count(lit(1)).as("n"), max(col("cum")).as("top"),
+          sum(pmod(col("cum"), lit(1000003L))).as("cum_checksum"))
+        .collect()
+    def globalCumsum(d: org.apache.spark.sql.DataFrame) =
+      sumCheck(d.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(desc("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    def distCumsum(d: org.apache.spark.sql.DataFrame) =
+      sumCheck(Ranking.cumsumExact(d, Seq(desc("v"), col("id")), col("v"), "cum"))
+    globalCumsum(warm); distCumsum(warm)
+    graft.Isolation.scrub(spark)
+    val (gcRes, gcSec) = timed(globalCumsum(df))
+    graft.Isolation.scrub(spark)
+    val (dcRes, dcSec) = timed(distCumsum(df))
+    require(gcRes.map(_.toSeq).toSeq == dcRes.map(_.toSeq).toSeq,
+      s"distributed cumsum diverged from the global window:\n" +
+        s"${gcRes.toSeq}\nvs\n${dcRes.toSeq}")
+    println(f"n=$n cumsum globalWindow=${gcSec}%.1fs distributed=${dcSec}%.1fs " +
+      f"speedup=${gcSec / dcSec}%.2fx (count, max and per-row residue " +
+      "checksum identical)")
     spark.stop()
   }
 }
