@@ -50,9 +50,25 @@ object Bench {
       scrub()
       elapsed
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(name, fn)
+    // Median-of-3 per query, each sample scrub-isolated. One cold run's
+    // per-query number carries ambient-state noise the round-6 evidence
+    // chain burned five full runs adjudicating (sibling same-code runs
+    // spread 64.5-83.1 s with DISJOINT per-query flag sets); the median
+    // of three back-to-back samples is stable across machine states, so
+    // a flag in bench_regression.py means the CODE changed. The first
+    // sample stays recorded as the cold number (samples 2-3 are
+    // JIT-warm for that query) — reported as cold_total in the JSON
+    // line and per-query in the detail file, because the cold/median
+    // distinction is a provenance fact the baseline chain needs. A
+    // query that fails ANY sample reports -1: a crash must stay loud,
+    // never averaged away by two surviving samples.
+    val samples = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, Seq.fill(3)(time(name, fn)))
     }
+    def median3(s: Seq[Double]): Double =
+      if (s.exists(_ < 0)) -1.0 else s.sorted.apply(1)
+    // (name, cold first sample, reported median)
+    val results = samples.map { case (name, s) => (name, s.head, median3(s)) }
     // Isolation self-tripwire: re-run the first few substantial queries
     // (>=0.3s first time — sub-300ms timings are scheduling jitter at
     // local[32]) and compare to their own first measurement. If residue
@@ -66,9 +82,9 @@ object Bench {
     // silently pass the max(), hiding the worst residue outcome (OOM).
     val isoRatio: Double = {
       val candidates = results.filter(_._2 >= 0.3).take(3)
-      val ratios = candidates.map { case (name, first) =>
+      val ratios = candidates.map { case (name, cold, _) =>
         val rerun = time(name, selected(name))
-        if (rerun < 0) 99.0 else rerun / first
+        if (rerun < 0) 99.0 else rerun / cold
       }
       if (ratios.isEmpty) 1.0 else ratios.max
     }
@@ -80,13 +96,30 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR) would
     // render 12,345 and break the driver's JSON parse
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+    val qs = results.map { case (k, _, med) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(med)
     }.mkString("{", ",", "}")
-    val total = ms(results.map(_._2).sum)
+    // totals EXCLUDE failed (-1) queries: the per-query -1 already
+    // flags the crash; folding it into the sum would make a crashing
+    // suite read ~1 s FASTER than a healthy one
+    val total = ms(results.collect { case (_, _, m) if m >= 0 => m }.sum)
+    val coldTotal = ms(results.collect { case (_, c, _) if c >= 0 => c }.sum)
+    // full per-query provenance (all 3 samples) is too big for the
+    // driver's ~2.2 KB stdout tail — it goes to a detail file for the
+    // baseline evidence chain; the stdout line carries the medians plus
+    // the cold total scalar
+    val detail = results.zip(samples).map { case ((k, c, m), (_, s)) =>
+      "\"" + k + "\":{\"cold\":" + ms(c) + ",\"median\":" + ms(m) +
+        ",\"samples\":[" + s.map(ms).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/tmp/graft_bench_detail.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      s"""{"total":$total,"cold_total":$coldTotal,"iso":${ms(isoRatio)},"sf":"$sfDir","queries":$detail}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stop BEFORE printing so the JSON is the last stdout line the
     // driver sees (shutdown chatter goes to the log4j stderr appender)
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iso":${ms(isoRatio)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iso":${ms(isoRatio)},"cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

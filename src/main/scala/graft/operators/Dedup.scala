@@ -673,11 +673,44 @@ object Dedup {
                             nCentroids: Int, minCos: Double): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val (index, assigned) = Similarity.buildIvf(vecs, nCentroids)
-    // assign the benchmark side SEPARATELY (same centroids, same
-    // assignment path ⇒ same cells): deriving it by filtering
-    // `assigned` would re-run the nearest-centroid map over the WHOLE
-    // corpus just to materialize the tiny broadcast side — at 100 TB
-    // that doubles the dominant pass for ~1% of the rows
+    inCellContamination(index, assigned, vecs, benchPred, minCos)
+  }
+
+  /** Production variant of [[semanticContamination]]: k-means-trained
+    * cells ([[Similarity.buildIvfTrained]], optionally sample-trained)
+    * instead of the deterministic seed — the same seed/trained split as
+    * [[semanticNearDupPairsTrained]], for the same reason. The seed
+    * variant keeps the bit-exact d10 oracle (a k-means fixpoint has no
+    * SQL twin), but on clustered real embeddings its every-(n/k)-th
+    * centroids collapse dense regions into few hot cells
+    * (TrainedIvfSpec) — and for DECONTAMINATION the cost is silent
+    * recall loss, the worst failure mode a leakage gate can have: a
+    * corpus paraphrase and its benchmark source only meet if they share
+    * a cell, so uninformative cells mean contaminated rows pass the
+    * gate unflagged into training data. Trained centroids put cell
+    * boundaries where the density isn't, so embedding neighborhoods
+    * (which is what paraphrase pairs are) stay within a cell. The
+    * corpus-side work is unchanged — one assignment map + a broadcast
+    * join against the tiny benchmark side — so this scales exactly as
+    * the seed variant does; only centroid placement differs. */
+  def semanticContaminationTrained(emb: DataFrame, benchPred: Column,
+                                   nCentroids: Int, minCos: Double,
+                                   sampleMod: Long = 1L): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val (index, assigned) = Similarity.buildIvfTrained(
+      vecs, nCentroids, sampleMod = sampleMod)
+    inCellContamination(index, assigned, vecs, benchPred, minCos)
+  }
+
+  /** Shared contamination stage for the seed/trained variants: assign
+    * the benchmark side SEPARATELY (same centroids, same assignment
+    * path ⇒ same cells) — deriving it by filtering `assigned` would
+    * re-run the nearest-centroid map over the WHOLE corpus just to
+    * materialize the tiny broadcast side; at 100 TB that doubles the
+    * dominant pass for ~1% of the rows. */
+  private def inCellContamination(index: Similarity.IvfIndex,
+                                  assigned: DataFrame, vecs: DataFrame,
+                                  benchPred: Column, minCos: Double): DataFrame = {
     val bench = Similarity.assignToCells(index, vecs.where(benchPred))
       .select(col("cell"), col("vec").as("bench_vec"))
     val corpus = assigned.where(!benchPred)

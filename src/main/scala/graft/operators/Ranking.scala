@@ -41,9 +41,18 @@ object Ranking {
     * full recomputation on their next use — so skip both in that case. */
   private def rangeSnapshot(df: DataFrame, sortCols: Seq[Column],
                             numPartitions: Int, pidCol: String): DataFrame = {
-    val callerCached = df.sparkSession.sharedState.cacheManager
-      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-      .isDefined
+    // lookupCachedData needs the Spark 4 'classic' Dataset — match
+    // instead of casting so a connect-mode session (or an upgrade that
+    // reshapes the hierarchy) degrades to the transient persist below
+    // rather than throwing ClassCastException at runtime. The degraded
+    // path re-runs persist on a possibly-cached plan (a no-op) and
+    // unpersists after — safe for correctness, at worst it evicts a
+    // cache entry the caller must rebuild.
+    val callerCached = df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        df.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
+      case _ => false
+    }
     val snap =
       if (callerCached) df
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -102,14 +102,34 @@ object Sampling {
   /** Keep-filter applying [[sqrtTemperatureCutoffs]]: the same
     * deterministic content-hash decision as [[stratifiedSample]], with
     * the fractions computed from the observed source distribution
-    * instead of caller-supplied constants. */
+    * instead of caller-supplied constants.
+    *
+    * The strata column is assumed LOW-cardinality (data sources,
+    * languages, domains — tens, not thousands): the per-source counts
+    * collect to the driver and the cutoff lookup inlines as a
+    * when/otherwise chain, a pure map-side filter with zero joins. Past
+    * `maxExprCutoffs` distinct strata the chain form stops being the
+    * right plan (expression-tree depth, codegen's 64 KB method limit),
+    * so the lookup switches to a broadcast hash join of the cutoff map
+    * — still no shuffle of `df`, one broadcast of a |strata|-row table.
+    * Row semantics are identical either way: a null stratum never
+    * matches the chain (default cutoff 0) and never matches the join. */
   def temperatureMix(df: DataFrame, strataCol: String, key: Column,
-                     targetDenom: Long): DataFrame = {
+                     targetDenom: Long, maxExprCutoffs: Int = 64): DataFrame = {
     val cutoffs = sqrtTemperatureCutoffs(df, strataCol, targetDenom)
-    val cutoff = cutoffs.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (s, c)) => when(col(strataCol) === s, lit(c)).otherwise(acc)
+    if (cutoffs.size <= maxExprCutoffs) {
+      val cutoff = cutoffs.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+        case (acc, (s, c)) => when(col(strataCol) === s, lit(c)).otherwise(acc)
+      }
+      df.where(PolyHash64.polyHash64(key) % Buckets < cutoff)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cdf = cutoffs.toSeq.sortBy(_._1).toDF(strataCol, "_tm_cutoff")
+      df.join(broadcast(cdf), Seq(strataCol))
+        .where(PolyHash64.polyHash64(key) % Buckets < col("_tm_cutoff"))
+        .drop("_tm_cutoff")
     }
-    df.where(PolyHash64.polyHash64(key) % Buckets < cutoff)
   }
 
   /** DuckDB twin of the whole derivation: CTEs computing the identical

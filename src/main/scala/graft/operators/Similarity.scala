@@ -331,6 +331,52 @@ object Similarity {
     compacted.result()
   }
 
+  /** Cell-occupancy statistics for an IVF index — the post-append drift
+    * tripwire. [[appendToIvf]] assigns arriving vectors under FROZEN
+    * centroids, so when the ingest distribution shifts (a new source, a
+    * dup-heavy crawl), appended mass piles into whichever cells sit
+    * nearest the new density — exactly the hot-cell degeneration
+    * TrainedIvfSpec pins at build time, except accreted silently over
+    * many appends. `maxOverMean` uses mean = nVectors / k over ALL of
+    * the index's k cells (not just non-empty ones): a cell the drifted
+    * distribution has emptied is as much a re-train signal as a hot
+    * one, and at build time (trained centroids, every cell populated)
+    * the two definitions coincide, so the build-time bound from
+    * TrainedIvfSpec carries over unchanged. One groupBy, k rows to the
+    * driver — bounded by construction at any corpus size. */
+  case class IvfCellStats(k: Int, nonEmptyCells: Int, nVectors: Long,
+                          maxCell: Long, meanCell: Double) {
+    def maxOverMean: Double = if (meanCell == 0.0) 0.0 else maxCell / meanCell
+    /** True when occupancy has drifted past `bound` — the caller's
+      * signal to re-train centroids ([[buildIvfTrained]]) instead of
+      * appending further. Use the bound the build was verified against
+      * (TrainedIvfSpec pins <= 2.5 for trained builds; 4.0 is the
+      * loose serving ceiling). */
+    def drifted(bound: Double): Boolean = maxOverMean > bound
+  }
+
+  def ivfCellStats(index: IvfIndex, cells: DataFrame): IvfCellStats = {
+    val sizes = cells.groupBy(col("cell")).count()
+      .collect().map(_.getLong(1)) // k rows — bounded driver aggregate
+    val n = if (sizes.isEmpty) 0L else sizes.sum
+    IvfCellStats(
+      k = index.centroids.length,
+      nonEmptyCells = sizes.length,
+      nVectors = n,
+      maxCell = if (sizes.isEmpty) 0L else sizes.max,
+      meanCell = if (index.centroids.isEmpty) 0.0
+                 else n.toDouble / index.centroids.length)
+  }
+
+  /** Persisted-index form: the maintenance call an ingest job runs
+    * right after [[appendToIvf]] (append → stats → re-train if
+    * `drifted`, else [[compactIvfCells]] when fragmented). */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfCellStats = {
+    val (index, cells) = loadIvf(spark, path)
+    ivfCellStats(index, cells)
+  }
+
   /** IVF top-k: probe the query's `nProbe` nearest cells only; exact
     * cosine within the probed cells. Recall < 1 by construction — the
     * accuracy/throughput dial of a vector index. */

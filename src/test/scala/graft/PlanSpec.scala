@@ -123,7 +123,10 @@ class PlanSpec extends AnyFunSuite {
     // windows + per-session aggregate all cluster by user_id; the only
     // other hash exchange allowed is the tiny n_events histogram
     val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
-    assert(exchanges === 2, p) // user_id + the tiny n_events histogram
+    // upper bound, not an exact pin: the contract is that no EXTRA
+    // shuffle appears (user_id + the tiny n_events histogram); a
+    // Catalyst/AQE change that merges one away is not a regression
+    assert(exchanges <= 2, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
@@ -166,7 +169,10 @@ class PlanSpec extends AnyFunSuite {
     val p = physical("q1_dq_report")
     // 3 PredChecks → 1 shared pass; UniqueCheck → 1; OrphanCheck → child + parent
     val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
-    assert(scans === 4, p)
+    // upper bound: >4 means the row-level checks stopped sharing their
+    // scan (the regression this test exists to catch); a future Spark
+    // merging more is fine
+    assert(scans <= 4, p)
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("SortMergeJoin LeftAnti"), p)
   }
 
@@ -220,9 +226,10 @@ class PlanSpec extends AnyFunSuite {
     // must keep exactly one
     assert("""\(\d+\) Generate""".r.findAllIn(p).size === 1, p)
     assert(p.contains("Window"), p)
-    // two parquet scans total: the gram subtree and the cheap
-    // reconstruction side (tokenize only — no gram hashing)
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 2, p)
+    // at most two parquet scans: the gram subtree and the cheap
+    // reconstruction side (tokenize only — no gram hashing); a third
+    // would mean the gram subtree re-scanned per consumer
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 2, p)
   }
 
   test("c3: curation v2 reads only checkpointed leaves — no parquet re-scan per consumer") {
@@ -245,7 +252,9 @@ class PlanSpec extends AnyFunSuite {
     assert("""Filter \(\d+\)\s*\n\s*\+- Scan parquet""".r.findFirstIn(p).isDefined, p)
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
     val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
-    assert(exchanges === 2, p) // md5 window + lang agg
+    // upper bound (md5 window + lang agg): a third exchange would be a
+    // real regression; one fewer from a smarter planner is not
+    assert(exchanges <= 2, p)
   }
 
   test("c2: pair relation never materializes past the components stage — rollup starts from the checkpointed label leaf") {

@@ -95,6 +95,96 @@ class TrainedIvfSpec extends AnyFunSuite {
     } finally emb.unpersist()
   }
 
+  test("clustered corpus: seed-centroid decontamination misses contaminated rows; trained centroids recover them") {
+    // Decontamination recall is the metric that matters for a leakage
+    // gate: a missed flag ships a benchmark paraphrase into training
+    // data, silently. Ground truth here is exhaustive — every corpus
+    // row within minCos of ANY bench row (512x16 floats, driver-side).
+    // Both variants compare with EXACT cosine inside shared cells, so
+    // precision is 1 by construction and recall isolates what centroid
+    // placement costs.
+    val emb = clustered.cache()
+    try {
+      val benchPred = pmod(col("vec_id"), lit(25)) === 0
+      val minCos = 0.6
+      val vecs = emb.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val bench = vecs.filter(_._1 % 25 == 0)
+      val truth = vecs.filter(_._1 % 25 != 0)
+        .filter { case (_, v) => bench.exists(b => cos(v, b._2) >= minCos) }
+        .map(_._1).toSet
+      assert(truth.size >= 50, s"fixture too sparse: ${truth.size} contaminated rows")
+      def flagged(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.collect().map(_.getLong(0)).toSet
+      // 8 cells over 8 sources: trained k-means recovers one cell per
+      // cluster, so an embedding neighborhood never straddles a cell;
+      // the seed drops all 8 centroids into source A regardless of k
+      val seed = flagged(Dedup.semanticContamination(
+        emb, benchPred, nCentroids = 8, minCos = minCos))
+      val trained = flagged(Dedup.semanticContaminationTrained(
+        emb, benchPred, nCentroids = 8, minCos = minCos))
+      // exact in-cell cosine => no false positives from either variant
+      assert((seed -- truth).isEmpty && (trained -- truth).isEmpty)
+      val (seedRec, trainRec) = (
+        (seed & truth).size.toDouble / truth.size,
+        (trained & truth).size.toDouble / truth.size)
+      withClue(s"seed recall=$seedRec trained recall=$trainRec (|truth|=${truth.size}): ") {
+        // trained cells follow the density, so an embedding neighborhood
+        // (what a paraphrase pair is) stays within a cell
+        assert(trainRec >= 0.9)
+        // seed centroids all sit in source A's cluster: the other
+        // sources' rows scatter across uninformative cells and their
+        // contaminated rows pass the gate unflagged
+        assert(seedRec <= trainRec - 0.15)
+      }
+    } finally emb.unpersist()
+  }
+
+  test("ivfCellStats drift tripwire: appends from a shifted distribution trip the re-train signal") {
+    // appendToIvf assigns under FROZEN centroids — a distribution shift
+    // (new source, dup-heavy crawl) piles arriving mass into whichever
+    // cell sits nearest the new density. Nothing in append/search fails
+    // loudly; the index just degrades toward a linear scan of the hot
+    // cell. ivfCellStats is the maintenance tripwire: run post-append,
+    // re-train when drifted.
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val (index, assigned) = Similarity.buildIvfTrained(emb, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Similarity.saveIvf(index, assigned, path)
+    val bound = 2.5 // the trained-build balance bar this spec pins elsewhere
+    val stats0 = Similarity.ivfCellStats(spark, path)
+    assert(stats0.k === 8)
+    assert(stats0.nVectors === emb.count())
+    assert(!stats0.drifted(bound), s"fresh trained build already drifted: $stats0")
+    // the shifted ingest: every arriving vector is a near-copy of one
+    // resident vector, so the whole batch lands in ONE cell
+    val hot = emb.orderBy(col("vec_id")).limit(1)
+      .collect()(0).getSeq[Float](1)
+    import spark.implicits._
+    var batches = 0
+    while (!Similarity.ivfCellStats(spark, path).drifted(bound) && batches < 12) {
+      val batch = (0 until 64)
+        .map(i => (1000000L + batches * 64L + i, hot)).toDF("vec_id", "embedding")
+      Similarity.appendToIvf(index, batch, path)
+      batches += 1
+    }
+    val statsN = Similarity.ivfCellStats(spark, path)
+    withClue(s"after $batches hot batches: $statsN: ") {
+      assert(statsN.drifted(bound), "drift check never tripped")
+      assert(statsN.nVectors === stats0.nVectors + batches * 64L)
+      // the tripwire names the hot cell's mass, not just a boolean —
+      // max grew while the other cells stood still
+      assert(statsN.maxCell > stats0.maxCell)
+      assert(statsN.k === 8)
+    }
+  }
+
   test("sampled training: k-means on a 1/2 subsample matches full-corpus training on recall and balance") {
     // the 100 TB build-cost lever: Lloyd's objective only needs enough
     // points per cell to place centroids where the density is, so
