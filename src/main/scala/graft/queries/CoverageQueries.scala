@@ -513,6 +513,24 @@ object CoverageQueries {
         .orderBy(col("source"))
     }),
 
+    // M2: REAL compressed-image decode — deterministic synthetic PNGs
+    // (pixel (x,y) of image id is a pure integer formula) go through an
+    // actual ImageIO encode → deflate-compressed payload → ImageIO
+    // decode, and the query emits geometry + a position-weighted pixel
+    // checksum. The oracle never sees a PNG: it computes the same
+    // checksum directly from the generating formula, so a hash match
+    // proves the decode recovered every pixel at its position from the
+    // compressed bytes. Pure map-side at any scale (decode is
+    // mapPartitions; the only ordering is the result orderBy).
+    "m2_png_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("media_id"))
+      Multimodal.pngDecodeStats(Multimodal.synthPngMedia(ids))
+        .orderBy(col("media_id"))
+    }),
+
     // S11: incremental aggregate maintenance — the merged state of a
     // base refresh and a later delta batch must equal the full
     // recompute the oracle runs. Partials are count + decimal sum
@@ -1061,6 +1079,25 @@ object CoverageQueries {
         |       CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes,
         |       COUNT(DISTINCT first_char) AS n_first_chars
         |FROM media GROUP BY source ORDER BY source""".stripMargin,
+
+    // replicates synthPngBytes' dimension and pixel formulas; the
+    // lateral range pair enumerates every pixel of every image
+    "m2_png_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |px AS (
+        |  SELECT media_id, w, h, gx.x AS x, gy.y AS y
+        |  FROM m, LATERAL (SELECT unnest(range(0, w)) AS x) gx,
+        |          LATERAL (SELECT unnest(range(0, h)) AS y) gy)
+        |SELECT media_id,
+        |       CAST(MIN(w) AS INTEGER) AS width,
+        |       CAST(MIN(h) AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(SUM((1 + x + y*w) * ((media_id*31 + x*7 + y*13) % 256
+        |             + 2*((media_id*17 + x*11 + y*5) % 256)
+        |             + 3*((media_id*7 + x*3 + y*19) % 256))) AS BIGINT) AS checksum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "s11_incremental_agg" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
