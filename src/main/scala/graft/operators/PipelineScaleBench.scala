@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.Registry
+
+/** Scale evidence for the three composed pipelines (SURVEY §6): c1
+  * (quality gate → exact dedup → importance sample → rollup), c2
+  * (LSH → connected components → survivors → rollup), c3
+  * (temperature mix → span surgery → token-budget fill), each run
+  * end-to-end at 1×/8×/64× corpus volume.
+  *
+  *   runMain graft.operators.PipelineScaleBench [baseSfDir] [copies...]
+  *
+  * Corpus construction (derived from the base `documents` table, written
+  * once under /tmp/graft_psb): every copy shifts doc_ids; docs with
+  * doc_id % 10 == 0 keep their text under a per-copy PREFIX (so 10% of
+  * base docs become cross-copy near-dup clusters — a realistic dup rate,
+  * and prefixing preserves the interior spans d11 hunts), while the
+  * other 90% get a per-TOKEN suffix rewrite (uniquely re-tokenized per
+  * copy — no accidental cross-copy dups, so dup density stays constant
+  * as volume grows instead of going quadratic with copies).
+  *
+  * Two numbers per (pipeline, scale): wall seconds, and the bytes left
+  * resident by the pipeline's internal materializations (c2's
+  * components label leaf, c3's mixed frame + cumsum range snapshot) —
+  * captured from the block manager BEFORE the scrub. The scale claim
+  * under test: time grows ~linearly with volume, and the resident
+  * bytes grow with DOCS, never with the pair relation (c2's candidate
+  * pairs inside a dup cluster grow quadratically in copies; the labels
+  * the pipeline checkpoints stay one row per doc). */
+object PipelineScaleBench {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copiesList =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 8, 64)
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("pipeline-scale-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Registry.registerAll(spark)
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val queries = Seq("c1_corpus_pipeline", "c2_dedup_pipeline", "c3_curation_v2")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // JIT/codegen warmup at a thin slice so the 1× point isn't taxed
+    val warmDir = "/tmp/graft_psb/warm"
+    base.limit(500).write.mode("overwrite").parquet(s"$warmDir/documents.parquet")
+    queries.foreach(q => graft.SparkEntry.queries(q)(spark, warmDir).count())
+    graft.Isolation.scrub(spark)
+
+    copiesList.foreach { c =>
+      val dir = s"/tmp/graft_psb/x$c"
+      val out = new java.io.File(s"$dir/documents.parquet")
+      if (!out.exists()) {
+        val scaled = if (c == 1) base
+          else (0 until c).map { i =>
+            base.select(
+              (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              when(pmod(col("doc_id"), lit(10)) === 0,
+                  concat(lit(s"v$i "), col("text")))
+                .otherwise(regexp_replace(col("text"), "(\\S+)", s"$$1x$i"))
+                .as("text"),
+              col("lang"), col("source"), col("n_chars"))
+          }.reduce(_.unionByName(_))
+        scaled.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        graft.Isolation.scrub(spark)
+      }
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val line = queries.map { q =>
+        val (_, sec) = timed(graft.SparkEntry.queries(q)(spark, dir).count())
+        // what the pipeline left materialized (labels leaf, mixed frame,
+        // range snapshot) — the thing that must stay O(docs) at scale
+        val resident = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum
+        graft.Isolation.scrub(spark)
+        f"${q.takeWhile(_ != '_')}=${sec}%.2fs resident=${resident / 1e6}%.1fMB"
+      }.mkString(" ")
+      println(f"psb copies=${c}%-2d docs=$nDocs $line")
+    }
+    spark.stop()
+  }
+}
