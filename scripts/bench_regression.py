@@ -2,10 +2,16 @@
 """Bench regression tripwire.
 
 Compares a bench run's per-query times against the committed snapshot
-(scripts/bench_baseline_r04.json) and fails when any query regresses
+(scripts/bench_baseline_r07.json) and fails when any query regresses
 more than THRESHOLD x, or the total does. Guards against the r3-style
 silent inflation (cached-relation leaks, accidental plan changes)
 shipping unnoticed.
+
+Both sides of the comparison are MEDIANS of 3 scrub-isolated samples
+(the r7 scheme — see the baseline's provenance note): Bench's stdout
+"queries" map is per-query medians, and the baseline was built from
+the same field, so the ~1.5-2x cold/warm JIT gap and ambient
+machine-state jitter cancel instead of masquerading as regressions.
 
 Usage:
   # run the bench at sf0.1 and compare (the default):
@@ -21,7 +27,7 @@ job-scheduling jitter at local[32]).
 import json, os, re, subprocess, sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-BASELINE = os.path.join(HERE, "bench_baseline_r04.json")
+BASELINE = os.path.join(HERE, "bench_baseline_r07.json")
 THRESHOLD = 1.5      # fail when query_time > THRESHOLD * baseline
 ISO_THRESHOLD = 1.2  # post-suite re-runs are JIT-warm (~0.6x clean), so
                      # 1.2x of the COLD first run ~= 2x the warm-true time

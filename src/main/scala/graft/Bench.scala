@@ -50,20 +50,30 @@ object Bench {
       scrub()
       elapsed
     }
-    // Median-of-3 per query, each sample scrub-isolated. One cold run's
-    // per-query number carries ambient-state noise the round-6 evidence
-    // chain burned five full runs adjudicating (sibling same-code runs
-    // spread 64.5-83.1 s with DISJOINT per-query flag sets); the median
-    // of three back-to-back samples is stable across machine states, so
-    // a flag in bench_regression.py means the CODE changed. The first
-    // sample stays recorded as the cold number (samples 2-3 are
-    // JIT-warm for that query) — reported as cold_total in the JSON
-    // line and per-query in the detail file, because the cold/median
-    // distinction is a provenance fact the baseline chain needs. A
-    // query that fails ANY sample reports -1: a crash must stay loud,
-    // never averaged away by two surviving samples.
-    val samples = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, Seq.fill(3)(time(name, fn)))
+    // Median-of-3 per query, sampled as three ROUND-ROBIN passes over
+    // the whole suite (every query once per pass, scrub-isolated), not
+    // three back-to-back runs per query. One cold run's per-query
+    // number carries ambient-state noise the round-6 evidence chain
+    // burned five full runs adjudicating (sibling same-code runs spread
+    // 64.5-83.1 s with DISJOINT per-query flag sets); the median kills
+    // that only if a query's samples are decorrelated in TIME — three
+    // back-to-back samples all sit inside the same busy window, and a
+    // measured sibling pair showed exactly that failure (run-start load
+    // taxed a10-a14 2-2.7x in ALL THREE samples while totals agreed
+    // within 5%). Round-robin spreads a query's samples minutes apart,
+    // so a transient window taxes at most one sample and the median
+    // discards it. Pass 1 is the cold number (later passes are
+    // JIT-warm) — reported as cold_total in the JSON line and
+    // per-query in the detail file, because the cold/median distinction
+    // is a provenance fact the baseline chain needs. A query that fails
+    // ANY sample reports -1: a crash must stay loud, never averaged
+    // away by two surviving samples.
+    val order = selected.toSeq.sortBy(_._1)
+    val passes = (1 to 3).map { _ =>
+      order.map { case (name, fn) => time(name, fn) }
+    }
+    val samples = order.zipWithIndex.map { case ((name, _), i) =>
+      (name, passes.map(_(i)))
     }
     def median3(s: Seq[Double]): Double =
       if (s.exists(_ < 0)) -1.0 else s.sorted.apply(1)
@@ -102,8 +112,11 @@ object Bench {
     // totals EXCLUDE failed (-1) queries: the per-query -1 already
     // flags the crash; folding it into the sum would make a crashing
     // suite read ~1 s FASTER than a healthy one
+    // both totals filter on the MEDIAN: a query that succeeded cold but
+    // crashed later is excluded from both sums, so total and cold_total
+    // always cover the same query set and their delta is purely warmup
     val total = ms(results.collect { case (_, _, m) if m >= 0 => m }.sum)
-    val coldTotal = ms(results.collect { case (_, c, _) if c >= 0 => c }.sum)
+    val coldTotal = ms(results.collect { case (_, c, m) if m >= 0 => c }.sum)
     // full per-query provenance (all 3 samples) is too big for the
     // driver's ~2.2 KB stdout tail — it goes to a detail file for the
     // baseline evidence chain; the stdout line carries the medians plus

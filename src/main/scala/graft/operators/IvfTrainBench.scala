@@ -34,9 +34,7 @@ object IvfTrainBench {
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).cache()
     val n = emb.count()
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
-    }
+    import BenchTime.timed
     val ((fullIdx, fullAssigned), tFull) =
       timed { val r = Similarity.buildIvfTrained(emb, k = 16); r._2.count(); r }
     val ((sampIdx, sampAssigned), tSamp) =
@@ -92,9 +90,7 @@ object IvfTrainBench {
             .as("embedding"))
       }.reduce(_.unionByName(_))).cache()
     val n = emb.count()
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
-    }
+    import BenchTime.timed
     val (index, assigned0) = Similarity.buildIvfTrained(emb, k = 16)
     val assigned = assigned0.localCheckpoint() // the resident serving index
     assigned.count()

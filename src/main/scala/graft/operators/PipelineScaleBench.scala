@@ -46,9 +46,7 @@ object PipelineScaleBench {
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
     val queries = Seq("c1_corpus_pipeline", "c2_dedup_pipeline", "c3_curation_v2")
 
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
-    }
+    import BenchTime.timed
     // JIT/codegen warmup at a thin slice so the 1× point isn't taxed
     val warmDir = "/tmp/graft_psb/warm"
     base.limit(500).write.mode("overwrite").parquet(s"$warmDir/documents.parquet")
@@ -57,7 +55,10 @@ object PipelineScaleBench {
 
     copiesList.foreach { c =>
       val dir = s"/tmp/graft_psb/x$c"
-      val out = new java.io.File(s"$dir/documents.parquet")
+      // reuse only a COMPLETE prior write: a crashed run leaves part
+      // files without _SUCCESS, and timing a fraction of the corpus
+      // would silently ship wrong scale numbers into SURVEY
+      val out = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
       if (!out.exists()) {
         val scaled = if (c == 1) base
           else (0 until c).map { i =>

@@ -22,9 +22,7 @@ object RankingBench {
     // deterministic pseudo-random spend per id; 32 input partitions
     val df = spark.range(0, n, 1, 32)
       .select(col("id"), (xxhash64(col("id")) % 1000000).as("v"))
-    def timed(f: => Array[org.apache.spark.sql.Row]): (Array[org.apache.spark.sql.Row], Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import BenchTime.timed
     // per-tile id checksum, not just (count, min, max): equal v values
     // straddling a tile boundary could swap rows between tiles without
     // moving any aggregate — sum(id) pins the exact row-to-tile

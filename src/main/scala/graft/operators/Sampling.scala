@@ -128,7 +128,12 @@ object Sampling {
       val cdf = cutoffs.toSeq.sortBy(_._1).toDF(strataCol, "_tm_cutoff")
       df.join(broadcast(cdf), Seq(strataCol))
         .where(PolyHash64.polyHash64(key) % Buckets < col("_tm_cutoff"))
-        .drop("_tm_cutoff")
+        // restore the caller's column ORDER (the USING join moves the
+        // strata column to position 0) so the two lookup paths are
+        // schema-identical, not just row-identical — a positional
+        // consumer must not break the day the corpus crosses the
+        // cardinality threshold
+        .select(df.columns.map(col).toSeq: _*)
     }
   }
 

@@ -70,10 +70,7 @@ object SpanDedupBench {
           sum(crc32(concat_ws("|", col("doc_id"), col("clean_text"))))
             .as("checksum"))
         .collect()(0).toSeq
-    def timed(f: => Seq[Any]): (Seq[Any], Double) = {
-      val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import BenchTime.timed
     // JIT/codegen warmup for BOTH paths before either is timed
     val warm = docs.limit(2000).localCheckpoint()
     summarize(Dedup.duplicatedSpanRemoval(warm, k))
