@@ -183,6 +183,8 @@ object Registry {
     reg.createOrReplaceTempFunction("lang_stopword_hits",
       exprs => StopwordHits(exprs.head,
         graft.operators.TextAnalysis.LangWords.map(_._2)), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_might_contain_long",
+      BloomExprs.fromExprs, "scala_udf")
   }
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)

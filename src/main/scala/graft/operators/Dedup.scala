@@ -477,6 +477,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[contamination]] with a broadcast-Bloom prefilter on the corpus
+    * side — SAME exact output (the caller can diff the two frames), a
+    * different 100 TB plan.
+    *
+    * Where the plain form hurts at scale: it `distinct()`s EVERY corpus
+    * shingle hash — a full shuffle of the corpus's shingle stream
+    * (trillions of rows at 100 TB) — even though only hashes that also
+    * occur in the (comparatively tiny) benchmark can ever contribute to
+    * a containment score. This form builds a Bloom filter over the
+    * benchmark's distinct hashes (`df.stat.bloomFilter` — a distributed
+    * treeAggregate; only the ~9.6-bits-per-key filter itself lands on
+    * the driver) and probes it INSIDE the corpus scan stage via the
+    * native codegen [[graft.functions.BloomMightContainLong]], so
+    * non-matching shingles die before the first exchange. The corpus
+    * shuffle shrinks from |corpus shingles| to |bench shingles| + the
+    * false-positive trickle (fpp-controlled); the survivors then
+    * confirm against the real benchmark hash set with an exact
+    * semi-join, which kills every false positive — exactness never
+    * depends on the filter, only the pruning does. vs a broadcast
+    * semi-join of the bench hashes: same plan shape, but a bloom holds
+    * ~25x more keys per byte than a join hash relation, which is what
+    * keeps the prefilter broadcastable when the benchmark suite has
+    * 100M+ shingles. */
+  def bloomContamination(docs: DataFrame, benchPred: Column, k: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val withSh = docs.select(col("doc_id"), benchPred.as("is_bench"),
+      explode(Registry.shingleHashes(
+        TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+      .dropDuplicates("doc_id", "h")
+    // the benchmark side is small by definition (a benchmark suite vs a
+    // corpus) and is consumed three times (count, bloom build, final
+    // join) — pin it once instead of re-scanning the corpus per use
+    val bench = withSh.where(col("is_bench"))
+      .select(col("doc_id"), col("h")).localCheckpoint()
+    val benchHashes = bench.select(col("h")).distinct()
+    val nBench = math.max(benchHashes.count(), 1L)
+    val bloom = benchHashes.stat.bloomFilter("h", nBench, fpp)
+    val bytes = { val bo = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bo); bo.toByteArray }
+    val corpus = withSh.where(!col("is_bench")).select(col("h"))
+      // map-side prune BELOW the distinct's exchange: only hashes that
+      // might exist in the benchmark reach the shuffle
+      .where(graft.functions.BloomExprs.mightContainLong(col("h"), bytes))
+      .distinct()
+      // exact confirm: false positives die here, so the output is
+      // bit-identical to [[contamination]] at any fpp
+      .join(benchHashes, Seq("h"), "left_semi")
+      .withColumn("_in_corpus", lit(true))
+    bench.join(corpus, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("_in_corpus")).as("n_hit"))
+      .withColumn("containment",
+        col("n_hit").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB oracle for [[contamination]] with the benchmark cohort
     * `doc_id % benchMod = 0`: same FNV-1a shingles, same distinct-set
     * containment. */

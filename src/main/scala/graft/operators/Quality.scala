@@ -91,6 +91,85 @@ object Quality {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Robust per-group outlier detection over an INTEGRAL value column:
+    * modified z-score `0.6745·(x − median)/MAD` (Iglewicz–Hoaglin),
+    * flagging rows with |z| above the threshold. Median/MAD — not
+    * mean/stddev — so a contaminated tail cannot mask itself by
+    * inflating the spread: the breakdown point is 50%, the property
+    * that makes this the standard DQ screen for corpus length/score
+    * columns.
+    *
+    * The scale problem is EXACT median at 100 TB: Spark's `percentile`
+    * aggregate buffers every group value in one task's memory, and a
+    * `Window.partitionBy(group)` rank sends each group to a single
+    * partition — both die when one group has billions of rows. For an
+    * integral domain the answer is a VALUE HISTOGRAM: `groupBy(group,
+    * v).count` shuffles at most |groups|·|distinct v| rows (bounded by
+    * the domain, not the corpus), the per-group cumulative walk runs on
+    * that tiny frame, and the rank-r order statistic is
+    * `min(v | cum(v) ≥ r)`. Even-count groups interpolate the two
+    * middle ranks exactly like DuckDB's `median` — halves stay exact in
+    * doubles, so the twin hash-matches bit-for-bit. MAD reuses the same
+    * trick on the deviation histogram (|v − med| carries the original
+    * counts — the raw rows are NOT re-scanned for it). Raw data is
+    * touched exactly twice: histogram build and the final broadcast-
+    * joined scoring scan.
+    *
+    * Output: input columns + med, mad, z for flagged rows, mad = 0
+    * groups excluded (every value identical — no spread to score
+    * against). */
+  def robustOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      zThreshold: Double = 3.5): DataFrame = {
+    require(groupCols.nonEmpty, "robustOutliers needs at least one group column")
+    val gs = groupCols.map(col)
+    def histMedian(hist: DataFrame, v: String): DataFrame = {
+      // hist: groupCols, v, cnt — all per-group work on histogram rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(gs: _*).orderBy(col(v))
+      val cum = hist.withColumn("_cum", sum(col("cnt")).over(w))
+        .withColumn("_n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)))
+      val r1 = ((col("_n") + 1) / 2).cast("long") // 1-indexed lower middle
+      val r2 = ((col("_n") + 2) / 2).cast("long") // upper middle (== r1 when odd)
+      cum.groupBy(gs: _*)
+        .agg(((min(when(col("_cum") >= r1, col(v))) +
+               min(when(col("_cum") >= r2, col(v)))) / 2.0).as("_m"))
+    }
+    val hist = df.groupBy((gs :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val med = histMedian(hist, valueCol).withColumnRenamed("_m", "med")
+    val devHist = hist.join(broadcast(med), groupCols)
+      .groupBy((gs :+ abs(col(valueCol) - col("med")).as("_dev")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = histMedian(devHist, "_dev").withColumnRenamed("_m", "mad")
+    df.join(broadcast(med), groupCols).join(broadcast(mad), groupCols)
+      .withColumn("z", lit(0.6745) * (col(valueCol) - col("med")) / col("mad"))
+      .where(col("mad") > 0 && abs(col("z")) > zThreshold)
+  }
+
+  /** DuckDB twin of [[robustOutliers]]: the engine's exact `median`
+    * (same two-middle interpolation) + the same left-associated double
+    * arithmetic, so z hashes bit-identically. */
+  def robustOutliersSql(table: String, valueCol: String,
+      groupCols: Seq[String], zThreshold: Double, selectCols: Seq[String],
+      orderBy: Seq[String]): String = {
+    val g = groupCols.mkString(", ")
+    val on = groupCols.map(c => s"t.$c = m.$c").mkString(" AND ")
+    val on2 = groupCols.map(c => s"t.$c = d.$c").mkString(" AND ")
+    s"""WITH m AS (
+       |  SELECT $g, median($valueCol) AS med FROM $table GROUP BY $g),
+       |d AS (
+       |  SELECT ${groupCols.map(c => "t." + c).mkString(", ")},
+       |         median(abs(t.$valueCol - m.med)) AS mad
+       |  FROM $table t JOIN m ON $on GROUP BY ${groupCols.map(c => "t." + c).mkString(", ")}),
+       |scored AS (
+       |  SELECT ${selectCols.map(c => "t." + c).mkString(", ")}, m.med, d.mad,
+       |         0.6745 * (t.$valueCol - m.med) / d.mad AS z
+       |  FROM $table t JOIN m ON $on JOIN d ON $on2)
+       |SELECT * FROM scored WHERE mad > 0 AND abs(z) > $zThreshold
+       |ORDER BY ${orderBy.mkString(", ")}""".stripMargin
+  }
+
   /** DuckDB twin of [[splitLeakage]] given SQL for the digest/split of
     * a `rows` CTE (bound by the caller's WITH clause). */
   def splitLeakageSql(rowsCte: String, digestSql: String, splitSql: String): String =

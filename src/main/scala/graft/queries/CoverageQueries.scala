@@ -600,6 +600,19 @@ object CoverageQueries {
         parents = Map("customer" -> Tables.customer(s, dir)))
     }),
 
+    // Q2: robust per-group outlier screen — modified z-score on exact
+    // histogram-median/MAD (scale-safe exact median for integral
+    // domains; see Quality.robustOutliers)
+    "q2_robust_outliers" -> ((s, dir) =>
+      graft.operators.Quality.robustOutliers(
+          Tables.documents(s, dir).select(
+            col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          valueCol = "n_chars", groupCols = Seq("lang", "source"),
+          zThreshold = 2.5)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("med"), col("mad"), col("z"))
+        .orderBy(col("doc_id"))),
+
     // A22: per-group argmax (majority vote) — the self-consistency
     // "modal answer per question" shape (reference: most frequent
     // extracted letter across n_answers runs), with a deterministic
@@ -1119,6 +1132,12 @@ object CoverageQueries {
 
     "q1_dq_report" ->
       graft.operators.Quality.reportSql("orders", DqChecks),
+
+    "q2_robust_outliers" ->
+      graft.operators.Quality.robustOutliersSql("documents", "n_chars",
+        Seq("lang", "source"), zThreshold = 2.5,
+        selectCols = Seq("doc_id", "lang", "source", "n_chars"),
+        orderBy = Seq("doc_id")),
 
     "a22_majority_flag" ->
       """SELECT l_orderkey, majority_flag, n FROM (

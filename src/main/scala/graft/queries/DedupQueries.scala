@@ -43,6 +43,16 @@ object DedupQueries {
       Dedup.contamination(Tables.documents(s, dir),
         benchPred = pmod(col("doc_id"), lit(97)) === 0, k = 3)),
 
+    // d8's broadcast-Bloom plan twin: bench-shingle bloom probed inside
+    // the corpus scan (native codegen expr), exact-confirm semi-join on
+    // the survivors — same exact containment output, corpus-side
+    // shuffle shrunk from |corpus shingles| to ~|bench shingles|.
+    // Different cohort/shingle length than d8 so the two queries don't
+    // share a cached subtree by accident.
+    "d12_bloom_contamination" -> ((s, dir) =>
+      Dedup.bloomContamination(Tables.documents(s, dir),
+        benchPred = pmod(col("doc_id"), lit(89)) === 0, k = 5)),
+
     // Semantic decontamination: d8's embedding-space sibling — flag
     // corpus vectors in a benchmark vector's cosine neighborhood,
     // compared only inside a shared IVF cell (benchmark broadcast)
@@ -123,6 +133,10 @@ object DedupQueries {
       Dedup.semanticNearDupSql(dim = 64, nCentroids = 16, minCos = 0.3),
 
     "d8_contamination" -> Dedup.contaminationSql(k = 3, benchMod = 97),
+
+    // the bloom prefilter is invisible to the result: the oracle is the
+    // SAME exact-containment SQL as d8's, at d12's cohort and k
+    "d12_bloom_contamination" -> Dedup.contaminationSql(k = 5, benchMod = 89),
 
     "d10_semantic_contamination" -> Dedup.semanticContaminationSql(
       dim = 64, nCentroids = 16, minCos = 0.25, benchMod = 97),

@@ -113,6 +113,13 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Extension: exact θ-heavy-hitter vocabulary — Misra-Gries
+    // candidate sweep (shuffle bounded by 1/θ, not vocabulary size) +
+    // exact confirm; the sketch is plan-only, the counts are exact
+    "t13_frequent_terms" -> ((s, dir) =>
+      graft.operators.Frequent.frequentTerms(
+        Tables.documents(s, dir), num = 1, denom = 150)),
+
     // Extension: PII/URL scrubbing over deterministically injected PII
     "t5_pii_scrub" -> ((s, dir) => {
       import graft.operators.Scrub
@@ -323,6 +330,9 @@ object TextQueries {
     "t4_fingerprint_sample" ->
       s"""SELECT doc_id, ${PolyHash64.sql("text")} AS fp
          |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+
+    "t13_frequent_terms" ->
+      graft.operators.Frequent.frequentTermsSql(num = 1, denom = 150),
 
     "t5_pii_scrub" -> {
       import graft.operators.Scrub

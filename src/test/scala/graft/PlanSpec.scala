@@ -41,6 +41,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("d12: bloom probe prunes the corpus branch BELOW its first exchange") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("d12_bloom_contamination")(spark, sf)
+    // AdaptiveSparkPlanExec is a LEAF node — collect() stops at it, so
+    // descend into its input plan explicitly (shape is decided there)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // the Filter carrying the probe must sit in the scan stage: no
+    // shuffle anywhere BELOW it — rows the bloom rejects die before
+    // the first exchange, the property that shrinks the corpus-side
+    // shuffle from |corpus shingles| to ~|bench shingles| at scale
+    val probeFilters = nodes.collect {
+      case f: FilterExec if f.condition.exists(
+        _.isInstanceOf[graft.functions.BloomMightContainLong]) => f
+    }
+    assert(probeFilters.nonEmpty, nodes.mkString("\n"))
+    probeFilters.foreach { f =>
+      val shufflesBelow = f.children.flatMap(flatten).collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shufflesBelow.isEmpty,
+        s"bloom probe sits above a shuffle — pruning arrives too late:\n$f")
+    }
+  }
+
   test("a9: aggregation is partial+final (map-side combine)") {
     val p = physical("a9_pricing_summary")
     assert(p.contains("partial_sum"), p)

@@ -157,4 +157,39 @@ class CdcQualitySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("pk_unique" -> 0L, "status_domain" -> 0L))
   }
+
+  test("robustOutliers: histogram median/MAD equal percentile-exact median/MAD on random groups") {
+    val rnd = new scala.util.Random(42)
+    // odd and even group sizes, duplicates, negative values
+    val rows = (0 until 500).map { i =>
+      val g = s"g${i % 7}"
+      (i.toLong, g, (rnd.nextInt(200) - 50).toLong)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = Quality.robustOutliers(df, "v", Seq("g"), zThreshold = 1.5)
+      .select($"id", $"med", $"mad", $"z").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // reference: Spark's exact percentile aggregate (fine at test scale)
+    val med = df.groupBy($"g").agg(percentile($"v", lit(0.5)).as("med"))
+    val mad = df.join(med, "g").groupBy($"g")
+      .agg(percentile(abs($"v" - $"med"), lit(0.5)).as("mad"))
+    val want = df.join(med, "g").join(mad, "g")
+      .withColumn("z", lit(0.6745) * ($"v" - $"med") / $"mad")
+      .where($"mad" > 0 && abs($"z") > 1.5)
+      .select($"id", $"med", $"mad", $"z").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should flag at least one outlier")
+  }
+
+  test("robustOutliers: zero-MAD group is excluded; planted extreme value is flagged") {
+    val df = (
+      (1L to 20L).map(i => (i, "const", 100L)) ++          // all identical → MAD 0
+      (21L to 40L).map(i => (i, "spread", (i % 5) + 10L)) :+ // tight cluster...
+      (99L, "spread", 10000L)                               // ...one wild row
+    ).toDF("id", "g", "v")
+    val got = Quality.robustOutliers(df, "v", Seq("g"), zThreshold = 3.5).collect()
+    assert(got.forall(_.getAs[String]("g") == "spread"))
+    assert(got.exists(_.getAs[Long]("id") == 99L))
+  }
 }

@@ -38,6 +38,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"LSH recalled $recalled of ${strong.length} strong pairs")
   }
 
+  test("bloom contamination: bit-identical to the plain exact plan") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pred = pmod(col("doc_id"), lit(97)) === 0
+    val plain = Dedup.contamination(docs, pred, k = 3).collect().toSeq
+    val bloomed = Dedup.bloomContamination(docs, pred, k = 3).collect().toSeq
+    assert(bloomed === plain)
+  }
+
+  test("bloom contamination: exact even at a 50% false-positive rate — the confirm join owns correctness") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pred = pmod(col("doc_id"), lit(97)) === 0
+    val plain = Dedup.contamination(docs, pred, k = 3).collect().toSeq
+    // fpp=0.5 floods the prefilter with false positives; the output must
+    // not move — pruning quality is a performance knob, never a
+    // correctness one
+    val sloppy = Dedup.bloomContamination(docs, pred, k = 3, fpp = 0.5)
+      .collect().toSeq
+    assert(sloppy === plain)
+  }
+
+  test("bloom probe expression: members always hit, non-members mostly pruned, null in → null out") {
+    val members = spark.range(0, 1000).select(col("id"))
+    val bloom = members.stat.bloomFilter("id", 1000, 0.01)
+    val bytes = { val bo = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bo); bo.toByteArray }
+    def probe(df: org.apache.spark.sql.DataFrame) = df.select(
+      graft.functions.BloomExprs.mightContainLong(col("id"), bytes).as("hit"))
+    // no false negatives — the property the prefilter's exactness
+    // argument rests on
+    assert(probe(members).where(!col("hit")).count() === 0)
+    // distant non-members: pruned at ~the configured fpp (generous 10x
+    // slack — this asserts the filter PRUNES, not its exact rate)
+    val out = spark.range(1000000, 1010000).select(col("id"))
+    val fps = probe(out).where(col("hit")).count()
+    assert(fps < 1000, s"$fps false positives in 10000 probes at fpp=0.01")
+    val nullRow = spark.sql("SELECT CAST(NULL AS BIGINT) AS id")
+    assert(probe(nullRow).collect()(0).isNullAt(0))
+  }
+
   test("simhash: near-identical docs collide, fingerprint is stable") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
