@@ -28,15 +28,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp; read it as raw nanos (legacy conf) and convert
-    * to a microsecond TimestampType column (integer `div` — a double
-    * division would lose precision on int64 nanos). */
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 only reads as
+    * raw int64 nanos under the legacy conf) and plain TIMESTAMP(MICROS)
+    * (read natively as TIMESTAMP_NTZ). Normalize both to a microsecond
+    * TimestampType column — integer `div` for the nanos leg (a double
+    * division would lose precision on int64 nanos), and an NTZ cast for
+    * the native leg (sessions run with spark.sql.session.timeZone=UTC,
+    * so the cast re-labels the same micros the file stores). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
