@@ -664,6 +664,102 @@ object Dedup {
        |       COALESCE(kc.clean_text, '') AS clean_text
        |FROM t LEFT JOIN kc USING (doc_id)""".stripMargin
 
+  // ------------------------------------------- line-level corpus dedup
+
+  /** CCNet-style line-level corpus dedup: segment every document into
+    * fixed-width word "lines" (the synthetic corpus has no newlines, so
+    * the unit is a non-overlapping `segWords`-word segment — same
+    * operator shape), drop every segment whose document frequency
+    * across DISTINCT docs exceeds `maxDf` (boilerplate: headers,
+    * navigation, license blocks), and reassemble each affected document
+    * from its kept segments in order.
+    *
+    * Differs from [[duplicatedSpanRemoval]] (RefinedWeb ExactSubstr) on
+    * both axes that matter to a curation pipeline: the unit is a fixed
+    * segment rather than every overlapping k-gram, and the trigger is
+    * cross-document frequency (within-doc repetition alone never
+    * removes — a chorus repeated in one song survives; a cookie banner
+    * shared by many pages dies).
+    *
+    * Scale posture (100 TB): segments shuffle ONCE, by 64-bit content
+    * hash (8-byte keys — CCNet itself dedups on line hashes, not line
+    * strings), into a bounded `(hash, df)` aggregate; the frequent set
+    * (`df > maxDf`) is the minority of that and broadcasts back over
+    * the segment stream, so the rebuild join is map-side. For an
+    * adversarial corpus where boilerplate dominates (frequent set too
+    * big to broadcast), `broadcastFrequent = false` degrades to a
+    * hash-partitioned sort-merge join — same result, one extra segment
+    * shuffle. Collision caveat as everywhere in this file: two distinct
+    * segments sharing an xxhash64 is ~1e-11 at bench scale and merely
+    * over-removes one segment when it happens.
+    *
+    * Returns (doc_id, n_segs, n_removed, cleaned_md5) for docs with at
+    * least one removed segment; `cleaned_md5` digests the reassembled
+    * text (md5('') when everything was boilerplate) so the oracle can
+    * check the rebuild without shipping full texts. */
+  def lineDedup(docs: DataFrame, segWords: Int = 8, maxDf: Long = 1,
+                broadcastFrequent: Boolean = true): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // one row per (doc, segment): trailing partial segment kept as-is
+    // (slice clamps), segment index 1-based for the ordered rebuild
+    val segCol = expr(
+      s"""transform(sequence(1, cast(ceil(size(w) / ${segWords}D) as int)),
+         |  i -> array_join(slice(w, (i - 1) * $segWords + 1, $segWords), ' '))"""
+        .stripMargin)
+    val segs = words
+      .select(col("doc_id"), posexplode(segCol).as(Seq("i0", "seg")))
+      .select(col("doc_id"), (col("i0") + 1).as("seg_idx"), col("seg"),
+        xxhash64(col("seg")).as("h"))
+    val frequent = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > maxDf)
+      .select(col("h"), lit(true).as("rm"))
+    val freqSide = if (broadcastFrequent) broadcast(frequent) else frequent
+    val flagged = segs.join(freqSide, Seq("h"), "left")
+      .withColumn("rm", coalesce(col("rm"), lit(false)))
+    flagged.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        // ordered rebuild without an ordered aggregate: collect kept
+        // (idx, seg) structs (collect_list skips the nulls the `when`
+        // leaves for removed segments), sort by leading field, join
+        md5(array_join(transform(
+          sort_array(collect_list(
+            when(!col("rm"), struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("cleaned_md5"))
+      .where(col("n_removed") > 0)
+  }
+
+  /** DuckDB oracle for [[lineDedup]]: identical rule grouped on the
+    * segment STRING (the hash is a plan-level key choice, invisible to
+    * the result — same stance as [[duplicatedSpanRemovalSql]]). */
+  def lineDedupSql(segWords: Int, maxDf: Long,
+                   from: String = "documents"): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $from),
+       |segs AS (
+       |  SELECT w.doc_id, s.i AS seg_idx,
+       |         array_to_string(
+       |           w.w[(s.i - 1) * $segWords + 1 : s.i * $segWords],
+       |           ' ') AS seg
+       |  FROM w, LATERAL (
+       |    SELECT unnest(range(1,
+       |      CAST(ceil(len(w.w) / $segWords.0) AS BIGINT) + 1)) AS i) s),
+       |freq AS (
+       |  SELECT seg FROM segs GROUP BY seg
+       |  HAVING COUNT(DISTINCT doc_id) > $maxDf),
+       |fl AS (
+       |  SELECT s.doc_id, s.seg_idx, s.seg, f.seg IS NOT NULL AS rm
+       |  FROM segs s LEFT JOIN freq f ON s.seg = f.seg)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_removed,
+       |       md5(COALESCE(string_agg(CASE WHEN NOT rm THEN seg END,
+       |                               ' ' ORDER BY seg_idx), ''))
+       |         AS cleaned_md5
+       |FROM fl GROUP BY doc_id HAVING n_removed > 0 ORDER BY doc_id"""
+      .stripMargin
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic near-dup pairs: partition the embedding

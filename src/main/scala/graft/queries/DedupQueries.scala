@@ -98,6 +98,13 @@ object DedupQueries {
       Dedup.duplicatedSpanRemoval(Tables.documents(s, dir), k = 13)
         .where(col("clean_text") =!= "")),
 
+    // CCNet-style line-level dedup: drop fixed-width word segments
+    // whose document frequency exceeds 1 (cross-doc boilerplate),
+    // rebuild affected docs. One 8-byte-hash shuffle + broadcast-back.
+    "d13_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(Tables.documents(s, dir), segWords = 8, maxDf = 1)
+        .orderBy(col("doc_id"))),
+
     // The whole dedup pipeline end to end over documents: LSH
     // candidates → components → survivors → survivor-only rollup.
     "c2_dedup_pipeline" -> ((s, dir) =>
@@ -140,6 +147,8 @@ object DedupQueries {
 
     "d10_semantic_contamination" -> Dedup.semanticContaminationSql(
       dim = 64, nCentroids = 16, minCos = 0.25, benchMod = 97),
+
+    "d13_line_dedup" -> Dedup.lineDedupSql(segWords = 8, maxDf = 1),
 
     "d5_levenshtein_pairs" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,

@@ -169,6 +169,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: cross-doc segments die, within-doc repeats survive, rebuild is ordered") {
+    import org.apache.spark.sql.functions.md5
+    // segWords=2 segments: doc1 = ["a b","c d","e f"], doc2 = ["c d","x y"],
+    // doc3 = ["p q","p q"] (within-doc repeat only), doc4 = ["c d"]
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "p q p q"),
+      (4L, "c d")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, segWords = 2, maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String) = spark.range(1).select(md5(lit(s))).head.getString(0)
+    // "c d" sits in docs 1, 2, 4 (df=3 > 1) → removed everywhere;
+    // doc 3's repeated "p q" has df=1 → untouched, so doc 3 is absent
+    assert(got.keySet === Set(1L, 2L, 4L))
+    assert(got(1L) === ((3L, 1L, h("a b e f"))))
+    assert(got(2L) === ((2L, 1L, h("x y"))))
+    assert(got(4L) === ((1L, 1L, h("")))) // fully-boilerplate doc
+  }
+
+  test("line dedup: broadcast and sort-merge frequent-set joins agree; broadcast is in the plan") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bc = Dedup.lineDedup(docs, segWords = 8, maxDf = 1, broadcastFrequent = true)
+    val smj = Dedup.lineDedup(docs, segWords = 8, maxDf = 1, broadcastFrequent = false)
+    assert(bc.orderBy("doc_id").collect().toSeq ===
+      smj.orderBy("doc_id").collect().toSeq)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast frequent-set join in:\n$plan")
+  }
+
   test("connected components: chains, cliques, singleton pairs, multi-round convergence") {
     // component {1,2,3,4} is a 4-chain (needs >1 HashMin round),
     // {10,11,12} a triangle, {20,21} a lone pair
