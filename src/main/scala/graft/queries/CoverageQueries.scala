@@ -613,6 +613,17 @@ object CoverageQueries {
           col("med"), col("mad"), col("z"))
         .orderBy(col("doc_id"))),
 
+    // Q3: exact per-group quantile profile — the dataset-card p25/50/
+    // 75/95 table, read off a (group, value, cnt) histogram's
+    // cumulative counts; interpolation replays DuckDB quantile_cont
+    // bit for bit (see Quality.quantileProfile)
+    "q3_quantile_profile" -> ((s, dir) =>
+      graft.operators.Quality.quantileProfile(
+          Tables.orders(s, dir), valueCol = "o_totalprice",
+          groupCols = Seq("o_orderpriority"),
+          qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+        .orderBy(col("o_orderpriority"))),
+
     // A22: per-group argmax (majority vote) — the self-consistency
     // "modal answer per question" shape (reference: most frequent
     // extracted letter across n_answers runs), with a deterministic
@@ -1138,6 +1149,12 @@ object CoverageQueries {
         Seq("lang", "source"), zThreshold = 2.5,
         selectCols = Seq("doc_id", "lang", "source", "n_chars"),
         orderBy = Seq("doc_id")),
+
+    "q3_quantile_profile" ->
+      graft.operators.Quality.quantileProfileSql("orders", "o_totalprice",
+        Seq("o_orderpriority"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95),
+        orderBy = Seq("o_orderpriority")),
 
     "a22_majority_flag" ->
       """SELECT l_orderkey, majority_flag, n FROM (

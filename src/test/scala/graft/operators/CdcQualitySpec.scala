@@ -182,6 +182,34 @@ class CdcQualitySpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should flag at least one outlier")
   }
 
+  test("quantileProfile: matches a sorted in-memory reference on random groups, all edge fractions") {
+    val rnd = new scala.util.Random(7)
+    // duplicates, negatives, singleton group, two-element group
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 5}", (rnd.nextInt(60) - 20).toDouble)
+    } ++ Seq(("solo", 42.0), ("pair", 1.0), ("pair", 9.0))
+    val df = rows.toDF("g", "v")
+    val qs = Seq("q0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+      "p95" -> 0.95, "q1" -> 1.0)
+    val got = Quality.quantileProfile(df, "v", Seq("g"), qs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), qs.indices.map(i => r.getDouble(2 + i))))).toMap
+    // reference: the pinned quantile_cont rule on a driver-side sort
+    def ref(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted; val n = s.length
+      val p = q * (n - 1); val lo = math.floor(p).toInt; val frac = p - lo
+      if (frac == 0.0) s(lo) else s(lo) * (1 - frac) + s(lo + 1) * frac
+    }
+    val byG = rows.groupBy(_._1)
+    for ((g, (n, gotQs)) <- got) {
+      val vs = byG(g).map(_._2)
+      assert(n === vs.length.toLong, s"group $g")
+      for (((_, q), i) <- qs.zipWithIndex)
+        assert(gotQs(i) === ref(vs, q), s"group $g q=$q")
+    }
+    assert(got.keySet === byG.keySet)
+  }
+
   test("robustOutliers: zero-MAD group is excluded; planted extreme value is flagged") {
     val df = (
       (1L to 20L).map(i => (i, "const", 100L)) ++          // all identical → MAD 0
