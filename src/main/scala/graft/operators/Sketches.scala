@@ -70,6 +70,55 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch state: the k smallest
+    * DISTINCT signed hashes per group, kept sorted. Distinctness is the
+    * difference from [[BottomK]] (a sample keeps duplicates; a
+    * cardinality sketch must not let a repeated value occupy two
+    * slots). O(k) mergeable state → rides map-side partial aggregation:
+    * at 100 TB only k longs per group cross the wire, never the keys.
+    *
+    * The estimator itself lives in the query layer ((k−1)/u_(k) on the
+    * normalized k-th hash, or |sketch| when the group has fewer than k
+    * distinct hashes — then the sketch IS the distinct set), because
+    * its double arithmetic must be written once and replayed verbatim
+    * by the SQL oracle. */
+  class BottomKLongs(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Seq[Long], Seq[Long]] {
+    require(k >= 1)
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.size == k && b.last < h) b
+      else {
+        val (lo, hi) = b.span(_ < h)
+        if (hi.nonEmpty && hi.head == h) b // already present
+        else {
+          val m = (lo :+ h) ++ hi
+          if (m.size > k) m.take(k) else m
+        }
+      }
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      // merge two sorted distinct runs, dedup across runs, keep k
+      val out = Vector.newBuilder[Long]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.size || j < b.size)) {
+        val v =
+          if (j >= b.size) { val x = a(i); i += 1; x }
+          else if (i >= a.size) { val x = b(j); j += 1; x }
+          else if (a(i) < b(j)) { val x = a(i); i += 1; x }
+          else if (b(j) < a(i)) { val x = b(j); j += 1; x }
+          else { val x = a(i); i += 1; j += 1; x } // equal: consume both
+        out += v; n += 1
+      }
+      out.result()
+    }
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** HyperLogLog++ distinct count per group; `rsd` = target relative
     * standard deviation (Spark default 0.05). */
   def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -362,6 +362,31 @@ object CoverageQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // A23: KMV distinct-count estimate next to the exact count — the
+    // cardinality sketch whose output is plain numbers, so unlike HLL
+    // it hash-matches an oracle that replays (k−1)/u_(k) on the same
+    // portable hash. At 100 TB only k longs per group cross the wire.
+    "a23_kmv_distinct" -> ((s, dir) => {
+      import graft.functions.PolyHash64
+      val k = 64
+      val bk = udaf(new graft.operators.Sketches.BottomKLongs(k))
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          PolyHash64.polyHash64(col("o_custkey").cast("string")).as("h"))
+        .groupBy(col("o_orderstatus"))
+        .agg(bk(col("h")).as("hs"), countDistinct(col("h")).as("n_exact"))
+        .select(col("o_orderstatus"), col("n_exact"),
+          // fewer than k distinct hashes → the sketch IS the set;
+          // else (k−1)/u_(k), u = signed hash mapped to (0,1) — the
+          // double tree must match the oracle's verbatim
+          when(size(col("hs")) < k, size(col("hs")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("hs"), k).cast("double") /
+                lit(18446744073709551616.0) + lit(0.5)))
+            .as("kmv_estimate"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // O6: keyset (cursor) pagination — OFFSET's at-scale replacement:
     // the composite (date, key) cursor predicate pushes to the scan and
     // the global TopK materializes only one page, where o3's OFFSET
@@ -1015,6 +1040,29 @@ object CoverageQueries {
          |       string_agg(CASE WHEN rn <= 8 THEN v END, ',' ORDER BY h, v)
          |         AS sample_csv,
          |       COUNT(*) AS n
+         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "a23_kmv_distinct" -> {
+      import graft.functions.PolyHash64
+      s"""WITH t AS (
+         |  SELECT o_orderstatus,
+         |         ${PolyHash64.sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |d AS (SELECT DISTINCT o_orderstatus, h FROM t),
+         |r AS (
+         |  SELECT o_orderstatus, h,
+         |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+         |                            ORDER BY h) AS rn,
+         |         COUNT(*) OVER (PARTITION BY o_orderstatus) AS nd
+         |  FROM d)
+         |SELECT o_orderstatus,
+         |       CAST(MAX(nd) AS BIGINT) AS n_exact,
+         |       CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+         |            ELSE CAST(63 AS DOUBLE) /
+         |                 (CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+         |                  / CAST(18446744073709551616 AS DOUBLE) + 0.5)
+         |       END AS kmv_estimate
          |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
 

@@ -149,6 +149,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(run(df.repartition(13)) === want)
   }
 
+  test("KMV bottom-k-longs: distinct sorted k-min across partitionings; estimate tracks cardinality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val k = 128
+    val bk = udaf(new Sketches.BottomKLongs(k))
+    // heavy duplication (each key ~4×) so the dedup path is exercised
+    val keys = (1 to 8000).flatMap(i => Seq.fill(1 + i % 4)(i))
+    val hash = (i: Int) => i * -7046029254386353131L + 99 // splitmix-ish, signed
+    val rows = keys.map(i => ("g", hash(i)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g").agg(bk($"h").as("hs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    val df = rows.toDF("g", "h")
+    val want = keys.map(hash).distinct.sorted.take(k).toList
+    assert(run(df)("g") === want)
+    assert(run(df.repartition(17))("g") === want) // merge path, same sketch
+    // estimator: (k−1)/u_(k) within 20% of 8000 true distinct at k=128
+    val u = want.last.toDouble / 18446744073709551616.0 + 0.5
+    val est = (k - 1).toDouble / u
+    assert(math.abs(est - 8000) / 8000.0 < 0.20, s"estimate $est")
+    // sub-k group: sketch is the whole distinct set
+    val small = (1 to 40).flatMap(i => Seq(("s", hash(i)), ("s", hash(i))))
+    assert(run(small.toDF("g", "h"))("s") ===
+      (1 to 40).map(hash).distinct.sorted.toList)
+  }
+
   test("frequent items never miss a true heavy hitter") {
     // l_returnflag has 3 values, each with support far above 0.2
     val items = Sketches.frequentItems(li, Seq("l_returnflag"), support = 0.2)
