@@ -362,6 +362,26 @@ object CoverageQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // G1: fixed-point weighted PageRank over the nation trade graph
+    // (customer's nation → supplier's nation, weight = lineitem
+    // count) — the host-rank quality prior of web-corpus curation,
+    // expressed as the generic Pregel-shaped operator; BIGINT
+    // arithmetic end to end so 3 unrolled iterations hash-match the
+    // recursive oracle (see operators.Graph)
+    "g1_nation_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .join(Tables.nation(s, dir), col("id") === col("n_nationkey"))
+        .select(col("n_name"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("n_name"))
+    }),
+
     // A23: KMV distinct-count estimate next to the exact count — the
     // cardinality sketch whose output is plain numbers, so unlike HLL
     // it hash-matches an oracle that replays (k−1)/u_(k) on the same
@@ -1041,6 +1061,21 @@ object CoverageQueries {
          |         AS sample_csv,
          |       COUNT(*) AS n
          |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "g1_nation_pagerank" -> {
+      val edgesCte =
+        """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+          |       COUNT(*) AS w
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |GROUP BY 1, 2""".stripMargin
+      s"""SELECT n.n_name, pr.rank_fp
+         |FROM (${graft.operators.Graph.pageRankSql(edgesCte, iters = 3)}) pr
+         |JOIN nation n ON pr.id = n.n_nationkey
+         |ORDER BY pr.rank_fp DESC, n.n_name""".stripMargin
     },
 
     "a23_kmv_distinct" -> {
