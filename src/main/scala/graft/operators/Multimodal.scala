@@ -198,6 +198,79 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Deterministic 16-bit PCM mono WAV: RIFF/fmt/data chunks written
+    * byte-for-byte (little-endian), samples from an integer formula of
+    * (id, position) so an oracle can recompute every statistic without
+    * ever seeing a WAV container. 200 + id%100 samples at 8 kHz. */
+  def synthWavBytes(id: Long): Array[Byte] = {
+    val n = (200 + id % 100).toInt
+    val rate = 8000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+    bb.putShort(1) /* PCM */ ; bb.putShort(1) /* mono */
+    bb.putInt(rate); bb.putInt(rate * 2) /* byte rate */
+    bb.putShort(2) /* block align */ ; bb.putShort(16) /* bits */
+    bb.put("data".getBytes(ascii)); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 131 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** (media_id) → (media_id, payload: binary WAV), map-side. */
+  def synthWavMedia(ids: DataFrame): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthWavBytes(id))))
+      .toDF("media_id", "payload")
+  }
+
+  case class WavStats(media_id: Long, sample_rate: Int, n_samples: Int,
+                      pos_checksum: Long, energy: Long)
+
+  /** Decode WAV payloads through the real JDK audio stack
+    * (`javax.sound.sampled.AudioSystem` parses the RIFF container and
+    * hands back typed frames) and emit per-clip stats in INTEGER
+    * arithmetic: a position-weighted sample checksum Σ(1+i)·sᵢ (order-
+    * sensitive — a byte-swapped or truncated decode cannot pass) and
+    * the energy Σsᵢ² (the integer form of RMS). Pure map-side, same
+    * batch shape as [[pngDecodeStats]]; audio libs beyond the JDK are
+    * stubbed at the [[MediaCodec]] seam, but the container path here is
+    * the real thing. */
+  def wavDecodeStats(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected 16-bit mono PCM, got $fmt")
+          val frames = ais.getFrameLength.toInt
+          val buf = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(buf).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0; var pos = 0L; var energy = 0L
+          while (i < frames) {
+            val s = bb.getShort(i * 2).toLong
+            pos += (1L + i) * s
+            energy += s * s
+            i += 1
+          }
+          WavStats(id, fmt.getSampleRate.toInt, frames, pos, energy)
+        }
+      }.toDF()
+  }
+
   /** Decode + feature-extract in partition batches. Codec construction
     * happens once per partition (the expensive part with a real codec),
     * rows stream through — same batch shape `mapInPandas` gives Python. */

@@ -576,6 +576,19 @@ object CoverageQueries {
         .orderBy(col("media_id"))
     }),
 
+    // M3: real audio-container decode — synthesized RIFF/PCM WAV bytes
+    // parsed back through javax.sound.sampled, stats in integer
+    // arithmetic so the oracle recomputes them from the sample formula
+    // without ever seeing a WAV
+    "m3_wav_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(40)) === 0)
+        .select(col("doc_id").as("media_id"))
+      Multimodal.wavDecodeStats(Multimodal.synthWavMedia(ids))
+        .orderBy(col("media_id"))
+    }),
+
     // S11: incremental aggregate maintenance — the merged state of a
     // base refresh and a later delta batch must equal the full
     // recompute the oracle runs. Partials are count + decimal sum
@@ -1189,6 +1202,21 @@ object CoverageQueries {
 
     // replicates synthPngBytes' dimension and pixel formulas; the
     // lateral range pair enumerates every pixel of every image
+    "m3_wav_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 200 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |s AS (
+        |  SELECT media_id, n, i.i AS i,
+        |         (media_id * 131 + i.i * 17) % 65536 - 32768 AS v
+        |  FROM m, LATERAL (SELECT unnest(range(0, n)) AS i) i)
+        |SELECT media_id,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(MIN(n) AS INTEGER) AS n_samples,
+        |       CAST(SUM((1 + i) * v) AS BIGINT) AS pos_checksum,
+        |       CAST(SUM(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "m2_png_decode" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

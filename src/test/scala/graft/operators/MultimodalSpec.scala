@@ -103,6 +103,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert((payload(0) & 0xff) === 0x89 && payload(1).toChar === 'P')
   }
 
+  test("wavDecodeStats: decode(encode(x)) recovers every sample — stats match the generating formula") {
+    val ids = Seq(0L, 3L, 40L, 123L, 9999L)
+    val stats = wavDecodeStats(synthWavMedia(ids.toDF("media_id")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    ids.foreach { id =>
+      val n = (200 + id % 100).toInt
+      var pos = 0L; var energy = 0L
+      for (i <- 0 until n) {
+        val s = (id * 131 + i * 17) % 65536 - 32768
+        pos += (1L + i) * s
+        energy += s * s
+      }
+      assert(stats(id) === ((8000, n, pos, energy)),
+        s"id=$id decoded ${stats(id)}, formula says (8000,$n,$pos,$energy)")
+    }
+    // the payloads really are RIFF containers the JDK audio stack parses
+    val payload = synthWavBytes(123L)
+    assert(new String(payload.take(4), "US-ASCII") === "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") === "WAVE")
+  }
+
   test("metadata filters never need the payload (pruned scan shape)") {
     val df = media.toDS().toDF()
     val filtered = filterByMeta(df, minWidth = 700, mediaTypes = Seq("image", "video"))
