@@ -576,6 +576,23 @@ object CoverageQueries {
         .orderBy(col("media_id"))
     }),
 
+    // S18: JSONL corpus ingest round trip — docs serialize to JSON
+    // lines in-engine, parse back through from_json with the explicit
+    // nested schema, and the aggregate reads PARSED columns only; the
+    // oracle computes the same numbers straight from the table, so a
+    // parse defect cannot hash-match (see sources.JsonIngest)
+    "s18_json_ingest" -> ((s, dir) => {
+      import graft.sources.JsonIngest
+      val parsed = JsonIngest.parseDocs(
+        JsonIngest.toJsonLines(Tables.documents(s, dir)))
+      parsed.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(col("head_tokens")).cast("long")).as("head_token_count"),
+          sum(length(col("text")).cast("long")).as("text_len_sum"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // M3: real audio-container decode — synthesized RIFF/PCM WAV bytes
     // parsed back through javax.sound.sampled, stats in integer
     // arithmetic so the oracle recomputes them from the sample formula
@@ -1202,6 +1219,15 @@ object CoverageQueries {
 
     // replicates synthPngBytes' dimension and pixel formulas; the
     // lateral range pair enumerates every pixel of every image
+    "s18_json_ingest" ->
+      """SELECT lang, source,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(LEAST(5, len(string_split(text, ' ')))) AS BIGINT)
+        |         AS head_token_count,
+        |       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     "m3_wav_decode" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, 200 + doc_id % 100 AS n
