@@ -698,7 +698,26 @@ object Dedup {
     * text (md5('') when everything was boilerplate) so the oracle can
     * check the rebuild without shipping full texts. */
   def lineDedup(docs: DataFrame, segWords: Int = 8, maxDf: Long = 1,
-                broadcastFrequent: Boolean = true): DataFrame = {
+                broadcastFrequent: Boolean = true): DataFrame =
+    flaggedSegments(docs, segWords, maxDf, broadcastFrequent)
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        // ordered rebuild without an ordered aggregate: collect kept
+        // (idx, seg) structs (collect_list skips the nulls the `when`
+        // leaves for removed segments), sort by leading field, join
+        md5(array_join(transform(
+          sort_array(collect_list(
+            when(!col("rm"), struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("cleaned_md5"))
+      .where(col("n_removed") > 0)
+
+  /** The shared segment-flagging stage of [[lineDedup]] /
+    * [[lineDedupClean]]: one row per (doc, segment) with `rm` marking
+    * cross-doc-frequent segments. See [[lineDedup]] for the plan
+    * shape and the broadcast/sort-merge trade. */
+  private def flaggedSegments(docs: DataFrame, segWords: Int, maxDf: Long,
+                              broadcastFrequent: Boolean): DataFrame = {
     require(segWords >= 1, s"segWords must be >= 1, got $segWords")
     val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     // one row per (doc, segment): trailing partial segment kept as-is
@@ -716,20 +735,24 @@ object Dedup {
       .where(col("df") > maxDf)
       .select(col("h"), lit(true).as("rm"))
     val freqSide = if (broadcastFrequent) broadcast(frequent) else frequent
-    val flagged = segs.join(freqSide, Seq("h"), "left")
+    segs.join(freqSide, Seq("h"), "left")
       .withColumn("rm", coalesce(col("rm"), lit(false)))
-    flagged.groupBy(col("doc_id")).agg(
+  }
+
+  /** [[lineDedup]]'s corpus-rebuild form: EVERY document comes back
+    * with its cleaned text (empty string when everything was
+    * boilerplate) plus segment counts — the stage a curation pipeline
+    * feeds forward, where the summary form feeds a report. */
+  def lineDedupClean(docs: DataFrame, segWords: Int = 8, maxDf: Long = 1,
+                     broadcastFrequent: Boolean = true): DataFrame =
+    flaggedSegments(docs, segWords, maxDf, broadcastFrequent)
+      .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_segs"),
         sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
-        // ordered rebuild without an ordered aggregate: collect kept
-        // (idx, seg) structs (collect_list skips the nulls the `when`
-        // leaves for removed segments), sort by leading field, join
-        md5(array_join(transform(
+        array_join(transform(
           sort_array(collect_list(
             when(!col("rm"), struct(col("seg_idx"), col("seg"))))),
-          s => s.getField("seg")), " ")).as("cleaned_md5"))
-      .where(col("n_removed") > 0)
-  }
+          s => s.getField("seg")), " ").as("clean_text"))
 
   /** DuckDB oracle for [[lineDedup]]: identical rule grouped on the
     * segment STRING (the hash is a plan-level key choice, invisible to

@@ -169,6 +169,31 @@ object CoverageQueries {
         .orderBy(col("source"))
     }),
 
+    // C4: round-7 ops composed in production order — JSONL ingest
+    // (real from_json parse), CCNet line-dedup surgery over the PARSED
+    // corpus, then the dataset-card quantile profile of cleaned word
+    // counts per source. One nested-CTE oracle checks the whole chain.
+    "c4_ingest_curation" -> ((s, dir) => {
+      import graft.sources.JsonIngest
+      import graft.operators.{Dedup, Quality}
+      val parsed = JsonIngest.parseDocs(
+        JsonIngest.toJsonLines(Tables.documents(s, dir)))
+      val cleaned = Dedup.lineDedupClean(
+        parsed.select(col("doc_id"), col("text")), segWords = 8, maxDf = 1)
+      val withWords = cleaned
+        .join(parsed.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("n_words", when(col("clean_text") === "", lit(0L))
+          .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+      val prof = Quality.quantileProfile(withWords, "n_words", Seq("source"),
+        Seq("p50_words" -> 0.5, "p95_words" -> 0.95))
+      val removed = withWords.groupBy(col("source"))
+        .agg(sum(col("n_removed")).as("segs_removed"))
+      prof.join(removed, Seq("source"))
+        .select(col("source"), col("n").as("n_docs"), col("segs_removed"),
+          col("p50_words"), col("p95_words"))
+        .orderBy(col("source"))
+    }),
+
     // S14: split-leakage audit — hash-assigned train/val/test splits,
     // then count content-identical pairs straddling split boundaries
     // (the held-out contamination check). Dups are synthesized (s10
@@ -920,6 +945,40 @@ object CoverageQueries {
          |WHERE ($ph) % ${Sampling.Buckets} < r.cutoff
          |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
+
+    "c4_ingest_curation" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |segs AS (
+        |  SELECT w.doc_id, s.i AS seg_idx,
+        |         array_to_string(w.w[(s.i - 1) * 8 + 1 : s.i * 8], ' ') AS seg
+        |  FROM w, LATERAL (
+        |    SELECT unnest(range(1,
+        |      CAST(ceil(len(w.w) / 8.0) AS BIGINT) + 1)) AS i) s),
+        |freq AS (
+        |  SELECT seg FROM segs GROUP BY seg
+        |  HAVING COUNT(DISTINCT doc_id) > 1),
+        |fl AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg, f.seg IS NOT NULL AS rm
+        |  FROM segs s LEFT JOIN freq f ON s.seg = f.seg),
+        |cln AS (
+        |  SELECT doc_id,
+        |         COALESCE(string_agg(CASE WHEN NOT rm THEN seg END,
+        |                             ' ' ORDER BY seg_idx), '') AS clean_text,
+        |         SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS n_removed
+        |  FROM fl GROUP BY doc_id),
+        |wc AS (
+        |  SELECT c.doc_id, w.source,
+        |         CASE WHEN c.clean_text = '' THEN 0
+        |              ELSE len(string_split(c.clean_text, ' ')) END AS n_words,
+        |         c.n_removed
+        |  FROM cln c JOIN w ON c.doc_id = w.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_removed) AS BIGINT) AS segs_removed,
+        |       quantile_cont(CAST(n_words AS DOUBLE), 0.5) AS p50_words,
+        |       quantile_cont(CAST(n_words AS DOUBLE), 0.95) AS p95_words
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
 
     "c3_curation_v2" -> {
       import graft.functions.PolyHash64
