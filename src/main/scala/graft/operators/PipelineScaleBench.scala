@@ -44,7 +44,12 @@ object PipelineScaleBench {
     spark.sparkContext.setLogLevel("ERROR")
     Registry.registerAll(spark)
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
-    val queries = Seq("c1_corpus_pipeline", "c2_dedup_pipeline", "c3_curation_v2")
+    // c4 rides the same corpus: its line-dedup stage is the scale-
+    // sensitive part (segment hash shuffle + frequent-set broadcast),
+    // and the prefix copies plant exactly the cross-copy frequent
+    // segments the broadcast path must stay small under
+    val queries = Seq("c1_corpus_pipeline", "c2_dedup_pipeline",
+      "c3_curation_v2", "c4_ingest_curation")
 
     import BenchTime.timed
     // JIT/codegen warmup at a thin slice so the 1× point isn't taxed
