@@ -45,13 +45,18 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping must be in (0,1)")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    // (src, dst, w, wout) — the static per-iteration operand, cached
-    // once; all operands positive, so Spark's truncating `div` and
-    // DuckDB's flooring `//` agree
-    val ew = e.join(deg, Seq("src")).cache()
+    // (src, dst, w, wout) — the static operand every iteration joins.
+    // EAGER localCheckpoint, not cache: the loop is lazy (no action
+    // until the caller's), so a cache would never materialize before
+    // use and the upstream edge derivation (often a multi-table join)
+    // would re-execute once per iteration branch. All operands are
+    // positive, so Spark's truncating `div` and DuckDB's flooring `//`
+    // agree.
+    val ew = e.join(deg, Seq("src")).localCheckpoint()
+    // node set read off the checkpointed leaf — consumed iters+1 times
+    val nodes = ew.select(col("src").as("id"))
+      .union(ew.select(col("dst").as("id"))).distinct().localCheckpoint()
     val base = (dampDen - dampNum) * scale / dampDen
     var ranks = nodes.withColumn("r", lit(scale))
     for (i <- 1 to iters) {
@@ -64,9 +69,7 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
-    val out = ranks.select(col("id"), col("r").as("rank_fp"))
-    ew.unpersist()
-    out
+    ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
   /** DuckDB twin of [[pageRank]]: the identical integer recurrence
