@@ -240,6 +240,67 @@ object EventStreams {
     }
   }
 
+  // ---------------------------------------- transformWithState (Spark 4)
+
+  case class ProfileState(n: Long, total: Double, maxTsMs: Long)
+  case class UserProfile(user_id: Long, n_events: Long,
+                         total_value: Double, last_ts: java.sql.Timestamp)
+
+  /** Per-user incremental profile via `transformWithState` — Spark 4's
+    * arbitrary-state API (the successor to mapGroupsWithState: typed
+    * named state slots with per-slot TTL, timers, and RocksDB-backed
+    * storage). The maintained profile (event count, value total,
+    * newest event time) is the online feature-store shape: each
+    * micro-batch updates only the touched keys and emits their fresh
+    * rows (OutputMode.Update), so downstream sinks see a changelog of
+    * profiles, never a recomputation. State is one fixed-size row per
+    * user — bounded by |users|, not |events|; with the RocksDB
+    * provider it lives off-heap ([[withRocksDbStateStore]]).
+    *
+    * All updates are order-independent (count, sum, max), so the final
+    * profile after any trigger partitioning equals the batch aggregate
+    * — the parity the spec pins. */
+  class ProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserProfile] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[ProfileState] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ProfileState]("profile",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ProfileState](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserProfile] = {
+      var s = if (state.exists()) state.get() else ProfileState(0L, 0.0, 0L)
+      rows.foreach { e =>
+        s = ProfileState(s.n + 1, s.total + e.value,
+          math.max(s.maxTsMs, e.ts.getTime))
+      }
+      state.update(s)
+      Iterator.single(UserProfile(key, s.n, s.total,
+        new java.sql.Timestamp(s.maxTsMs)))
+    }
+  }
+
+  /** events → changelog of per-user profiles (one updated row per
+    * touched user per trigger). */
+  def userProfiles(events: Dataset[Event]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The batch twin of [[userProfiles]]'s converged state. */
+  def userProfilesBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        max(col("ts")).as("last_ts"))
+
   /** Stream-static enrichment: each micro-batch hash-joins against the
     * static dimension — no state, the standard dimension-lookup shape
     * (the static side re-plans per batch, so a small dim broadcasts). */

@@ -131,6 +131,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState profiles: cross-batch state converges to the batch aggregate, update-mode changelog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+    // whole-number values so streaming/batch double sums are exact
+    val batches = Seq(
+      Seq(EventStreams.Event(1, ts(0), 1, "click", 2.0),
+          EventStreams.Event(2, ts(5), 1, "view", 3.0),
+          EventStreams.Event(3, ts(1), 2, "click", 10.0)),
+      Seq(EventStreams.Event(4, ts(9), 1, "buy", 5.0)),
+      Seq(EventStreams.Event(5, ts(0), 2, "view", 1.0), // late arrival
+          EventStreams.Event(6, ts(20), 3, "click", 7.0)))
+    EventStreams.withRocksDbStateStore(spark) {
+      val input = MemoryStream[EventStreams.Event]
+      val q = EventStreams.userProfiles(input.toDS())
+        .writeStream.format("memory").queryName("twst_profiles")
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val rows = spark.table("twst_profiles")
+          .as[EventStreams.UserProfile].collect()
+        // update-mode changelog: user 1 touched in 2 triggers → 2 rows
+        assert(rows.count(_.user_id == 1L) === 2)
+        // the LAST row per user (largest n_events — counts only grow)
+        // is the converged profile and must equal the batch aggregate
+        val last = rows.groupBy(_.user_id).view
+          .mapValues(_.maxBy(_.n_events)).toMap
+        val all = batches.flatten.toDF()
+        val want = EventStreams.userProfilesBatch(all).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+            r.getTimestamp(3)))).toMap
+        assert(last.keySet === want.keySet)
+        last.foreach { case (u, p) =>
+          assert((p.n_events, p.total_value, p.last_ts) === want(u), s"user $u") }
+        // late arrival did not regress user 2's newest-event time
+        assert(last(2L).last_ts.getTime === ts(1).getTime)
+      } finally q.stop()
+    }
+  }
+
   test("native session_window stream: closed sessions carry the +gap end, cross-batch merge works") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
