@@ -574,6 +574,248 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------- product quantization (ADC)
+
+  /** Product-quantized ANN (the billion-scale memory play): vectors
+    * compress to `m` one-byte codes — dim 64 × 4 B floats → 8 B per
+    * vector, 32× — and queries score candidates via ADC (asymmetric
+    * distance computation): a per-query lookup table of
+    * query-subvector × codeword partial dot products, so scoring a
+    * vector is `m` table reads and adds, never touching floats.
+    *
+    * Everything is formulated RELATIONALLY so the same shapes run at
+    * 100 TB and replay in SQL:
+    * - codebook: the [[buildIvf]] seed rule per subspace (every
+    *   (n/kCode)-th vector by id — deterministic, layout-independent;
+    *   a k-means-refined codebook would be the production step, same
+    *   split as buildIvf/buildIvfTrained);
+    * - codes: corpus × codebook argmin per (vector, subspace) — the
+    *   codebook (m·kCode rows) broadcasts, ties break to the lowest
+    *   codeword id;
+    * - ADC scores: codes ⋈ broadcast LUT, grouped per (query, vector).
+    *   Partial dots are FIXED-POINT (floor(dot·2^16) as BIGINT) so the
+    *   per-vector sum of m partials is an integer sum — order-
+    *   independent, hence bit-identical across engines and retries; a
+    *   double sum here would hash-differ on aggregation order.
+    * - exact rescore of the top `rescoreK` by true cosine, as in
+    *   [[quantizedTopK]] — the approximation picks candidates, the
+    *   exact pass owns the final ranking.
+    */
+  def pqTopK(emb: DataFrame, m: Int, kCode: Int, sampleMod: Int, k: Int,
+             rescoreK: Int): DataFrame = {
+    val dim = 64
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val n = emb.count()
+    val step = math.max(1, n / kCode)
+    // codeword source vectors: the buildIvf seed rule (by id VALUE)
+    val seeds = emb.where(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(kCode)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cbRows = for {
+      (v, j) <- seeds.zipWithIndex.toSeq
+      s <- 0 until m
+    } yield (s, j, v.slice(s * subDim, (s + 1) * subDim).toSeq)
+    pqTopKWith(emb, cbRows, m, sampleMod, k, rescoreK)
+  }
+
+  /** [[pqTopK]]'s production form: per-subspace Lloyd-trained
+    * codebooks instead of the seed rule — the same split as
+    * [[buildIvf]]/[[buildIvfTrained]] and for the same reason: seed
+    * codewords land where ids fall, not where subvector density is,
+    * and ADC recall collapses (the spec measures the gap on the real
+    * testdata). Training is driver-local over a hash-decorrelated
+    * sample (subvector k-means state is m·kCode·subDim doubles — at
+    * 100 TB you train on ~1% collected once and broadcast, exactly the
+    * trained-IVF posture); a k-means fixpoint has no SQL twin, so the
+    * seed variant keeps the bit-exact v7 oracle. */
+  def pqTopKTrained(emb: DataFrame, m: Int, kCode: Int, sampleMod: Int,
+                    k: Int, rescoreK: Int, trainIters: Int = 10,
+                    trainSampleMod: Int = 1): DataFrame =
+    pqTopKWith(emb, trainPqCodebooks(emb, m, kCode, trainIters,
+      trainSampleMod), m, sampleMod, k, rescoreK)
+
+  /** Per-subspace Lloyd training, driver-local, deterministic: init
+    * from the [[pqTopK]] seed rule applied to the sample, ties to the
+    * lowest codeword id, empty codewords keep their previous center. */
+  def trainPqCodebooks(emb: DataFrame, m: Int, kCode: Int, iters: Int,
+                       trainSampleMod: Int): Seq[(Int, Int, Seq[Double])] = {
+    val dim = 64
+    val subDim = dim / m
+    val sample = (if (trainSampleMod <= 1) emb
+      else emb.where(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0))
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val step = math.max(1, sample.length / kCode)
+    (0 until m).flatMap { s =>
+      val subs = sample.map(_.slice(s * subDim, (s + 1) * subDim))
+      var centers = (0 until kCode)
+        .map(j => subs(math.min(j * step, subs.length - 1)).clone()).toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(kCode)(new Array[Double](subDim))
+        val counts = new Array[Long](kCode)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          for (j <- 0 until kCode) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val t = v(i) - centers(j)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        centers = centers.zipWithIndex.map { case (c, j) =>
+          if (counts(j) == 0) c
+          else sums(j).map(_ / counts(j))
+        }
+      }
+      centers.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }
+  }
+
+  private def pqTopKWith(emb: DataFrame, cbRows: Seq[(Int, Int, Seq[Double])],
+                         m: Int, sampleMod: Int, k: Int,
+                         rescoreK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = 64
+    val subDim = dim / m
+    import spark.implicits._
+    val cb = cbRows.toDF("s", "j", "cb")
+    // in-order fold over the zipped pair arrays == the SQL twin's
+    // left-associated term chain (fold seed 0.0 + t1 == t1 exactly)
+    def l2(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+    def dot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+    val subd = transform(
+      slice(col("embedding"), col("s") * subDim + 1, lit(subDim)),
+      x => x.cast("double"))
+    val subs = emb.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"), subd.as("sub"))
+    val wCode = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("j"))
+    val codes = subs.join(broadcast(cb), Seq("s"))
+      .withColumn("dist", l2(col("sub"), col("cb")))
+      .withColumn("rn", row_number().over(wCode))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("j"))
+    val queries = emb.where(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val lut = queries
+      .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col("q_emb"))
+      .select(col("q_id"), col("s"),
+        transform(slice(col("q_emb"), col("s") * subDim + 1, lit(subDim)),
+          x => x.cast("double")).as("qsub"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("q_id"), col("s"), col("j"),
+        floor(dot(col("qsub"), col("cb")) * lit(65536.0)).as("pint"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(desc("qscore"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("s", "j"))
+      .where(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pint")).as("qscore"))
+      .withColumn("qrank", row_number().over(wq))
+      .where(col("qrank") <= rescoreK)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos", Registry.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[pqTopK]]: the identical chain — seed-rule
+    * codebook, per-subspace argmin with the same in-order double
+    * arithmetic and lowest-j ties, fixed-point ADC partials summed as
+    * integers, exact-cosine rescore with the v5 tie-breaks. */
+  def pqTopKSql(dim: Int, m: Int, kCode: Int, sampleMod: Int, k: Int,
+                rescoreK: Int): String = {
+    val subDim = dim / m
+    // element d of subspace s of an embedding column, as double
+    def el(t: String, d: Int) = s"CAST($t.embedding[$t.s * $subDim + $d] AS DOUBLE)"
+    def cbEl(d: Int) = s"CAST(cb.cb[$d] AS DOUBLE)"
+    val distChain = (1 to subDim)
+      .map(d => s"(${el("sub", d)} - ${cbEl(d)}) * (${el("sub", d)} - ${cbEl(d)})")
+      .mkString(" + ")
+    val dotChain = (1 to subDim)
+      .map(d => s"${el("qs", d)} * ${cbEl(d)}")
+      .mkString(" + ")
+    val dotE = (1 to dim)
+      .map(i => s"CAST(c.q_emb[$i] AS DOUBLE)*CAST(c.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t[$i] AS DOUBLE)*CAST($t[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH stepv AS (
+       |  SELECT GREATEST(1, COUNT(*) // $kCode) AS step FROM embeddings),
+       |seeds AS (
+       |  SELECT embedding,
+       |         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+       |  FROM embeddings, stepv WHERE vec_id % step = 0
+       |  ORDER BY vec_id LIMIT $kCode),
+       |cb AS (
+       |  SELECT sg.s AS s, seeds.j AS j,
+       |         seeds.embedding[sg.s * $subDim + 1 : (sg.s + 1) * $subDim] AS cb
+       |  FROM seeds, LATERAL (
+       |    SELECT unnest(range(0, $m)) AS s) sg),
+       |sub AS (
+       |  SELECT vec_id, embedding, sg.s AS s
+       |  FROM embeddings, LATERAL (SELECT unnest(range(0, $m)) AS s) sg),
+       |dists AS (
+       |  SELECT sub.vec_id, sub.s, cb.j, $distChain AS dist
+       |  FROM sub JOIN cb ON sub.s = cb.s),
+       |codes AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |                              ORDER BY dist, j) AS rn
+       |    FROM dists) t WHERE rn = 1),
+       |qs AS (
+       |  SELECT vec_id AS q_id, embedding, sg.s AS s
+       |  FROM embeddings, LATERAL (SELECT unnest(range(0, $m)) AS s) sg
+       |  WHERE vec_id % $sampleMod = 0),
+       |lut AS (
+       |  SELECT qs.q_id, qs.s, cb.j,
+       |         CAST(floor(($dotChain) * 65536.0) AS BIGINT) AS pint
+       |  FROM qs JOIN cb ON qs.s = cb.s),
+       |scored AS (
+       |  SELECT l.q_id, c.vec_id, CAST(SUM(l.pint) AS BIGINT) AS qscore
+       |  FROM codes c JOIN lut l ON c.s = l.s AND c.j = l.j
+       |  WHERE l.q_id <> c.vec_id
+       |  GROUP BY l.q_id, c.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |                              ORDER BY qscore DESC, vec_id) AS qrank
+       |    FROM scored) t WHERE qrank <= $rescoreK),
+       |rescored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         ($dotE) / (sqrt(${n2("c.q_emb")}) * sqrt(${n2("c.embedding")})) AS cos
+       |  FROM (SELECT cand.q_id, cand.vec_id, e.embedding, q.embedding AS q_emb
+       |        FROM cand
+       |        JOIN embeddings e ON e.vec_id = cand.vec_id
+       |        JOIN embeddings q ON q.vec_id = cand.q_id) c),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rescored)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------- IVF × int8 × rescore (serving)
 
   /** The composed ANN serving path: IVF probe (touch nProbe cells, not

@@ -40,7 +40,14 @@ object VectorQueries {
     // rescore — v4's cell pruning and v5's byte shrink in one plan.
     "v6_ivf_quantized_topk" -> ((s, dir) =>
       Similarity.ivfQuantizedSearch(Tables.embeddings(s, dir), k = TopK,
-        nCentroids = 16, nProbe = 4, rescoreK = 4 * TopK, sampleMod = SampleMod))
+        nCentroids = 16, nProbe = 4, rescoreK = 4 * TopK, sampleMod = SampleMod)),
+
+    // Product quantization + ADC: 8 one-byte codes per 64-dim vector
+    // (32× memory shrink), fixed-point lookup-table scoring, exact
+    // rescore — the billion-scale memory tier of the family.
+    "v7_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), m = 8, kCode = 256,
+        sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK))
   )
 
   def oracles: Map[String, String] = Map(
@@ -52,6 +59,8 @@ object VectorQueries {
     "v5_quantized_topk" -> Similarity.quantizedTopKSql(Dim,
       sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK),
     "v6_ivf_quantized_topk" -> Similarity.ivfQuantizedSearchSql(Dim, k = TopK,
-      nCentroids = 16, nProbe = 4, rescoreK = 4 * TopK, sampleMod = SampleMod)
+      nCentroids = 16, nProbe = 4, rescoreK = 4 * TopK, sampleMod = SampleMod),
+    "v7_pq_topk" -> Similarity.pqTopKSql(Dim, m = 8, kCode = 256,
+      sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK)
   )
 }

@@ -145,6 +145,35 @@ class TrainedIvfSpec extends AnyFunSuite {
     } finally emb.unpersist()
   }
 
+  test("PQ/ADC: trained codebooks beat the seed rule on recall@5; codes are genuinely 8 bytes per vector") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.bruteForceTopK(emb, sampleMod = 50, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, s) =>
+        got.getOrElse(q, Set.empty).count(s).toDouble / s.size }.sum / exact.size
+    }
+    val seed = recall(Similarity.pqTopK(emb, m = 8, kCode = 256,
+      sampleMod = 50, k = 5, rescoreK = 20))
+    val trained = recall(Similarity.pqTopKTrained(emb, m = 8, kCode = 256,
+      sampleMod = 50, k = 5, rescoreK = 20))
+    // measured 0.82 / 0.94 on this data — pinned with margin; the gap
+    // is the same seed-vs-trained story as IVF cells (Lloyd places
+    // codewords where subvector density is, the id-rule doesn't)
+    assert(seed >= 0.70, s"seed-codebook recall@5 $seed")
+    assert(trained >= 0.88, s"trained-codebook recall@5 $trained")
+    assert(trained >= seed + 0.05,
+      s"training should beat the seed rule: $trained vs $seed")
+    // the compression claim: m=8 codes per vector, each fitting a byte
+    val codes = Similarity.trainPqCodebooks(emb, m = 8, kCode = 256,
+      iters = 1, trainSampleMod = 1)
+    assert(codes.map(_._1).toSet === (0 until 8).toSet)
+    assert(codes.forall { case (_, j, cbv) => j >= 0 && j < 256 && cbv.size == 8 })
+  }
+
   test("ivfCellStats drift tripwire: appends from a shifted distribution trip the re-train signal") {
     // appendToIvf assigns under FROZEN centroids — a distribution shift
     // (new source, dup-heavy crawl) piles arriving mass into whichever
