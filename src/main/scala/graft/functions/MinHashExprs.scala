@@ -185,6 +185,17 @@ object Registry {
         graft.operators.TextAnalysis.LangWords.map(_._2)), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_might_contain_long",
       BloomExprs.fromExprs, "scala_udf")
+    reg.createOrReplaceTempFunction("pq_encode",
+      exprs => PqEncode(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("pq_lut",
+      exprs => PqLut(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc",
+      exprs => PqAdc(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
   }
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
@@ -201,4 +212,11 @@ object Registry {
     call_function("gram_hashes", tokens, lit(k))
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingleHashes, lit(numHashes))
+
+  def pqEncode(emb: Column, cbFlat: Column, m: Int, kCode: Int): Column =
+    call_function("pq_encode", emb, cbFlat, lit(m), lit(kCode))
+  def pqLut(qEmb: Column, cbFlat: Column, m: Int, kCode: Int): Column =
+    call_function("pq_lut", qEmb, cbFlat, lit(m), lit(kCode))
+  def pqAdc(codes: Column, lutCol: Column, kCode: Int): Column =
+    call_function("pq_adc", codes, lutCol, lit(kCode))
 }

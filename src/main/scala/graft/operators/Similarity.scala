@@ -687,47 +687,28 @@ object Similarity {
     val subDim = dim / m
     import spark.implicits._
     val cb = cbRows.toDF("s", "j", "cb")
-    // in-order fold over the zipped pair arrays == the SQL twin's
-    // left-associated term chain (fold seed 0.0 + t1 == t1 exactly)
-    def l2(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
-    def dot(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
-    val subd = transform(
-      slice(col("embedding"), col("s") * subDim + 1, lit(subDim)),
-      x => x.cast("double"))
-    val subs = emb.select(col("vec_id"), col("embedding"))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"),
-        col("embedding"))
-      .select(col("vec_id"), col("s"), subd.as("sub"))
-    val wCode = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist"), col("j"))
-    val codes = subs.join(broadcast(cb), Seq("s"))
-      .withColumn("dist", l2(col("sub"), col("cb")))
-      .withColumn("rn", row_number().over(wCode))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("j"))
+    val kCode = cbRows.map(_._2).max + 1
+    // flat codebook literal (s-major, then codeword, then dimension):
+    // m·kCode·subDim doubles riding the plan as one foldable array —
+    // the three native kernels (PqEncode/PqLut/PqAdc) extract it once
+    // per executor. The interpreted HOF formulation of the same math
+    // (explode per subspace, zip_with+aggregate per codeword) benched
+    // 12.4 s at sf0.1; these loops replace it wholesale.
+    val cbFlat = typedLit(
+      cbRows.sortBy(t => (t._1, t._2)).flatMap(_._3))
+    val codes = emb.select(col("vec_id"),
+      Registry.pqEncode(col("embedding"), cbFlat, m, kCode).as("codes"))
     val queries = emb.where(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val lut = queries
-      .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("s"),
-        col("q_emb"))
-      .select(col("q_id"), col("s"),
-        transform(slice(col("q_emb"), col("s") * subDim + 1, lit(subDim)),
-          x => x.cast("double")).as("qsub"))
-      .join(broadcast(cb), Seq("s"))
-      .select(col("q_id"), col("s"), col("j"),
-        floor(dot(col("qsub"), col("cb")) * lit(65536.0)).as("pint"))
+    val lut = queries.select(col("q_id"), col("q_emb"),
+      Registry.pqLut(col("q_emb"), cbFlat, m, kCode).as("lut"))
     val wq = Window.partitionBy(col("q_id")).orderBy(desc("qscore"), col("vec_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
-    codes.join(broadcast(lut), Seq("s", "j"))
-      .where(col("q_id") =!= col("vec_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("pint")).as("qscore"))
+    codes.join(broadcast(lut), col("vec_id") =!= col("q_id"))
+      .withColumn("qscore", Registry.pqAdc(col("codes"), col("lut"), kCode))
       .withColumn("qrank", row_number().over(wq))
       .where(col("qrank") <= rescoreK)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(queries), Seq("q_id"))
       .withColumn("cos", Registry.cosineSim(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

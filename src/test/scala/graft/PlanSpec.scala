@@ -303,12 +303,15 @@ class PlanSpec extends AnyFunSuite {
   test("suite-wide: no accidental cartesian/nested-loop joins in ANY declared query") {
     // operators whose ALGORITHM is an intentional cross product:
     // brute-force cosine ground truths (v1/v3/v5 — guarded or sampled
-    // cohorts), levenshtein all-pairs on a sampled cohort (feeds
-    // d7/d9), funnel stage counts (crossJoin of K single-row
-    // aggregates), and single-row broadcast scalars (t9/t10 corpus
-    // totals — a 1-row build side is the cheapest possible join)
+    // cohorts), the PQ/ADC exhaustive-scoring leg (v7 — every vector
+    // reads m LUT entries per query in the sampled cohort; the pruned
+    // sibling is the v6 IVF shape), levenshtein all-pairs on a sampled
+    // cohort (feeds d7/d9), funnel stage counts (crossJoin of K
+    // single-row aggregates), and single-row broadcast scalars (t9/t10
+    // corpus totals — a 1-row build side is the cheapest possible join)
     val intendedCross = Set(
       "v1_cosine_topk", "v3_embedding_neardup_pairs", "v5_quantized_topk",
+      "v7_pq_topk",
       "d5_levenshtein_pairs", "d7_neardup_components", "d9_neardup_survivors",
       "e6_funnel", "t9_unigram_likelihood", "t10_tfidf_topk")
     // e5 relies on the range-join rule, which activates on the same
