@@ -116,6 +116,33 @@ object EventQueries {
     // events have no reading here (synthesized nulls), and each row
     // carries the user's most recent non-null value — the standard
     // sensor/time-series repair, one window pass on the user shuffle.
+    // E11: time-weighted average value per event type (the TWAP shape:
+    // each observation holds until the next one; weight = interval
+    // length). All accumulation is INTEGER — cents × exact micros
+    // (unix_micros/epoch_us) — so the sums are order-independent, and
+    // the only float math is one fixed division chain at the end.
+    // (A decimal(38,2) accumulator was tried first: its →double cast
+    // rounds differently in DuckDB — hugeint then /100.0, two
+    // roundings — and hash-missed by 1 ulp.) Per-type windows only;
+    // no single-partition stage.
+    "e11_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .where(col("next_us").isNotNull)
+        .withColumn("dt", col("next_us") - col("us"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          (sum(col("cents") * col("dt")).cast("double") / lit(100.0) /
+            sum(col("dt")).cast("double")).as("twap"))
+        .orderBy(col("event_type"))
+    }),
+
     "e10_locf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -192,6 +219,23 @@ object EventQueries {
       s"""${graft.operators.Cohorts.sessionizeSql(gapMinutes = 720)}
          |SELECT n_events, COUNT(*) AS n_sessions
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e11_twap" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         epoch_us(ts) AS us
+        |  FROM events),
+        |i AS (
+        |  SELECT event_type, cents, us,
+        |         LEAD(us) OVER (PARTITION BY event_type
+        |                        ORDER BY us, event_id) AS next_us
+        |  FROM b)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |       CAST(CAST(SUM(cents * (next_us - us)) AS BIGINT) AS DOUBLE)
+        |         / 100.0 / CAST(SUM(next_us - us) AS DOUBLE) AS twap
+        |FROM i WHERE next_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e10_locf" ->
       """SELECT user_id, event_id,
