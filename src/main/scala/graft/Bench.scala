@@ -127,9 +127,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/tmp/graft_bench_detail.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+    // best-effort: an unwritable detail path must not discard a
+    // multi-minute run's medians (the stdout line below is the result)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       s"""{"total":$total,"cold_total":$coldTotal,"iso":${ms(isoRatio)},"sf":"$sfDir","queries":$detail}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] detail write failed ($detailPath): $e") }
     // stop BEFORE printing so the JSON is the last stdout line the
     // driver sees (shutdown chatter goes to the log4j stderr appender)
     spark.stop()

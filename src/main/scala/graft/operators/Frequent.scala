@@ -50,8 +50,9 @@ object Frequent {
     val tokCol: Column = TextAnalysis.toks(col(textCol))
     val toks = docs.select(explode(tokCol).as("term"))
     // N: no explode — per-doc token counts sum map-side to one number
-    val total = docs.select(sum(size(tokCol)).cast("long"))
-      .collect()(0).getLong(0)
+    // (sum over zero rows is NULL — an empty corpus has no terms)
+    val totalRow = docs.select(sum(size(tokCol)).cast("long")).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val candidates = toks.as[String]
       .mapPartitions(it => misraGries(capacity, it))
       .toDF("term").distinct()

@@ -35,9 +35,17 @@ object Graph {
   /** Weighted fixed-point PageRank over `edges(src, dst, w)`.
     * Returns (id, rank_fp) for every node appearing as src or dst.
     *
-    * Overflow bound: r·w must stay under 2^63 — with the default
-    * scale 10^12, per-edge weights up to ~9·10^6 are safe; rescale
-    * `scale` down for heavier graphs. */
+    * Overflow bound — the REAL one accounts for mass concentration,
+    * not just edge weights: total rank mass starts at |V|·scale and
+    * only decays, and on a hub-heavy graph almost all of it can land
+    * on one node, so the hot expressions (`r·w`, `dampNum·c`) are
+    * bounded by ~dampNum·|V|·scale. Safe iff
+    * `scale ≤ 2^63 / (dampNum · |V|)` in the worst case — for the
+    * default 10^12 that is |V| up to ~10^5 with full concentration,
+    * or far larger when mass spreads (GraphBench runs 5M nodes with
+    * 2% hubs comfortably). For an unknown graph pick
+    * [[Graph.safeScale]]; ranks are relative, so a smaller scale only
+    * costs fixed-point resolution. */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
                dampNum: Long = 85, dampDen: Long = 100,
@@ -71,6 +79,12 @@ object Graph {
     }
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
+
+  /** Largest scale that cannot overflow Long even if ALL rank mass
+    * concentrates on one node of an `nNodes`-node graph (with the
+    * default 85/100 damping and headroom for the weight product). */
+  def safeScale(nNodes: Long): Long =
+    math.max(1000L, Long.MaxValue / math.max(1L, 128L * nNodes))
 
   /** DuckDB twin of [[pageRank]]: the identical integer recurrence
     * unrolled as one CTE chain per iteration over an `edges` CTE the

@@ -81,7 +81,10 @@ object IvfTrainBench {
       .select(col("vec_id"), col("embedding"))
     val emb = (if (copies <= 1) base
       else (0 until copies).map { c =>
-        base.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        // 10M id stride (PipelineScaleBench convention): a 1M stride
+        // would collide copy ids on any >=1M-vector base corpus and
+        // silently corrupt the ground truth
+        base.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
           // deterministic per-copy nudge on component 0: keeps the Nx
           // corpus realistic (near-dups, not bit-dups) and makes
           // ground-truth top-k well-separated instead of an 8-way tie

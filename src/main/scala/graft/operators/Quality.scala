@@ -135,7 +135,13 @@ object Quality {
         .agg(((min(when(col("_cum") >= r1, col(v))) +
                min(when(col("_cum") >= r2, col(v)))) / 2.0).as("_m"))
     }
-    val hist = df.groupBy((gs :+ col(valueCol)): _*)
+    // NULL values must not enter the histogram: DuckDB's median/MAD
+    // ignore them, and an ascending window would rank them FIRST,
+    // shifting every order statistic on a nullable column. (Null-value
+    // rows still appear in the scored join below, where their null z
+    // is filtered — same as the SQL twin.)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy((gs :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("cnt"))
     val med = histMedian(hist, valueCol).withColumnRenamed("_m", "med")
     val devHist = hist.join(broadcast(med), groupCols)
@@ -187,7 +193,12 @@ object Quality {
     * `p = q·(n−1)`, `frac = p − ⌊p⌋`, the result is
     * `lo·(1−frac) + hi·frac` on the order statistics at ranks
     * `⌊p⌋+1, ⌊p⌋+2` — evaluated in exactly that double association so
-    * the oracle hash-matches. */
+    * the oracle hash-matches.
+    *
+    * NULL values are ignored (DuckDB semantics): `n` counts non-null
+    * values, and a group whose values are ALL null is absent from the
+    * output (the SQL twin would emit it with n=0 — don't profile a
+    * column that can be entirely null within a group). */
   def quantileProfile(df: DataFrame, valueCol: String, groupCols: Seq[String],
       qs: Seq[(String, Double)]): DataFrame = {
     require(groupCols.nonEmpty, "quantileProfile needs at least one group column")
@@ -196,7 +207,11 @@ object Quality {
       s"quantile fractions must be in [0,1]: $qs")
     val gs = groupCols.map(col)
     val v = col(valueCol).cast("double")
-    val hist = df.groupBy((gs :+ v.as("_v")): _*).agg(count(lit(1)).as("cnt"))
+    // NULLs stay out of the histogram (quantile_cont ignores them;
+    // ranked ascending they would shift every order statistic), and
+    // out of `n` — the twin counts the VALUE column, not rows
+    val hist = df.where(v.isNotNull)
+      .groupBy((gs :+ v.as("_v")): _*).agg(count(lit(1)).as("cnt"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(gs: _*).orderBy(col("_v"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
@@ -231,7 +246,7 @@ object Quality {
     val g = groupCols.mkString(", ")
     val qCols = qs.map { case (name, q) =>
       s"quantile_cont(CAST($valueCol AS DOUBLE), $q) AS $name" }
-    s"""SELECT $g, CAST(COUNT(*) AS BIGINT) AS n,
+    s"""SELECT $g, CAST(COUNT($valueCol) AS BIGINT) AS n,
        |       ${qCols.mkString(",\n       ")}
        |FROM $table GROUP BY $g ORDER BY ${orderBy.mkString(", ")}"""
       .stripMargin

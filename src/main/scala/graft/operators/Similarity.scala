@@ -682,11 +682,6 @@ object Similarity {
   private def pqTopKWith(emb: DataFrame, cbRows: Seq[(Int, Int, Seq[Double])],
                          m: Int, sampleMod: Int, k: Int,
                          rescoreK: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val dim = 64
-    val subDim = dim / m
-    import spark.implicits._
-    val cb = cbRows.toDF("s", "j", "cb")
     val kCode = cbRows.map(_._2).max + 1
     // flat codebook literal (s-major, then codeword, then dimension):
     // m·kCode·subDim doubles riding the plan as one foldable array —

@@ -1276,8 +1276,6 @@ object CoverageQueries {
         |       COUNT(DISTINCT first_char) AS n_first_chars
         |FROM media GROUP BY source ORDER BY source""".stripMargin,
 
-    // replicates synthPngBytes' dimension and pixel formulas; the
-    // lateral range pair enumerates every pixel of every image
     "s18_json_ingest" ->
       """SELECT lang, source,
         |       COUNT(*) AS n_docs,
@@ -1302,6 +1300,8 @@ object CoverageQueries {
         |       CAST(SUM(v * v) AS BIGINT) AS energy
         |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
 
+    // replicates synthPngBytes' dimension and pixel formulas; the
+    // lateral range pair enumerates every pixel of every image
     "m2_png_decode" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -210,6 +210,26 @@ class CdcQualitySpec extends AnyFunSuite {
     assert(got.keySet === byG.keySet)
   }
 
+  test("quantileProfile and robustOutliers ignore NULL values (DuckDB median/quantile semantics)") {
+    val withNulls = Seq[(String, java.lang.Double)](
+      ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", null), ("g", null)
+    ).toDF("g", "v")
+    val prof = Quality.quantileProfile(withNulls, "v", Seq("g"),
+      Seq("p50" -> 0.5)).collect()
+    assert(prof.length === 1)
+    // n counts non-null values; the median is of {1,2,3}, not
+    // null-shifted (a null-first ranking would have returned 1.5)
+    assert(prof.head.getLong(1) === 3L && prof.head.getDouble(2) === 2.0)
+    val ro = Quality.robustOutliers(
+      (Seq[(Long, String, java.lang.Double)]((1L, "g", null)) ++
+        (2L to 21L).map(i => (i, "g", java.lang.Double.valueOf((i % 5).toDouble))) :+
+        ((99L, "g", java.lang.Double.valueOf(1000.0)))).toDF("id", "g", "v"),
+      "v", Seq("g"), zThreshold = 3.5).collect()
+    // the planted outlier is flagged against the null-free median/MAD;
+    // the null-value row itself is never flagged
+    assert(ro.map(_.getAs[Long]("id")).toSet === Set(99L))
+  }
+
   test("robustOutliers: zero-MAD group is excluded; planted extreme value is flagged") {
     val df = (
       (1L to 20L).map(i => (i, "const", 100L)) ++          // all identical → MAD 0
