@@ -32,6 +32,18 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("safeScale: no Long overflow even with full mass concentration at the returned scale") {
+    for (n <- Seq(1L, 1000L, 1000000L, 5000000000L)) {
+      val s = Graph.safeScale(n)
+      // worst case: all mass (n * scale) lands on one node, then the
+      // damped product 85 * c must not wrap; 128 > 85 leaves headroom
+      assert(s >= 1000L)
+      if (128L * n >= 1)
+        assert(BigInt(85) * (BigInt(n.max(1L)) * BigInt(s)) <= BigInt(Long.MaxValue),
+          s"n=$n scale=$s")
+    }
+  }
+
   test("uniform cycle is a fixpoint: every rank stays exactly at scale") {
     val cycle = (0L until 6L).map(i => (i, (i + 1) % 6, 1L))
     assert(run(cycle, iters = 4).values.toSet === Set(1000000000000L))
