@@ -17,6 +17,7 @@ object Bench {
       .config(graft.plans.RangeJoinRule.ConfKey, "600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Isolation.begin(spark) // epoch now = everything later is residue
     // Cross-query isolation (graft.Isolation.scrub): without it, residue
     // from one query taxes every later one — the BENCH_r05 86s-vs-52.7s
     // forensic, where d*/w*/x* regressed 2-6x directly after the heavy
@@ -129,14 +130,26 @@ object Bench {
       "/tmp/graft_bench_detail.json")
     // best-effort: an unwritable detail path must not discard a
     // multi-minute run's medians (the stdout line below is the result)
+    // NonFatal, not just IOException: a malformed env value makes
+    // Paths.get throw the unchecked InvalidPathException, and that too
+    // must degrade to the warning, never discard the run's medians
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       s"""{"total":$total,"cold_total":$coldTotal,"iso":${ms(isoRatio)},"sf":"$sfDir","queries":$detail}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail write failed ($detailPath): $e") }
     // stop BEFORE printing so the JSON is the last stdout line the
     // driver sees (shutdown chatter goes to the log4j stderr appender)
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","iso":${ms(isoRatio)},"cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    // a crashed query already reports -1 per-query and is excluded from
+    // the totals; ALSO exit nonzero (after the JSON line — the partial
+    // numbers are still provenance) so no gate can read a crashing
+    // suite as a healthy, slightly-faster one
+    val failed = results.collect { case (k, _, m) if m < 0 => k }
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(3)
+    }
   }
 }

@@ -20,6 +20,7 @@ object Verify {
       .config(graft.plans.RangeJoinRule.ConfKey, "600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Isolation.begin(spark) // epoch now = everything later is residue
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {

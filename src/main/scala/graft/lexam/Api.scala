@@ -363,6 +363,48 @@ object Api {
     } finally { wcs.unpersist(); qs.unpersist() }
   }
 
+  /** The frontend's Open-Ended vs MCQ comparison (Dashboard.jsx:595-629)
+    * served as ONE response instead of two /api/dashboard fetches merged
+    * client-side: areas / years / courses, each a full-outer zero-fill
+    * merge of the open_question side against the MCQ-config side (the
+    * U2 operator). Key names match the JSX chart fields ("Open-Ended",
+    * "MCQ"; course rows open/mcq/total). Orders are deterministic where
+    * the JSX depends on fetch/insertion order: areas follow the fixed
+    * area order filtered to areas present (AREA_ORDER, jsx:603), years
+    * ascend (jsx:614), courses sort total-desc with course-asc ties. */
+  def dashboardComparison(questions: DataFrame, variants: DataFrame,
+      mcqConfigs: Seq[String] = DatasetAnalytics.McqConfigs,
+      language: Seq[String] = Nil): String = {
+    import scala.collection.immutable.ListMap
+    val oe = DatasetAnalytics
+      .dashboardQuestions(questions, variants, Seq("open_question"), language)
+      .cache()
+    val mcq = DatasetAnalytics
+      .dashboardQuestions(questions, variants, mcqConfigs, language).cache()
+    try {
+      val areaRows = DatasetAnalytics.comparisonAreas(oe, mcq).collect()
+        .map(r => r.getAs[String]("area") -> r).toMap
+      val areas = DatasetAnalytics.Areas.filter(areaRows.contains).map { a =>
+        val r = areaRows(a)
+        ListMap[String, Any]("area" -> a,
+          "Open-Ended" -> r.getAs[Long]("open_ended"),
+          "MCQ" -> r.getAs[Long]("mcq"))
+      }
+      val years = DatasetAnalytics.comparisonYears(oe, mcq).collect().toSeq
+        .map(r => ListMap[String, Any]("year" -> r.getAs[Int]("year"),
+          "Open-Ended" -> r.getAs[Long]("open_ended"),
+          "MCQ" -> r.getAs[Long]("mcq")))
+      val courses = DatasetAnalytics.comparisonCourses(oe, mcq).collect().toSeq
+        .map(r => ListMap[String, Any](
+          "course" -> r.getAs[String]("course"),
+          "area" -> r.getAs[String]("area"),
+          "open" -> r.getAs[Long]("open"), "mcq" -> r.getAs[Long]("mcq"),
+          "total" -> r.getAs[Long]("total")))
+      render(ListMap[String, Any]("area_comparison" -> areas,
+        "year_comparison" -> years, "course_comparison" -> courses))
+    } finally { mcq.unpersist(); oe.unpersist() }
+  }
+
   /** GET /api/experiments/{id}/stats/compare-judges
     * (experiment_stats.py:117-160): per-judge count/avg/exact-median
     * over scored judgments. */

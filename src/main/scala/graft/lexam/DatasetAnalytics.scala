@@ -101,6 +101,47 @@ object DatasetAnalytics {
       .orderBy(col("split"))
   }
 
+  // ------------------- open-vs-MCQ comparison (Dashboard.jsx:595-629)
+
+  /** The frontend's client-side open-vs-MCQ area merge
+    * (Dashboard.jsx:596-604) re-expressed as the engine's full-outer
+    * zero-fill join (the U2 operator shape): each side counts its own
+    * filtered question set per area; an area present on one side only
+    * zero-fills the other — exactly the JSX maps' `|| 0` defaults. */
+  def comparisonAreas(oe: DataFrame, mcq: DataFrame): DataFrame =
+    oe.groupBy(col("area")).agg(count(lit(1)).as("open_ended"))
+      .join(mcq.groupBy(col("area")).agg(count(lit(1)).as("mcq")),
+        Seq("area"), "full_outer")
+      .na.fill(0, Seq("open_ended", "mcq"))
+
+  /** Year merge (Dashboard.jsx:607-615): the JSX reads each side's
+    * `years[].total`, which is the per-year question count — same
+    * full-outer zero-fill, sorted year ascending like the JSX sort. */
+  def comparisonYears(oe: DataFrame, mcq: DataFrame): DataFrame =
+    oe.groupBy(col("year")).agg(count(lit(1)).as("open_ended"))
+      .join(mcq.groupBy(col("year")).agg(count(lit(1)).as("mcq")),
+        Seq("year"), "full_outer")
+      .na.fill(0, Seq("open_ended", "mcq"))
+      .orderBy(col("year"))
+
+  /** Course merge (Dashboard.jsx:617-629): per-course open/mcq counts
+    * with the course's area carried through, total = open + mcq (the
+    * JSX updates total when the mcq side matches; a one-sided course
+    * keeps the other side at 0). Ordered (total desc, course asc) —
+    * the JSX's stable sort ties break on fetch/insertion order, which
+    * is not reproducible; course-asc is this repo's deterministic
+    * stand-in, same stance as the dashboard courses table. Joined on
+    * (course, area): area is functionally determined by course in the
+    * LEXam data, so this equals the JSX's course-keyed map. */
+  def comparisonCourses(oe: DataFrame, mcq: DataFrame): DataFrame =
+    oe.groupBy(col("course"), col("area")).agg(count(lit(1)).as("open"))
+      .join(mcq.groupBy(col("course"), col("area"))
+          .agg(count(lit(1)).as("mcq")),
+        Seq("course", "area"), "full_outer")
+      .na.fill(0, Seq("open", "mcq"))
+      .withColumn("total", col("open") + col("mcq"))
+      .orderBy(desc("total"), col("course"))
+
   /** area × jurisdiction cross-tab, fixed columns (main.py:388-396). */
   def dashboardAreaJurisdiction(qs: DataFrame): DataFrame =
     qs.groupBy(col("area"))

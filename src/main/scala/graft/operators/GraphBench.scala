@@ -30,6 +30,7 @@ object GraphBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.Isolation.begin(spark) // epoch now = everything later is residue
     spark.sparkContext.setLogLevel("ERROR")
 
     def edges(e: Long) = {

@@ -41,6 +41,7 @@ object PipelineScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.Isolation.begin(spark) // epoch now = everything later is residue
     spark.sparkContext.setLogLevel("ERROR")
     Registry.registerAll(spark)
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
@@ -89,6 +90,47 @@ object PipelineScaleBench {
         f"${q.takeWhile(_ != '_')}=${sec}%.2fs resident=${resident / 1e6}%.1fMB"
       }.mkString(" ")
       println(f"psb copies=${c}%-2d docs=$nDocs $line")
+    }
+
+    // d13 fallback leg: a MAJORITY-frequent corpus — every doc's text
+    // appears in exactly two docs, so every distinct segment has df=2
+    // and the "frequent minority" is ALL distinct segments, the
+    // adversarial regime where the broadcast relation is no longer
+    // small. Races lineDedup's broadcast path against the
+    // sort-merge fallback (broadcastFrequent = false) on identical
+    // input; the outputs must be checksum-identical (the flag is a
+    // plan choice, never a semantics choice), and the timing pair is
+    // the documented cost of degrading when boilerplate dominates.
+    val dupDir = "/tmp/graft_psb/majfreq"
+    if (!new java.io.File(s"$dupDir/documents.parquet/_SUCCESS").exists()) {
+      val twin = base.select((col("doc_id") + lit(50000000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      base.unionByName(twin).write.mode("overwrite")
+        .parquet(s"$dupDir/documents.parquet")
+      graft.Isolation.scrub(spark)
+    }
+    val dupDocs = spark.read.parquet(s"$dupDir/documents.parquet")
+    val nDup = dupDocs.count()
+    // decimal accumulator: a sum of raw 64-bit hashes overflows Long
+    // (ANSI would throw); decimal(38,0) holds 2^63-magnitude terms to
+    // ~1e19 rows and integer sums stay order-independent
+    def checksum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(concat_ws("|", df.columns.map(col).toSeq: _*))
+        .cast("decimal(38,0)"))).head.getDecimal(0)
+    val runs = Seq(true, false).map { bc =>
+      val (sum64, sec) = timed(checksum(
+        Dedup.lineDedup(dupDocs, segWords = 8, maxDf = 1,
+          broadcastFrequent = bc)))
+      graft.Isolation.scrub(spark)
+      (bc, sum64, sec)
+    }
+    val Seq((_, sumB, secB), (_, sumF, secF)) = runs
+    println(f"psb d13 majfreq docs=$nDup broadcast=${secB}%.2fs " +
+      f"sortmerge_fallback=${secF}%.2fs checksum_equal=${sumB == sumF}")
+    if (sumB != sumF) {
+      System.err.println(
+        s"psb d13 CHECKSUM MISMATCH: broadcast=$sumB fallback=$sumF")
+      spark.stop(); sys.exit(4)
     }
     spark.stop()
   }

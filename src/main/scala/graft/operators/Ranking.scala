@@ -39,20 +39,27 @@ object Ranking {
     * this plan, persist() would be a no-op but unpersist() would evict
     * THEIR entry (cacheManager matches by plan) and silently force
     * full recomputation on their next use — so skip both in that case. */
-  private def rangeSnapshot(df: DataFrame, sortCols: Seq[Column],
-                            numPartitions: Int, pidCol: String): DataFrame = {
-    // lookupCachedData needs the Spark 4 'classic' Dataset — match
-    // instead of casting so a connect-mode session (or an upgrade that
-    // reshapes the hierarchy) degrades to the transient persist below
-    // rather than throwing ClassCastException at runtime. The degraded
-    // path re-runs persist on a possibly-cached plan (a no-op) and
-    // unpersists after — safe for correctness, at worst it evicts a
-    // cache entry the caller must rebuild.
-    val callerCached = df match {
-      case d: org.apache.spark.sql.classic.Dataset[_] =>
-        df.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
-      case _ => false
-    }
+  /** Whether the CALLER already cached this exact plan. Needs the
+    * Spark 4 'classic' Dataset — match instead of casting so a
+    * connect-mode session (or an upgrade that reshapes the hierarchy)
+    * returns false and [[rangeSnapshot]] degrades to its transient
+    * persist rather than throwing ClassCastException at runtime. */
+  private[operators] def lookupCallerCached(df: DataFrame): Boolean = df match {
+    case d: org.apache.spark.sql.classic.Dataset[_] =>
+      df.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
+    case _ => false
+  }
+
+  /** `cachedOverride` exists for the spec to force the non-classic
+    * fallback (`lookupCallerCached` = false) on a session where every
+    * local Dataset IS classic — production callers never pass it. The
+    * degraded path re-runs persist on a possibly-cached plan (a no-op)
+    * and unpersists after — safe for correctness, at worst it evicts a
+    * cache entry the caller must rebuild. */
+  private[operators] def rangeSnapshot(df: DataFrame, sortCols: Seq[Column],
+                            numPartitions: Int, pidCol: String,
+                            cachedOverride: Option[Boolean] = None): DataFrame = {
+    val callerCached = cachedOverride.getOrElse(lookupCallerCached(df))
     val snap =
       if (callerCached) df
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

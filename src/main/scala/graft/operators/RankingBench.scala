@@ -18,6 +18,7 @@ object RankingBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.Isolation.begin(spark) // epoch now = everything later is residue
     spark.sparkContext.setLogLevel("WARN")
     // deterministic pseudo-random spend per id; 32 input partitions
     val df = spark.range(0, n, 1, 32)

@@ -626,25 +626,57 @@ object Similarity {
     * codewords land where ids fall, not where subvector density is,
     * and ADC recall collapses (the spec measures the gap on the real
     * testdata). Training is driver-local over a hash-decorrelated
-    * sample (subvector k-means state is m·kCode·subDim doubles — at
-    * 100 TB you train on ~1% collected once and broadcast, exactly the
-    * trained-IVF posture); a k-means fixpoint has no SQL twin, so the
-    * seed variant keeps the bit-exact v7 oracle. */
+    * sample (subvector k-means state is m·kCode·subDim doubles);
+    * a k-means fixpoint has no SQL twin, so the seed variant keeps
+    * the bit-exact v7 oracle.
+    *
+    * `trainSampleMod` controls the DRIVER-COLLECTED training sample:
+    * - `0` (the default) = AUTO: a xxhash64(vec_id)-keyed sample whose
+    *   expected size is [[PqPointsPerCodeword]]·kCode — enough points
+    *   per codeword for Lloyd's objective, bounded regardless of
+    *   corpus size, so the training collect can never OOM the driver
+    *   at 100 TB.
+    * - `1` = full-corpus training, EXPLICIT opt-in only (the collect
+    *   is the whole embedding table — small-corpus/debug use).
+    * - `> 1` = a fixed 1/mod hash sample, as in [[buildIvfTrained]]. */
   def pqTopKTrained(emb: DataFrame, m: Int, kCode: Int, sampleMod: Int,
                     k: Int, rescoreK: Int, trainIters: Int = 10,
-                    trainSampleMod: Int = 1): DataFrame =
+                    trainSampleMod: Int = 0): DataFrame =
     pqTopKWith(emb, trainPqCodebooks(emb, m, kCode, trainIters,
       trainSampleMod), m, sampleMod, k, rescoreK)
 
+  /** Target points per codeword for the AUTO training sample: Lloyd
+    * needs enough mass per center to place it at the local density —
+    * 64 is the classic PQ-training regime (≥ ~39·kCode points in the
+    * FAISS guidance); the auto mod keeps the expected collect at
+    * `64·kCode` vectors whatever the corpus size. */
+  val PqPointsPerCodeword: Int = 64
+
+  /** The effective sampling modulus for a training collect: AUTO
+    * (`trainSampleMod = 0`) derives `max(1, n / (ppc·kCode))` so the
+    * expected sample is `ppc·kCode` points; explicit values pass
+    * through. Pure — unit-tested directly in TrainedIvfSpec. */
+  private[operators] def pqAutoTrainMod(n: Long, kCode: Int,
+                                        trainSampleMod: Int): Long =
+    if (trainSampleMod != 0) trainSampleMod.toLong
+    else math.max(1L, n / (PqPointsPerCodeword.toLong * kCode))
+
   /** Per-subspace Lloyd training, driver-local, deterministic: init
     * from the [[pqTopK]] seed rule applied to the sample, ties to the
-    * lowest codeword id, empty codewords keep their previous center. */
+    * lowest codeword id, empty codewords keep their previous center.
+    * `trainSampleMod` semantics as in [[pqTopKTrained]] (0 = auto
+    * bounded sample, 1 = explicit full corpus, >1 = fixed mod). */
   def trainPqCodebooks(emb: DataFrame, m: Int, kCode: Int, iters: Int,
-                       trainSampleMod: Int): Seq[(Int, Int, Seq[Double])] = {
+                       trainSampleMod: Int = 0): Seq[(Int, Int, Seq[Double])] = {
+    require(trainSampleMod >= 0, "trainSampleMod must be >= 0 (0 = auto)")
     val dim = 64
     val subDim = dim / m
-    val sample = (if (trainSampleMod <= 1) emb
-      else emb.where(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0))
+    // AUTO needs |corpus| to size the mod; count() is a metadata-cheap
+    // pass (parquet row-group counts) and runs only on the auto path.
+    val mod = pqAutoTrainMod(
+      if (trainSampleMod == 0) emb.count() else 1L, kCode, trainSampleMod)
+    val sample = (if (mod <= 1L) emb
+      else emb.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0))
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)

@@ -58,6 +58,7 @@ object SpanDedupBench {
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.Isolation.begin(spark) // epoch now = everything later is residue
     spark.sparkContext.setLogLevel("ERROR")
     Registry.registerAll(spark)
     val docs = spark.read.parquet(path).select(col("doc_id"), col("text"))

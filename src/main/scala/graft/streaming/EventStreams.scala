@@ -257,9 +257,15 @@ object EventStreams {
     * user — bounded by |users|, not |events|; with the RocksDB
     * provider it lives off-heap ([[withRocksDbStateStore]]).
     *
-    * All updates are order-independent (count, sum, max), so the final
-    * profile after any trigger partitioning equals the batch aggregate
-    * — the parity the spec pins. */
+    * Count and max updates are order-independent, so those fields'
+    * converged state equals the batch aggregate bit-for-bit under any
+    * trigger partitioning. `total` accumulates Double, and floating-
+    * point addition is NOT order-independent — bit-exact parity with
+    * the batch sum holds only when every partial sum is exactly
+    * representable (integer-valued doubles, as the spec fixture uses
+    * deliberately); for arbitrary values parity is approximate (ulp-
+    * level). A money-grade profile would accumulate fixed-point cents
+    * the way the e11 TWAP chain does and divide once on read. */
   class ProfileProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, UserProfile] {

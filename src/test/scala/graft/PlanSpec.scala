@@ -164,7 +164,11 @@ class PlanSpec extends AnyFunSuite {
     val p = physical("j9_salted_supplier_rollup")
     assert(p.contains("partial_sum"), p)
     val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
-    assert(exchanges === 2, p) // (suppkey, salt) then suppkey
+    // EXACT on purpose — the count IS the contract here: salting is
+    // definitionally two phases, (suppkey, salt) then suppkey. One
+    // exchange means the salt collapsed (skew protection silently
+    // gone); three means an extra shuffle crept in. Neither is OK.
+    assert(exchanges === 2, p)
   }
 
   test("a19: cube expands once — a single Expand node feeding one aggregate exchange") {
@@ -176,6 +180,9 @@ class PlanSpec extends AnyFunSuite {
   test("t12: composition report scans documents once, pruned to the three used columns") {
     val p = physical("t12_source_composition")
     val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    // EXACT on purpose — the single-scan property IS the contract (a
+    // second scan means the shared subtree re-reads the table per
+    // consumer; zero is impossible for a parquet-sourced report)
     assert(scans === 1, p)
     assert(p.contains("ReadSchema: struct<text:string,lang:string,source:string>") ||
            p.contains("ReadSchema: struct<lang:string,source:string,text:string>"), p)
@@ -216,6 +223,10 @@ class PlanSpec extends AnyFunSuite {
   test("w7: the RANGE-frame window runs on one customer exchange") {
     val p = physical("w7_trailing_week_spend")
     val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    // EXACT on purpose — one customer-keyed exchange IS the contract:
+    // the window cannot run on zero (rows must co-locate per customer)
+    // and a second exchange means the frame shuffles twice for one
+    // clustering — the regression this pin exists to catch
     assert(exchanges === 1, p)
     assert(p.contains("RANGE BETWEEN 6 PRECEDING AND CURRENT ROW")
       || p.contains("specifiedwindowframe(RangeFrame"), p)
@@ -251,9 +262,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("d11: span removal generates grams once — one Generate, windowed dup count, no second doc scan of the gram subtree") {
     val p = physical("d11_duplicated_span_removal")
-    // the agg-then-join formulation would show TWO Generates (the gram
-    // explode evaluated once per occurrence subtree); the windowed form
-    // must keep exactly one
+    // EXACT on purpose — the agg-then-join formulation would show TWO
+    // Generates (the gram explode evaluated once per occurrence
+    // subtree); the windowed form keeps exactly one, and one is also
+    // the floor (the grams must be generated somewhere)
     assert("""\(\d+\) Generate""".r.findAllIn(p).size === 1, p)
     assert(p.contains("Window"), p)
     // at most two parquet scans: the gram subtree and the cheap
@@ -275,6 +287,9 @@ class PlanSpec extends AnyFunSuite {
   test("c1: the composed pipeline is one scan with ONE data-sized shuffle, dedup pre-limited map-side") {
     val p = physical("c1_corpus_pipeline")
     val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    // EXACT on purpose — one scan IS the composed-pipeline contract
+    // (quality gate, dedup and rollup all ride the same read; zero is
+    // impossible, two means a stage re-reads the corpus)
     assert(scans === 1, p)
     // quality gate sits on the scan; the md5 keep-first runs as a
     // WindowGroupLimit BEFORE its exchange (partial top-1 per key),

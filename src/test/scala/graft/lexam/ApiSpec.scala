@@ -200,6 +200,42 @@ class ApiSpec extends AnyFunSuite {
     assert(gotLang.contains("\"total_questions\": 2")) // q2, q4
   }
 
+  test("dashboard comparison JSON: open-vs-MCQ full-outer merge with zero-fill, golden (Dashboard.jsx:595-629)") {
+    // open side = {q1,q3,q4,q6}; MCQ side = {q1,q2,q4,q5}. Every merge
+    // direction is exercised: Public exists ONLY open-side (MCQ
+    // zero-filled), Criminal/Interdisciplinary ONLY mcq-side
+    // (Open-Ended zero-filled), Private on both.
+    val expected =
+      """{"area_comparison": [{"area": "Private", "Open-Ended": 2, "MCQ": 2}, """ +
+      """{"area": "Public", "Open-Ended": 2, "MCQ": 0}, """ +
+      """{"area": "Criminal", "Open-Ended": 0, "MCQ": 1}, """ +
+      """{"area": "Interdisciplinary", "Open-Ended": 0, "MCQ": 1}], """ +
+      """"year_comparison": [{"year": 2020, "Open-Ended": 2, "MCQ": 1}, """ +
+      """{"year": 2021, "Open-Ended": 1, "MCQ": 2}, """ +
+      """{"year": 2022, "Open-Ended": 1, "MCQ": 1}], """ +
+      """"course_comparison": [""" +
+      """{"course": "Privatrecht", "area": "Private", "open": 1, "mcq": 1, "total": 2}, """ +
+      """{"course": "Public Law", "area": "Public", "open": 2, "mcq": 0, "total": 2}, """ +
+      """{"course": "US Business Law", "area": "Private", "open": 1, "mcq": 1, "total": 2}, """ +
+      """{"course": "International Trade Law", "area": "Interdisciplinary", "open": 0, "mcq": 1, "total": 1}, """ +
+      """{"course": "Strafrecht I", "area": "Criminal", "open": 0, "mcq": 1, "total": 1}]}"""
+    val got = Api.dashboardComparison(qs, vs)
+    parse(got)
+    assert(got === expected)
+    // language filter narrows BOTH sides before the merge (the JSX
+    // appends the same language param to both fetches)
+    val expectedDe =
+      """{"area_comparison": [{"area": "Private", "Open-Ended": 1, "MCQ": 1}, """ +
+      """{"area": "Criminal", "Open-Ended": 0, "MCQ": 1}], """ +
+      """"year_comparison": [{"year": 2021, "Open-Ended": 1, "MCQ": 2}], """ +
+      """"course_comparison": [""" +
+      """{"course": "Privatrecht", "area": "Private", "open": 1, "mcq": 1, "total": 2}, """ +
+      """{"course": "Strafrecht I", "area": "Criminal", "open": 0, "mcq": 1, "total": 1}]}"""
+    val gotDe = Api.dashboardComparison(qs, vs, language = Seq("de"))
+    parse(gotDe)
+    assert(gotDe === expectedDe)
+  }
+
   test("compare-judges / by-question / judge-summary JSON shapes") {
     val dir = java.nio.file.Files.createTempDirectory("api_store3").toString
     val store = new LexamStore(spark, dir)

@@ -33,15 +33,56 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("safeScale: no Long overflow even with full mass concentration at the returned scale") {
-    for (n <- Seq(1L, 1000L, 1000000L, 5000000000L)) {
-      val s = Graph.safeScale(n)
-      // worst case: all mass (n * scale) lands on one node, then the
-      // damped product 85 * c must not wrap; 128 > 85 leaves headroom
-      assert(s >= 1000L)
-      if (128L * n >= 1)
-        assert(BigInt(85) * (BigInt(n.max(1L)) * BigInt(s)) <= BigInt(Long.MaxValue),
-          s"n=$n scale=$s")
+    for (n <- Seq(1L, 1000L, 1000000L, 5000000000L);
+         wMax <- Seq(1L, 7L, 1000000L)) {
+      val s = Graph.safeScale(n, wMax)
+      assert(s >= 1L)
+      // worst case: all mass (n * scale) lands on one node; then BOTH
+      // hot products must fit — the damped product 85 * c (128 > 85
+      // leaves headroom) and r * w, where the multiply happens BEFORE
+      // the div so the raw weight is a real factor in the bound
+      assert(BigInt(85) * BigInt(n) * BigInt(s) <= BigInt(Long.MaxValue),
+        s"damping product n=$n wMax=$wMax scale=$s")
+      assert(BigInt(n) * BigInt(s) * BigInt(wMax) <= BigInt(Long.MaxValue),
+        s"weight product n=$n wMax=$wMax scale=$s")
     }
+    // the weight term binds once wMax > 128: a 1e6-weight graph gets a
+    // scale ~7800x smaller than the unit-weight bound at the same |V|
+    assert(Graph.safeScale(1000L, 1000000L) < Graph.safeScale(1000L) / 1000)
+  }
+
+  test("overflow trap: rank*w that would wrap Long raise_errors instead of corrupting ranks") {
+    // scale * w = 1e12 * 1e7 = 1e19 > 2^63: iteration 1's r*w wraps in
+    // the unguarded recurrence (positive operands can wrap to a
+    // positive wrong value — silent corruption); the trap must throw
+    val edges = Seq((1L, 2L, 10000000L), (2L, 1L, 10000000L)).toDF("src", "dst", "w")
+    val e = intercept[Exception] {
+      Graph.pageRank(edges, iters = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("safeScale")), messages(e).mkString("; "))
+    // the remedy the error names actually works, and weights scale out
+    // of the quotient so the safe run still ranks the cycle uniformly
+    // (up to a few units of truncation drift — safeScale's output is
+    // not a multiple of 100, so the 15/85 split loses ulps per round)
+    val s = Graph.safeScale(2L, 10000000L)
+    val got = Graph.pageRank(edges, iters = 2, scale = s)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet.size === 1, s"cycle must stay uniform: $got")
+    assert(math.abs(got.values.head - s) <= 4L, s"scale=$s got=$got")
+  }
+
+  test("hard precondition: (|V|+1)*scale must fit Long; weights must be positive") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, iters = 1, scale = Long.MaxValue / 2)
+    }
+    assert(e.getMessage.contains("safeScale"))
+    val z = intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), iters = 1)
+    }
+    assert(z.getMessage.contains("positive"))
   }
 
   test("uniform cycle is a fixpoint: every rank stays exactly at scale") {

@@ -94,4 +94,30 @@ class RankingSpec extends AnyFunSuite {
     assert(tiles === Map(5L -> 1, 3L -> 2)) // tiles 3,4 stay empty
   }
 
+  test("rangeSnapshot non-classic fallback: degrades to transient persist, stays correct, never throws") {
+    // Every local Dataset IS classic, so the connect-mode branch
+    // (lookupCallerCached = false without a cache lookup) is forced via
+    // the spec-only override; the contract under test is the scaladoc's:
+    // the degraded path is correct, at worst it evicts a caller's
+    // recomputable cache entry — it must never CCE or lose rows.
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "v").repartition(5)
+    def snapIds(cachedOverride: Option[Boolean]) =
+      Ranking.rangeSnapshot(df, Seq(col("v"), col("id")), 4, "_pid",
+          cachedOverride)
+        .select("id").as[Long].collect().sorted.toSeq
+    val viaLookup = snapIds(None)
+    val viaFallback = snapIds(Some(false))
+    assert(viaLookup === (1L to 100L))
+    assert(viaFallback === viaLookup, "fallback path must be row-identical")
+    // caller-cached input + fallback: the documented worst case — the
+    // caller's entry may be evicted, but the frame stays consumable
+    df.persist()
+    try {
+      df.count()
+      assert(Ranking.lookupCallerCached(df), "classic lookup sees the cache")
+      assert(snapIds(Some(false)) === viaLookup)
+      assert(df.count() === 100L, "caller frame must survive (recomputable)")
+    } finally df.unpersist()
+  }
+
 }

@@ -107,6 +107,52 @@ class SketchesSpec extends AnyFunSuite {
     assert(ids === ids2)
   }
 
+  test("temperature mixing at 1000 strata: broadcast-join lookup, no codegen fallback, identical rows/schema to the chain path") {
+    // a 1000-source stratum column — the regime where the inlined
+    // when/otherwise chain would blow expression-tree depth and
+    // codegen's 64KB method limit; above maxExprCutoffs the lookup
+    // must be a broadcast hash join instead
+    val rows = (0 until 8000).map(i => (i.toLong, s"src_${i % 1000}"))
+    val df = rows.toDF("doc_id", "source").repartition(6)
+    val key = concat(col("doc_id").cast("string"), lit("/"), col("source"))
+    val joined = Sampling.temperatureMix(df, "source", key, 4L) // 1000 > default 64
+    // execute THIS dataframe's own queryExecution (count() would spawn
+    // a separate one) so AQE finalizes the inspected physical plan
+    joined.collect()
+    // plan shape: the lookup is a broadcast hash join (df itself never
+    // shuffles on the stratum key — the only exchanges are the
+    // fixture's own round-robin repartition and the broadcast), and
+    // the filter stage stays inside WholeStageCodegen (no interpreted
+    // fallback — that is the point of leaving the chain form)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "lookup must not shuffle-join")
+    assert(!plan.contains("HashPartitioning"), "df must not shuffle on the key")
+    // "*(n)" is the whole-stage-codegen marker in AQE's final-plan
+    // rendering: the join+filter stage must carry it (no interpreted
+    // fallback from a blown method limit — the chain path's failure)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("*(")), plan.take(800))
+    assert(!plan.toLowerCase.contains("codegenfallback"))
+    // row+schema equivalence against a driver-side replay of the
+    // decision rule (hash(key) % Buckets < cutoff[source]) — NOT the
+    // chain path, whose 1000-deep CaseWhen is exactly the plan this
+    // path exists to avoid building
+    assert(joined.columns.toSeq === df.columns.toSeq,
+      "join path must preserve the caller's column order")
+    val cutoffs = Sampling.sqrtTemperatureCutoffs(df, "source", 4L)
+    val hashed = df
+      .withColumn("_h", graft.functions.PolyHash64.polyHash64(key) % Sampling.Buckets)
+      .select("doc_id", "source", "_h").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = hashed.collect {
+      case (id, s, h) if h < cutoffs(s) => id }.toSet
+    val a = joined.select("doc_id").as[Long].collect().toSet
+    assert(a === expected,
+      s"paths diverge: ${(a -- expected).take(5)} / ${(expected -- a).take(5)}")
+    assert(a.nonEmpty)
+  }
+
   test("epoch mixing: floor+fractional copies, zero-weight drop, deterministic") {
     val docs = graft.sources.Tables.documents(spark, sf)
     def mix(df: org.apache.spark.sql.DataFrame) =

@@ -447,4 +447,40 @@ class TrainedIvfSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.toLowerCase
       .contains("dynamicpruning"))
   }
+
+  test("PQ training collect is bounded by default: auto mod targets PqPointsPerCodeword·kCode, full corpus is explicit opt-in") {
+    // the pure sizing rule first: the auto mod keeps the EXPECTED
+    // sample at ppc·kCode points whatever the corpus size — at 1M
+    // vectors / kCode=256 that's mod 61 (16384-point collect), and a
+    // corpus SMALLER than the target degrades to mod 1 (train on all)
+    val ppc = Similarity.PqPointsPerCodeword
+    assert(Similarity.pqAutoTrainMod(1_000_000L, 256, 0) ===
+      1_000_000L / (ppc.toLong * 256))
+    assert(Similarity.pqAutoTrainMod(500L, 256, 0) === 1L)
+    // explicit values pass through untouched — 1 (full corpus) and
+    // fixed mods are the caller's own decision, never auto-resized
+    assert(Similarity.pqAutoTrainMod(1_000_000L, 256, 1) === 1L)
+    assert(Similarity.pqAutoTrainMod(1_000_000L, 256, 40) === 40L)
+    // end-to-end on a corpus 10× the auto target: the driver-side
+    // sample must stay near ppc·kCode, NOT grow with the corpus
+    val kCode = 16
+    val target = ppc.toLong * kCode // 1024
+    val n = 10L * target
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 64).map(i =>
+        sin(col("id") * (i + 1)).cast("float")): _*).as("embedding"))
+    val mod = Similarity.pqAutoTrainMod(n, kCode, 0)
+    assert(mod === 10L, s"auto mod for n=$n kCode=$kCode was $mod")
+    // the exact frame the training collect pulls — count it distributed
+    val sampled = emb
+      .where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0).count()
+    assert(sampled >= kCode, s"sample $sampled too thin for $kCode codewords")
+    assert(sampled <= 2 * target,
+      s"auto sample $sampled exceeds 2× the $target-point target — unbounded collect")
+    // and the codebooks trained on that bounded sample are well-formed
+    val codes = Similarity.trainPqCodebooks(emb, m = 8, kCode = kCode, iters = 2)
+    assert(codes.size === 8 * kCode)
+    assert(codes.forall { case (s, j, cbv) =>
+      s >= 0 && s < 8 && j >= 0 && j < kCode && cbv.size == 8 })
+  }
 }
