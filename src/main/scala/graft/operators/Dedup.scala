@@ -149,6 +149,20 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSig(col("sh"), numHashes))
 
+  /** (doc_id, band, bucket) from a [[minhashSignatures]] frame: band b's
+    * bucket is a 64-bit hash of signature slice [b*r, b*r+r) — the one
+    * banding rule every LSH surface in this file shares (batch pairs,
+    * the persisted index build, and incremental probes), so a probe can
+    * never land in a differently-keyed bucket than the build wrote. */
+  private[operators] def bandedFrame(withSig: DataFrame, bands: Int,
+                                     rowsPerBand: Int): DataFrame =
+    withSig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
   /** LSH candidate generation + exact-Jaccard verification over a
     * prepared [[minhashSignatures]] frame. */
   def minhashLshPairsFromSig(withSig: DataFrame, bands: Int, rowsPerBand: Int,
@@ -161,12 +175,7 @@ object Dedup {
     // filter): carrying the 8-entry bucket array through BOTH sides of
     // the self-join was measured SLOWER (13.5 s vs 11.4 s on the 8×
     // dup-heavy corpus) than shuffling the 16-byte pair ids once.
-    val banded = withSig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), concat_ws(",",
-          (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedFrame(withSig, bands, rowsPerBand)
     val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -190,8 +199,10 @@ object Dedup {
     * HUGEINT, floorMod via ((s%P)+P)%P), band keys compared by VALUE
     * (the Spark side buckets on xxhash64 of the same slice — equal
     * slices hash equal, and a cross-slice collision is ~2⁻⁶⁴). */
-  def minhashLshSql(k: Int, bands: Int, rowsPerBand: Int,
-                    threshold: Double): String = {
+  /** The shared MinHash CTE prefix (`toks` → … → `band`) used by both
+    * [[minhashLshSql]] and [[incrementalLshSql]] — one text so the two
+    * oracles can never diverge on the signature/band arithmetic. */
+  private def minhashBandCtes(k: Int, bands: Int, rowsPerBand: Int): String = {
     val joins = (1 until k).map(j =>
       s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
     val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
@@ -219,7 +230,12 @@ object Dedup {
        |band AS (
        |  SELECT doc_id, (j-1) // $rowsPerBand AS band,
        |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bucket
-       |  FROM sigv GROUP BY doc_id, (j-1) // $rowsPerBand),
+       |  FROM sigv GROUP BY doc_id, (j-1) // $rowsPerBand)""".stripMargin
+  }
+
+  def minhashLshSql(k: Int, bands: Int, rowsPerBand: Int,
+                    threshold: Double): String = {
+    s"""${minhashBandCtes(k, bands, rowsPerBand)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM band a JOIN band b
@@ -237,6 +253,220 @@ object Dedup {
        |JOIN sz s2 ON s2.doc_id = id2
        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  // --------------------- incremental dedup vs a persisted index (d14)
+
+  /** Bucket-partition count for a persisted LSH index: band rows land in
+    * partition `pmod(bucket, nBucketParts)`, so an incremental probe's
+    * bucket join prunes to only the partitions its own buckets hash
+    * into — the daily-increment analogue of [[graft.operators.Similarity.saveIvf]]'s
+    * cell partitioning. */
+  val LshBucketParts = 64
+
+  /** Incremental batch-vs-corpus near-dup dedup — the production shape
+    * at 100 TB: the historical corpus' MinHash band index is built ONCE
+    * (ideally persisted, [[saveLshIndex]]); each arriving batch computes
+    * its own signatures (|batch| work, not |corpus|), probes the
+    * matching buckets, and verifies only bucket-cohabiting candidates
+    * by exact Jaccard. Nothing rehashes or re-shuffles the corpus: the
+    * corpus-side touch is the pruned bucket probe plus a semi-join
+    * fetch of candidate shingle sets.
+    *
+    * `maxBucket`: drop corpus buckets with more than this many members
+    * before candidate generation — the degenerate-bucket guard. A
+    * boilerplate/template bucket of B members yields B candidates per
+    * probing doc; one hot bucket at corpus scale (B ~ 1e6) turns a
+    * cheap probe into a job-killing fan-out. Near-dups lost this way
+    * sit in near-identical template families that band agreement
+    * re-finds in other (smaller) buckets or that downstream line-level
+    * dedup ([[lineDedup]]) removes anyway — the standard recall trade
+    * every production LSH makes (capped in the SQL twin identically, so
+    * the oracle replays the drop bit for bit).
+    *
+    * Output, one row per batch doc with a nonempty shingle set:
+    * (doc_id, n_matches, match_id = lowest matching corpus doc,
+    * is_dup). Batch and corpus must be doc_id-disjoint (self-pairs are
+    * guarded regardless, so probing an index the batch was already
+    * appended to — the idempotent-resume shape — flags the same dups). */
+  def incrementalLshDedup(corpus: DataFrame, batch: DataFrame, k: Int,
+                          bands: Int, rowsPerBand: Int, threshold: Double,
+                          maxBucket: Option[Int] = None,
+                          nBucketParts: Int = LshBucketParts): DataFrame = {
+    val cSig = minhashSignatures(corpus, k, bands * rowsPerBand)
+    val cBands = bandedFrame(cSig, bands, rowsPerBand)
+      .withColumn("part", pmod(col("bucket"), lit(nBucketParts)))
+    dedupAgainstBands(cBands, cSig.select(col("doc_id"), col("sh")),
+      minhashSignatures(batch, k, bands * rowsPerBand),
+      bands, rowsPerBand, threshold, maxBucket, nBucketParts)
+  }
+
+  /** The probe core shared by the in-memory ([[incrementalLshDedup]])
+    * and persisted ([[dedupAgainstLshIndex]]) forms, so the two can
+    * never diverge (spec-asserted equal).
+    *
+    * Scale shape: every corpus-side operand joins on (part, band,
+    * bucket) against the batch's buckets — over a `part`-partitioned
+    * parquet index that is a DPP-pruned scan (only partitions the
+    * batch's buckets hash into are read; plan-asserted in the spec).
+    * The pruned bucket scan runs twice when `maxBucket` is set (once
+    * for sizes, once for members) — bucket sizes are a static fact of
+    * the index version, so a production build can precompute them at
+    * [[saveLshIndex]] time; probe-time counting is chosen here because
+    * it can never go stale across [[appendToLshIndex]] batches. */
+  private def dedupAgainstBands(corpusBands: DataFrame, corpusDocs: DataFrame,
+                                batchSig: DataFrame, bands: Int,
+                                rowsPerBand: Int, threshold: Double,
+                                maxBucket: Option[Int],
+                                nBucketParts: Int): DataFrame = {
+    val bBands = bandedFrame(batchSig, bands, rowsPerBand)
+      .withColumn("part", pmod(col("bucket"), lit(nBucketParts)))
+    val keys = Seq("part", "band", "bucket")
+    // corpus rows cohabiting a batch bucket; join carries `part` so the
+    // partition column is an equi-join key — the DPP handle
+    val hit = corpusBands.join(bBands.select(keys.map(col): _*).distinct(), keys)
+    val okHit = maxBucket match {
+      case Some(cap) =>
+        // a bucket lives wholly inside part = bucket % nBucketParts, so
+        // counting within the pruned scan IS the full bucket size
+        val sizes = hit.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        hit.join(sizes.where(col("n") <= cap).drop("n"), keys)
+      case None => hit
+    }
+    val cand = bBands.as("b")
+      .join(okHit.as("c"), keys)
+      // batch∩corpus overlap guard: a doc probing an index it was
+      // already appended to must not match itself
+      .where(col("b.doc_id") =!= col("c.doc_id"))
+      .select(col("b.doc_id").as("bid"), col("c.doc_id").as("cid"))
+      .dropDuplicates("bid", "cid")
+    // verification: batch shingle sets ride a small-side join; corpus
+    // sets arrive via a candidate-keyed join (AQE broadcasts the
+    // candidate side when small, so the doc store is a filtered scan,
+    // not a corpus shuffle)
+    val verified = cand
+      .join(batchSig.select(col("doc_id").as("bid"), col("sh").as("sh1")), "bid")
+      .join(corpusDocs.select(col("doc_id").as("cid"), col("sh").as("sh2")), "cid")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+    batchSig.select(col("doc_id"))
+      .join(verified.groupBy(col("bid"))
+          .agg(count(lit(1)).as("m"), min(col("cid")).as("match_id")),
+        col("doc_id") === col("bid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("m"), lit(0L)).as("n_matches"),
+        col("match_id"),
+        col("match_id").isNotNull.as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Persist a corpus LSH index: band rows bucket-partitioned (the
+    * probe-pruning layout) plus a doc-keyed shingle-set store for
+    * candidate verification, plus a one-row meta table pinning the
+    * build parameters — a probe with mismatched (k, bands, rowsPerBand)
+    * would silently find nothing, so [[dedupAgainstLshIndex]] reads its
+    * parameters from the index itself. Build once, probe every batch. */
+  def saveLshIndex(corpus: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
+                   path: String,
+                   nBucketParts: Int = LshBucketParts): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // scope-bounded cache: bands and docs both read the signature frame
+    // (shingling is the expensive part); released before returning
+    val sig = minhashSignatures(corpus, k, bands * rowsPerBand).cache()
+    try {
+      bandedFrame(sig, bands, rowsPerBand)
+        .withColumn("part", pmod(col("bucket"), lit(nBucketParts)))
+        .write.mode("overwrite").partitionBy("part").parquet(s"$path/bands")
+      sig.select(col("doc_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$path/docs")
+      Seq((k, bands, rowsPerBand, nBucketParts))
+        .toDF("k", "bands", "rows_per_band", "n_bucket_parts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally sig.unpersist()
+  }
+
+  /** Append an accepted batch to a persisted index — the post-dedup
+    * step of the daily loop (probe → keep survivors → append them).
+    * Parquet append touches only the partitions the new buckets hash
+    * into; resident partitions' files are untouched. Probes after the
+    * append see the union exactly as a fresh [[saveLshIndex]] of it
+    * would (same banding rule — spec-asserted). */
+  def appendToLshIndex(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, bands, rpb, parts) =
+      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    val sig = minhashSignatures(newDocs, k, bands * rpb).cache()
+    try {
+      bandedFrame(sig, bands, rpb)
+        .withColumn("part", pmod(col("bucket"), lit(parts)))
+        .write.mode("append").partitionBy("part").parquet(s"$path/bands")
+      sig.select(col("doc_id"), col("sh"))
+        .write.mode("append").parquet(s"$path/docs")
+    } finally sig.unpersist()
+  }
+
+  /** Probe a persisted index with a new batch: [[incrementalLshDedup]]
+    * semantics, corpus side read from the `part`-partitioned band table
+    * (DPP-pruned to the batch's buckets) and the doc store. */
+  def dedupAgainstLshIndex(batch: DataFrame, path: String, threshold: Double,
+                           maxBucket: Option[Int] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, bands, rpb, parts) =
+      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    dedupAgainstBands(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/docs"),
+      minhashSignatures(batch, k, bands * rpb),
+      bands, rpb, threshold, maxBucket, parts)
+  }
+
+  /** DuckDB oracle for [[incrementalLshDedup]]: the [[minhashLshSql]]
+    * CTE chain up through `band`, roles split by `doc_id % batchMod`
+    * (= 0 → batch, else corpus), the same corpus-side bucket cap, and
+    * the same per-batch-doc left-join rollup. */
+  def incrementalLshSql(k: Int, bands: Int, rowsPerBand: Int,
+                        threshold: Double, batchMod: Int,
+                        maxBucket: Option[Int]): String = {
+    val capJoin = maxBucket.map(cap =>
+      s"""JOIN (SELECT band, bucket FROM band WHERE doc_id % $batchMod <> 0
+         |      GROUP BY 1, 2 HAVING COUNT(*) <= $cap) ok
+         |  ON ok.band = b.band AND ok.bucket = b.bucket""".stripMargin)
+      .getOrElse("")
+    s"""${minhashBandCtes(k, bands, rowsPerBand)},
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+       |  FROM band b JOIN band c
+       |    ON c.band = b.band AND c.bucket = b.bucket
+       |  $capJoin
+       |  WHERE b.doc_id % $batchMod = 0 AND c.doc_id % $batchMod <> 0),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.bid, c.cid, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.bid
+       |  JOIN sh b ON b.doc_id = c.cid AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT i.bid, i.cid
+       |  FROM inter i
+       |  JOIN sz s1 ON s1.doc_id = i.bid
+       |  JOIN sz s2 ON s2.doc_id = i.cid
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold),
+       |matches AS (
+       |  SELECT bid, COUNT(*) AS n_matches, MIN(cid) AS match_id
+       |  FROM verified GROUP BY bid)
+       |SELECT base.doc_id,
+       |       COALESCE(m.n_matches, 0) AS n_matches,
+       |       m.match_id,
+       |       m.match_id IS NOT NULL AS is_dup
+       |FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % $batchMod = 0) base
+       |LEFT JOIN matches m ON m.bid = base.doc_id
+       |ORDER BY base.doc_id""".stripMargin
   }
 
   // ------------------------------------- components / survivor pick
@@ -283,8 +513,18 @@ object Dedup {
     // analysis blowup that OOMs the driver near round ~12. Checkpointing
     // materializes eagerly and cuts the plan back to a leaf every round;
     // edges is referenced once per round, so a plain cache suffices there.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    //
+    // Fused first round: against identity labels (comp = id), the
+    // propagation join is the identity map — round 1's fixpoint value
+    // is just min(id, min neighbor id), computable straight off the
+    // edge list. Starting the iteration there saves the separate
+    // init-labels distinct, its checkpoint, and one full
+    // join+aggregate round — the loop below then only runs the rounds
+    // that actually move labels across >1 hop.
+    var labels = edges.select(col("src").as("id"), col("dst").as("comp"))
+      .union(edges.select(col("src").as("id"), col("src").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      .localCheckpoint()
     e.unpersist() // edges is materialized now; the pair subtree ran once
     def propagate(small: Boolean)(l: DataFrame): DataFrame = {
       val edgeMin = l.union(edges

@@ -432,6 +432,36 @@ object CoverageQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // A24: sketch partials → rollup — the pre-aggregation pattern that
+    // makes sketches pay at 100 TB: each shard folds its rows into an
+    // O(k) KMV partial ONCE (here: 8 shards by order key), and any
+    // later rollup merges partials (bottom-k of the union of bottom-ks
+    // = bottom-k of the union — the KMV merge law) without ever
+    // re-touching rows. The merge reuses the same Aggregator over the
+    // exploded partials, so partial and rollup arithmetic cannot
+    // diverge; exact global COUNT(DISTINCT) rides alongside as the
+    // error witness. Same estimator double-tree as a23.
+    "a24_sketch_rollup" -> ((s, dir) => {
+      import graft.functions.PolyHash64
+      val k = 64
+      val bk = udaf(new graft.operators.Sketches.BottomKLongs(k))
+      val hashed = Tables.orders(s, dir)
+        .select(pmod(col("o_orderkey"), lit(8)).as("shard"),
+          PolyHash64.polyHash64(col("o_custkey").cast("string")).as("h"))
+      val partials = hashed.groupBy(col("shard")).agg(bk(col("h")).as("hs"))
+      val merged = partials
+        .select(col("shard"), explode(col("hs")).as("h"))
+        .agg(countDistinct(col("shard")).as("n_shards"), bk(col("h")).as("hs"))
+      merged
+        .crossJoin(hashed.agg(countDistinct(col("h")).as("n_exact")))
+        .select(col("n_shards"), col("n_exact"),
+          when(size(col("hs")) < k, size(col("hs")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("hs"), k).cast("double") /
+                lit(18446744073709551616.0) + lit(0.5)))
+            .as("kmv_estimate"))
+    }),
+
     // O6: keyset (cursor) pagination — OFFSET's at-scale replacement:
     // the composite (date, key) cursor predicate pushes to the scan and
     // the global TopK materializes only one page, where o3's OFFSET
@@ -1188,6 +1218,33 @@ object CoverageQueries {
          |                  / CAST(18446744073709551616 AS DOUBLE) + 0.5)
          |       END AS kmv_estimate
          |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "a24_sketch_rollup" -> {
+      import graft.functions.PolyHash64
+      s"""WITH t AS (
+         |  SELECT o_orderkey % 8 AS shard,
+         |         ${PolyHash64.sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |d AS (SELECT DISTINCT shard, h FROM t),
+         |p AS (
+         |  SELECT shard, h FROM (
+         |    SELECT shard, h,
+         |           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS rn
+         |    FROM d) WHERE rn <= 64),
+         |u AS (SELECT DISTINCT h FROM p),
+         |m AS (
+         |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         |         COUNT(*) OVER () AS nd
+         |  FROM u)
+         |SELECT (SELECT COUNT(DISTINCT shard) FROM p) AS n_shards,
+         |       (SELECT COUNT(DISTINCT h) FROM t) AS n_exact,
+         |       CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+         |            ELSE CAST(63 AS DOUBLE) /
+         |                 (CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+         |                  / CAST(18446744073709551616 AS DOUBLE) + 0.5)
+         |       END AS kmv_estimate
+         |FROM m""".stripMargin
     },
 
     "o6_keyset_page" ->

@@ -109,7 +109,23 @@ object DedupQueries {
     // candidates → components → survivors → survivor-only rollup.
     "c2_dedup_pipeline" -> ((s, dir) =>
       Dedup.dedupPipelineSummary(Tables.documents(s, dir),
-        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05))
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)),
+
+    // Incremental batch-vs-corpus dedup — the daily-increment shape:
+    // every 11th doc arrives as the new batch, the rest is the resident
+    // corpus. LSH probe against the corpus' band buckets (persisted
+    // form in DedupSimilaritySpec probes the bucket-partitioned index
+    // with DPP) + exact-Jaccard verify; corpus buckets larger than 3
+    // members are dropped (the degenerate-bucket guard — oracle replays
+    // the cap).
+    "d14_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalLshDedup(
+        docs.where(pmod(col("doc_id"), lit(11)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(11)) === 0),
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05,
+        maxBucket = Some(3))
+    })
   )
 
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
@@ -133,6 +149,10 @@ object DedupQueries {
 
     "d3_minhash_lsh_pairs" ->
       Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05),
+
+    "d14_incremental_dedup" ->
+      Dedup.incrementalLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, batchMod = 11, maxBucket = Some(3)),
 
     "d4_simhash_pairs" -> Dedup.simhashPairsSql(maxDist = 3),
 

@@ -388,4 +388,81 @@ class DedupSimilaritySpec extends AnyFunSuite {
           s"base vector), got $exactDupPairs")
     } finally emb.unpersist()
   }
+
+  // ------------------------- incremental dedup vs a persisted LSH index
+
+  test("incremental dedup: persisted-index probe equals the in-memory form; band scan is DPP-pruned") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+    val inMem = Dedup.incrementalLshDedup(corpus, batch, k = 3, bands = 8,
+        rowsPerBand = 4, threshold = 0.05, maxBucket = Some(3))
+      .collect().map(_.toSeq).toSeq
+    assert(inMem.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    Dedup.saveLshIndex(corpus, k = 3, bands = 8, rowsPerBand = 4, path)
+    val probed = Dedup.dedupAgainstLshIndex(batch, path,
+      threshold = 0.05, maxBucket = Some(3))
+    assert(probed.collect().map(_.toSeq).toSeq === inMem)
+    // the probe joins on the PARTITION column (part = bucket % n):
+    // dynamic partition pruning restricts the band scan to the
+    // partitions the batch's own buckets hash into
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
+  test("incremental dedup: degenerate-bucket cap drops template-bucket fan-out, spares small buckets") {
+    val template = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((1L to 6L).map(i => (i, template)) :+
+        (7L, "completely unrelated corpus text about parquet file layouts"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, template), // lands in the 6-member template bucket
+      (101L, "another unrelated new document about shuffle partitioning"))
+      .toDF("doc_id", "text")
+    def probe(cap: Option[Int]) =
+      Dedup.incrementalLshDedup(corpus, batch, k = 2, bands = 4,
+          rowsPerBand = 2, threshold = 0.5, maxBucket = cap)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getAs[Boolean]("is_dup"))).toMap
+    val uncapped = probe(None)
+    assert(uncapped(100L) === ((6L, true)),
+      s"template batch doc should match all 6 corpus copies: $uncapped")
+    assert(uncapped(101L)._2 === false)
+    // identical docs share EVERY band bucket, so the 6-member bucket
+    // exceeds cap=3 in all bands and the whole template family is
+    // skipped — the documented recall trade that keeps one hot bucket
+    // from fanning out B candidates per probing doc
+    val capped = probe(Some(3))
+    assert(capped(100L) === ((0L, false)), s"capped: $capped")
+    assert(capped(101L) === ((0L, false)))
+  }
+
+  test("incremental dedup: probing after appendToLshIndex is idempotent (no self-matches) and sees appended docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different resident corpus document here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("lsh_inc").toString
+    Dedup.saveLshIndex(corpus, k = 2, bands = 4, rowsPerBand = 2, path)
+    val before = Dedup.dedupAgainstLshIndex(batch, path, threshold = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty && before.head(3) === true, s"$before") // 10 ≈ 1
+    // the daily loop's resume shape: the batch was already appended;
+    // re-probing must flag the same dups, never a self-match
+    Dedup.appendToLshIndex(batch, path)
+    val after = Dedup.dedupAgainstLshIndex(batch, path, threshold = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(after === before)
+    // and a LATER batch near-dup of the appended doc does match it
+    val later = Seq((20L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.dedupAgainstLshIndex(later, path, threshold = 0.5)
+      .collect().head
+    assert(hit.getAs[Boolean]("is_dup") && hit.getLong(1) >= 2L,
+      s"later batch should match resident + appended docs: $hit")
+  }
 }
