@@ -25,7 +25,20 @@ object Explain {
       "d11_duplicated_span_removal", "s16_token_budget_selection")
     names.foreach { n =>
       println(s"\n########## $n ##########")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // d14's interesting plan is the PERSISTED-index probe (the DPP
+      // pruned band scan) — the in-memory query form has no partitioned
+      // scan to prune, so build a throwaway index and explain the probe
+      if (n == "d14_incremental_dedup") {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+        val path = java.nio.file.Files.createTempDirectory("lsh_explain").toString
+        graft.operators.Dedup.saveLshIndex(
+          docs.where(pmod(col("doc_id"), lit(11)) =!= 0),
+          k = 3, bands = 8, rowsPerBand = 4, path)
+        graft.operators.Dedup.dedupAgainstLshIndex(
+          docs.where(pmod(col("doc_id"), lit(11)) === 0), path,
+          threshold = 0.05, maxBucket = Some(3)).explain("formatted")
+      } else SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

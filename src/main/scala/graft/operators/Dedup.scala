@@ -154,13 +154,14 @@ object Dedup {
     * banding rule every LSH surface in this file shares (batch pairs,
     * the persisted index build, and incremental probes), so a probe can
     * never land in a differently-keyed bucket than the build wrote. */
-  private[operators] def bandedFrame(withSig: DataFrame, bands: Int,
-                                     rowsPerBand: Int): DataFrame =
-    withSig.select(col("doc_id"),
+  private[graft] def bandedFrame(withSig: DataFrame, bands: Int,
+                                 rowsPerBand: Int,
+                                 carry: Seq[String] = Nil): DataFrame =
+    withSig.select(col("doc_id") +: carry.map(col) :+
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), concat_ws(",",
           (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)))
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
   /** LSH candidate generation + exact-Jaccard verification over a

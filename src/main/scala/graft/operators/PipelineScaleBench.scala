@@ -132,6 +132,46 @@ object PipelineScaleBench {
         s"psb d13 CHECKSUM MISMATCH: broadcast=$sumB fallback=$sumF")
       spark.stop(); sys.exit(4)
     }
+
+    // d14 leg: the amortization claim of the persisted LSH index — a
+    // FIXED daily batch probed against a growing resident corpus. The
+    // from-scratch form re-shingles and re-signs the whole corpus every
+    // probe (cost grows with |corpus|); the index form pays that once
+    // at build time, so per-batch probe cost is the filtered band scan
+    // + candidate verification and must grow far slower than the
+    // corpus. Probe and from-scratch outputs are asserted IDENTICAL at
+    // every scale (the index is a cache, never a semantics change).
+    val batch = base.where(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val nBatch = batch.count()
+    copiesList.foreach { c =>
+      val dir = s"/tmp/graft_psb/x$c"
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      val idxPath = s"/tmp/graft_psb/lshidx_x$c"
+      val (_, buildSec) =
+        if (new java.io.File(s"$idxPath/meta/_SUCCESS").exists()) ((), -1.0)
+        else timed(Dedup.saveLshIndex(corpus, k = 3, bands = 8,
+          rowsPerBand = 4, idxPath))
+      graft.Isolation.scrub(spark)
+      val (probed, probeSec) = timed(
+        Dedup.dedupAgainstLshIndex(batch, idxPath, threshold = 0.05)
+          .collect().map(_.toSeq).toSeq)
+      graft.Isolation.scrub(spark)
+      val (scratch, scratchSec) = timed(
+        Dedup.incrementalLshDedup(corpus, batch, k = 3, bands = 8,
+          rowsPerBand = 4, threshold = 0.05)
+          .collect().map(_.toSeq).toSeq)
+      graft.Isolation.scrub(spark)
+      val nDups = probed.count(_(3) == true)
+      println(f"psb d14 copies=$c%-2d batch=$nBatch dups=$nDups " +
+        f"build=${buildSec}%.2fs probe=${probeSec}%.2fs " +
+        f"from_scratch=${scratchSec}%.2fs equal=${probed == scratch}")
+      if (probed != scratch) {
+        System.err.println(s"psb d14 OUTPUT MISMATCH at copies=$c")
+        spark.stop(); sys.exit(4)
+      }
+    }
     spark.stop()
   }
 }

@@ -282,4 +282,79 @@ object Quality {
            |WHERE NOT EXISTS (SELECT 1 FROM $parentTable p
            |                  WHERE p.$parentKey = c.$childKey)""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) r ORDER BY \"check\"")
+
+  // ------------------------------------ cross-snapshot drift (q4)
+
+  /** Column-stats drift report between two snapshots of the same table
+    * — the DQ gate a pipeline runs before PROMOTING a new dataset
+    * version (q1 audits one snapshot against static rules; this audits
+    * a new snapshot against the previous one, where the rule is "looks
+    * like yesterday"). One aggregate pass per side regardless of how
+    * many columns are profiled (all per-column stats ride the same
+    * job — the q1 one-scan discipline), a 1-row × 1-row join, and a
+    * row per profiled column out.
+    *
+    * Stats per column: row counts, null counts, exact-decimal mean
+    * (Num.avgExact's arithmetic — order-independent, so the report is
+    * retry-stable), min/max. `mean_shift` = (new−old)/|old| and
+    * `drifted` = |mean_shift| > threshold — the promotion tripwire.
+    * Columns must be castable to DECIMAL(18,2). */
+  def driftReport(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String],
+                  meanShiftThreshold: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "driftReport needs at least one column")
+    def side(df: DataFrame, p: String): DataFrame = {
+      val aggs = count(lit(1)).as(s"${p}_n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nulls_$c"),
+        (sum(graft.functions.Num.dec(col(c))).cast("double") / count(col(c)))
+          .as(s"${p}_mean_$c"),
+        graft.functions.Num.dec(min(col(c))).cast("double").as(s"${p}_min_$c"),
+        graft.functions.Num.dec(max(col(c))).cast("double").as(s"${p}_max_$c")))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    side(oldDf, "o").crossJoin(side(newDf, "w")) // 1 row × 1 row
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("o_n").as("old_n"), col("w_n").as("new_n"),
+        col(s"o_nulls_$c").as("old_nulls"), col(s"w_nulls_$c").as("new_nulls"),
+        col(s"o_mean_$c").as("old_mean"), col(s"w_mean_$c").as("new_mean"),
+        col(s"o_min_$c").as("old_min"), col(s"w_min_$c").as("new_min"),
+        col(s"o_max_$c").as("old_max"), col(s"w_max_$c").as("new_max"))): _*))
+        .as("s"))
+      .select(col("s.*"))
+      .withColumn("mean_shift",
+        (col("new_mean") - col("old_mean")) / abs(col("old_mean")))
+      .withColumn("drifted", abs(col("mean_shift")) > meanShiftThreshold)
+      .orderBy(col("column"))
+  }
+
+  /** DuckDB twin of [[driftReport]]: same one-pass per-side aggregates
+    * (as CTEs), same per-column row expansion, same double tree for
+    * mean/shift. `oldSql`/`newSql` are full SELECTs producing the two
+    * snapshots. */
+  def driftReportSql(oldSql: String, newSql: String, cols: Seq[String],
+                     meanShiftThreshold: Double = 0.05): String = {
+    def sideSel(p: String) =
+      (s"COUNT(*) AS ${p}_n" +: cols.flatMap(c => Seq(
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${p}_nulls_$c",
+        s"${graft.functions.Num.sqlAvgExact(c)} AS ${p}_mean_$c",
+        s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS DOUBLE) AS ${p}_min_$c",
+        s"CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS DOUBLE) AS ${p}_max_$c")))
+        .mkString(", ")
+    val perCol = cols.map(c =>
+      s"""SELECT '$c' AS "column", o_n AS old_n, w_n AS new_n,
+         |  o_nulls_$c AS old_nulls, w_nulls_$c AS new_nulls,
+         |  o_mean_$c AS old_mean, w_mean_$c AS new_mean,
+         |  o_min_$c AS old_min, w_min_$c AS new_min,
+         |  o_max_$c AS old_max, w_max_$c AS new_max
+         |FROM o CROSS JOIN w""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH o AS (SELECT ${sideSel("o")} FROM ($oldSql) t),
+       |w AS (SELECT ${sideSel("w")} FROM ($newSql) t)
+       |SELECT r.*,
+       |  (new_mean - old_mean) / ABS(old_mean) AS mean_shift,
+       |  ABS((new_mean - old_mean) / ABS(old_mean)) > $meanShiftThreshold AS drifted
+       |FROM (
+       |$perCol
+       |) r ORDER BY "column"""".stripMargin
+  }
 }

@@ -162,4 +162,51 @@ object Ranking {
           .cast("int"))
       .drop("_nt_rank")
   }
+
+  /** Bounded per-group top-k accumulator — the at-scale replacement for
+    * the `row_number() OVER (PARTITION BY g ORDER BY v DESC) <= k`
+    * pattern. The window form shuffles and SORTS every row of every
+    * group; this Aggregator keeps only the k best (key, id) pairs in
+    * its buffer, so map-side partial aggregation bounds what crosses
+    * the wire at k pairs per group per input partition, and no sort of
+    * the full data ever happens. Ordering is key DESC, id ASC
+    * (deterministic ties); the buffer stays sorted best-first, so the
+    * finished array IS the ranked top-k (rank = position + 1).
+    * Identical (key, id) duplicates are kept, matching row_number
+    * (which also keeps both). */
+  class TopKLongPairs(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    require(k >= 1)
+    private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    override def reduce(b: Seq[(Long, Long)],
+                        x: (Long, Long)): Seq[(Long, Long)] =
+      if (b.size == k && !better(x, b.last)) b
+      else {
+        val (lo, hi) = b.span(better(_, x))
+        val m = (lo :+ x) ++ hi
+        if (m.size > k) m.take(k) else m
+      }
+    override def merge(a: Seq[(Long, Long)],
+                       b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val out = Vector.newBuilder[(Long, Long)]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.size || j < b.size)) {
+        val x =
+          if (j >= b.size) { val v = a(i); i += 1; v }
+          else if (i >= a.size) { val v = b(j); j += 1; v }
+          else if (better(a(i), b(j)) || a(i) == b(j)) { val v = a(i); i += 1; v }
+          else { val v = b(j); j += 1; v }
+        out += x; n += 1
+      }
+      out.result()
+    }
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
 }

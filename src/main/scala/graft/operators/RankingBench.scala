@@ -81,6 +81,43 @@ object RankingBench {
     println(f"n=$n cumsum globalWindow=${gcSec}%.1fs distributed=${dcSec}%.1fs " +
       f"speedup=${gcSec / dcSec}%.2fx (count, max and per-row residue " +
       "checksum identical)")
+
+    // ---- grouped top-k race (a25's machinery): window row_number
+    // sorts every row of every group; TopKLongPairs crosses the wire
+    // with k pairs per group per input partition. 100 groups × n/100
+    // rows, k=10 — the curation shape ("best 10 docs per source").
+    val k = 10
+    val gdf = spark.range(0, n, 1, 32)
+      .select((col("id") % 100).as("g"), (xxhash64(col("id")) % 1000000).as("v"),
+        col("id"))
+    def topkSummary(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    def windowTopK(d: org.apache.spark.sql.DataFrame) = topkSummary(
+      d.withColumn("rnk", row_number()
+          .over(Window.partitionBy(col("g")).orderBy(desc("v"), col("id")))
+          .cast("long"))
+        .where(col("rnk") <= k).select(col("g"), col("rnk"), col("v"), col("id"))
+        .collect())
+    val tkAgg = udaf(new Ranking.TopKLongPairs(k))
+    def aggTopK(d: org.apache.spark.sql.DataFrame) = topkSummary(
+      d.groupBy(col("g")).agg(tkAgg(col("v"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._1").as("v"), col("col._2").as("id"))
+        .collect())
+    val gwarm = spark.range(0, n / 10, 1, 32)
+      .select((col("id") % 100).as("g"), (xxhash64(col("id")) % 1000000).as("v"),
+        col("id"))
+    windowTopK(gwarm); aggTopK(gwarm)
+    graft.Isolation.scrub(spark)
+    val (wRes, wSec) = timed(windowTopK(gdf))
+    graft.Isolation.scrub(spark)
+    val (aRes, aSec) = timed(aggTopK(gdf))
+    require(wRes == aRes,
+      s"aggregator top-k diverged from the window formulation")
+    println(f"n=$n topk windowSort=${wSec}%.1fs aggregator=${aSec}%.1fs " +
+      f"speedup=${wSec / aSec}%.2fx (all ${wRes.size} ranked rows identical)")
     spark.stop()
   }
 }

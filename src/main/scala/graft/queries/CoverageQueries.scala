@@ -462,6 +462,29 @@ object CoverageQueries {
             .as("kmv_estimate"))
     }),
 
+    // A25: grouped top-k WITHOUT a window sort — `row_number() OVER
+    // (PARTITION BY g ORDER BY v DESC) <= k` shuffles and sorts every
+    // row of every group; the bounded-heap Aggregator
+    // (Ranking.TopKLongPairs) keeps k pairs per buffer, rides map-side
+    // partial aggregation (k pairs per group per input partition cross
+    // the wire, nothing is globally sorted), and its finished buffer IS
+    // the ranked answer. Money ranked in exact cents (decimal → long)
+    // so both engines compare identical integers.
+    "a25_grouped_topk" -> ((s, dir) => {
+      val topk = udaf(new graft.operators.Ranking.TopKLongPairs(3))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          (graft.functions.Num.dec(col("o_totalprice")) * 100)
+            .cast("long").as("cents"),
+          col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("cents"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._2").as("o_orderkey"), col("col._1").as("cents"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
     // O6: keyset (cursor) pagination — OFFSET's at-scale replacement:
     // the composite (date, key) cursor predicate pushes to the scan and
     // the global TopK materializes only one page, where o3's OFFSET
@@ -728,6 +751,30 @@ object CoverageQueries {
     "q1_dq_report" -> ((s, dir) => {
       graft.operators.Quality.report(Tables.orders(s, dir), DqChecks,
         parents = Map("customer" -> Tables.customer(s, dir)))
+    }),
+
+    // Q4: cross-snapshot drift report — the promotion gate between
+    // dataset versions (q1 audits one snapshot against static rules;
+    // this audits the NEW snapshot against the previous one). Injected
+    // drift: the new snapshot drops every 11th order, adds 50000.00 to
+    // 'F'-status totals (an upstream money-unit bug) (exact decimal add — no rounding-mode hazard),
+    // and nulls o_custkey for every 7th order key; the report must
+    // flag o_totalprice's mean shift and surface the null-count jump.
+    "q4_drift_report" -> ((s, dir) => {
+      import graft.functions.Num
+      val orders = Tables.orders(s, dir)
+      val oldSnap = orders.where(pmod(col("o_orderkey"), lit(5)) =!= 4)
+      val newSnap = orders.where(pmod(col("o_orderkey"), lit(11)) =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "F",
+            (Num.dec(col("o_totalprice")) +
+              lit(java.math.BigDecimal.valueOf(50000))).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("bigint"))
+            .otherwise(col("o_custkey")))
+      graft.operators.Quality.driftReport(oldSnap, newSnap,
+        Seq("o_totalprice", "o_custkey", "o_orderkey"))
     }),
 
     // Q2: robust per-group outlier screen — modified z-score on exact
@@ -1247,6 +1294,18 @@ object CoverageQueries {
          |FROM m""".stripMargin
     },
 
+    "a25_grouped_topk" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, cents FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY o_orderpriority
+        |           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+        |                    o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
     "o6_keyset_page" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderdate < TIMESTAMP '1995-06-17'
@@ -1396,6 +1455,18 @@ object CoverageQueries {
 
     "q1_dq_report" ->
       graft.operators.Quality.reportSql("orders", DqChecks),
+
+    "q4_drift_report" ->
+      graft.operators.Quality.driftReportSql(
+        "SELECT o_totalprice, o_custkey, o_orderkey FROM orders WHERE o_orderkey % 5 <> 4",
+        """SELECT
+          |  CASE WHEN o_orderstatus = 'F'
+          |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 50000.00 AS DOUBLE)
+          |       ELSE o_totalprice END AS o_totalprice,
+          |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+          |  o_orderkey
+          |FROM orders WHERE o_orderkey % 11 <> 3""".stripMargin,
+        Seq("o_totalprice", "o_custkey", "o_orderkey")),
 
     "q2_robust_outliers" ->
       graft.operators.Quality.robustOutliersSql("documents", "n_chars",

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Dedup
+
+/** Streaming document operators — the continuous form of the corpus
+  * curation loop. The reference has no stream processing; this is the
+  * d14 incremental-dedup probe re-expressed as a Structured Streaming
+  * query: instead of a daily batch probing a persisted index, documents
+  * arrive continuously and the LSH bucket membership IS the state.
+  */
+object DocStreams {
+
+  case class BandRow(doc_id: Long, sh: Seq[Long], band: Int, bucket: Long)
+  case class BucketState(members: Vector[(Long, Seq[Long])], closed: Boolean)
+  case class NearDupMatch(doc_id: Long, match_id: Long, jaccard: Double)
+
+  /** Streaming near-dup detection: each arriving document is shingled,
+    * MinHash-signed and banded exactly like the batch/index paths (the
+    * banding rule is shared code — [[Dedup.bandedFrame]]), then each
+    * (band, bucket) group's resident members live in
+    * flatMapGroupsWithState state. A new arrival is verified by EXACT
+    * shingle Jaccard against its bucket's residents (the same
+    * inter/(s1+s2−inter) arithmetic as the batch verification, so a
+    * match here is a match there), emits every verified (doc, resident)
+    * pair once (cross-band duplicates collapsed by the trailing
+    * stateful dropDuplicates), and becomes a resident itself.
+    *
+    * `maxBucket` is the ONLINE form of d14's degenerate-bucket guard,
+    * and doubles as the state bound: when a bucket's membership would
+    * exceed the cap, the bucket closes — its members are dropped from
+    * state and it never produces candidates again. Per-bucket state is
+    * thereby bounded by `maxBucket` shingle sets, so total state grows
+    * with DISTINCT content (buckets), never with a hot template's
+    * repetition count. Unlike the batch guard (which replays the cap
+    * over the complete corpus, dropping the whole bucket
+    * retroactively), the online guard is prefix-dependent: matches
+    * emitted before the bucket filled stay emitted — the unavoidable
+    * difference between a replayable batch rule and an online one,
+    * pinned in the spec.
+    *
+    * State note at 100 TB: membership stores each doc's shingle set
+    * once per band (×bands memory). The RocksDB state store
+    * ([[EventStreams.withRocksDbStateStore]]) keeps that on local disk;
+    * a leaner production variant stores signatures only and rescores
+    * against a doc store, trading a stream-static join per trigger.
+    */
+  def streamingLshDedup(docs: DataFrame, k: Int, bands: Int,
+                        rowsPerBand: Int, threshold: Double,
+                        maxBucket: Int): Dataset[NearDupMatch] = {
+    import docs.sparkSession.implicits._
+    val banded = Dedup.bandedFrame(
+      Dedup.minhashSignatures(docs, k, bands * rowsPerBand),
+      bands, rowsPerBand, carry = Seq("sh")).as[BandRow]
+
+    def fn(key: (Int, Long), rows: Iterator[BandRow],
+           state: GroupState[BucketState]): Iterator[NearDupMatch] = {
+      var st = state.getOption.getOrElse(BucketState(Vector.empty, closed = false))
+      val out = Vector.newBuilder[NearDupMatch]
+      // doc_id order within the trigger: deterministic replay of the
+      // arrival sequence regardless of shuffle partitioning
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (!st.closed && !st.members.exists(_._1 == r.doc_id)) {
+          val shSet = r.sh.toSet
+          st.members.foreach { case (mid, msh) =>
+            val inter = msh.count(shSet.contains)
+            val j = inter.toDouble / (r.sh.size + msh.size - inter)
+            if (j >= threshold) out += NearDupMatch(r.doc_id, mid, j)
+          }
+          if (st.members.size + 1 > maxBucket)
+            st = BucketState(Vector.empty, closed = true) // cap hit: free + close
+          else st = st.copy(members = st.members :+ (r.doc_id -> r.sh))
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    banded
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      // a pair that cohabits several bands verifies identically in each
+      // (same shingle sets → same jaccard): collapse to one emission
+      .dropDuplicates("doc_id", "match_id")
+      .as[NearDupMatch]
+  }
+}

@@ -323,12 +323,14 @@ class PlanSpec extends AnyFunSuite {
     // sibling is the v6 IVF shape), levenshtein all-pairs on a sampled
     // cohort (feeds d7/d9), funnel stage counts (crossJoin of K
     // single-row aggregates), and single-row broadcast scalars (t9/t10
-    // corpus totals — a 1-row build side is the cheapest possible join)
+    // corpus totals, a24's merged-sketch × exact-count pairing — a
+    // 1-row build side is the cheapest possible join)
     val intendedCross = Set(
       "v1_cosine_topk", "v3_embedding_neardup_pairs", "v5_quantized_topk",
       "v7_pq_topk",
       "d5_levenshtein_pairs", "d7_neardup_components", "d9_neardup_survivors",
-      "e6_funnel", "t9_unigram_likelihood", "t10_tfidf_topk")
+      "e6_funnel", "t9_unigram_likelihood", "t10_tfidf_topk",
+      "a24_sketch_rollup", "q4_drift_report")
     // e5 relies on the range-join rule, which activates on the same
     // conf Bench/Verify set — sweep under production settings
     spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")

@@ -120,4 +120,43 @@ class RankingSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("TopKLongPairs equals the window row_number formulation across random layouts, ties, duplicates") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // keys drawn from a SMALL range so cross-group ties and exact
+    // duplicate (key,id) rows both occur; several partitions so merge()
+    // runs between genuinely different buffers
+    val rows = (1 to 4000).map { i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(40).toLong, rnd.nextInt(50).toLong)
+    }
+    for (k <- Seq(1, 3, 8)) {
+      val df = rows.toDF("g", "v", "id").repartition(13)
+      val topk = udaf(new Ranking.TopKLongPairs(k))
+      val got = df.groupBy(col("g")).agg(topk(col("v"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._1").as("v"), col("col._2").as("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val w = Window.partitionBy(col("g")).orderBy(desc("v"), col("id"))
+      val want = df.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= k)
+        .select(col("g"), col("rnk"), col("v"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("TopKLongPairs: groups smaller than k return all members, still ranked") {
+    val df = Seq((1L, 10L, 1L), (1L, 10L, 2L), (2L, 5L, 9L))
+      .toDF("g", "v", "id")
+    val topk = udaf(new Ranking.TopKLongPairs(5))
+    val got = df.groupBy(col("g")).agg(topk(col("v"), col("id")).as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))))
+      .toMap
+    assert(got === Map(1L -> Seq((10L, 1L), (10L, 2L)), 2L -> Seq((5L, 9L))))
+  }
+
 }

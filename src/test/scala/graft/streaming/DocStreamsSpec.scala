@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Streaming near-dup dedup vs its batch twin: the continuous form
+  * must agree with d14's incremental-dedup verdicts on the same
+  * corpus/batch split, and the online bucket cap must both bound state
+  * and stop producing from closed buckets.
+  */
+case class StreamDoc(doc_id: Long, text: String)
+
+class DocStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private type Doc = StreamDoc
+  private def Doc(id: Long, text: String) = StreamDoc(id, text)
+
+  private def run(triggers: Seq[Seq[Doc]], threshold: Double,
+                  maxBucket: Int): Seq[DocStreams.NearDupMatch] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val name = s"docstream_out_${System.nanoTime()}"
+    val q = DocStreams.streamingLshDedup(input.toDF(), k = 3, bands = 8,
+        rowsPerBand = 4, threshold = threshold, maxBucket = maxBucket)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      triggers.foreach { t => input.addData(t: _*); q.processAllAvailable() }
+      spark.table(name).as[DocStreams.NearDupMatch].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("streaming matches equal the batch incremental-dedup verdicts (corpus trigger, then batch trigger)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[Doc].collect().toSeq
+    val corpus = docs.filter(_.doc_id % 11 != 0)
+    val batch = docs.filter(_.doc_id % 11 == 0)
+    val corpusIds = corpus.map(_.doc_id).toSet
+    val got = run(Seq(corpus, batch), threshold = 0.05,
+      maxBucket = Int.MaxValue)
+      // the streaming query also surfaces corpus-internal and
+      // batch-internal matches (every arrival is a future resident);
+      // the batch twin scores batch-vs-corpus only — compare that slice
+      .filter(m => m.doc_id % 11 == 0 && corpusIds(m.match_id))
+      .groupBy(_.doc_id)
+      .map { case (id, ms) => id -> ((ms.size.toLong, ms.map(_.match_id).min)) }
+    val expected = graft.operators.Dedup.incrementalLshDedup(
+        corpus.toDF(), batch.toDF(), k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05)
+      .where(col("is_dup")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty) // the split must actually contain dups
+  }
+
+  test("online bucket cap: matches stop once a bucket closes; closed state is dropped") {
+    // ten identical docs: every band bucket fills in arrival (doc_id)
+    // order — with cap 3 the 4th arrival still verifies against the 3
+    // residents, then the bucket closes; docs 5..10 produce nothing
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 10L).map(Doc(_, text))
+    val got = run(Seq(docs), threshold = 0.5, maxBucket = 3)
+      .map(m => (m.doc_id, m.match_id)).toSet
+    val expected = Set(
+      (2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (4L, 3L))
+    assert(got === expected)
+  }
+
+  test("cross-trigger residency: a later arrival matches an earlier trigger's resident") {
+    val a = Doc(1L, "one two three four five six seven eight")
+    val b = Doc(2L, "one two three four five six seven nine")
+    val got = run(Seq(Seq(a), Seq(b)), threshold = 0.3,
+      maxBucket = Int.MaxValue)
+    assert(got.map(m => (m.doc_id, m.match_id)) === Seq((2L, 1L)))
+    assert(got.head.jaccard > 0.3)
+  }
+}
