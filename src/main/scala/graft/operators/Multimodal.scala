@@ -294,7 +294,8 @@ object Multimodal {
 
   /** Frame sampling plan for videos: every `stride`-th frame index up to
     * `maxFrames` — pure Column arithmetic (the decode of the selected
-    * frames is the stubbed stage). */
+    * frames is the stubbed stage; [[rawVideoFrameSample]] is the REAL
+    * container-parsing sibling). */
   def frameSamplePlan(decoded: DataFrame, stride: Int, maxFrames: Int): DataFrame =
     decoded.where(col("media_type") === "video")
       .withColumn("sampled_frames",
@@ -302,12 +303,139 @@ object Multimodal {
       .withColumn("n_sampled", size(col("sampled_frames")))
 
   /** Resize plumbing: records the target geometry per row (aspect-fit),
-    * payload transform stubbed. */
+    * payload transform stubbed ([[pngResizeStats]] is the REAL-decode
+    * sibling). */
   def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(maxSide) / col("meta.width").cast("double"),
       lit(maxSide) / col("meta.height").cast("double"), lit(1.0))
     media
       .withColumn("target_width", floor(col("meta.width") * scale).cast("int"))
       .withColumn("target_height", floor(col("meta.height") * scale).cast("int"))
+  }
+
+  // ------------------------------------- real resize / frame sampling
+
+  case class ResizedStats(media_id: Long, src_width: Int, src_height: Int,
+                          out_width: Int, out_height: Int, checksum: Long)
+
+  /** REAL image resize over real PNG payloads: ImageIO inflate, then an
+    * explicit nearest-neighbor sample to a fixed `tw`×`th` target —
+    * src pixel (x·w div tw, y·h div th), integer arithmetic only, so
+    * the resample rule (unlike Graphics2D's implementation-defined
+    * filtering) is replayable from the synthetic pixel formula by an
+    * engine that never decodes a PNG. Emits the m2-style
+    * position-weighted checksum of the RESIZED raster. Map-side
+    * (mapPartitions), no shuffle until the caller aggregates — the
+    * shape of every thumbnail/downsample stage at scale. */
+  def pngResizeStats(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw >= 1 && th >= 1)
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload of media_id=$id is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L; var y = 0
+          while (y < th) {
+            val sy = y * h / th
+            var x = 0
+            while (x < tw) {
+              val sx = x * w / tw
+              val rgb = img.getRGB(sx, sy)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              sum += (1L + x + y.toLong * tw) * (r + 2L * g + 3L * b)
+              x += 1
+            }
+            y += 1
+          }
+          ResizedStats(id, w, h, tw, th, sum)
+        }
+      }.toDF()
+  }
+
+  /** Deterministic raw-video container ("RAWV"): 4-byte magic, then
+    * big-endian int32 nFrames/width/height, then nFrames packed RGB
+    * frames with pixel channels from an integer formula of
+    * (id, frame, x, y) — a house container (like the PPM codec) so the
+    * frame-sampling DECODE below is a real byte-level parse while an
+    * oracle recomputes every statistic from the formula without ever
+    * seeing the container. 3 + id%5 frames of (4 + id%3)×(4 + id%4). */
+  def synthRawVideoBytes(id: Long): Array[Byte] = {
+    val f = (3 + id % 5).toInt; val w = (4 + id % 3).toInt; val h = (4 + id % 4).toInt
+    val buf = java.nio.ByteBuffer.allocate(16 + f * w * h * 3)
+    buf.put("RAWV".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(f).putInt(w).putInt(h)
+    var fi = 0
+    while (fi < f) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          buf.put(((id * 31 + fi * 29 + x * 7 + y * 13) % 256).toByte)
+          buf.put(((id * 17 + fi * 23 + x * 11 + y * 5) % 256).toByte)
+          buf.put(((id * 7 + fi * 19 + x * 3 + y * 19) % 256).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      fi += 1
+    }
+    buf.array()
+  }
+
+  /** (media_id) → (media_id, payload: RAWV bytes), map-side. */
+  def synthRawVideoMedia(ids: DataFrame): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthRawVideoBytes(id))))
+      .toDF("media_id", "payload")
+  }
+
+  case class FrameSampleStats(media_id: Long, n_frames: Int, width: Int,
+                              height: Int, n_sampled: Int, checksum: Long)
+
+  /** REAL frame sampling: parse the RAWV container byte-for-byte, keep
+    * every `stride`-th frame up to `maxFrames` (indices 0, stride, …),
+    * and checksum only the SAMPLED frames' pixels — weight
+    * (1 + x + y·w) · (1 + frame index) · (R + 2G + 3B), so a sampler
+    * that reads the wrong frames or the wrong byte offsets cannot
+    * pass. Skipped frames' bytes are never touched past the seek — at
+    * scale that is the point of stride sampling: decode cost scales
+    * with SAMPLED frames, not stored ones. */
+  def rawVideoFrameSample(media: DataFrame, stride: Int,
+                          maxFrames: Int): DataFrame = {
+    require(stride >= 1 && maxFrames >= 1)
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+          val magic = new Array[Byte](4); buf.get(magic)
+          require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII) == "RAWV",
+            s"media_id=$id is not a RAWV container")
+          val f = buf.getInt; val w = buf.getInt; val h = buf.getInt
+          val frameBytes = w * h * 3
+          var sum = 0L; var sampled = 0; var fi = 0
+          while (fi < f && sampled < maxFrames) {
+            val base = 16 + fi * frameBytes
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = base + (y * w + x) * 3
+                val r = bytes(p) & 0xff; val g = bytes(p + 1) & 0xff
+                val b = bytes(p + 2) & 0xff
+                sum += (1L + x + y.toLong * w) * (1L + fi) * (r + 2L * g + 3L * b)
+                x += 1
+              }
+              y += 1
+            }
+            sampled += 1
+            fi += stride
+          }
+          FrameSampleStats(id, f, w, h, sampled, sum)
+        }
+      }.toDF()
   }
 }

@@ -654,6 +654,35 @@ object CoverageQueries {
         .orderBy(col("media_id"))
     }),
 
+    // M4: REAL image resize — ImageIO-decoded PNGs nearest-neighbor
+    // resampled to a fixed 4×4 target with integer src mapping
+    // (x·w div tw), position-weighted checksum of the RESIZED raster;
+    // the oracle replays the resample rule from the pixel formula
+    // without decoding anything. Different cohort than m2 so the two
+    // share no subtree.
+    "m4_image_resize" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(47)) === 0)
+        .select(col("doc_id").as("media_id"))
+      Multimodal.pngResizeStats(Multimodal.synthPngMedia(ids), tw = 4, th = 4)
+        .orderBy(col("media_id"))
+    }),
+
+    // M5: REAL frame sampling — house RAWV containers parsed
+    // byte-for-byte, every 2nd frame kept up to 3, checksum weighted by
+    // frame index so wrong frames/offsets can't pass; sampled-only
+    // decode cost is the stride-sampling point at scale.
+    "m5_frame_sample" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(53)) === 0)
+        .select(col("doc_id").as("media_id"))
+      Multimodal.rawVideoFrameSample(
+          Multimodal.synthRawVideoMedia(ids), stride = 2, maxFrames = 3)
+        .orderBy(col("media_id"))
+    }),
+
     // S18: JSONL corpus ingest round trip — docs serialize to JSON
     // lines in-engine, parse back through from_json with the explicit
     // nested schema, and the aggregate reads PARSED columns only; the
@@ -669,6 +698,26 @@ object CoverageQueries {
           sum(size(col("head_tokens")).cast("long")).as("head_token_count"),
           sum(length(col("text")).cast("long")).as("text_len_sum"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // S20: seeded epoch shuffle — the deterministic global shuffle
+    // that fixes a training run's data order: shuffle key = portable
+    // hash of (epoch seed, doc id), position = exact distributed rank
+    // (Ranking.globalRank — range partition + broadcast offsets, no
+    // single-partition sort), shard = position div SHARD_SIZE. Seed
+    // in, identical order out on any cluster/partitioning — the
+    // reproducibility contract a 100 TB training job needs; re-keying
+    // by epoch reshuffles without re-reading anything else.
+    "s20_epoch_shuffle" -> ((s, dir) => {
+      import graft.functions.PolyHash64
+      val keyed = Tables.documents(s, dir).select(col("doc_id"),
+        PolyHash64.polyHash64(
+          concat(lit("epoch7|"), col("doc_id").cast("string"))).as("k"))
+      graft.operators.Ranking
+        .globalRank(keyed, Seq(col("k"), col("doc_id")), "pos")
+        .select(col("doc_id"), col("pos"),
+          expr("(pos - 1) div 128").as("shard"))
+        .orderBy(col("pos"))
     }),
 
     // M3: real audio-container decode — synthesized RIFF/PCM WAV bytes
@@ -1392,6 +1441,19 @@ object CoverageQueries {
         |       COUNT(DISTINCT first_char) AS n_first_chars
         |FROM media GROUP BY source ORDER BY source""".stripMargin,
 
+    "s20_epoch_shuffle" -> {
+      import graft.functions.PolyHash64
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ${PolyHash64.sql("'epoch7|' || CAST(doc_id AS VARCHAR)")} AS k
+         |  FROM documents)
+         |SELECT doc_id, pos, (pos - 1) // 128 AS shard FROM (
+         |  SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+         |  FROM t)
+         |ORDER BY pos""".stripMargin
+    },
+
     "s18_json_ingest" ->
       """SELECT lang, source,
         |       COUNT(*) AS n_docs,
@@ -1433,6 +1495,50 @@ object CoverageQueries {
         |       CAST(SUM((1 + x + y*w) * ((media_id*31 + x*7 + y*13) % 256
         |             + 2*((media_id*17 + x*11 + y*5) % 256)
         |             + 3*((media_id*7 + x*3 + y*19) % 256))) AS BIGINT) AS checksum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "m4_image_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 47 = 0),
+        |px AS (
+        |  SELECT media_id, w, h, gx.x AS x, gy.y AS y
+        |  FROM m, LATERAL (SELECT unnest(range(0, 4)) AS x) gx,
+        |          LATERAL (SELECT unnest(range(0, 4)) AS y) gy),
+        |sp AS (
+        |  SELECT media_id, w, h, x, y, (x * w) // 4 AS sx, (y * h) // 4 AS sy
+        |  FROM px)
+        |SELECT media_id,
+        |       CAST(MIN(w) AS INTEGER) AS src_width,
+        |       CAST(MIN(h) AS INTEGER) AS src_height,
+        |       CAST(4 AS INTEGER) AS out_width,
+        |       CAST(4 AS INTEGER) AS out_height,
+        |       CAST(SUM((1 + x + y*4) * ((media_id*31 + sx*7 + sy*13) % 256
+        |             + 2*((media_id*17 + sx*11 + sy*5) % 256)
+        |             + 3*((media_id*7 + sx*3 + sy*19) % 256))) AS BIGINT) AS checksum
+        |FROM sp GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "m5_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 5 AS f,
+        |         4 + doc_id % 3 AS w, 4 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |fr AS (
+        |  SELECT media_id, f, w, h, gf.fi AS fi
+        |  FROM m, LATERAL (SELECT unnest(range(0, f)) AS fi) gf
+        |  WHERE fi % 2 = 0 AND fi // 2 < 3),
+        |px AS (
+        |  SELECT media_id, f, w, h, fi, gx.x AS x, gy.y AS y
+        |  FROM fr, LATERAL (SELECT unnest(range(0, w)) AS x) gx,
+        |           LATERAL (SELECT unnest(range(0, h)) AS y) gy)
+        |SELECT media_id,
+        |       CAST(MIN(f) AS INTEGER) AS n_frames,
+        |       CAST(MIN(w) AS INTEGER) AS width,
+        |       CAST(MIN(h) AS INTEGER) AS height,
+        |       CAST(COUNT(DISTINCT fi) AS INTEGER) AS n_sampled,
+        |       CAST(SUM((1 + x + y*w) * (1 + fi) * ((media_id*31 + fi*29 + x*7 + y*13) % 256
+        |             + 2*((media_id*17 + fi*23 + x*11 + y*5) % 256)
+        |             + 3*((media_id*7 + fi*19 + x*3 + y*19) % 256))) AS BIGINT) AS checksum
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "s11_incremental_agg" ->

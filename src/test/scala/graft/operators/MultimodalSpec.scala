@@ -154,4 +154,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(tw <= r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width"))
     }
   }
+
+  test("real NN resize at source geometry is the identity: checksum equals the m2 decode checksum") {
+    // src pixel (x·w div w, y·h div h) = (x, y) — resizing to the
+    // source size must reproduce pngDecodeStats' checksum exactly, so
+    // the NN loop provably reads the raster at the right offsets
+    val ids = spark.range(1, 6).select(col("id").as("media_id"))
+    val png = synthPngMedia(ids)
+    val decode = pngDecodeStats(png).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("checksum")).toMap
+    decode.keys.foreach { id =>
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val res = pngResizeStats(png.where(col("media_id") === id), w, h)
+        .collect().head
+      assert(res.getAs[Long]("checksum") === decode(id),
+        s"identity resize must equal the decode checksum for id=$id")
+    }
+  }
+
+  test("real frame sampling: stride 1 with no cap reads every frame; stride skips exactly") {
+    val ids = spark.range(1, 8).select(col("id").as("media_id"))
+    val vids = synthRawVideoMedia(ids)
+    val full = rawVideoFrameSample(vids, stride = 1, maxFrames = 100)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("n_frames"), r.getAs[Int]("n_sampled")))).toMap
+    full.foreach { case (id, (f, s)) =>
+      assert(s === f, s"stride=1 uncapped must sample all $f frames (id=$id)")
+      assert(f === (3 + id % 5).toInt)
+    }
+    val strided = rawVideoFrameSample(vids, stride = 3, maxFrames = 2)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("n_frames"), r.getAs[Int]("n_sampled")))).toMap
+    strided.foreach { case (id, (f, s)) =>
+      assert(s === math.min(2, (f + 2) / 3), s"id=$id f=$f s=$s")
+    }
+  }
 }
