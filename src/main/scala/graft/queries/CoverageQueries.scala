@@ -80,6 +80,36 @@ object CoverageQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // C5: the training-shard materializer end to end — the job that
+    // turns a curated corpus into the artifact a trainer actually
+    // reads: overlap-chunk every doc into context windows (s9), fix
+    // the epoch order with a seeded portable-hash shuffle (s20's
+    // rule), lay the shuffled chunks into token-budget shards with the
+    // exact distributed running sum (s7's packing rule via
+    // Ranking.cumsumExact — no single-partition window), and roll up
+    // per shard with a fingerprint checksum so a chunk in the wrong
+    // shard cannot pass. ONE oracle replays the whole chain.
+    "c5_training_shards" -> ((s, dir) => {
+      import graft.operators.{TextAnalysis, Ranking}
+      import graft.functions.PolyHash64
+      val chunks = TextAnalysis.chunkTokens(
+          Tables.documents(s, dir).where(pmod(col("doc_id"), lit(5)) === 0),
+          chunk = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("tok"),
+          PolyHash64.polyHash64(array_join(col("chunk"), " ")).as("fp"))
+        .withColumn("k", PolyHash64.polyHash64(concat(lit("e3|"),
+          col("doc_id").cast("string"), lit("|"),
+          col("chunk_idx").cast("string"))))
+      Ranking.cumsumExact(chunks,
+          Seq(col("k"), col("doc_id"), col("chunk_idx")), col("tok"), "cum")
+        .withColumn("shard", expr("(cum - tok) div 2000"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("tok")).as("tokens"),
+          sum(col("fp")).as("fp_sum"))
+        .orderBy(col("shard"))
+    }),
+
     // S10: snapshot diff (dataset versioning audit) — snapshot B is
     // derived deterministically from A (drops, edits, additions), and
     // the diff classifies every key by content digest
@@ -1049,6 +1079,30 @@ object CoverageQueries {
          |       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
          |       ${PolyHash64.sql("array_to_string(chunk, ' ')")} AS fp
          |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    "c5_training_shards" -> {
+      import graft.functions.PolyHash64
+      val cte = graft.operators.TextAnalysis
+        .chunkTokensCte(chunk = 64, overlap = 16, "WHERE doc_id % 5 = 0")
+      s"""$cte,
+         |ch AS (
+         |  SELECT doc_id, chunk_idx,
+         |         CAST(len(chunk) AS BIGINT) AS tok,
+         |         ${PolyHash64.sql("array_to_string(chunk, ' ')")} AS fp,
+         |         ${PolyHash64.sql(
+                     "'e3|' || CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR)")} AS k
+         |  FROM chunks),
+         |cum AS (
+         |  SELECT doc_id, chunk_idx, tok, fp,
+         |         SUM(tok) OVER (ORDER BY k, doc_id, chunk_idx
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ch)
+         |SELECT CAST((cum - tok) // 2000 AS BIGINT) AS shard,
+         |       COUNT(*) AS n_chunks,
+         |       CAST(SUM(tok) AS BIGINT) AS tokens,
+         |       CAST(SUM(fp) AS BIGINT) AS fp_sum
+         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "s13_importance_sample" -> {

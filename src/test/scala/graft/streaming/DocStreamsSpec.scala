@@ -70,6 +70,21 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming near-dup under the RocksDB state store: identical matches (bucket state lives off-heap)") {
+    // the production state-store for corpus-sized residency: membership
+    // (shingle sets per bucket) goes to local disk instead of the
+    // executor heap; the query semantics must not move at all
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 10L).map(Doc(_, text))
+    val expected = Set(
+      (2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (4L, 3L))
+    val got = EventStreams.withRocksDbStateStore(spark) {
+      run(Seq(docs), threshold = 0.5, maxBucket = 3)
+        .map(m => (m.doc_id, m.match_id)).toSet
+    }
+    assert(got === expected)
+  }
+
   test("cross-trigger residency: a later arrival matches an earlier trigger's resident") {
     val a = Doc(1L, "one two three four five six seven eight")
     val b = Doc(2L, "one two three four five six seven nine")
