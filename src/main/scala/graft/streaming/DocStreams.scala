@@ -58,9 +58,39 @@ object DocStreams {
            state: GroupState[BucketState]): Iterator[NearDupMatch] = {
       var st = state.getOption.getOrElse(BucketState(Vector.empty, closed = false))
       val out = Vector.newBuilder[NearDupMatch]
-      // doc_id order within the trigger: deterministic replay of the
-      // arrival sequence regardless of shuffle partitioning
-      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      // Processing runs in doc_id order within the trigger —
+      // deterministic replay of the arrival sequence regardless of
+      // shuffle partitioning. BOUNDED buffering: once the bucket has
+      // admitted (maxBucket + 1) members it is closed, so only the
+      // (maxBucket + 1 − |members|) smallest arriving doc_ids can ever
+      // be processed — keep exactly that many (a bottom-k insertion,
+      // the TopKLongPairs shape) and drain the rest of the iterator
+      // untouched. A same-trigger flood of one hot template bucket
+      // costs O(cap) memory here, never O(arrivals) — without this the
+      // sort itself would buffer the entire flood before the cap could
+      // act.
+      val admit: Long =
+        if (st.closed) 0L else maxBucket.toLong + 1L - st.members.size
+      // tiny caps → O(cap) bottom-k insertion; effectively-unbounded
+      // caps → plain sort (insertion would go quadratic, and with no
+      // cap the whole trigger is processed anyway)
+      val buf: Seq[BandRow] =
+        if (admit <= 0) Vector.empty
+        else if (admit > 4096) rows.toSeq.sortBy(_.doc_id)
+        else {
+          var b = Vector.empty[BandRow] // sorted by doc_id, size <= admit
+          rows.foreach { r =>
+            if (b.size < admit || r.doc_id < b.last.doc_id) {
+              val (lo, hi) = b.span(_.doc_id < r.doc_id)
+              if (!(hi.nonEmpty && hi.head.doc_id == r.doc_id)) { // in-trigger dup
+                val m = (lo :+ r) ++ hi
+                b = if (m.size > admit) m.take(admit.toInt) else m
+              }
+            }
+          }
+          b
+        }
+      buf.foreach { r =>
         if (!st.closed && !st.members.exists(_._1 == r.doc_id)) {
           val shSet = r.sh.toSet
           st.members.foreach { case (mid, msh) =>

@@ -85,6 +85,19 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("same-trigger hot-bucket flood: bounded buffer keeps the exact capped semantics") {
+    // 3000 identical docs arrive in ONE trigger; with cap 3 only the 4
+    // smallest doc_ids are ever processed (the 4th closes the bucket),
+    // so the bounded bottom-k buffer must reproduce exactly the small
+    // fixture's match set — and do it in O(cap), not O(flood), memory
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = scala.util.Random.shuffle((1L to 3000L).toList).map(Doc(_, text))
+    val got = run(Seq(docs), threshold = 0.5, maxBucket = 3)
+      .map(m => (m.doc_id, m.match_id)).toSet
+    assert(got === Set(
+      (2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (4L, 3L)))
+  }
+
   test("cross-trigger residency: a later arrival matches an earlier trigger's resident") {
     val a = Doc(1L, "one two three four five six seven eight")
     val b = Doc(2L, "one two three four five six seven nine")
