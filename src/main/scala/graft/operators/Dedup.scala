@@ -262,7 +262,12 @@ object Dedup {
     * partition `pmod(bucket, nBucketParts)`, so an incremental probe's
     * bucket join prunes to only the partitions its own buckets hash
     * into — the daily-increment analogue of [[graft.operators.Similarity.saveIvf]]'s
-    * cell partitioning. */
+    * cell partitioning. Sizing at scale: pruning pays when the batch's
+    * distinct buckets cover a minority of partitions, so raise this
+    * with the corpus (e.g. toward 4–16K at 100 TB) — each partition
+    * should hold a few hundred MB of band rows, and a small daily
+    * batch (≤ a few hundred distinct buckets per band) then touches a
+    * small fraction of them. */
   val LshBucketParts = 64
 
   /** Incremental batch-vs-corpus near-dup dedup — the production shape
@@ -314,7 +319,16 @@ object Dedup {
     * for sizes, once for members) — bucket sizes are a static fact of
     * the index version, so a production build can precompute them at
     * [[saveLshIndex]] time; probe-time counting is chosen here because
-    * it can never go stale across [[appendToLshIndex]] batches. */
+    * it can never go stale across [[appendToLshIndex]] batches.
+    *
+    * The BATCH side's shingle/signature subtree is referenced several
+    * times (probe buckets, candidate join, verification, output base)
+    * and recomputes per reference — |batch| work each, the side that
+    * is small by contract. The lazy surface must not pin cache blocks
+    * it can never release (the [[minhashLshPairs]] rule); a caller
+    * probing repeatedly can cache the small batch DataFrame itself
+    * before calling, which bounds every recompute at one in-memory
+    * scan. */
   private def dedupAgainstBands(corpusBands: DataFrame, corpusDocs: DataFrame,
                                 batchSig: DataFrame, bands: Int,
                                 rowsPerBand: Int, threshold: Double,

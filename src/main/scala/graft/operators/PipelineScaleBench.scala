@@ -164,8 +164,10 @@ object PipelineScaleBench {
           .collect().map(_.toSeq).toSeq)
       graft.Isolation.scrub(spark)
       val nDups = probed.count(_(3) == true)
+      val buildTxt = if (buildSec < 0) "build=cached"
+                     else f"build=${buildSec}%.2fs"
       println(f"psb d14 copies=$c%-2d batch=$nBatch dups=$nDups " +
-        f"build=${buildSec}%.2fs probe=${probeSec}%.2fs " +
+        f"$buildTxt probe=${probeSec}%.2fs " +
         f"from_scratch=${scratchSec}%.2fs equal=${probed == scratch}")
       if (probed != scratch) {
         System.err.println(s"psb d14 OUTPUT MISMATCH at copies=$c")
