@@ -711,6 +711,92 @@ object Similarity {
     }
   }
 
+  // ------------------ persisted IVF+PQ serving index (memory tier)
+
+  /** Persist the full memory-tier serving index: trained IVF cells
+    * with PER-VECTOR PQ CODES stored in the cell-partitioned table —
+    * the FAISS IVF-PQ layout as parquet. Each cell row carries
+    * (vec_id, embedding, codes); a probe's ADC pass reads only the
+    * `codes` column of probed partitions, and the exact rescore
+    * re-joins the same pruned partitions reading `embedding` for the
+    * survivors only — partition pruning × column pruning splitting
+    * the byte cost exactly the way the RAM tiers do (codes hot,
+    * floats cold). Centroids, codebooks and (m, kCode) ride side
+    * tables; meta is written LAST as the commit marker, so a probe of
+    * a half-written index fails loudly instead of finding nothing. */
+  def savePqIvf(emb: DataFrame, nCentroids: Int, m: Int, kCode: Int,
+                path: String, trainIters: Int = 10): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val (index, assigned) = buildIvfTrained(base, nCentroids, maxIter = trainIters)
+    val cbRows = trainPqCodebooks(base, m, kCode, trainIters)
+    val cbFlat = typedLit(cbRows.sortBy(t => (t._1, t._2)).flatMap(_._3))
+    assigned.toDF().select(col("vec_id"), col("cell"))
+      .join(base, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        Registry.pqEncode(col("embedding"), cbFlat, m, kCode).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    index.centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
+      .toDF("ci", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    cbRows.toDF("s", "j", "cb").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((m, kCode, nCentroids)).toDF("m", "k_code", "n_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a [[savePqIvf]] index: `nProbe` nearest cells per query
+    * (shared [[nearestCells]] rule), ADC scoring over the codes
+    * column, exact-cosine rescore of the top `rescoreK` via a second
+    * (cell, vec_id)-keyed join into the same pruned partitions. Both
+    * cell scans carry dynamic-partition-pruning filters
+    * (spec-asserted). Ranking rules are [[pqTopK]]'s: fixed-point ADC,
+    * ties to the lowest vec_id, the exact pass owns the final order —
+    * so with every cell probed and an unbounded rescore the result
+    * EQUALS [[bruteForceTopK]] (spec-asserted), and nProbe/rescoreK
+    * dial recall against cost from there. */
+  def pqIvfSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, k: Int, nProbe: Int,
+                  rescoreK: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, kCode) = (meta.getInt(0), meta.getInt(1))
+    val index = IvfIndex(spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1))
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    val cbFlat = typedLit(cbRows.sortBy(t => (t._1, t._2)).flatMap(_._3))
+    val cells = spark.read.parquet(s"$path/cells")
+    val bc = spark.sparkContext.broadcast(index)
+    import spark.implicits._
+    val qCells = queries.select(col("vec_id").as("q_id"), col("embedding"))
+      .map { r =>
+        val f = r.getSeq[Float](1).toArray
+        (r.getLong(0), f, nearestCells(bc.value, f.map(_.toDouble), nProbe))
+      }.toDF("q_id", "q_emb", "cells")
+    val probes = qCells
+      .withColumn("lut", Registry.pqLut(col("q_emb"), cbFlat, m, kCode))
+      .select(col("q_id"), col("q_emb"), col("lut"),
+        explode(col("cells")).as("cell"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(desc("qscore"), col("vec_id"))
+    val cand = probes.join(cells.select(col("cell"), col("vec_id"), col("codes")),
+        Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("qscore", Registry.pqAdc(col("codes"), col("lut"), kCode))
+      .withColumn("qrank", row_number().over(wq))
+      .where(col("qrank") <= rescoreK)
+      .select(col("q_id"), col("q_emb"), col("cell"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    cand
+      .join(cells.select(col("cell"), col("vec_id"), col("embedding")),
+        Seq("cell", "vec_id"))
+      .withColumn("cos", Registry.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private def pqTopKWith(emb: DataFrame, cbRows: Seq[(Int, Int, Seq[Double])],
                          m: Int, sampleMod: Int, k: Int,
                          rescoreK: Int): DataFrame = {

@@ -483,4 +483,31 @@ class TrainedIvfSpec extends AnyFunSuite {
     assert(codes.forall { case (s, j, cbv) =>
       s >= 0 && s < 8 && j >= 0 && j < kCode && cbv.size == 8 })
   }
+
+  test("persisted IVF+PQ index: exhaustive probe equals brute force; partial probe DPP-prunes and recalls") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("pqivf").toString
+    val nCells = 8
+    Similarity.savePqIvf(emb, nCentroids = nCells, m = 8, kCode = 16, path)
+    val queries = emb.where(col("vec_id") % 10 === 0)
+    // every cell probed + unbounded rescore: the ADC stage passes every
+    // candidate through and the exact pass owns the ranking — the
+    // result must EQUAL brute force row for row, cosines included
+    val full = Similarity.pqIvfSearch(spark, path, queries, k = 5,
+      nProbe = nCells, rescoreK = Int.MaxValue)
+    val brute = Similarity.bruteForceTopK(emb, sampleMod = 10, k = 5)
+    assert(full.collect().map(_.toSeq).toSeq ===
+      brute.collect().map(_.toSeq).toSeq)
+    // the serving configuration: pruned probes, bounded rescore — both
+    // cell scans (ADC codes pass AND the embedding rescore pass) join
+    // on the partition column and carry dynamic pruning
+    val partial = Similarity.pqIvfSearch(spark, path, queries, k = 5,
+      nProbe = 3, rescoreK = 20)
+    val plan = partial.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    val recall = topkPairs(partial).intersect(topkPairs(brute)).size.toDouble /
+      topkPairs(brute).size
+    assert(recall >= 0.5, s"IVF+PQ partial recall@5 = $recall")
+  }
 }
