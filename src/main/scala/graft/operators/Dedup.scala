@@ -424,6 +424,24 @@ object Dedup {
     } finally sig.unpersist()
   }
 
+  /** Small-file compaction for an append-grown LSH index: every
+    * [[appendToLshIndex]] batch adds at least one file per touched
+    * `part=` partition, so a daily loop accretes tiny files until the
+    * pruned probe scans go metadata-bound — the same accretion the IVF
+    * cell table suffers, fixed by the same crash-safe swap
+    * ([[graft.sources.Compaction.compactPartitions]]). Probe results
+    * are unchanged (spec-asserted); returns the compacted part ids. */
+  def compactLshBands(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxFilesPerPart: Int, targetFiles: Int = 1): Seq[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
+    graft.sources.Compaction.compactPartitions(spark, s"$path/bands",
+      "part=", maxFilesPerPart, targetFiles).map(_.toInt)
+  }
+
   /** Probe a persisted index with a new batch: [[incrementalLshDedup]]
     * semantics, corpus side read from the `part`-partitioned band table
     * (DPP-pruned to the batch's buckets) and the doc store. */

@@ -271,64 +271,15 @@ object Similarity {
     * (asserted in TrainedIvfSpec). Returns the compacted cell ids. */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerCell: Int, targetFiles: Int = 1): Seq[Int] = {
-    require(maxFilesPerCell >= 1 && targetFiles >= 1)
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val cellsRoot = new HPath(s"$path/cells")
-    val fs = FileSystem.get(cellsRoot.toUri, spark.sessionState.newHadoopConf())
-    require(fs.exists(cellsRoot),
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")),
       s"$path is not a saved IVF index (no cells/ directory — see saveIvf)")
-    // Startup recovery: a previous compaction that crashed mid-swap
-    // leaves _compact_tmp_*/_compact_old_* dirs behind. The dangerous
-    // window is between rename(live -> old) and rename(tmp -> live):
-    // there the cell is ABSENT from the index and only the trash copy
-    // holds its data — without this sweep the loss is silent (probes
-    // just skip the missing cell) and recovery is manual. Restore the
-    // trash copy when the live dir is missing; otherwise the swap
-    // completed (or never started) and the leftovers are just litter.
-    fs.listStatus(new HPath(path)).map(_.getPath)
-      .filter(p => p.getName.startsWith("_compact_old_")).foreach { trash =>
-        val live = new HPath(cellsRoot, trash.getName.stripPrefix("_compact_old_"))
-        if (!fs.exists(live)) {
-          if (!fs.rename(trash, live))
-            throw new java.io.IOException(
-              s"crash recovery could not restore $trash to $live")
-        } else fs.delete(trash, true)
-      }
-    fs.listStatus(new HPath(path)).map(_.getPath)
-      .filter(_.getName.startsWith("_compact_tmp_"))
-      .foreach(fs.delete(_, true)) // incomplete rewrites — always safe to drop
-    val compacted = Seq.newBuilder[Int]
-    fs.listStatus(cellsRoot).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith("cell=")).foreach { dir =>
-        val nFiles = fs.listStatus(dir)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        if (nFiles > maxFilesPerCell) {
-          val tmp = new HPath(s"$path/_compact_tmp_${dir.getName}")
-          // reading the partition dir directly drops the `cell` column —
-          // intended: the dir name carries it, rows need not
-          spark.read.parquet(dir.toString).coalesce(targetFiles)
-            .write.mode("overwrite").parquet(tmp.toString)
-          // move the live dir ASIDE before renaming the replacement in:
-          // a crash between a delete and a rename would silently drop
-          // the whole cell from the index; with the trash two-step every
-          // crash point leaves the data recoverable (underscore-prefixed
-          // dirs are invisible to parquet readers)
-          val trash = new HPath(s"$path/_compact_old_${dir.getName}")
-          if (fs.exists(trash)) fs.delete(trash, true)
-          if (!fs.rename(dir, trash))
-            throw new java.io.IOException(s"compaction could not stage $dir aside")
-          if (!fs.rename(tmp, dir)) {
-            fs.rename(trash, dir) // restore the original cell
-            throw new java.io.IOException(s"compaction rename failed for $dir")
-          }
-          fs.delete(trash, true)
-          compacted += dir.getName.stripPrefix("cell=").toInt
-        }
-      }
-    // Spark caches parquet file listings per path (SharedInMemoryCache):
-    // readers opened after the rewrite would otherwise chase deleted files
-    spark.catalog.refreshByPath(s"$path/cells")
-    compacted.result()
+    // swap protocol + crash recovery live in sources.Compaction — ONE
+    // audited implementation for every partitioned index in the engine
+    graft.sources.Compaction.compactPartitions(spark, s"$path/cells",
+      "cell=", maxFilesPerCell, targetFiles).map(_.toInt)
   }
 
   /** Cell-occupancy statistics for an IVF index — the post-append drift

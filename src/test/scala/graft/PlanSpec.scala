@@ -202,6 +202,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("a25: grouped top-k combines map-side and has NO window sort over the data") {
+    val p = physical("a25_grouped_topk")
+    // the whole point vs row_number(): k pairs per group per input
+    // partition cross the wire (partial aggregate below the exchange),
+    // and no Window/Sort node ever sees the full orders relation — the
+    // only Sort is the final k-row-per-group presentation ordering
+    assert(p.contains("partial_topklongpairs"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("RunningWindowFunction") &&
+      !p.contains("Window"), p)
+  }
+
   test("q1: all row-level DQ checks share ONE scan; only key-shuffle checks scan again") {
     val p = physical("q1_dq_report")
     // 3 PredChecks → 1 shared pass; UniqueCheck → 1; OrphanCheck → child + parent

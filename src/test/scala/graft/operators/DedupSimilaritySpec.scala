@@ -438,6 +438,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped(101L) === ((0L, false)))
   }
 
+  test("LSH index compaction: append-grown band partitions shrink to one file, probes unchanged") {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("lsh_compact").toString
+    // save a third of the corpus, append the other two thirds in two
+    // batches — every touched part accretes a file per append
+    Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(3)) === 0),
+      k = 3, bands = 8, rowsPerBand = 4, path, nBucketParts = 4)
+    Dedup.appendToLshIndex(docs.where(pmod(col("doc_id"), lit(3)) === 1), path)
+    Dedup.appendToLshIndex(docs.where(pmod(col("doc_id"), lit(3)) === 2), path)
+    val probe = Seq((1000000L,
+      "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+      .unionByName(docs.where(pmod(col("doc_id"), lit(37)) === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val before = Dedup.dedupAgainstLshIndex(probe, path, threshold = 0.05)
+      .collect().map(_.toSeq).toSeq
+    val fs = FileSystem.get(new HPath(path).toUri,
+      spark.sessionState.newHadoopConf())
+    def maxFiles: Int = fs.listStatus(new HPath(s"$path/bands"))
+      .filter(_.isDirectory).map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))).max
+    assert(maxFiles > 1, "appends should have fragmented at least one part")
+    val compacted = Dedup.compactLshBands(spark, path, maxFilesPerPart = 1)
+    assert(compacted.nonEmpty)
+    assert(maxFiles === 1, "every fragmented part should be one file now")
+    val after = Dedup.dedupAgainstLshIndex(probe, path, threshold = 0.05)
+      .collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction must never change probe results")
+  }
+
   test("incremental dedup: probing after appendToLshIndex is idempotent (no self-matches) and sees appended docs") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
