@@ -697,6 +697,35 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incremental maintenance for a [[savePqIvf]] index: assign arriving
+    * vectors under the index's FROZEN centroids, encode them under the
+    * FROZEN codebooks, and append to the cell-partitioned table —
+    * exactly [[appendToIvf]]'s daily-ingest contract extended to the
+    * codes column, so probes after the append see the union as a fresh
+    * save of it would (same centroids ⇒ same cells, same codebooks ⇒
+    * same codes — spec-asserted via exhaustive-probe ≡ brute force
+    * over the union). Fragmentation from repeated appends is the
+    * [[compactIvfCells]] story: the shared
+    * [[graft.sources.Compaction.compactPartitions]] applies to
+    * `$$path/cells` verbatim. Codebook/centroid drift under a shifted
+    * ingest distribution is the [[ivfCellStats]] tripwire, unchanged. */
+  def appendToPqIvf(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, kCode) = (meta.getInt(0), meta.getInt(1))
+    val index = IvfIndex(spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1))
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    val cbFlat = typedLit(cbRows.sortBy(t => (t._1, t._2)).flatMap(_._3))
+    val base = newVectors.select(col("vec_id"), col("embedding"))
+    assignToCells(index, base).select(col("vec_id"), col("cell"))
+      .join(base, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        Registry.pqEncode(col("embedding"), cbFlat, m, kCode).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Probe a [[savePqIvf]] index: `nProbe` nearest cells per query
     * (shared [[nearestCells]] rule), ADC scoring over the codes
     * column, exact-cosine rescore of the top `rescoreK` via a second

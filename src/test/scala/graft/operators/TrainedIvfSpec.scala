@@ -510,4 +510,32 @@ class TrainedIvfSpec extends AnyFunSuite {
       topkPairs(brute).size
     assert(recall >= 0.5, s"IVF+PQ partial recall@5 = $recall")
   }
+
+  test("IVF+PQ append lifecycle: frozen-centroid/codebook appends keep exhaustive probe == brute force over the union; compaction leaves probes unchanged") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") % 2 === 0)
+    val arriving = emb.where(col("vec_id") % 2 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("pqivf_inc").toString
+    val nCells = 8
+    Similarity.savePqIvf(resident, nCentroids = nCells, m = 8, kCode = 16, path)
+    Similarity.appendToPqIvf(arriving, path)
+    val queries = emb.where(col("vec_id") % 10 === 0)
+    val full = Similarity.pqIvfSearch(spark, path, queries, k = 5,
+      nProbe = nCells, rescoreK = Int.MaxValue)
+    // frozen centroids => same cells, frozen codebooks => same codes:
+    // the appended index must serve the UNION exactly
+    val brute = Similarity.bruteForceTopK(emb, sampleMod = 10, k = 5)
+    assert(full.collect().map(_.toSeq).toSeq ===
+      brute.collect().map(_.toSeq).toSeq)
+    // append fragmented cells; the shared compactor applies verbatim
+    val before = Similarity.pqIvfSearch(spark, path, queries, k = 5,
+      nProbe = 3, rescoreK = 20).collect().map(_.toSeq).toSeq
+    val compacted = graft.sources.Compaction.compactPartitions(spark,
+      s"$path/cells", "cell=", maxFilesPerPart = 1)
+    assert(compacted.nonEmpty, "append should have fragmented some cell")
+    val after = Similarity.pqIvfSearch(spark, path, queries, k = 5,
+      nProbe = 3, rescoreK = 20).collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction must never change probe results")
+  }
 }
