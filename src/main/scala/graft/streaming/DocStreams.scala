@@ -53,6 +53,49 @@ object DocStreams {
     val banded = Dedup.bandedFrame(
       Dedup.minhashSignatures(docs, k, bands * rowsPerBand),
       bands, rowsPerBand, carry = Seq("sh")).as[BandRow]
+    statefulBucketDedup(banded, threshold, maxBucket,
+      sh => { val s = sh.toSet; msh =>
+        val inter = msh.count(s.contains)
+        inter.toDouble / (sh.size + msh.size - inter) })
+  }
+
+  /** [[streamingLshDedup]]'s LEAN-STATE sibling: bucket residents store
+    * their MinHash SIGNATURE (bands·rowsPerBand longs — a fixed ~256 B
+    * per member) instead of the full shingle set, and a new arrival is
+    * scored by signature AGREEMENT — the fraction of equal signature
+    * components, the unbiased MinHash estimator of Jaccard similarity.
+    * The trade is exactness for state size: the exact variant's
+    * verdicts are true Jaccard (a match there is a match in the batch
+    * d14 path bit for bit), this one's are the estimator (spec-pinned
+    * against a driver-side replay of the same rule); production
+    * pipelines that need exact verdicts rescore this stream's matches
+    * against a doc store. `threshold` is the minimum agreement
+    * fraction. */
+  def streamingLshDedupSigOnly(docs: DataFrame, k: Int, bands: Int,
+                               rowsPerBand: Int, threshold: Double,
+                               maxBucket: Int): Dataset[NearDupMatch] = {
+    import docs.sparkSession.implicits._
+    val banded = Dedup.bandedFrame(
+        Dedup.minhashSignatures(docs, k, bands * rowsPerBand),
+        bands, rowsPerBand, carry = Seq("sig"))
+      .withColumnRenamed("sig", "sh").as[BandRow]
+    statefulBucketDedup(banded, threshold, maxBucket,
+      sig => msh => {
+        var eq = 0; var i = 0
+        while (i < sig.size) { if (sig(i) == msh(i)) eq += 1; i += 1 }
+        eq.toDouble / sig.size
+      })
+  }
+
+  /** The shared stateful core: per-(band, bucket) residency, bounded
+    * per-trigger admission, online cap; `mkScore` is applied to the
+    * arrival's payload once and to each resident's payload — the exact
+    * variant passes shingle-set Jaccard, the lean variant signature
+    * agreement. */
+  private def statefulBucketDedup(banded: Dataset[BandRow],
+      threshold: Double, maxBucket: Int,
+      mkScore: Seq[Long] => Seq[Long] => Double): Dataset[NearDupMatch] = {
+    import banded.sparkSession.implicits._
 
     def fn(key: (Int, Long), rows: Iterator[BandRow],
            state: GroupState[BucketState]): Iterator[NearDupMatch] = {
@@ -92,10 +135,9 @@ object DocStreams {
         }
       buf.foreach { r =>
         if (!st.closed && !st.members.exists(_._1 == r.doc_id)) {
-          val shSet = r.sh.toSet
+          val scoreAgainst = mkScore(r.sh)
           st.members.foreach { case (mid, msh) =>
-            val inter = msh.count(shSet.contains)
-            val j = inter.toDouble / (r.sh.size + msh.size - inter)
+            val j = scoreAgainst(msh)
             if (j >= threshold) out += NearDupMatch(r.doc_id, mid, j)
           }
           if (st.members.size + 1 > maxBucket)

@@ -18,14 +18,14 @@ class DocStreamsSpec extends AnyFunSuite {
   private type Doc = StreamDoc
   private def Doc(id: Long, text: String) = StreamDoc(id, text)
 
-  private def run(triggers: Seq[Seq[Doc]], threshold: Double,
-                  maxBucket: Int): Seq[DocStreams.NearDupMatch] = {
+  private def runWith(op: org.apache.spark.sql.DataFrame =>
+                          org.apache.spark.sql.Dataset[DocStreams.NearDupMatch],
+                      triggers: Seq[Seq[Doc]]): Seq[DocStreams.NearDupMatch] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Doc]
     val name = s"docstream_out_${System.nanoTime()}"
-    val q = DocStreams.streamingLshDedup(input.toDF(), k = 3, bands = 8,
-        rowsPerBand = 4, threshold = threshold, maxBucket = maxBucket)
+    val q = op(input.toDF())
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -33,6 +33,11 @@ class DocStreamsSpec extends AnyFunSuite {
       spark.table(name).as[DocStreams.NearDupMatch].collect().toSeq
     } finally q.stop()
   }
+
+  private def run(triggers: Seq[Seq[Doc]], threshold: Double,
+                  maxBucket: Int): Seq[DocStreams.NearDupMatch] =
+    runWith(DocStreams.streamingLshDedup(_, k = 3, bands = 8,
+      rowsPerBand = 4, threshold = threshold, maxBucket = maxBucket), triggers)
 
   test("streaming matches equal the batch incremental-dedup verdicts (corpus trigger, then batch trigger)") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -82,6 +87,40 @@ class DocStreamsSpec extends AnyFunSuite {
       run(Seq(docs), threshold = 0.5, maxBucket = 3)
         .map(m => (m.doc_id, m.match_id)).toSet
     }
+    assert(got === expected)
+  }
+
+  test("sig-only lean-state variant: verdicts equal a driver-side replay of the signature-agreement rule") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[Doc].collect().toSeq
+    val corpus = docs.filter(_.doc_id % 11 != 0)
+    val batch = docs.filter(_.doc_id % 11 == 0)
+    val thr = 0.25
+    val got = runWith(DocStreams.streamingLshDedupSigOnly(_, k = 3,
+        bands = 8, rowsPerBand = 4, threshold = thr,
+        maxBucket = Int.MaxValue), Seq(corpus, batch))
+      .map(m => (m.doc_id, m.match_id) -> m.jaccard).toMap
+    // driver replay of the whole rule: same signatures/banding (read
+    // off the batch operators), arrival order = (trigger, doc_id),
+    // score = fraction of equal signature components
+    val allDf = docs.toDF()
+    val sigDf = graft.operators.Dedup.minhashSignatures(allDf, 3, 32)
+    val sigs = sigDf.select(col("doc_id"), col("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val bandRows = graft.operators.Dedup.bandedFrame(sigDf, 8, 4)
+      .select(col("doc_id"), col("band"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def arrival(id: Long) = (if (id % 11 == 0) 1 else 0, id)
+    val expected = bandRows.groupBy(t => (t._2, t._3)).values.flatMap { grp =>
+      val ms = grp.map(_._1).distinct.sortBy(arrival)
+      for {
+        i <- ms.indices; j <- 0 until i
+        (a, b) = (sigs(ms(i)), sigs(ms(j)))
+        agree = a.zip(b).count(p => p._1 == p._2).toDouble / a.size
+        if agree >= thr
+      } yield (ms(i), ms(j)) -> agree
+    }.toMap
+    assert(expected.nonEmpty, "fixture must produce sig-agreement matches")
     assert(got === expected)
   }
 
