@@ -37,4 +37,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // positional grams: exactly n-k+1 of them, duplicates kept
     assert(mh.forall(r => r.getAs[Int]("ngrams") === r.getAs[Int]("ntoks") - 2))
   }
+
+  test("driver contract: every declared query carries a DuckDB oracle, and no oracle is orphaned") {
+    // a query without an oracleSql entry silently downgrades the
+    // driver's check to rows-only — this suite makes that an explicit
+    // decision, never an omission (today the exception set is empty);
+    // an oracle without a query is dead SQL that can rot unnoticed
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert((q -- o) === Set.empty, s"queries missing an oracle: ${q -- o}")
+    assert((o -- q) === Set.empty, s"oracles without a query: ${o -- q}")
+  }
 }
