@@ -34,15 +34,47 @@ object QuestionService {
 
   /** One page of questions: (filters, search, sort, offset/limit) →
     * Page(total, items ordered with `id` tiebreak).
-    * Default order: year DESC, id ASC (main.py:200). */
+    * Default order: year DESC, id ASC (main.py:200).
+    *
+    * Both actions the endpoint needs — the total count (main.py:193)
+    * and the ordered page (main.py:198) — run off ONE materialization
+    * of the filtered cohort: the reference issues two Postgres
+    * round-trips, but replaying that as two Spark jobs re-scanned the
+    * question source (and every filter semi-join) per page request —
+    * the visible duplicate cost of the hottest endpoint at scale. The
+    * filtered frame is cached, counted (the action that populates the
+    * cache, one source scan), paged from the cache
+    * (spec-pinned: the page plan reads InMemoryTableScan, zero
+    * question-source scans), and released before returning — `items`
+    * is the collected page re-wrapped as a local DataFrame, which is
+    * exactly a page-size (≤ 200-row, main.py:174) serving result, so
+    * pinning executor cache blocks for a lazy consumer would buy
+    * nothing. Deliberately NOT `count(*) over ()`: that form computes
+    * the total inside the page query but forces the whole cohort
+    * through a single-partition window — the plan shape this library
+    * rejects everywhere else. */
   def listQuestions(questions: DataFrame, variants: DataFrame,
                     fc: FilterConfig = FilterConfig(),
                     search: Option[String] = None,
                     sortBy: Option[String] = None, sortDir: String = "asc",
                     offset: Int = 0, limit: Int = 50): Page = {
-    val filtered = Filters.filterQuestions(questions, variants, fc, search)
-    val total = filtered.count()
+    val spark = questions.sparkSession
+    val filtered = Filters.filterQuestions(questions, variants, fc, search).cache()
+    try {
+      val total = filtered.count()
+      val pageDf = pageFrame(filtered, variants, sortBy, sortDir, offset, limit)
+      val rows = pageDf.collect()
+      Page(total, offset, limit,
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), pageDf.schema))
+    } finally filtered.unpersist(blocking = false)
+  }
 
+  /** The ordered/offset/limited page over an (already cached) filtered
+    * cohort — split out so the plan is inspectable: its only reads are
+    * the cache and the variants side. */
+  private[lexam] def pageFrame(filtered: DataFrame, variants: DataFrame,
+                               sortBy: Option[String], sortDir: String,
+                               offset: Int, limit: Int): DataFrame = {
     val base = withNestedVariants(filtered, variants)
     val withSortKeys = sortBy match {
       case Some(k @ ("config" | "split")) =>
@@ -62,8 +94,7 @@ object QuestionService {
         withSortKeys.orderBy(o, col("id"))
       case None => withSortKeys.orderBy(desc("year"), col("id"))
     }
-    Page(total, offset, limit,
-      ordered.drop("_min_config", "_min_split").offset(offset).limit(limit))
+    ordered.drop("_min_config", "_min_split").offset(offset).limit(limit)
   }
 
   /** Single question with nested variants (main.py:210-221). */

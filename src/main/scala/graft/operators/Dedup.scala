@@ -142,10 +142,11 @@ object Dedup {
     * measured 7.3 s → 5.2 s on the 8× dup corpus. [[minhashLshPairs]]
     * itself stays lazy/uncached: a library call that returns a lazy
     * frame must not pin blocks it can never unpersist. */
-  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
+  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int,
+                        carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"),
-        Registry.shingleHashes(TextFunctions.wsTokens(lower(col("text"))), k).as("sh"))
+      .select(col("doc_id") +: carry.map(col) :+
+        Registry.shingleHashes(TextFunctions.wsTokens(lower(col("text"))), k).as("sh"): _*)
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSig(col("sh"), numHashes))
 
@@ -294,7 +295,11 @@ object Dedup {
     * (doc_id, n_matches, match_id = lowest matching corpus doc,
     * is_dup). Batch and corpus must be doc_id-disjoint (self-pairs are
     * guarded regardless, so probing an index the batch was already
-    * appended to — the idempotent-resume shape — flags the same dups). */
+    * appended to — the idempotent-resume shape — flags at least the
+    * same dups; exact equality additionally requires the batch to have
+    * no intra-batch near-dups, since appended batch docs can now match
+    * EACH OTHER through the index, raising n_matches/match_id for those
+    * rows vs the pre-append probe). */
   def incrementalLshDedup(corpus: DataFrame, batch: DataFrame, k: Int,
                           bands: Int, rowsPerBand: Int, threshold: Double,
                           maxBucket: Option[Int] = None,
@@ -315,11 +320,12 @@ object Dedup {
     * bucket) against the batch's buckets — over a `part`-partitioned
     * parquet index that is a DPP-pruned scan (only partitions the
     * batch's buckets hash into are read; plan-asserted in the spec).
-    * The pruned bucket scan runs twice when `maxBucket` is set (once
-    * for sizes, once for members) — bucket sizes are a static fact of
-    * the index version, so a production build can precompute them at
-    * [[saveLshIndex]] time; probe-time counting is chosen here because
-    * it can never go stale across [[appendToLshIndex]] batches.
+    * When `maxBucket` is set, bucket sizes come from `bucketSizes` if
+    * the caller has them precomputed ([[saveLshIndex]]'s stats side
+    * table — one tiny pruned scan, summed across append slices so it
+    * never goes stale across [[appendToLshIndex]] batches); otherwise
+    * from counting within the pruned band scan itself, which costs a
+    * second pruned pass over the band data.
     *
     * The BATCH side's shingle/signature subtree is referenced several
     * times (probe buckets, candidate join, verification, output base)
@@ -333,7 +339,8 @@ object Dedup {
                                 batchSig: DataFrame, bands: Int,
                                 rowsPerBand: Int, threshold: Double,
                                 maxBucket: Option[Int],
-                                nBucketParts: Int): DataFrame = {
+                                nBucketParts: Int,
+                                bucketSizes: Option[DataFrame] = None): DataFrame = {
     val bBands = bandedFrame(batchSig, bands, rowsPerBand)
       .withColumn("part", pmod(col("bucket"), lit(nBucketParts)))
     val keys = Seq("part", "band", "bucket")
@@ -342,9 +349,20 @@ object Dedup {
     val hit = corpusBands.join(bBands.select(keys.map(col): _*).distinct(), keys)
     val okHit = maxBucket match {
       case Some(cap) =>
-        // a bucket lives wholly inside part = bucket % nBucketParts, so
-        // counting within the pruned scan IS the full bucket size
-        val sizes = hit.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        val sizes = bucketSizes match {
+          // precomputed stats: restrict to the batch's buckets first
+          // (the same pruned-join shape as `hit`, so DPP applies to the
+          // stats scan too), then sum across save/append slices — each
+          // append writes its own per-bucket counts, so the sum is the
+          // current full bucket size with no staleness window
+          case Some(st) =>
+            st.join(bBands.select(keys.map(col): _*).distinct(), keys)
+              .groupBy(keys.map(col): _*).agg(sum(col("n")).as("n"))
+          // a bucket lives wholly inside part = bucket % nBucketParts, so
+          // counting within the pruned scan IS the full bucket size
+          case None =>
+            hit.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        }
         hit.join(sizes.where(col("n") <= cap).drop("n"), keys)
       case None => hit
     }
@@ -392,9 +410,10 @@ object Dedup {
     // (shingling is the expensive part); released before returning
     val sig = minhashSignatures(corpus, k, bands * rowsPerBand).cache()
     try {
-      bandedFrame(sig, bands, rowsPerBand)
+      val bandRows = bandedFrame(sig, bands, rowsPerBand)
         .withColumn("part", pmod(col("bucket"), lit(nBucketParts)))
-        .write.mode("overwrite").partitionBy("part").parquet(s"$path/bands")
+      bandRows.write.mode("overwrite").partitionBy("part").parquet(s"$path/bands")
+      writeLshStats(bandRows, path, overwrite = true)
       sig.select(col("doc_id"), col("sh"))
         .write.mode("overwrite").parquet(s"$path/docs")
       Seq((k, bands, rowsPerBand, nBucketParts))
@@ -402,6 +421,21 @@ object Dedup {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally sig.unpersist()
   }
+
+  /** Per-(part, band, bucket) member counts, written alongside the band
+    * data at save/append time so a capped probe reads a tiny pruned
+    * stats scan instead of re-counting the band data (a second pruned
+    * pass over the index — the cost a daily prober pays on every
+    * batch). Appends write their OWN slice's counts; the probe sums
+    * slices, so freshness is structural, not a cache-invalidation
+    * problem. Rows are 4 small ints per distinct bucket — negligible
+    * next to the band rows they describe. */
+  private def writeLshStats(bandRows: DataFrame, path: String,
+                            overwrite: Boolean): Unit =
+    bandRows.groupBy(col("part"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("part").parquet(s"$path/stats")
 
   /** Append an accepted batch to a persisted index — the post-dedup
     * step of the daily loop (probe → keep survivors → append them).
@@ -416,9 +450,10 @@ object Dedup {
       (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
     val sig = minhashSignatures(newDocs, k, bands * rpb).cache()
     try {
-      bandedFrame(sig, bands, rpb)
+      val bandRows = bandedFrame(sig, bands, rpb)
         .withColumn("part", pmod(col("bucket"), lit(parts)))
-        .write.mode("append").partitionBy("part").parquet(s"$path/bands")
+      bandRows.write.mode("append").partitionBy("part").parquet(s"$path/bands")
+      writeLshStats(bandRows, path, overwrite = false)
       sig.select(col("doc_id"), col("sh"))
         .write.mode("append").parquet(s"$path/docs")
     } finally sig.unpersist()
@@ -444,18 +479,30 @@ object Dedup {
 
   /** Probe a persisted index with a new batch: [[incrementalLshDedup]]
     * semantics, corpus side read from the `part`-partitioned band table
-    * (DPP-pruned to the batch's buckets) and the doc store. */
+    * (DPP-pruned to the batch's buckets) and the doc store. A capped
+    * probe reads bucket sizes from the save-time stats table when the
+    * index has one (one pruned band-data scan total, spec-pinned);
+    * indexes saved by older layouts without `stats/` fall back to
+    * counting within the pruned band scan. */
   def dedupAgainstLshIndex(batch: DataFrame, path: String, threshold: Double,
                            maxBucket: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, bands, rpb, parts) =
       (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val stats =
+      if (maxBucket.isDefined &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
+        Some(spark.read.parquet(s"$path/stats"))
+      else None
     dedupAgainstBands(
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/docs"),
       minhashSignatures(batch, k, bands * rpb),
-      bands, rpb, threshold, maxBucket, parts)
+      bands, rpb, threshold, maxBucket, parts, stats)
   }
 
   /** DuckDB oracle for [[incrementalLshDedup]]: the [[minhashLshSql]]
@@ -500,6 +547,67 @@ object Dedup {
        |FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % $batchMod = 0) base
        |LEFT JOIN matches m ON m.bid = base.doc_id
        |ORDER BY base.doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for the composed daily-increment LIFECYCLE (c6):
+    * the [[incrementalLshSql]] probe unrolled over `nBatches`
+    * successive batches against a GROWING corpus — corpus₀ = slice 0
+    * of `doc_id % mod`, and after each batch `b` its survivors
+    * (is_dup = false) join the corpus the next batch probes, exactly
+    * what [[saveLshIndex]] → [[dedupAgainstLshIndex]] →
+    * [[appendToLshIndex]] → [[compactLshBands]] does on disk. Output:
+    * every batch's full probe result tagged with its batch number. */
+  def incrementalLifecycleSql(k: Int, bands: Int, rowsPerBand: Int,
+                              threshold: Double, mod: Int, nBatches: Int,
+                              maxBucket: Int): String = {
+    require(nBatches >= 1 && nBatches < mod,
+      s"need 1..${mod - 1} batches for mod $mod slices")
+    val steps = (1 to nBatches).map { b =>
+      val prev = s"c${b - 1}"
+      s"""cand$b AS (
+         |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+         |  FROM band b
+         |  JOIN band c ON c.band = b.band AND c.bucket = b.bucket
+         |  JOIN $prev pc ON pc.doc_id = c.doc_id
+         |  JOIN (SELECT c.band, c.bucket FROM band c
+         |        JOIN $prev pc ON pc.doc_id = c.doc_id
+         |        GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucket) ok
+         |    ON ok.band = b.band AND ok.bucket = b.bucket
+         |  WHERE b.doc_id % $mod = $b),
+         |inter$b AS (
+         |  SELECT c.bid, c.cid, COUNT(*) AS inter
+         |  FROM cand$b c
+         |  JOIN sh a ON a.doc_id = c.bid
+         |  JOIN sh b2 ON b2.doc_id = c.cid AND b2.h = a.h
+         |  GROUP BY 1, 2),
+         |verified$b AS (
+         |  SELECT i.bid, i.cid
+         |  FROM inter$b i
+         |  JOIN sz s1 ON s1.doc_id = i.bid
+         |  JOIN sz s2 ON s2.doc_id = i.cid
+         |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold),
+         |probe$b AS (
+         |  SELECT base.doc_id,
+         |         COALESCE(m.n_matches, 0) AS n_matches,
+         |         m.match_id,
+         |         m.match_id IS NOT NULL AS is_dup
+         |  FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % $mod = $b) base
+         |  LEFT JOIN (SELECT bid, COUNT(*) AS n_matches, MIN(cid) AS match_id
+         |             FROM verified$b GROUP BY bid) m ON m.bid = base.doc_id),
+         |c$b AS (SELECT doc_id FROM $prev UNION ALL
+         |        SELECT doc_id FROM probe$b WHERE NOT is_dup)""".stripMargin
+    }
+    val union = (1 to nBatches)
+      .map(b => s"SELECT $b AS batch, doc_id, n_matches, match_id, is_dup " +
+        s"FROM probe$b")
+      .mkString("\nUNION ALL\n")
+    s"""${minhashBandCtes(k, bands, rowsPerBand)},
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |c0 AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id % $mod = 0),
+       |${steps.mkString(",\n")}
+       |SELECT batch, doc_id, n_matches, match_id, is_dup FROM (
+       |$union
+       |) r ORDER BY batch, doc_id""".stripMargin
   }
 
   // ------------------------------------- components / survivor pick

@@ -149,8 +149,16 @@ object PipelineScaleBench {
       val dir = s"/tmp/graft_psb/x$c"
       val corpus = spark.read.parquet(s"$dir/documents.parquet")
       val idxPath = s"/tmp/graft_psb/lshidx_x$c"
+      // cache keyed on the corpus ARTIFACT, not mere existence: a
+      // regenerated corpus parquet (newer _SUCCESS than the index's
+      // meta) invalidates the cached index — probing a stale index
+      // against a fresh from-scratch run would fail the equality gate,
+      // or worse, silently measure the wrong corpus
+      val idxSuccess = new java.io.File(s"$idxPath/meta/_SUCCESS")
+      val corpusSuccess = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
       val (_, buildSec) =
-        if (new java.io.File(s"$idxPath/meta/_SUCCESS").exists()) ((), -1.0)
+        if (idxSuccess.exists() &&
+            idxSuccess.lastModified() >= corpusSuccess.lastModified()) ((), -1.0)
         else timed(Dedup.saveLshIndex(corpus, k = 3, bands = 8,
           rowsPerBand = 4, idxPath))
       graft.Isolation.scrub(spark)

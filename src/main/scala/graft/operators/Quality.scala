@@ -298,7 +298,12 @@ object Quality {
     * (Num.avgExact's arithmetic — order-independent, so the report is
     * retry-stable), min/max. `mean_shift` = (new−old)/|old| and
     * `drifted` = |mean_shift| > threshold — the promotion tripwire.
-    * Columns must be castable to DECIMAL(18,2). */
+    * Degenerate old means can't hide a real shift: a zero old mean
+    * drifts whenever the new mean is nonzero (the relative shift is
+    * undefined — mean_shift is null there, never NaN/∞), and a column
+    * flipping between all-null and non-null drifts in both directions;
+    * all-null on both sides is no drift. Columns must be castable to
+    * DECIMAL(18,2). */
   def driftReport(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String],
                   meanShiftThreshold: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "driftReport needs at least one column")
@@ -322,8 +327,13 @@ object Quality {
         .as("s"))
       .select(col("s.*"))
       .withColumn("mean_shift",
-        (col("new_mean") - col("old_mean")) / abs(col("old_mean")))
-      .withColumn("drifted", abs(col("mean_shift")) > meanShiftThreshold)
+        when(col("old_mean") =!= 0d,
+          (col("new_mean") - col("old_mean")) / abs(col("old_mean"))))
+      .withColumn("drifted",
+        when(col("old_mean").isNull && col("new_mean").isNull, lit(false))
+          .when(col("old_mean").isNull || col("new_mean").isNull, lit(true))
+          .when(col("old_mean") === 0d, col("new_mean") =!= 0d)
+          .otherwise(abs(col("mean_shift")) > meanShiftThreshold))
       .orderBy(col("column"))
   }
 
@@ -351,8 +361,13 @@ object Quality {
     s"""WITH o AS (SELECT ${sideSel("o")} FROM ($oldSql) t),
        |w AS (SELECT ${sideSel("w")} FROM ($newSql) t)
        |SELECT r.*,
-       |  (new_mean - old_mean) / ABS(old_mean) AS mean_shift,
-       |  ABS((new_mean - old_mean) / ABS(old_mean)) > $meanShiftThreshold AS drifted
+       |  CASE WHEN old_mean <> 0
+       |       THEN (new_mean - old_mean) / ABS(old_mean) END AS mean_shift,
+       |  CASE WHEN old_mean IS NULL AND new_mean IS NULL THEN FALSE
+       |       WHEN old_mean IS NULL OR new_mean IS NULL THEN TRUE
+       |       WHEN old_mean = 0 THEN new_mean <> 0
+       |       ELSE ABS((new_mean - old_mean) / ABS(old_mean)) > $meanShiftThreshold
+       |  END AS drifted
        |FROM (
        |$perCol
        |) r ORDER BY "column"""".stripMargin

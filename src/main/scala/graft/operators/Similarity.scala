@@ -777,6 +777,85 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Staleness verdict for a [[savePqIvf]] index under frozen-parameter
+    * appends ([[appendToPqIvf]]): `skewDrifted` when cell occupancy has
+    * degenerated past `skewBound` (appended mass piling into the cells
+    * nearest a SHIFTED ingest distribution — the [[IvfCellStats]]
+    * tripwire applied to the PQ index's cells), `recallDrifted` when a
+    * sampled serving-configuration probe recalls below `recallFloor`
+    * against exact brute force over the index's own vectors (frozen
+    * codebooks quantize drifted vectors badly even when occupancy still
+    * looks healthy — the failure mode occupancy alone cannot see).
+    * Either one ⇒ `drifted` ⇒ run [[rebuildPqIvf]] before the next
+    * append. */
+  case class PqIvfDriftReport(occupancy: IvfCellStats, sampledQueries: Long,
+                              recallAtK: Double, skewBound: Double,
+                              recallFloor: Double) {
+    def skewDrifted: Boolean = occupancy.drifted(skewBound)
+    def recallDrifted: Boolean = recallAtK < recallFloor
+    def drifted: Boolean = skewDrifted || recallDrifted
+  }
+
+  /** The post-append maintenance check for a [[savePqIvf]] index —
+    * cheap by construction: occupancy is one groupBy with k rows to
+    * the driver, and the recall probe runs the SERVING configuration
+    * (nProbe/rescoreK) for a 1-in-`sampleMod` query sample against a
+    * brute-force pass over the index (|sample| × |index| scored pairs
+    * — size the mod so the sample is hundreds of queries, the same
+    * dial as PQ training's bounded sample). The daily loop this guards:
+    * append → driftCheck → ([[rebuildPqIvf]] if drifted, else
+    * [[graft.sources.Compaction.compactPartitions]] when fragmented). */
+  def pqIvfDriftCheck(spark: org.apache.spark.sql.SparkSession, path: String,
+                      sampleMod: Int, k: Int, nProbe: Int, rescoreK: Int,
+                      skewBound: Double = 4.0,
+                      recallFloor: Double = 0.9): PqIvfDriftReport = {
+    val index = IvfIndex(spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1))
+    val cells = spark.read.parquet(s"$path/cells")
+    val vectors = cells.select(col("vec_id"), col("embedding"))
+    val queries = vectors.where(col("vec_id") % sampleMod === 0)
+    val truth = bruteForceTopK(vectors, sampleMod, k)
+    val approx = pqIvfSearch(spark, path, queries, k, nProbe, rescoreK)
+    val truthPairs = truth.select(col("q_id"), col("neighbor_id"))
+    val hit = approx.select(col("q_id"), col("neighbor_id"))
+      .join(truthPairs, Seq("q_id", "neighbor_id")).count()
+    val denom = truthPairs.count()
+    PqIvfDriftReport(
+      occupancy = ivfCellStats(index, cells),
+      sampledQueries = queries.count(),
+      recallAtK = if (denom == 0) 1.0 else hit.toDouble / denom,
+      skewBound = skewBound, recallFloor = recallFloor)
+  }
+
+  /** Re-train a drifted [[savePqIvf]] index from its own current
+    * vectors, in place: fresh k-means centroids AND fresh PQ codebooks
+    * over the full resident+appended population, same (nCentroids, m,
+    * kCode) read from the index's meta. Crash-safe by re-run, not by
+    * atomicity: the current vectors are snapshotted to
+    * `$$path/rebuild_src` FIRST (committed by its own _SUCCESS), and
+    * that snapshot — not the possibly half-rewritten cells table — is
+    * the rebuild source whenever it exists, so a rebuild that died
+    * mid-overwrite is healed by calling [[rebuildPqIvf]] again; the
+    * snapshot is deleted only after [[savePqIvf]] has committed its
+    * meta. */
+  def rebuildPqIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                   trainIters: Int = 10): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, kCode, nCentroids) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val src = new org.apache.hadoop.fs.Path(s"$path/rebuild_src")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS")))
+      spark.read.parquet(s"$path/cells")
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(src.toString)
+    savePqIvf(spark.read.parquet(src.toString), nCentroids, m, kCode,
+      path, trainIters)
+    fs.delete(src, true)
+  }
+
   private def pqTopKWith(emb: DataFrame, cbRows: Seq[(Int, Int, Seq[Double])],
                          m: Int, sampleMod: Int, k: Int,
                          rescoreK: Int): DataFrame = {

@@ -125,6 +125,37 @@ object DedupQueries {
         docs.where(pmod(col("doc_id"), lit(11)) === 0),
         k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05,
         maxBucket = Some(3))
+    }),
+
+    // The composed daily-increment LIFECYCLE the d14 pieces exist for,
+    // run end-to-end ON DISK: save the slice-0 corpus index, then for
+    // three successive batches probe (save-time bucket stats, DPP),
+    // append the survivors, and compact — the sequence a nightly
+    // operator runs. Each probe materializes to parquet before its
+    // append (the real barrier: a lazy probe evaluated after the
+    // append would see its own batch). The oracle replays the whole
+    // chain as unrolled CTEs against a growing corpus set.
+    "c6_incremental_lifecycle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("c6_lsh").toString
+      Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(4)) === 0),
+        k = 3, bands = 8, rowsPerBand = 4, idx)
+      val probes = (1 to 3).map { b =>
+        val batch = docs.where(pmod(col("doc_id"), lit(4)) === b)
+        Dedup.dedupAgainstLshIndex(batch, idx, threshold = 0.05,
+            maxBucket = Some(3))
+          .write.mode("overwrite").parquet(s"$idx/probe_$b")
+        val probed = s.read.parquet(s"$idx/probe_$b")
+        Dedup.appendToLshIndex(
+          batch.join(probed.where(!col("is_dup")).select(col("doc_id")),
+            "doc_id"), idx)
+        Dedup.compactLshBands(s, idx, maxFilesPerPart = 1)
+        probed.withColumn("batch", lit(b))
+      }
+      probes.reduce(_ unionByName _)
+        .select(col("batch"), col("doc_id"), col("n_matches"),
+          col("match_id"), col("is_dup"))
+        .orderBy(col("batch"), col("doc_id"))
     })
   )
 
@@ -153,6 +184,10 @@ object DedupQueries {
     "d14_incremental_dedup" ->
       Dedup.incrementalLshSql(k = 3, bands = 8, rowsPerBand = 4,
         threshold = 0.05, batchMod = 11, maxBucket = Some(3)),
+
+    "c6_incremental_lifecycle" ->
+      Dedup.incrementalLifecycleSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, mod = 4, nBatches = 3, maxBucket = 3),
 
     "d4_simhash_pairs" -> Dedup.simhashPairsSql(maxDist = 3),
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.operators.Dedup
 
@@ -12,9 +13,37 @@ import graft.operators.Dedup
   */
 object DocStreams {
 
-  case class BandRow(doc_id: Long, sh: Seq[Long], band: Int, bucket: Long)
+  case class BandRow(doc_id: Long, sh: Seq[Long], band: Int, bucket: Long,
+                     ts: java.sql.Timestamp)
   case class BucketState(members: Vector[(Long, Seq[Long])], closed: Boolean)
   case class NearDupMatch(doc_id: Long, match_id: Long, jaccard: Double)
+  /** Internal emission: a match plus the emitting arrival's event time,
+    * so the cross-band collapse downstream can re-watermark. */
+  private case class MatchEmit(doc_id: Long, match_id: Long, jaccard: Double,
+                               ts: java.sql.Timestamp)
+
+  /** State horizon for the evicting dedup variants: a (band, bucket)
+    * key with no arrival for `horizonMs` of EVENT time is retired
+    * whole — members, closed-markers, and the match-pair dedup markers
+    * all expire on the same watermark clock, so total state is bounded
+    * by the distinct content of one horizon window instead of the whole
+    * stream's history. Event-time (not processing-time) by design:
+    * verdicts are a pure function of the data and replay/backfill runs
+    * reproduce them bit for bit — and a query with processing-time
+    * state timeouts never signals no-new-data in Spark's micro-batch
+    * planner (it always "requires another batch" to fire wall-clock
+    * timeouts), which busy-loops empty micro-batches forever and hangs
+    * `processAllAvailable`; watermark timeouts only fire when data
+    * moves the clock.
+    *
+    * The semantic trade is explicit: a duplicate arriving more than a
+    * horizon of event time after its original is NOT flagged (the
+    * resident was retired), and a retired closed bucket's cap resets —
+    * dedup-within-horizon, the standard contract of every windowed
+    * streaming dedup. `maxLateness` is the watermark delay granted to
+    * out-of-order arrivals before the clock advances past them. */
+  case class EvictionHorizon(eventTimeCol: String, horizonMs: Long,
+                             maxLateness: String = "0 seconds")
 
   /** Streaming near-dup detection: each arriving document is shingled,
     * MinHash-signed and banded exactly like the batch/index paths (the
@@ -25,7 +54,7 @@ object DocStreams {
     * inter/(s1+s2−inter) arithmetic as the batch verification, so a
     * match here is a match there), emits every verified (doc, resident)
     * pair once (cross-band duplicates collapsed by the trailing
-    * stateful dropDuplicates), and becomes a resident itself.
+    * stateful pair dedup), and becomes a resident itself.
     *
     * `maxBucket` is the ONLINE form of d14's degenerate-bucket guard,
     * and doubles as the state bound: when a bucket's membership would
@@ -40,6 +69,16 @@ object DocStreams {
     * difference between a replayable batch rule and an online one,
     * pinned in the spec.
     *
+    * With `eviction` set, cold keys retire on the watermark clock
+    * ([[EvictionHorizon]] — spec-pinned: a long distinct-content
+    * stream's state rows plateau, and in-horizon verdicts still equal
+    * the batch twin's). With `eviction = None` residency is permanent:
+    * verdicts match the batch path for arbitrarily old originals, but
+    * bucket keys AND pair-dedup markers grow with distinct content
+    * forever — acceptable for bounded backfills replayed through the
+    * streaming path, wrong for an unbounded production stream (set a
+    * horizon there).
+    *
     * State note at 100 TB: membership stores each doc's shingle set
     * once per band (×bands memory). The RocksDB state store
     * ([[EventStreams.withRocksDbStateStore]]) keeps that on local disk;
@@ -48,16 +87,13 @@ object DocStreams {
     */
   def streamingLshDedup(docs: DataFrame, k: Int, bands: Int,
                         rowsPerBand: Int, threshold: Double,
-                        maxBucket: Int): Dataset[NearDupMatch] = {
-    import docs.sparkSession.implicits._
-    val banded = Dedup.bandedFrame(
-      Dedup.minhashSignatures(docs, k, bands * rowsPerBand),
-      bands, rowsPerBand, carry = Seq("sh")).as[BandRow]
-    statefulBucketDedup(banded, threshold, maxBucket,
+                        maxBucket: Int,
+                        eviction: Option[EvictionHorizon] = None): Dataset[NearDupMatch] =
+    statefulBucketDedup(bandRows(docs, k, bands, rowsPerBand, "sh", eviction),
+      threshold, maxBucket, eviction,
       sh => { val s = sh.toSet; msh =>
         val inter = msh.count(s.contains)
         inter.toDouble / (sh.size + msh.size - inter) })
-  }
 
   /** [[streamingLshDedup]]'s LEAN-STATE sibling: bucket residents store
     * their MinHash SIGNATURE (bands·rowsPerBand longs — a fixed ~256 B
@@ -70,37 +106,109 @@ object DocStreams {
     * against a driver-side replay of the same rule); production
     * pipelines that need exact verdicts rescore this stream's matches
     * against a doc store. `threshold` is the minimum agreement
-    * fraction. */
+    * fraction; `eviction` as in [[streamingLshDedup]]. */
   def streamingLshDedupSigOnly(docs: DataFrame, k: Int, bands: Int,
                                rowsPerBand: Int, threshold: Double,
-                               maxBucket: Int): Dataset[NearDupMatch] = {
-    import docs.sparkSession.implicits._
-    val banded = Dedup.bandedFrame(
-        Dedup.minhashSignatures(docs, k, bands * rowsPerBand),
-        bands, rowsPerBand, carry = Seq("sig"))
-      .withColumnRenamed("sig", "sh").as[BandRow]
-    statefulBucketDedup(banded, threshold, maxBucket,
+                               maxBucket: Int,
+                               eviction: Option[EvictionHorizon] = None): Dataset[NearDupMatch] =
+    statefulBucketDedup(bandRows(docs, k, bands, rowsPerBand, "sig", eviction),
+      threshold, maxBucket, eviction,
       sig => msh => {
         var eq = 0; var i = 0
         while (i < sig.size) { if (sig(i) == msh(i)) eq += 1; i += 1 }
         eq.toDouble / sig.size
       })
+
+  /** Shared front half: watermark (when evicting) → shingle/sign/band
+    * via the batch operators, payload column (`sh` or `sig`) and the
+    * event-time column carried through to the stateful core. */
+  private def bandRows(docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
+                       payload: String,
+                       eviction: Option[EvictionHorizon]): Dataset[BandRow] = {
+    import docs.sparkSession.implicits._
+    val src = eviction.map(e => docs.withWatermark(e.eventTimeCol, e.maxLateness))
+      .getOrElse(docs)
+    val sig = Dedup.minhashSignatures(src, k, bands * rowsPerBand,
+      carry = eviction.map(_.eventTimeCol).toSeq)
+    val banded = Dedup.bandedFrame(sig, bands, rowsPerBand,
+      carry = payload +: eviction.map(_.eventTimeCol).toSeq)
+    val renamed = if (payload == "sh") banded
+                  else banded.withColumnRenamed(payload, "sh")
+    (eviction match {
+      case Some(e) => renamed.withColumnRenamed(e.eventTimeCol, "ts")
+      case None    => renamed.withColumn("ts", lit(null).cast("timestamp"))
+    }).as[BandRow]
+  }
+
+  /** Start evicting dedup queries inside `body`. Two session confs are
+    * scoped to the query-START calls in it (both are read only at
+    * query start):
+    *
+    *  1. `statefulOperator.checkCorrectness.enabled = false` — Spark's
+    *     chained-stateful guard structurally rejects ANY stateful
+    *     operator downstream of flatMapGroupsWithState once a
+    *     watermark exists, because fMGWS *could* emit rows older than
+    *     the global watermark. These queries cannot: every emission
+    *     carries the emitting arrival's own event time from the batch
+    *     being processed, and timeout invocations emit nothing — the
+    *     structural check is a false positive here.
+    *  2. `multipleWatermarkPolicy = max` — the query has two watermark
+    *     nodes measuring the SAME clock: the source one (every
+    *     arrival) and the match-stream one (only arrivals that
+    *     produced a match). Under the default `min` policy a quiet
+    *     match stream strands the global watermark at zero and no
+    *     bucket ever retires; `max` follows the live source clock.
+    *     The documented `max` caveat applies in the standard way: an
+    *     arrival later than `maxLateness` may reach the bucket state
+    *     but have its match dropped as late by the pair collapse —
+    *     size `maxLateness` to the stream's real disorder, as with any
+    *     watermark pipeline (in-horizon, in-order verdicts are
+    *     spec-pinned equal to the batch twin's). */
+  def withEvictionEnabled[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false",
+      "spark.sql.streaming.multipleWatermarkPolicy" -> "max")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** The shared stateful core: per-(band, bucket) residency, bounded
-    * per-trigger admission, online cap; `mkScore` is applied to the
-    * arrival's payload once and to each resident's payload — the exact
-    * variant passes shingle-set Jaccard, the lean variant signature
-    * agreement. */
+    * per-trigger admission, online cap, optional watermark-clock state
+    * horizon; `mkScore` is applied to the arrival's payload once and to
+    * each resident's payload — the exact variant passes shingle-set
+    * Jaccard, the lean variant signature agreement. */
   private def statefulBucketDedup(banded: Dataset[BandRow],
-      threshold: Double, maxBucket: Int,
+      threshold: Double, maxBucket: Int, eviction: Option[EvictionHorizon],
       mkScore: Seq[Long] => Seq[Long] => Double): Dataset[NearDupMatch] = {
     import banded.sparkSession.implicits._
+    val horizonMs = eviction.map(_.horizonMs)
 
     def fn(key: (Int, Long), rows: Iterator[BandRow],
-           state: GroupState[BucketState]): Iterator[NearDupMatch] = {
+           state: GroupState[BucketState]): Iterator[MatchEmit] = {
+      if (state.hasTimedOut) {
+        // a horizon of event time passed with no arrival: retire the
+        // bucket whole — members, and for closed buckets the
+        // closed-marker (the cap legitimately resets; the template
+        // family went cold)
+        state.remove()
+        return Iterator.empty
+      }
       var st = state.getOption.getOrElse(BucketState(Vector.empty, closed = false))
-      val out = Vector.newBuilder[NearDupMatch]
+      // at-least-once replay guard: a doc_id already RESIDENT in this
+      // bucket must not consume an admission slot below — a replayed
+      // arrival displacing a genuinely new (larger) doc_id from the
+      // bounded buffer would silently drop that doc from scoring
+      val resident = st.members.map(_._1).toSet
+      // the horizon clock restarts on EVERY arrival — admitted or not,
+      // so a closed bucket's marker stays alive while its template is
+      // still flowing; track the max event time while draining
+      var maxTs = Long.MinValue
+      val out = Vector.newBuilder[MatchEmit]
       // Processing runs in doc_id order within the trigger —
       // deterministic replay of the arrival sequence regardless of
       // shuffle partitioning. BOUNDED buffering: once the bucket has
@@ -114,16 +222,24 @@ object DocStreams {
       // act.
       val admit: Long =
         if (st.closed) 0L else maxBucket.toLong + 1L - st.members.size
+      def noteTs(r: BandRow): BandRow = {
+        if (r.ts != null && r.ts.getTime > maxTs) maxTs = r.ts.getTime
+        r
+      }
       // tiny caps → O(cap) bottom-k insertion; effectively-unbounded
       // caps → plain sort (insertion would go quadratic, and with no
       // cap the whole trigger is processed anyway)
       val buf: Seq[BandRow] =
-        if (admit <= 0) Vector.empty
-        else if (admit > 4096) rows.toSeq.sortBy(_.doc_id)
+        if (admit <= 0) { rows.foreach(noteTs); Vector.empty }
+        else if (admit > 4096)
+          rows.map(noteTs).filterNot(r => resident(r.doc_id)).toSeq
+            .distinctBy(_.doc_id).sortBy(_.doc_id)
         else {
           var b = Vector.empty[BandRow] // sorted by doc_id, size <= admit
           rows.foreach { r =>
-            if (b.size < admit || r.doc_id < b.last.doc_id) {
+            noteTs(r)
+            if (!resident(r.doc_id) &&
+                (b.size < admit || r.doc_id < b.last.doc_id)) {
               val (lo, hi) = b.span(_.doc_id < r.doc_id)
               if (!(hi.nonEmpty && hi.head.doc_id == r.doc_id)) { // in-trigger dup
                 val m = (lo :+ r) ++ hi
@@ -134,11 +250,11 @@ object DocStreams {
           b
         }
       buf.foreach { r =>
-        if (!st.closed && !st.members.exists(_._1 == r.doc_id)) {
+        if (!st.closed) {
           val scoreAgainst = mkScore(r.sh)
           st.members.foreach { case (mid, msh) =>
             val j = scoreAgainst(msh)
-            if (j >= threshold) out += NearDupMatch(r.doc_id, mid, j)
+            if (j >= threshold) out += MatchEmit(r.doc_id, mid, j, r.ts)
           }
           if (st.members.size + 1 > maxBucket)
             st = BucketState(Vector.empty, closed = true) // cap hit: free + close
@@ -146,16 +262,44 @@ object DocStreams {
         }
       }
       state.update(st)
+      horizonMs.foreach { h =>
+        // deadline = last event time + horizon; clamped above the
+        // current watermark (Spark rejects deadlines the clock has
+        // already passed — a fully-late straggler bucket retires at
+        // the next watermark tick)
+        val wm = state.getCurrentWatermarkMs()
+        val base = if (maxTs == Long.MinValue) wm else maxTs
+        state.setTimeoutTimestamp(math.max(base + h, wm + 1))
+      }
       out.result().iterator
     }
 
-    banded
+    val timeoutConf = eviction.map(_ => GroupStateTimeout.EventTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    val matches = banded
       .groupByKey(r => (r.band, r.bucket))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
-      // a pair that cohabits several bands verifies identically in each
-      // (same shingle sets → same jaccard): collapse to one emission
-      .dropDuplicates("doc_id", "match_id")
-      .as[NearDupMatch]
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
+    // cross-band collapse: a pair that cohabits several bands verifies
+    // identically in each (same payloads → same score) and always in
+    // the same trigger (a doc's band rows travel together), so only the
+    // first emission survives. Evicting: the emitted event time is
+    // re-watermarked and the collapse state expires on the same
+    // watermark clock as residency (a pair cannot re-verify while its
+    // resident is live, so marker lifetime ≥ in-trigger need keeps the
+    // collapse exact). Non-evicting: a permanent stateful
+    // dropDuplicates — exact forever, state grows with emitted matches;
+    // the same bounded-backfill caveat as permanent residency itself.
+    eviction match {
+      case Some(e) =>
+        matches.withWatermark("ts", e.maxLateness)
+          .dropDuplicatesWithinWatermark("doc_id", "match_id")
+          .select(col("doc_id"), col("match_id"), col("jaccard"))
+          .as[NearDupMatch]
+      case None =>
+        matches
+          .dropDuplicates("doc_id", "match_id")
+          .select(col("doc_id"), col("match_id"), col("jaccard"))
+          .as[NearDupMatch]
+    }
   }
 }

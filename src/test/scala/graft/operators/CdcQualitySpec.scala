@@ -240,4 +240,30 @@ class CdcQualitySpec extends AnyFunSuite {
     assert(got.forall(_.getAs[String]("g") == "spread"))
     assert(got.exists(_.getAs[Long]("id") == 99L))
   }
+
+  test("driftReport: zero and all-null old means cannot hide a real shift") {
+    // four columns stress the degenerate promotion-gate cases:
+    //  z  — old mean exactly 0, new mean nonzero  → drifted (was null pre-fix)
+    //  zz — old AND new mean 0                    → no drift
+    //  an — old all-null, new populated           → drifted
+    //  bn — all-null on both sides                → no drift
+    val oldDf = Seq[(java.lang.Double, java.lang.Double, java.lang.Double, java.lang.Double)](
+      (-1.0, 0.0, null, null), (1.0, 0.0, null, null))
+      .toDF("z", "zz", "an", "bn")
+    val newDf = Seq[(java.lang.Double, java.lang.Double, java.lang.Double, java.lang.Double)](
+      (5.0, 0.0, 7.0, null), (5.0, 0.0, 7.0, null))
+      .toDF("z", "zz", "an", "bn")
+    val rep = Quality.driftReport(oldDf, newDf, Seq("z", "zz", "an", "bn"))
+      .collect()
+      .map(r => r.getAs[String]("column") ->
+        ((r.getAs[java.lang.Double]("mean_shift"),
+          r.getAs[Boolean]("drifted")))).toMap
+    assert(rep("z") === ((null, true)), s"$rep")   // relative shift undefined, drift real
+    assert(rep("zz") === ((null, false)))
+    assert(rep("an") === ((null, true)))
+    assert(rep("bn") === ((null, false)))
+    // never NaN/Infinity out of the zero division
+    assert(!rep.values.exists(v => v._1 != null &&
+      (v._1.isNaN || v._1.isInfinite)))
+  }
 }

@@ -411,6 +411,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("incremental dedup: capped probe reads save-time stats (ONE band-data scan), appends keep sizes fresh") {
+    // pre-AQE physical plan: AdaptiveSparkPlanExec is a leaf wrapper,
+    // so collecting on executedPlan would see no scans at all
+    def scansOf(df: org.apache.spark.sql.DataFrame, sub: String): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(sub)) => s
+      }.size
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+    val path = java.nio.file.Files.createTempDirectory("lsh_stats").toString
+    Dedup.saveLshIndex(corpus, k = 3, bands = 8, rowsPerBand = 4, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
+    val probed = Dedup.dedupAgainstLshIndex(batch, path,
+      threshold = 0.05, maxBucket = Some(3))
+    // the capped probe's whole point: bucket sizes come from the tiny
+    // stats table, so the band DATA is scanned exactly once (the old
+    // probe-time counting path scanned it twice)
+    assert(scansOf(probed, "/bands") === 1,
+      probed.queryExecution.executedPlan.toString)
+    assert(scansOf(probed, "/stats") === 1,
+      probed.queryExecution.executedPlan.toString)
+    val viaStats = probed.collect().map(_.toSeq).toSeq
+    // freshness across appends: the template family is under cap=7 in
+    // the saved slice but over it once the append's copies join the
+    // bucket — the probe must see summed (save + append) sizes
+    val template = "the quick brown fox jumps over the lazy dog again and again"
+    val p2 = java.nio.file.Files.createTempDirectory("lsh_stats2").toString
+    Dedup.saveLshIndex(
+      ((1L to 5L).map(i => (i, template)) :+
+        (6L, "unrelated resident text about columnar storage layouts"))
+        .toDF("doc_id", "text"),
+      k = 2, bands = 4, rowsPerBand = 2, p2)
+    Dedup.appendToLshIndex(
+      (101L to 104L).map(i => (i, template)).toDF("doc_id", "text"), p2)
+    val tb = Seq((500L, template)).toDF("doc_id", "text")
+    val capped = Dedup.dedupAgainstLshIndex(tb, p2, threshold = 0.5,
+      maxBucket = Some(7)).collect().head
+    assert(capped.getAs[Boolean]("is_dup") === false,
+      s"9-member post-append bucket must trip cap=7 via summed stats: $capped")
+    val uncapped = Dedup.dedupAgainstLshIndex(tb, p2, threshold = 0.5)
+      .collect().head
+    assert(uncapped.getLong(1) === 9L, s"$uncapped")
+    // legacy index without stats/: same results via the counting fallback
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
+    val fallback = Dedup.dedupAgainstLshIndex(batch, path,
+      threshold = 0.05, maxBucket = Some(3))
+    assert(fallback.collect().map(_.toSeq).toSeq === viaStats)
+  }
+
   test("incremental dedup: degenerate-bucket cap drops template-bucket fan-out, spares small buckets") {
     val template = "the quick brown fox jumps over the lazy dog again and again"
     val corpus = ((1L to 6L).map(i => (i, template)) :+

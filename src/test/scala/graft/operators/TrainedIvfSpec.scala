@@ -538,4 +538,78 @@ class TrainedIvfSpec extends AnyFunSuite {
       nProbe = 3, rescoreK = 20).collect().map(_.toSeq).toSeq
     assert(after === before, "compaction must never change probe results")
   }
+
+  test("IVF+PQ drift guard: skewed appends trip the check, rebuild restores balance and the exactness pin") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val nResident = emb.count()
+    val path = java.nio.file.Files.createTempDirectory("pqivf_drift").toString
+    val nCells = 8
+    Similarity.savePqIvf(emb, nCentroids = nCells, m = 8, kCode = 16, path)
+    val healthy = Similarity.pqIvfDriftCheck(spark, path, sampleMod = 10,
+      k = 5, nProbe = 3, rescoreK = 20, skewBound = 4.0, recallFloor = 0.0)
+    assert(!healthy.skewDrifted, s"fresh build must not read drifted: $healthy")
+    // drifted ingest: 2× the resident mass from a NEW source whose
+    // embeddings live in a region none of the frozen centroids cover —
+    // internally diverse (so a retrain CAN partition it), but under the
+    // FROZEN centroids the whole family piles into whichever cell sits
+    // nearest the new region: the hot-cell degeneration the guard
+    // exists to catch. (Near-identical mass would stay in one cell
+    // even after retraining — no centroid count can split equal
+    // points — so diversity is what makes rebuild the right remedy.)
+    val ball = spark.range(2 * nResident)
+      .select((col("id") + lit(1000000L)).as("vec_id"),
+        array((0 until 64).map(i =>
+          (lit(2.5) + sin((col("id") * 13 + lit(i)) * lit(0.7)) * lit(0.8))
+            .cast("float")): _*).as("embedding"))
+    Similarity.appendToPqIvf(ball, path)
+    val drifted = Similarity.pqIvfDriftCheck(spark, path, sampleMod = 10,
+      k = 5, nProbe = 3, rescoreK = 20, skewBound = 4.0, recallFloor = 0.0)
+    assert(drifted.skewDrifted && drifted.drifted,
+      s"2x one-ball append must trip the skew bound: $drifted")
+    // rebuild: fresh centroids/codebooks over the union, same params
+    Similarity.rebuildPqIvf(spark, path)
+    val rebuilt = Similarity.pqIvfDriftCheck(spark, path, sampleMod = 10,
+      k = 5, nProbe = 3, rescoreK = 20, skewBound = 4.0, recallFloor = 0.0)
+    assert(rebuilt.occupancy.maxOverMean < drifted.occupancy.maxOverMean,
+      s"rebuild must improve occupancy: $drifted -> $rebuilt")
+    assert(!rebuilt.skewDrifted, s"rebuilt index still skew-drifted: $rebuilt")
+    // the exactness pin survives the rebuild: exhaustive serving
+    // configuration must recall 1.0 against brute force over the union
+    val exact = Similarity.pqIvfDriftCheck(spark, path, sampleMod = 10,
+      k = 5, nProbe = nCells, rescoreK = Int.MaxValue)
+    assert(exact.recallAtK === 1.0, s"$exact")
+    assert(exact.sampledQueries > 0)
+  }
+
+  test("IVF+PQ rebuild heals by re-run: a committed snapshot outranks a half-rewritten cells table") {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("pqivf_heal").toString
+    val nCells = 8
+    Similarity.savePqIvf(emb, nCentroids = nCells, m = 8, kCode = 16, path)
+    // simulate a rebuild that died mid-overwrite: the snapshot had
+    // committed (rebuild_src/_SUCCESS exists), then the cells rewrite
+    // was interrupted — model that by dropping a cell partition
+    spark.read.parquet(s"$path/cells").select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/rebuild_src")
+    val fs = FileSystem.get(new HPath(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val someCell = fs.listStatus(new HPath(s"$path/cells"))
+      .filter(_.isDirectory).map(_.getPath)
+      .find(_.getName.startsWith("cell=")).get
+    fs.delete(someCell, true)
+    // re-running the rebuild must restore the FULL population from the
+    // snapshot, not the mangled cells table, then clear the snapshot
+    Similarity.rebuildPqIvf(spark, path)
+    assert(!fs.exists(new HPath(s"$path/rebuild_src")))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+    val full = Similarity.pqIvfSearch(spark, path, queries, k = 5,
+      nProbe = nCells, rescoreK = Int.MaxValue)
+    val brute = Similarity.bruteForceTopK(emb, sampleMod = 10, k = 5)
+    assert(full.collect().map(_.toSeq).toSeq ===
+      brute.collect().map(_.toSeq).toSeq,
+      "healed index must serve the complete population exactly")
+  }
 }

@@ -10,6 +10,7 @@ import graft.TestSpark
   * and stop producing from closed buckets.
   */
 case class StreamDoc(doc_id: Long, text: String)
+case class EvStreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
 class DocStreamsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -135,6 +136,109 @@ class DocStreamsSpec extends AnyFunSuite {
       .map(m => (m.doc_id, m.match_id)).toSet
     assert(got === Set(
       (2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (4L, 3L)))
+  }
+
+  test("at-least-once replay: a resident's re-arrival cannot displace a new doc from the bounded admission buffer") {
+    // bucket holds residents 1,2 (cap 3, admit = 2 slots). The next
+    // trigger replays BOTH residents plus new docs 10 and 11: before
+    // the fix the replayed ids (smallest doc_ids) filled the buffer and
+    // 10/11 were never scored; resident-filtered admission must score
+    // them and close the bucket after the 4th member
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val got = run(Seq(
+        Seq(Doc(1L, text), Doc(2L, text)),
+        Seq(Doc(1L, text), Doc(2L, text), Doc(10L, text), Doc(11L, text))),
+      threshold = 0.5, maxBucket = 3)
+      .map(m => (m.doc_id, m.match_id)).toSet
+    assert(got === Set(
+      (2L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (11L, 10L)))
+  }
+
+  // The eviction tests drive the horizon on EVENT time: each trigger's
+  // docs carry a synthetic timestamp, the watermark advances with the
+  // data, and retirement is a pure function of the data — no sleeps,
+  // no wall-clock flake. (Processing-time timeouts were rejected in
+  // the operator itself: they busy-loop no-data micro-batches and
+  // never signal no-new-data, hanging processAllAvailable.)
+  private def evDocs(docs: Seq[Doc], tsMs: Long): Seq[EvStreamDoc] =
+    docs.map(d => EvStreamDoc(d.doc_id, d.text,
+      new java.sql.Timestamp(tsMs)))
+
+  test("state horizon: cold buckets retire, total state rows plateau over a long distinct-content stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 6 triggers of fully-distinct content, 10 s of event time apart,
+    // horizon 5 s; without eviction the (band, bucket) key space grows
+    // ~linearly with triggers — with the horizon shorter than the
+    // inter-trigger gap, each trigger's batch retires the previous
+    // triggers' buckets and the resident row count plateaus
+    def trigger(t: Int): Seq[EvStreamDoc] = (0 until 200).map { i =>
+      EvStreamDoc(t * 1000L + i,
+        s"doc t$t i$i " + (1 to 8).map(w => s"w${t}_${i}_$w").mkString(" "),
+        new java.sql.Timestamp(t * 10000L))
+    }
+    val input = MemoryStream[EvStreamDoc]
+    val q = DocStreams.withEvictionEnabled(spark) {
+      DocStreams.streamingLshDedup(input.toDF(), k = 3, bands = 8,
+          rowsPerBand = 4, threshold = 0.5, maxBucket = 8,
+          eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 5000L)))
+        .writeStream.format("memory")
+        .queryName(s"docstream_evict_${System.nanoTime()}")
+        .outputMode("append").start()
+    }
+    try {
+      val totals = (1 to 6).map { t =>
+        input.addData(trigger(t): _*); q.processAllAvailable()
+        q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      }
+      // each trigger's ~1600 band rows are new keys; eviction retires
+      // the previous triggers' (deadline t·10s+5s < the next trigger's
+      // watermark), so the total stays near one trigger's worth
+      // instead of accreting all six
+      assert(totals.last < totals.head * 3,
+        s"state should plateau under eviction: $totals")
+      assert(totals.head > 0, s"state metrics must be visible: $totals")
+    } finally q.stop()
+  }
+
+  test("state horizon: in-horizon duplicates still match; streaming equals batch verdicts within the window") {
+    // generous horizon (1 h of event time over a 1 s spread): nothing
+    // retires, so the evicting variant must agree exactly with the
+    // batch twin
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[Doc].collect().toSeq
+    val corpus = docs.filter(_.doc_id % 11 != 0)
+    val batch = docs.filter(_.doc_id % 11 == 0)
+    val corpusIds = corpus.map(_.doc_id).toSet
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EvStreamDoc]
+    val name = s"docstream_inhorizon_${System.nanoTime()}"
+    val q = DocStreams.withEvictionEnabled(spark) {
+      DocStreams.streamingLshDedup(input.toDF(), k = 3, bands = 8,
+          rowsPerBand = 4, threshold = 0.05, maxBucket = Int.MaxValue,
+          eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 3600000L)))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    }
+    val got = try {
+      Seq(evDocs(corpus, 1000L), evDocs(batch, 2000L)).foreach { t =>
+        input.addData(t: _*); q.processAllAvailable()
+      }
+      spark.table(name).as[DocStreams.NearDupMatch].collect().toSeq
+    } finally q.stop()
+    val filtered = got
+      .filter(m => m.doc_id % 11 == 0 && corpusIds(m.match_id))
+      .groupBy(_.doc_id)
+      .map { case (id, ms) => id -> ((ms.size.toLong, ms.map(_.match_id).min)) }
+    val expected = graft.operators.Dedup.incrementalLshDedup(
+        corpus.toDF(), batch.toDF(), k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05)
+      .where(col("is_dup")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(expected.nonEmpty)
+    assert(filtered === expected)
   }
 
   test("cross-trigger residency: a later arrival matches an earlier trigger's resident") {
