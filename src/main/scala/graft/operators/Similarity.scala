@@ -217,8 +217,8 @@ object Similarity {
     * [[nearestCentroid]]). The SINGLE probe-selection path shared by
     * [[ivfTopK]] and [[ivfQuantizedTopK]], so the two search surfaces
     * can never diverge on a probe boundary. */
-  private def nearestCells(idx: IvfIndex, v: Array[Double],
-                           nProbe: Int): Array[Int] =
+  private[graft] def nearestCells(idx: IvfIndex, v: Array[Double],
+                                  nProbe: Int): Array[Int] =
     idx.centroids.map { case (ci, c) =>
       var d = 0.0; var i = 0
       while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.Similarity
+
+/** Streaming PQ-IVF enrichment vs its batch twin: the stream-static
+  * form must reproduce [[Similarity.pqIvfSearch]]'s results row for
+  * row on the same arrivals — same probe selection, ADC scores,
+  * rescore, ranks and tie-breaks — and leave no streaming state
+  * behind (the shells are stateless by construction).
+  */
+case class VecRow(vec_id: Long, embedding: Seq[Float])
+
+class VectorStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def runStream(path: String, queries: Seq[Seq[VecRow]], k: Int,
+                        nProbe: Int, rescoreK: Int): (Seq[Seq[Any]], Long) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[VecRow]
+    val name = s"vecstream_${System.nanoTime()}"
+    val q = VectorStreams.pqIvfEnrich(input.toDF(), path, k, nProbe, rescoreK)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      queries.foreach { t => input.addData(t: _*); q.processAllAvailable() }
+      val rows = spark.table(name)
+        .orderBy(col("q_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      (rows, stateRows)
+    } finally q.stop()
+  }
+
+  test("streaming enrichment equals batch pqIvfSearch on the same arrivals; shells keep zero state") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") % 7 =!= 0)
+    val arriving = emb.where(col("vec_id") % 7 === 0)
+      .as[VecRow].collect().toSeq
+    assert(arriving.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("pqivf_stream").toString
+    val nCells = 8
+    Similarity.savePqIvf(resident, nCentroids = nCells, m = 8, kCode = 16, path)
+    // two triggers: the enrichment is per-arrival, so the split must
+    // not matter
+    val (streamed, stateRows) = runStream(path,
+      Seq(arriving.take(arriving.size / 2), arriving.drop(arriving.size / 2)),
+      k = 5, nProbe = 3, rescoreK = 20)
+    val batch = Similarity.pqIvfSearch(spark, path,
+        arriving.toDF(), k = 5, nProbe = 3, rescoreK = 20)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+    // the group shells never write state: arrivals are enriched and
+    // forgotten — the stream-static join is the whole memory story
+    assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
+  }
+
+  test("streaming enrichment, exhaustive configuration: equals brute force over the index") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") % 7 =!= 0)
+    val arriving = emb.where(col("vec_id") % 7 === 0).as[VecRow].collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("pqivf_stream2").toString
+    val nCells = 8
+    Similarity.savePqIvf(resident, nCentroids = nCells, m = 8, kCode = 16, path)
+    val (streamed, _) = runStream(path, Seq(arriving), k = 5,
+      nProbe = nCells, rescoreK = Int.MaxValue)
+    // every cell probed + unbounded rescore ⇒ the exact pass owns the
+    // ranking; batch pqIvfSearch in this configuration is already
+    // pinned equal to brute force (TrainedIvfSpec), so equality here
+    // chains the streamed result to brute-force exactness too
+    val exhaustive = Similarity.pqIvfSearch(spark, path,
+        arriving.toDF(), k = 5, nProbe = nCells, rescoreK = Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === exhaustive)
+    assert(streamed.nonEmpty)
+  }
+}
