@@ -134,23 +134,35 @@ object DedupQueries {
     // operator runs. Each probe materializes to parquet before its
     // append (the real barrier: a lazy probe evaluated after the
     // append would see its own batch). The oracle replays the whole
-    // chain as unrolled CTEs against a growing corpus set.
+    // chain as unrolled CTEs against a growing corpus set. Roles come
+    // from doc_id % 12 with roles 4..11 unused: the lifecycle runs 4
+    // index writes + 3 compactions per execution, so it demonstrates
+    // the SEQUENCE on a deterministic third of the corpus rather than
+    // paying full-corpus index-build cost 3× per bench sample — the
+    // oracle replays the identical role rule, so the sample is
+    // hash-checked, not approximated.
     "c6_incremental_lifecycle" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val idx = java.nio.file.Files.createTempDirectory("c6_lsh").toString
-      Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(4)) === 0),
-        k = 3, bands = 8, rowsPerBand = 4, idx)
+      Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(12)) === 0),
+        k = 3, bands = 8, rowsPerBand = 4, idx, nBucketParts = 16)
       val probes = (1 to 3).map { b =>
-        val batch = docs.where(pmod(col("doc_id"), lit(4)) === b)
-        Dedup.dedupAgainstLshIndex(batch, idx, threshold = 0.05,
-            maxBucket = Some(3))
-          .write.mode("overwrite").parquet(s"$idx/probe_$b")
-        val probed = s.read.parquet(s"$idx/probe_$b")
-        Dedup.appendToLshIndex(
-          batch.join(probed.where(!col("is_dup")).select(col("doc_id")),
-            "doc_id"), idx)
-        Dedup.compactLshBands(s, idx, maxFilesPerPart = 1)
-        probed.withColumn("batch", lit(b))
+        // scope-bounded cache: the probe references the batch subtree
+        // several times (buckets, candidates, verification, output
+        // base — the documented dedupAgainstBands recompute) and the
+        // survivor append reads it once more
+        val batch = docs.where(pmod(col("doc_id"), lit(12)) === b).cache()
+        try {
+          Dedup.dedupAgainstLshIndex(batch, idx, threshold = 0.05,
+              maxBucket = Some(3))
+            .write.mode("overwrite").parquet(s"$idx/probe_$b")
+          val probed = s.read.parquet(s"$idx/probe_$b")
+          Dedup.appendToLshIndex(
+            batch.join(probed.where(!col("is_dup")).select(col("doc_id")),
+              "doc_id"), idx)
+          Dedup.compactLshBands(s, idx, maxFilesPerPart = 1)
+          probed.withColumn("batch", lit(b))
+        } finally batch.unpersist(blocking = false)
       }
       probes.reduce(_ unionByName _)
         .select(col("batch"), col("doc_id"), col("n_matches"),
@@ -187,7 +199,7 @@ object DedupQueries {
 
     "c6_incremental_lifecycle" ->
       Dedup.incrementalLifecycleSql(k = 3, bands = 8, rowsPerBand = 4,
-        threshold = 0.05, mod = 4, nBatches = 3, maxBucket = 3),
+        threshold = 0.05, mod = 12, nBatches = 3, maxBucket = 3),
 
     "d4_simhash_pairs" -> Dedup.simhashPairsSql(maxDist = 3),
 

@@ -54,32 +54,64 @@ object Compaction {
       .filter(_.getName.startsWith("_compact_tmp_"))
       .foreach(fs.delete(_, true)) // incomplete rewrites — always safe to drop
     val compacted = Seq.newBuilder[String]
-    fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith(prefix)).foreach { dir =>
-        val nFiles = fs.listStatus(dir)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        if (nFiles > maxFilesPerPart) {
-          val tmp = new HPath(parent, s"_compact_tmp_${dir.getName}")
-          // reading the partition dir directly drops the partition
-          // column — intended: the dir name carries it, rows need not
-          spark.read.parquet(dir.toString).coalesce(targetFiles)
-            .write.mode("overwrite").parquet(tmp.toString)
-          // stage the live dir ASIDE before renaming the replacement
-          // in: a crash between a delete and a rename would silently
-          // drop the whole partition; with the two-step every crash
-          // point leaves the data recoverable
-          val trash = new HPath(parent, s"_compact_old_${dir.getName}")
-          if (fs.exists(trash)) fs.delete(trash, true)
-          if (!fs.rename(dir, trash))
-            throw new java.io.IOException(s"compaction could not stage $dir aside")
-          if (!fs.rename(tmp, dir)) {
-            fs.rename(trash, dir) // restore the original partition
-            throw new java.io.IOException(s"compaction rename failed for $dir")
-          }
-          fs.delete(trash, true)
-          compacted += dir.getName.stripPrefix(prefix)
-        }
+    val frag = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+      .filter { dir =>
+        fs.listStatus(dir)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
+          maxFilesPerPart
       }
+    // Rewrite phase. For the standard targetFiles=1 call, ALL
+    // fragmented partitions rewrite in ONE Spark job (basePath read
+    // keeps the partition column; hash-repartitioning on it gives one
+    // task — hence one file — per partition): a maintenance pass over
+    // hundreds of fragmented partitions is one parallel job, not
+    // hundreds of sequential per-partition jobs. targetFiles > 1 has
+    // no deterministic per-partition file-count control in the batched
+    // form, so it keeps the per-partition rewrite. The swap phase is
+    // per-partition and IDENTICAL in both forms — the audited
+    // stage-aside/rename/delete protocol and its crash windows do not
+    // change with the rewrite strategy.
+    def swapIn(dir: HPath, tmp: HPath): Unit = {
+      // stage the live dir ASIDE before renaming the replacement in:
+      // a crash between a delete and a rename would silently drop the
+      // whole partition; with the two-step every crash point leaves
+      // the data recoverable
+      val trash = new HPath(parent, s"_compact_old_${dir.getName}")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (!fs.rename(dir, trash))
+        throw new java.io.IOException(s"compaction could not stage $dir aside")
+      if (!fs.rename(tmp, dir)) {
+        fs.rename(trash, dir) // restore the original partition
+        throw new java.io.IOException(s"compaction rename failed for $dir")
+      }
+      fs.delete(trash, true)
+      compacted += dir.getName.stripPrefix(prefix)
+    }
+    if (frag.nonEmpty && targetFiles == 1) {
+      val partCol = prefix.stripSuffix("=")
+      val batchTmp = new HPath(parent, "_compact_tmp_batchrewrite")
+      if (fs.exists(batchTmp)) fs.delete(batchTmp, true)
+      spark.read.option("basePath", tableRoot)
+        .parquet(frag.map(_.toString).toSeq: _*)
+        .repartition(frag.length, org.apache.spark.sql.functions.col(partCol))
+        .write.partitionBy(partCol).mode("overwrite").parquet(batchTmp.toString)
+      frag.foreach { dir =>
+        val tmp = new HPath(batchTmp, dir.getName)
+        if (!fs.exists(tmp))
+          throw new java.io.IOException(
+            s"batched compaction rewrite produced no dir for $dir")
+        swapIn(dir, tmp)
+      }
+      fs.delete(batchTmp, true)
+    } else frag.foreach { dir =>
+      val tmp = new HPath(parent, s"_compact_tmp_${dir.getName}")
+      // reading the partition dir directly drops the partition
+      // column — intended: the dir name carries it, rows need not
+      spark.read.parquet(dir.toString).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      swapIn(dir, tmp)
+    }
     // Spark caches parquet file listings per path (SharedInMemoryCache):
     // readers opened after the rewrite would otherwise chase deleted files
     spark.catalog.refreshByPath(tableRoot)
