@@ -459,13 +459,32 @@ object Dedup {
     } finally sig.unpersist()
   }
 
+  /** Backfill (or exact-rebuild) the stats side table from the band
+    * data: one aggregate writes the same per-(part, band, bucket)
+    * counts a fresh [[saveLshIndex]] would have. Two uses — migrating
+    * a legacy index saved before the stats layout existed onto the
+    * one-pruned-scan probe path, and collapsing a long append
+    * history's accreted stats slices into exact single rows. */
+  def backfillLshStats(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
+    writeLshStats(spark.read.parquet(s"$path/bands"), path, overwrite = true)
+  }
+
   /** Small-file compaction for an append-grown LSH index: every
     * [[appendToLshIndex]] batch adds at least one file per touched
-    * `part=` partition, so a daily loop accretes tiny files until the
-    * pruned probe scans go metadata-bound — the same accretion the IVF
-    * cell table suffers, fixed by the same crash-safe swap
-    * ([[graft.sources.Compaction.compactPartitions]]). Probe results
-    * are unchanged (spec-asserted); returns the compacted part ids. */
+    * `part=` partition — in the band data AND the stats side table —
+    * so a daily loop accretes tiny files until the pruned probe scans
+    * go metadata-bound — the same accretion the IVF cell table
+    * suffers, fixed by the same crash-safe swap
+    * ([[graft.sources.Compaction.compactPartitions]]). Compacting
+    * stats merges FILES, never rows (probes sum slices regardless), so
+    * probe results are unchanged either way (spec-asserted); returns
+    * the compacted band part ids. */
   def compactLshBands(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerPart: Int, targetFiles: Int = 1): Seq[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -473,6 +492,9 @@ object Dedup {
       spark.sessionState.newHadoopConf())
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
+      graft.sources.Compaction.compactPartitions(spark, s"$path/stats",
+        "part=", maxFilesPerPart, targetFiles)
     graft.sources.Compaction.compactPartitions(spark, s"$path/bands",
       "part=", maxFilesPerPart, targetFiles).map(_.toInt)
   }

@@ -182,6 +182,57 @@ object PipelineScaleBench {
         spark.stop(); sys.exit(4)
       }
     }
+
+    // d14 stats leg: the save-time bucket-stats payoff. A CAPPED probe
+    // needs per-bucket sizes; with the stats side table that is one
+    // pruned band-data scan + a tiny stats read, without it the band
+    // data is counted in a second pruned pass. Race the two on the
+    // largest index with identical results enforced — the fallback is
+    // forced by staging the stats dir aside (never by rebuilding, so
+    // both probes hit byte-identical band data).
+    {
+      val c = copiesList.max
+      val idxPath = s"/tmp/graft_psb/lshidx_x$c"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(idxPath).toUri,
+        spark.sessionState.newHadoopConf())
+      val statsPath = new org.apache.hadoop.fs.Path(s"$idxPath/stats")
+      if (!fs.exists(statsPath)) // index cached from a pre-stats layout
+        Dedup.backfillLshStats(spark, idxPath)
+      graft.Isolation.scrub(spark)
+      val cap = Some(64)
+      val aside = new org.apache.hadoop.fs.Path(s"$idxPath/_stats_aside")
+      def probeOnce(): Seq[Seq[Any]] =
+        Dedup.dedupAgainstLshIndex(batch, idxPath, threshold = 0.05,
+          maxBucket = cap).collect().map(_.toSeq).toSeq
+      // interleaved A/B/A/B: single cold passes mismeasure by more
+      // than the paths differ (JIT + page-cache ordering bias — the
+      // r8 ambient lesson applied within one process); per-path MIN
+      // over two decorrelated samples is the comparable statistic
+      var withStats: Seq[Seq[Any]] = null
+      var noStats: Seq[Seq[Any]] = null
+      val (sSecs, nSecs) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+      for (_ <- 1 to 2) {
+        val (s, sSec) = timed(probeOnce())
+        withStats = s; sSecs += sSec
+        graft.Isolation.scrub(spark)
+        fs.rename(statsPath, aside)
+        val (n, nSec) =
+          try timed(probeOnce())
+          finally fs.rename(aside, statsPath)
+        noStats = n; nSecs += nSec
+        graft.Isolation.scrub(spark)
+      }
+      val (sMin, nMin) = (sSecs.result().min, nSecs.result().min)
+      println(f"psb d14stats copies=$c%-2d cap=64 with_stats=${sMin}%.2fs " +
+        f"counting_fallback=${nMin}%.2fs equal=${withStats == noStats} " +
+        f"(samples stats=${sSecs.result().map(t => f"$t%.2f").mkString("/")} " +
+        f"fallback=${nSecs.result().map(t => f"$t%.2f").mkString("/")})")
+      if (withStats != noStats) {
+        System.err.println("psb d14stats OUTPUT MISMATCH")
+        spark.stop(); sys.exit(4)
+      }
+    }
     spark.stop()
   }
 }

@@ -463,6 +463,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val fallback = Dedup.dedupAgainstLshIndex(batch, path,
       threshold = 0.05, maxBucket = Some(3))
     assert(fallback.collect().map(_.toSeq).toSeq === viaStats)
+    // and the migration path: backfill recreates exact counts from the
+    // band data, putting the legacy index back on the one-scan plan
+    Dedup.backfillLshStats(spark, path)
+    val migrated = Dedup.dedupAgainstLshIndex(batch, path,
+      threshold = 0.05, maxBucket = Some(3))
+    assert(scansOf(migrated, "/bands") === 1)
+    assert(migrated.collect().map(_.toSeq).toSeq === viaStats)
   }
 
   test("incremental dedup: degenerate-bucket cap drops template-bucket fan-out, spares small buckets") {
@@ -510,18 +517,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
     val before = Dedup.dedupAgainstLshIndex(probe, path, threshold = 0.05)
       .collect().map(_.toSeq).toSeq
+    val beforeCapped = Dedup.dedupAgainstLshIndex(probe, path,
+      threshold = 0.05, maxBucket = Some(4)).collect().map(_.toSeq).toSeq
     val fs = FileSystem.get(new HPath(path).toUri,
       spark.sessionState.newHadoopConf())
-    def maxFiles: Int = fs.listStatus(new HPath(s"$path/bands"))
+    def maxFiles(sub: String): Int = fs.listStatus(new HPath(s"$path/$sub"))
       .filter(_.isDirectory).map(d => fs.listStatus(d.getPath)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))).max
-    assert(maxFiles > 1, "appends should have fragmented at least one part")
+    assert(maxFiles("bands") > 1,
+      "appends should have fragmented at least one part")
+    assert(maxFiles("stats") > 1,
+      "appends should have fragmented the stats side table too")
     val compacted = Dedup.compactLshBands(spark, path, maxFilesPerPart = 1)
     assert(compacted.nonEmpty)
-    assert(maxFiles === 1, "every fragmented part should be one file now")
+    assert(maxFiles("bands") === 1, "every fragmented part should be one file now")
+    assert(maxFiles("stats") === 1, "stats parts should compact alongside")
     val after = Dedup.dedupAgainstLshIndex(probe, path, threshold = 0.05)
       .collect().map(_.toSeq).toSeq
     assert(after === before, "compaction must never change probe results")
+    // capped probes read the stats table: merging its FILES must not
+    // move the summed per-bucket sizes the cap sees
+    val afterCapped = Dedup.dedupAgainstLshIndex(probe, path,
+      threshold = 0.05, maxBucket = Some(4)).collect().map(_.toSeq).toSeq
+    assert(afterCapped === beforeCapped)
   }
 
   test("incremental dedup: probing after appendToLshIndex is idempotent (no self-matches) and sees appended docs") {
