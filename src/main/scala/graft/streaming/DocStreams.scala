@@ -177,6 +177,78 @@ object DocStreams {
     }
   }
 
+  /** The streaming form of the c6 daily lifecycle — continuous
+    * curation against a PERSISTED LSH index ([[Dedup.saveLshIndex]]):
+    * each micro-batch probes the index
+    * ([[Dedup.dedupAgainstLshIndex]]), writes its verdicts, appends
+    * the survivors ([[Dedup.appendToLshIndex]]), and compacts every
+    * `compactEvery` batches. foreachBatch is the right tool, not a
+    * stateful operator: the probe→append barrier is per-batch
+    * transactional ordering against an on-disk index, which state
+    * APIs cannot express — and it keeps the index readable by every
+    * BATCH consumer mid-stream.
+    *
+    * Delivery contract, stated honestly: verdicts are EXACTLY-ONCE
+    * (written via dynamic partition overwrite keyed by batch_id, so a
+    * replay rewrites the same partition; a commit marker written LAST
+    * skips fully-committed batches wholesale). Index appends are
+    * AT-LEAST-ONCE: a crash between the append and the marker makes
+    * the replay append the survivors again. That window is contained
+    * twice over — probe VERDICTS cannot move under duplicate index
+    * rows (the probe dedups verified pairs; spec-pinned), and
+    * [[Dedup.repairLshIndex]] restores row-level hygiene (duplicate
+    * band/doc rows inflate bucket stats, which only a capped probe's
+    * recall can notice). Run it on the operational cadence, like
+    * compaction. */
+  def indexedDedupSink(docs: DataFrame, indexPath: String,
+                       verdictsPath: String, threshold: Double,
+                       maxBucket: Option[Int] = None,
+                       compactEvery: Int = 0,
+                       maxFilesPerPart: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processIndexedBatch(batch.toDF(), id, indexPath, verdictsPath,
+          threshold, maxBucket, compactEvery, maxFilesPerPart)
+    }
+
+  /** One micro-batch of [[indexedDedupSink]] — exposed so the replay
+    * and crash-window specs can drive it directly. */
+  private[graft] def processIndexedBatch(batch: DataFrame, id: Long,
+      indexPath: String, verdictsPath: String, threshold: Double,
+      maxBucket: Option[Int], compactEvery: Int,
+      maxFilesPerPart: Int): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val spark = batch.sparkSession
+    val fs = FileSystem.get(new HPath(verdictsPath).toUri,
+      spark.sessionState.newHadoopConf())
+    val marker = new HPath(s"$verdictsPath/_committed/batch_$id")
+    if (fs.exists(marker)) return // replayed, fully committed: no-op
+    val cached = batch.cache()
+    try {
+      if (!cached.isEmpty) {
+        Dedup.dedupAgainstLshIndex(cached, indexPath, threshold, maxBucket)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(verdictsPath)
+        // the survivors come off the WRITTEN verdicts — the same
+        // materialization barrier as the batch lifecycle (a lazy probe
+        // evaluated after the append would see its own batch)
+        val survivors = cached.join(
+          spark.read.parquet(verdictsPath)
+            .where(col("batch_id") === id && !col("is_dup"))
+            .select(col("doc_id")),
+          "doc_id")
+        if (!survivors.isEmpty) Dedup.appendToLshIndex(survivors, indexPath)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          Dedup.compactLshBands(spark, indexPath, maxFilesPerPart)
+      }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker).close()
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** The shared stateful core: per-(band, bucket) residency, bounded
     * per-trigger admission, online cap, optional watermark-clock state
     * horizon; `mkScore` is applied to the arrival's payload once and to
