@@ -460,7 +460,20 @@ object Dedup {
       val bandRows = bandedFrame(sig, bands, rpb)
         .withColumn("part", pmod(col("bucket"), lit(parts)))
       bandRows.write.mode("append").partitionBy("part").parquet(s"$path/bands")
-      writeLshStats(bandRows, path, overwrite = false)
+      // stats slice ONLY when the index already carries a stats table:
+      // on a legacy (pre-stats) index, creating stats/ from just this
+      // append would be silently WRONG twice over — resident buckets
+      // would report only their appended members (a 9-member template
+      // bucket reads as 1, the cap never trips), and buckets with no
+      // appended rows would have no stats row at all, so the capped
+      // probe's sizes join would drop them and miss real dups. Legacy
+      // indexes stay on the counting fallback until [[backfillLshStats]]
+      // migrates them wholesale.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(path).toUri,
+        spark.sessionState.newHadoopConf())
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
+        writeLshStats(bandRows, path, overwrite = false)
       sig.select(col("doc_id"), col("sh"))
         .write.mode("append").parquet(s"$path/docs")
     } finally sig.unpersist()

@@ -209,6 +209,11 @@ object PipelineScaleBench {
       // than the paths differ (JIT + page-cache ordering bias — the
       // r8 ambient lesson applied within one process); per-path MIN
       // over two decorrelated samples is the comparable statistic
+      // a crashed previous run can leave the stage dir behind — then
+      // the rename below would FAIL and the "fallback" sample would
+      // silently measure the stats plan; check every rename
+      if (fs.exists(aside) && !fs.delete(aside, true))
+        throw new java.io.IOException(s"cannot clear stale $aside")
       var withStats: Seq[Seq[Any]] = null
       var noStats: Seq[Seq[Any]] = null
       val (sSecs, nSecs) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
@@ -216,10 +221,14 @@ object PipelineScaleBench {
         val (s, sSec) = timed(probeOnce())
         withStats = s; sSecs += sSec
         graft.Isolation.scrub(spark)
-        fs.rename(statsPath, aside)
+        if (!fs.rename(statsPath, aside))
+          throw new java.io.IOException(s"cannot stage $statsPath aside")
         val (n, nSec) =
           try timed(probeOnce())
-          finally fs.rename(aside, statsPath)
+          finally if (!fs.rename(aside, statsPath))
+            throw new java.io.IOException(
+              s"FAILED to restore $statsPath from $aside — index needs " +
+                "backfillLshStats")
         noStats = n; nSecs += nSec
         graft.Isolation.scrub(spark)
       }

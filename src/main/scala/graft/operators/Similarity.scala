@@ -739,6 +739,36 @@ object Similarity {
   def pqIvfSearch(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, k: Int, nProbe: Int,
                   rescoreK: Int): DataFrame = {
+    val (cand0, cells) = pqIvfAdcCandidates(spark, path, queries, nProbe)
+    val wq = Window.partitionBy(col("q_id")).orderBy(desc("qscore"), col("vec_id"))
+    val cand = cand0
+      .withColumn("qrank", row_number().over(wq))
+      .where(col("qrank") <= rescoreK)
+      .select(col("q_id"), col("q_emb"), col("cell"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    cand
+      .join(cells.select(col("cell"), col("vec_id"), col("embedding")),
+        Seq("cell", "vec_id"))
+      .withColumn("cos", Registry.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The shared ADC front half of a [[savePqIvf]]-index probe: load
+    * meta/centroids/codebooks, pick each query's `nProbe` nearest
+    * cells ([[nearestCells]]), and score every cohabiting code row by
+    * ADC. Returns the scored candidates (q_id, q_emb, cell, vec_id,
+    * qscore) plus the cells table (for the exact rescore join). ONE
+    * implementation consumed by both cuts — [[pqIvfSearch]]'s
+    * row_number windows and the streaming bounded-heap form
+    * ([[graft.streaming.VectorStreams.pqIvfEnrich]]) — so the two
+    * serving surfaces cannot drift on probe selection, LUT layout, or
+    * the self-exclusion rule. */
+  private[graft] def pqIvfAdcCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, nProbe: Int): (DataFrame, DataFrame) = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (m, kCode) = (meta.getInt(0), meta.getInt(1))
     val index = IvfIndex(spark.read.parquet(s"$path/centroids").collect()
@@ -758,23 +788,13 @@ object Similarity {
       .withColumn("lut", Registry.pqLut(col("q_emb"), cbFlat, m, kCode))
       .select(col("q_id"), col("q_emb"), col("lut"),
         explode(col("cells")).as("cell"))
-    val wq = Window.partitionBy(col("q_id")).orderBy(desc("qscore"), col("vec_id"))
     val cand = probes.join(cells.select(col("cell"), col("vec_id"), col("codes")),
         Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("qscore", Registry.pqAdc(col("codes"), col("lut"), kCode))
-      .withColumn("qrank", row_number().over(wq))
-      .where(col("qrank") <= rescoreK)
-      .select(col("q_id"), col("q_emb"), col("cell"), col("vec_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
-    cand
-      .join(cells.select(col("cell"), col("vec_id"), col("embedding")),
-        Seq("cell", "vec_id"))
-      .withColumn("cos", Registry.cosineSim(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .select(col("q_id"), col("q_emb"), col("cell"), col("vec_id"),
+        col("qscore"))
+    (cand, cells)
   }
 
   /** Staleness verdict for a [[savePqIvf]] index under frozen-parameter
@@ -834,8 +854,14 @@ object Similarity {
     * atomicity: the current vectors are snapshotted to
     * `$$path/rebuild_src` FIRST (committed by its own _SUCCESS), and
     * that snapshot — not the possibly half-rewritten cells table — is
-    * the rebuild source whenever it exists, so a rebuild that died
-    * mid-overwrite is healed by calling [[rebuildPqIvf]] again; the
+    * the rebuild source whenever it is NEWER than the committed meta
+    * (a crashed rebuild: snapshot committed, [[savePqIvf]]'s meta —
+    * written last — never landed), so a rebuild that died
+    * mid-overwrite is healed by calling [[rebuildPqIvf]] again. A
+    * snapshot OLDER than the meta belongs to a COMPLETED rebuild whose
+    * final cleanup crashed: vectors may have been appended since, so
+    * rebuilding from it would silently roll the index back — it is
+    * discarded and the current cells re-snapshotted instead. The
     * snapshot is deleted only after [[savePqIvf]] has committed its
     * meta. */
   def rebuildPqIvf(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -847,7 +873,13 @@ object Similarity {
       new org.apache.hadoop.fs.Path(path).toUri,
       spark.sessionState.newHadoopConf())
     val src = new org.apache.hadoop.fs.Path(s"$path/rebuild_src")
-    if (!fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS")))
+    val srcSuccess = new org.apache.hadoop.fs.Path(src, "_SUCCESS")
+    val metaSuccess = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    if (fs.exists(srcSuccess) && fs.exists(metaSuccess) &&
+        fs.getFileStatus(metaSuccess).getModificationTime >=
+          fs.getFileStatus(srcSuccess).getModificationTime)
+      fs.delete(src, true) // completed rebuild's leftover: stale, discard
+    if (!fs.exists(srcSuccess))
       spark.read.parquet(s"$path/cells")
         .select(col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(src.toString)

@@ -188,17 +188,21 @@ object DocStreams {
     * APIs cannot express — and it keeps the index readable by every
     * BATCH consumer mid-stream.
     *
-    * Delivery contract, stated honestly: verdicts are EXACTLY-ONCE
-    * (written via dynamic partition overwrite keyed by batch_id, so a
-    * replay rewrites the same partition; a commit marker written LAST
-    * skips fully-committed batches wholesale). Index appends are
-    * AT-LEAST-ONCE: a crash between the append and the marker makes
-    * the replay append the survivors again. That window is contained
-    * twice over — probe VERDICTS cannot move under duplicate index
-    * rows (the probe dedups verified pairs; spec-pinned), and
-    * [[Dedup.repairLshIndex]] restores row-level hygiene (duplicate
-    * band/doc rows inflate bucket stats, which only a capped probe's
-    * recall can notice). Run it on the operational cadence, like
+    * Delivery contract, stated honestly: verdicts are EXACTLY-ONCE —
+    * two-phase: the probe's verdicts are written (dynamic partition
+    * overwrite keyed by batch_id) and sealed by a verdicts marker
+    * BEFORE the append, so a replay after any later crash point reuses
+    * the sealed verdicts verbatim instead of re-probing (re-probing
+    * would see the batch's own appended rows and flip intra-batch
+    * near-dups to is_dup — the self-match guard only covers identical
+    * doc_ids); a final commit marker skips fully-committed batches
+    * wholesale. Index appends are AT-LEAST-ONCE: a crash between the
+    * append and the final marker makes the replay append the survivors
+    * again. That window is contained twice over — probe verdicts of
+    * LATER batches cannot move under duplicate index rows (the probe
+    * dedups verified pairs; spec-pinned) — though a capped probe's
+    * bucket sizes do inflate until [[Dedup.repairLshIndex]] restores
+    * row-level hygiene. Run repair on the operational cadence, like
     * compaction. */
   def indexedDedupSink(docs: DataFrame, indexPath: String,
                        verdictsPath: String, threshold: Double,
@@ -224,28 +228,36 @@ object DocStreams {
       spark.sessionState.newHadoopConf())
     val marker = new HPath(s"$verdictsPath/_committed/batch_$id")
     if (fs.exists(marker)) return // replayed, fully committed: no-op
+    def seal(p: HPath): Unit = { fs.mkdirs(p.getParent); fs.create(p).close() }
     val cached = batch.cache()
     try {
       if (!cached.isEmpty) {
-        Dedup.dedupAgainstLshIndex(cached, indexPath, threshold, maxBucket)
-          .withColumn("batch_id", lit(id))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(verdictsPath)
-        // the survivors come off the WRITTEN verdicts — the same
-        // materialization barrier as the batch lifecycle (a lazy probe
-        // evaluated after the append would see its own batch)
+        // phase 1 — verdicts, sealed BEFORE any append so a replay
+        // can never recompute them against an index that already
+        // holds this batch's survivors
+        val verdictSeal = new HPath(s"$verdictsPath/_verdicts/batch_$id")
+        if (!fs.exists(verdictSeal)) {
+          Dedup.dedupAgainstLshIndex(cached, indexPath, threshold, maxBucket)
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(verdictsPath)
+          seal(verdictSeal)
+        }
+        // phase 2 — survivors come off the SEALED verdicts (the same
+        // materialization barrier as the batch lifecycle, and the
+        // replay path by construction). Reading the one partition dir
+        // directly keeps the per-trigger listing O(1), not O(every
+        // batch ever committed).
         val survivors = cached.join(
-          spark.read.parquet(verdictsPath)
-            .where(col("batch_id") === id && !col("is_dup"))
-            .select(col("doc_id")),
+          spark.read.parquet(s"$verdictsPath/batch_id=$id")
+            .where(!col("is_dup")).select(col("doc_id")),
           "doc_id")
         if (!survivors.isEmpty) Dedup.appendToLshIndex(survivors, indexPath)
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           Dedup.compactLshBands(spark, indexPath, maxFilesPerPart)
       }
-      fs.mkdirs(marker.getParent)
-      fs.create(marker).close()
+      seal(marker)
     } finally cached.unpersist(blocking = false)
   }
 

@@ -25,49 +25,24 @@ object VectorStreams {
 
   /** Enrich a stream of (vec_id, embedding) rows with their top-`k`
     * neighbors from the persisted PQ-IVF index at `path` — EXACTLY
-    * [[Similarity.pqIvfSearch]]'s ranking rules (nearest-cell probe
-    * selection, fixed-point ADC, exact-cosine rescore of the ADC top
-    * `rescoreK`, ties to the lowest vec_id), so the streamed verdicts
-    * equal a batch search over the same arrivals row for row
-    * (spec-pinned). The one mechanical difference: per-query top-k on
-    * a stream cannot use a row_number window (unsupported in append
-    * streams), so both cuts run as bounded heaps inside STATELESS
-    * flatMapGroupsWithState shells — a query's candidates all live in
-    * the micro-batch that carried the query, no state is ever written,
-    * and memory per group is O(rescoreK), not O(candidates). */
+    * [[Similarity.pqIvfSearch]]'s ranking rules, because the whole ADC
+    * front half (probe selection, LUT layout, self-exclusion, scoring)
+    * IS the batch implementation, shared via
+    * [[Similarity.pqIvfAdcCandidates]]; the streamed verdicts equal a
+    * batch search over the same arrivals row for row (spec-pinned).
+    * The one mechanical difference: per-query top-k on a stream cannot
+    * use a row_number window (unsupported in append streams), so both
+    * cuts run as bounded heaps inside STATELESS flatMapGroupsWithState
+    * shells — a query's candidates all live in the micro-batch that
+    * carried the query, no state is ever written, and memory per group
+    * is O(rescoreK), not O(candidates). */
   def pqIvfEnrich(stream: DataFrame, path: String, k: Int, nProbe: Int,
                   rescoreK: Int): Dataset[Neighbor] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (m, kCode) = (meta.getInt(0), meta.getInt(1))
-    val index = Similarity.IvfIndex(
-      spark.read.parquet(s"$path/centroids").collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1))
-    val cbFlat = typedLit(
-      spark.read.parquet(s"$path/codebooks").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-        .sortBy(t => (t._1, t._2)).toSeq.flatMap(_._3))
-    val cells = spark.read.parquet(s"$path/cells")
-    val bc = spark.sparkContext.broadcast(index)
-    val qCells = stream.select(col("vec_id").as("q_id"), col("embedding"))
-      .map { r =>
-        val f = r.getSeq[Float](1).toArray
-        (r.getLong(0), f,
-          Similarity.nearestCells(bc.value, f.map(_.toDouble), nProbe).toSeq)
-      }.toDF("q_id", "q_emb", "cells")
-    val probes = qCells
-      .withColumn("lut", Registry.pqLut(col("q_emb"), cbFlat, m, kCode))
-      .select(col("q_id"), col("q_emb"), col("lut"),
-        explode(col("cells")).as("cell"))
-    val cand = probes
-      .join(cells.select(col("cell"), col("vec_id"), col("codes")), Seq("cell"))
-      .where(col("vec_id") =!= col("q_id"))
-      .withColumn("qscore", Registry.pqAdc(col("codes"), col("lut"), kCode))
-      .select(col("q_id"), col("q_emb"), col("cell"), col("vec_id"),
-        col("qscore"))
-      .as[AdcHit]
-    val top = cand.groupByKey(_.q_id)
+    val (cand0, cells) =
+      Similarity.pqIvfAdcCandidates(spark, path, stream, nProbe)
+    val top = cand0.as[AdcHit].groupByKey(_.q_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[AdcHit], _: GroupState[Boolean]) =>
           topBy(rows, rescoreK)(h => (-h.qscore, h.vec_id)).iterator
@@ -82,11 +57,20 @@ object VectorStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (qid: Long, rows: Iterator[(Long, Long, Double)],
          _: GroupState[Boolean]) =>
-          topBy(rows, k)(t => (-t._3, t._2)).zipWithIndex.map {
+          topBy(rows, k)(t => (cosKey(t._3), t._2)).zipWithIndex.map {
             case ((_, vid, cos), i) => Neighbor(qid, i + 1, vid, cos)
           }.iterator
       }
   }
+
+  /** Descending-cosine sort key matching Spark's `desc("cos")` NaN
+    * rule exactly: Spark orders NaN ABOVE every double, so a NaN
+    * cosine (a zero-norm embedding — 0/0) ranks FIRST in the batch
+    * window cut. Plain negation would invert that (−NaN is still NaN,
+    * the worst key in an ascending heap), silently diverging the two
+    * surfaces on degenerate vectors. */
+  private def cosKey(cos: Double): Double =
+    if (cos.isNaN) Double.NegativeInfinity else -cos
 
   /** The `n` smallest rows by `key` in `key` order — a bounded heap
     * (O(rows·log n) time, O(n) memory), the streaming stand-in for

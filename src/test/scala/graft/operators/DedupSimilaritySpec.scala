@@ -472,6 +472,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(migrated.collect().map(_.toSeq).toSeq === viaStats)
   }
 
+  test("incremental dedup: append on a legacy (stats-less) index must not create a partial stats table") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("lsh_legacy").toString
+    Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(3)) === 0),
+      k = 3, bands = 8, rowsPerBand = 4, path, nBucketParts = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    fs.delete(statsPath, true) // simulate the pre-stats layout
+    Dedup.appendToLshIndex(docs.where(pmod(col("doc_id"), lit(3)) === 1), path)
+    // a stats table born from just the append slice would under-size
+    // resident buckets (cap never trips) AND drop stats-less buckets
+    // from the sizes join entirely (real dups missed) — the append
+    // must leave the legacy index on the counting fallback instead
+    assert(!fs.exists(statsPath),
+      "append must not create a partial stats table on a legacy index")
+    val batch = docs.where(pmod(col("doc_id"), lit(3)) === 2)
+    val viaCounting = Dedup.dedupAgainstLshIndex(batch, path,
+      threshold = 0.05, maxBucket = Some(3)).collect().map(_.toSeq).toSeq
+    // wholesale migration then matches exactly (and appends resume
+    // writing slices once the table exists)
+    Dedup.backfillLshStats(spark, path)
+    val viaStats = Dedup.dedupAgainstLshIndex(batch, path,
+      threshold = 0.05, maxBucket = Some(3)).collect().map(_.toSeq).toSeq
+    assert(viaStats === viaCounting)
+  }
+
   test("incremental dedup: degenerate-bucket cap drops template-bucket fan-out, spares small buckets") {
     val template = "the quick brown fox jumps over the lazy dog again and again"
     val corpus = ((1L to 6L).map(i => (i, template)) :+

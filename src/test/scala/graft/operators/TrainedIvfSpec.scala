@@ -582,6 +582,43 @@ class TrainedIvfSpec extends AnyFunSuite {
     assert(exact.sampledQueries > 0)
   }
 
+  test("IVF+PQ rebuild: a COMPLETED rebuild's leftover snapshot is stale — later appends must survive the next rebuild") {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("pqivf_stale").toString
+    val nCells = 8
+    Similarity.savePqIvf(emb, nCentroids = nCells, m = 8, kCode = 16, path)
+    // simulate a rebuild that COMPLETED (meta committed) but crashed
+    // before deleting its snapshot: snapshot exists and is OLDER than
+    // the committed meta
+    spark.read.parquet(s"$path/cells").select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/rebuild_src")
+    val fs = FileSystem.get(new HPath(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val metaMtime = fs.getFileStatus(new HPath(s"$path/meta/_SUCCESS"))
+      .getModificationTime
+    fs.setTimes(new HPath(s"$path/rebuild_src/_SUCCESS"),
+      metaMtime - 60000L, -1L)
+    // the daily loop moves on: a new vector lands in the index — an
+    // exact clone of sampled query vec 10, so it MUST surface as that
+    // query's top neighbor (cos 1.0) iff the rebuild kept it
+    val extra = emb.where(col("vec_id") === 10)
+      .select((col("vec_id") + lit(5000000L)).as("vec_id"), col("embedding"))
+    Similarity.appendToPqIvf(extra, path)
+    // a drift-triggered rebuild must NOT roll back to the snapshot —
+    // the appended vector has to survive
+    Similarity.rebuildPqIvf(spark, path)
+    val union = emb.unionByName(extra)
+    val queries = union.where(col("vec_id") % 10 === 0)
+    val full = Similarity.pqIvfSearch(spark, path, queries, k = 5,
+      nProbe = nCells, rescoreK = Int.MaxValue)
+    val brute = Similarity.bruteForceTopK(union, sampleMod = 10, k = 5)
+    assert(full.collect().map(_.toSeq).toSeq ===
+      brute.collect().map(_.toSeq).toSeq,
+      "rebuild from a stale snapshot dropped post-rebuild appends")
+  }
+
   test("IVF+PQ rebuild heals by re-run: a committed snapshot outranks a half-rewritten cells table") {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

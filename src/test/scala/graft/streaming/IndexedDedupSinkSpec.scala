@@ -89,6 +89,53 @@ class IndexedDedupSinkSpec extends AnyFunSuite {
     assert(state() === before, "replay of a committed batch must change nothing")
   }
 
+  test("crash window: replay after the append reuses the SEALED verdicts — intra-batch near-dups cannot flip") {
+    val idx = java.nio.file.Files.createTempDirectory("seal_idx").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("seal_verd").toString
+    Dedup.saveLshIndex(
+      Seq((1L, "completely unrelated resident corpus document text"))
+        .toDF("doc_id", "text"),
+      k = 2, bands = 4, rowsPerBand = 2, idx, nBucketParts = 4)
+    // a batch whose two docs are near-dups of EACH OTHER, matching
+    // nothing in the corpus: the probe (batch-vs-corpus) marks both
+    // is_dup=false and both get appended
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    DocStreams.processIndexedBatch(batch, 0L, idx, verdicts,
+      threshold = 0.3, maxBucket = None, compactEvery = 0,
+      maxFilesPerPart = 8)
+    def read() = spark.read.parquet(verdicts).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("is_dup")).collect().map(_.toSeq).toSeq
+    val committed = read()
+    assert(committed === Seq(Seq(10L, false), Seq(11L, false)))
+    // simulate a crash AFTER the append but BEFORE the final marker:
+    // the verdicts seal survived, the commit marker did not
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_0"),
+      true)
+    DocStreams.processIndexedBatch(batch, 0L, idx, verdicts,
+      threshold = 0.3, maxBucket = None, compactEvery = 0,
+      maxFilesPerPart = 8)
+    // without the seal the replay would RE-PROBE against an index that
+    // now contains 10 and 11 and flip both to is_dup=true — sealed
+    // verdicts must be reused verbatim
+    assert(read() === committed,
+      "replay recomputed verdicts against the batch's own appended rows")
+    // the double append is the documented at-least-once residue;
+    // repair restores row-level hygiene
+    Dedup.repairLshIndex(spark, idx)
+    val later = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.dedupAgainstLshIndex(later, idx, threshold = 0.3)
+      .collect().head
+    assert(hit.getAs[Boolean]("is_dup") && hit.getLong(1) === 2L,
+      s"repaired index must hold exactly one copy of each survivor: $hit")
+  }
+
   test("crash window: a duplicated append moves no verdicts; repairLshIndex restores hygiene") {
     val dup = java.nio.file.Files.createTempDirectory("crash_idx").toString
     val clean = java.nio.file.Files.createTempDirectory("clean_idx").toString

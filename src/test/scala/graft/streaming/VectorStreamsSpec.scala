@@ -83,4 +83,35 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(streamed === exhaustive)
     assert(streamed.nonEmpty)
   }
+
+  test("degenerate zero-norm embeddings: NaN cosines rank identically to the batch window cut") {
+    // a zero vector's cosine is 0/0 = NaN; Spark's desc() puts NaN
+    // FIRST, and the streaming heap key must mirror that exactly
+    val zero = Seq.fill(64)(0f)
+    val resident = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") % 7 =!= 0)
+      .unionByName(Seq((900001L, zero.toSeq)).toDF("vec_id", "embedding"))
+    val arriving = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") % 7 === 0).as[VecRow].collect().toSeq :+
+      VecRow(900002L, zero)
+    val path = java.nio.file.Files.createTempDirectory("pqivf_nan").toString
+    Similarity.savePqIvf(resident, nCentroids = 8, m = 8, kCode = 16, path)
+    val (streamed, _) = runStream(path, Seq(arriving), k = 5,
+      nProbe = 8, rescoreK = Int.MaxValue)
+    val batch = Similarity.pqIvfSearch(spark, path, arriving.toDF(),
+        k = 5, nProbe = 8, rescoreK = Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    // NaN != NaN under Seq equality — compare doubles by bit pattern
+    def norm(rows: Seq[Seq[Any]]) = rows.map(_.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case x => x
+    })
+    assert(norm(streamed) === norm(batch))
+    // the degenerate rows actually exercised the NaN path
+    assert(batch.exists(r => r(3).asInstanceOf[Double].isNaN))
+  }
 }
