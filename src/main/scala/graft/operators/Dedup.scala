@@ -469,9 +469,7 @@ object Dedup {
       // probe's sizes join would drop them and miss real dups. Legacy
       // indexes stay on the counting fallback until [[backfillLshStats]]
       // migrates them wholesale.
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new org.apache.hadoop.fs.Path(path).toUri,
-        spark.sessionState.newHadoopConf())
+      val fs = graft.sources.Hdfs.forPath(spark, path)
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
         writeLshStats(bandRows, path, overwrite = false)
       sig.select(col("doc_id"), col("sh"))
@@ -487,9 +485,7 @@ object Dedup {
     * history's accreted stats slices into exact single rows. */
   def backfillLshStats(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new org.apache.hadoop.fs.Path(path).toUri,
-      spark.sessionState.newHadoopConf())
+    val fs = graft.sources.Hdfs.forPath(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
     writeLshStats(spark.read.parquet(s"$path/bands"), path, overwrite = true)
@@ -564,9 +560,7 @@ object Dedup {
     * the compacted band part ids. */
   def compactLshBands(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerPart: Int, targetFiles: Int = 1): Seq[Int] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new org.apache.hadoop.fs.Path(path).toUri,
-      spark.sessionState.newHadoopConf())
+    val fs = graft.sources.Hdfs.forPath(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
@@ -589,9 +583,7 @@ object Dedup {
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, bands, rpb, parts) =
       (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new org.apache.hadoop.fs.Path(path).toUri,
-      spark.sessionState.newHadoopConf())
+    val fs = graft.sources.Hdfs.forPath(spark, path)
     val stats =
       if (maxBucket.isDefined &&
           fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))

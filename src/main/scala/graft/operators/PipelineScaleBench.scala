@@ -193,9 +193,7 @@ object PipelineScaleBench {
     {
       val c = copiesList.max
       val idxPath = s"/tmp/graft_psb/lshidx_x$c"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new org.apache.hadoop.fs.Path(idxPath).toUri,
-        spark.sessionState.newHadoopConf())
+      val fs = graft.sources.Hdfs.forPath(spark, idxPath)
       val statsPath = new org.apache.hadoop.fs.Path(s"$idxPath/stats")
       if (!fs.exists(statsPath)) // index cached from a pre-stats layout
         Dedup.backfillLshStats(spark, idxPath)
@@ -224,11 +222,25 @@ object PipelineScaleBench {
         if (!fs.rename(statsPath, aside))
           throw new java.io.IOException(s"cannot stage $statsPath aside")
         val (n, nSec) =
-          try timed(probeOnce())
-          finally if (!fs.rename(aside, statsPath))
-            throw new java.io.IOException(
-              s"FAILED to restore $statsPath from $aside — index needs " +
-                "backfillLshStats")
+          try {
+            val r = timed(probeOnce())
+            // restore-failure must SURFACE, but never mask a primary
+            // probe failure — the restore check therefore lives on the
+            // success path, not in a finally that would replace the
+            // original exception
+            if (!fs.rename(aside, statsPath))
+              throw new java.io.IOException(
+                s"FAILED to restore $statsPath from $aside — index needs " +
+                  "backfillLshStats")
+            r
+          } catch {
+            case primary: Throwable =>
+              if (fs.exists(aside) && !fs.rename(aside, statsPath))
+                primary.addSuppressed(new java.io.IOException(
+                  s"also FAILED to restore $statsPath from $aside — index " +
+                    "needs backfillLshStats"))
+              throw primary
+          }
         noStats = n; nSecs += nSec
         graft.Isolation.scrub(spark)
       }

@@ -271,9 +271,7 @@ object Similarity {
     * (asserted in TrainedIvfSpec). Returns the compacted cell ids. */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerCell: Int, targetFiles: Int = 1): Seq[Int] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new org.apache.hadoop.fs.Path(path).toUri,
-      spark.sessionState.newHadoopConf())
+    val fs = graft.sources.Hdfs.forPath(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")),
       s"$path is not a saved IVF index (no cells/ directory — see saveIvf)")
     // swap protocol + crash recovery live in sources.Compaction — ONE
@@ -869,16 +867,20 @@ object Similarity {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (m, kCode, nCentroids) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new org.apache.hadoop.fs.Path(path).toUri,
-      spark.sessionState.newHadoopConf())
+    val fs = graft.sources.Hdfs.forPath(spark, path)
     val src = new org.apache.hadoop.fs.Path(s"$path/rebuild_src")
     val srcSuccess = new org.apache.hadoop.fs.Path(src, "_SUCCESS")
     val metaSuccess = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
     if (fs.exists(srcSuccess) && fs.exists(metaSuccess) &&
         fs.getFileStatus(metaSuccess).getModificationTime >=
           fs.getFileStatus(srcSuccess).getModificationTime)
-      fs.delete(src, true) // completed rebuild's leftover: stale, discard
+      // completed rebuild's leftover: stale, discard — and a FAILED
+      // delete must abort, or the stale snapshot would be rebuilt from
+      // after all (the silent-rollback this check exists to prevent)
+      if (!fs.delete(src, true))
+        throw new java.io.IOException(
+          s"cannot discard stale rebuild snapshot $src — aborting rather " +
+            "than rebuilding from it")
     if (!fs.exists(srcSuccess))
       spark.read.parquet(s"$path/cells")
         .select(col("vec_id"), col("embedding"))

@@ -15,6 +15,18 @@ import org.apache.spark.sql.SparkSession
   * repairs a previous crash (restores a staged dir whose live twin
   * vanished mid-swap, drops orphaned tmp rewrites).
   */
+/** The one Hadoop-FS handle rule for every on-disk index/table
+  * protocol in the engine: resolve against the path's own scheme with
+  * the session's Hadoop conf — so per-path credentials or FS settings
+  * ever added to the conf reach every call site at once. */
+object Hdfs {
+  def forPath(spark: SparkSession,
+              path: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+}
+
 object Compaction {
 
   /** Compact partitions of `tableRoot` (dirs named `<prefix><value>`)

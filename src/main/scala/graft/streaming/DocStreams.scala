@@ -224,8 +224,7 @@ object DocStreams {
       maxFilesPerPart: Int): Unit = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val spark = batch.sparkSession
-    val fs = FileSystem.get(new HPath(verdictsPath).toUri,
-      spark.sessionState.newHadoopConf())
+    val fs = graft.sources.Hdfs.forPath(spark, verdictsPath)
     val marker = new HPath(s"$verdictsPath/_committed/batch_$id")
     if (fs.exists(marker)) return // replayed, fully committed: no-op
     def seal(p: HPath): Unit = { fs.mkdirs(p.getParent); fs.create(p).close() }

@@ -63,14 +63,18 @@ object VectorStreams {
       }
   }
 
-  /** Descending-cosine sort key matching Spark's `desc("cos")` NaN
-    * rule exactly: Spark orders NaN ABOVE every double, so a NaN
-    * cosine (a zero-norm embedding — 0/0) ranks FIRST in the batch
-    * window cut. Plain negation would invert that (−NaN is still NaN,
-    * the worst key in an ascending heap), silently diverging the two
-    * surfaces on degenerate vectors. */
+  /** Descending-cosine sort key matching Spark's `desc("cos")`
+    * ordering rules exactly on the degenerate doubles: Spark orders
+    * NaN ABOVE every double, so a NaN cosine (a zero-norm embedding —
+    * 0/0) ranks FIRST in the batch window cut — plain negation would
+    * invert that (−NaN is still NaN, the worst key in an ascending
+    * heap); and Spark treats −0.0 == +0.0 (falling through to the
+    * vec_id tie-break) while Double.compare separates them — so both
+    * zeros collapse to one key. */
   private def cosKey(cos: Double): Double =
-    if (cos.isNaN) Double.NegativeInfinity else -cos
+    if (cos.isNaN) Double.NegativeInfinity
+    else if (cos == 0.0) 0.0 // collapse ±0.0 to the tie-break, like Spark
+    else -cos
 
   /** The `n` smallest rows by `key` in `key` order — a bounded heap
     * (O(rows·log n) time, O(n) memory), the streaming stand-in for
