@@ -241,6 +241,52 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(filtered === expected)
   }
 
+  test("state horizon: the sig-only lean-state variant evicts through the same shared core") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // in-horizon: generous horizon ⇒ verdicts equal the NoTimeout twin
+    // on identical triggers (the eviction plumbing must be invisible
+    // inside the window); and a distinct-content stream's state still
+    // plateaus — the core is shared, both variants inherit both halves
+    def trigger(t: Int): Seq[EvStreamDoc] = (0 until 120).map { i =>
+      EvStreamDoc(t * 1000L + i,
+        s"doc t$t i$i " + (1 to 8).map(w => s"w${t}_${i}_$w").mkString(" "),
+        new java.sql.Timestamp(t * 10000L))
+    }
+    val dupA = EvStreamDoc(900001L,
+      "alpha beta gamma delta epsilon zeta eta theta", new java.sql.Timestamp(10000L))
+    val dupB = EvStreamDoc(900002L,
+      "alpha beta gamma delta epsilon zeta eta iota", new java.sql.Timestamp(20000L))
+    val input = MemoryStream[EvStreamDoc]
+    val q = DocStreams.withEvictionEnabled(spark) {
+      DocStreams.streamingLshDedupSigOnly(input.toDF(), k = 3, bands = 8,
+          rowsPerBand = 4, threshold = 0.25, maxBucket = 8,
+          eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 5000L)))
+        .writeStream.format("memory")
+        .queryName(s"docstream_sig_evict_${System.nanoTime()}")
+        .outputMode("append").start()
+    }
+    val totals = try {
+      (1 to 5).map { t =>
+        val extra = if (t == 1) Seq(dupA) else if (t == 2) Seq(dupB) else Nil
+        input.addData(trigger(t) ++ extra: _*); q.processAllAvailable()
+        q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      }
+    } finally q.stop()
+    assert(totals.last < totals.head * 3,
+      s"sig-only state should plateau under eviction: $totals")
+    // retirement happens when the WATERMARK passes deadline: trigger 2
+    // processes under trigger 1's watermark (10s < the 15s deadline),
+    // so the trigger-1 resident is still live when its near-dup
+    // arrives — the match must emit even though wall-of-data distance
+    // exceeds the horizon; only buckets silent past the watermark
+    // clock retire (the plateau above)
+    val matched = spark.table(q.name).as[DocStreams.NearDupMatch].collect()
+      .exists(m => m.doc_id == 900002L && m.match_id == 900001L)
+    assert(matched, "next-trigger near-dup must match before retirement fires")
+  }
+
   test("cross-trigger residency: a later arrival matches an earlier trigger's resident") {
     val a = Doc(1L, "one two three four five six seven eight")
     val b = Doc(2L, "one two three four five six seven nine")
