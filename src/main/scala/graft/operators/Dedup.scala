@@ -411,22 +411,32 @@ object Dedup {
   def saveLshIndex(corpus: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
                    path: String,
                    nBucketParts: Int = LshBucketParts): Unit = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     // scope-bounded cache: bands and docs both read the signature frame
     // (shingling is the expensive part); released before returning
     val sig = minhashSignatures(corpus, k, bands * rowsPerBand).cache()
-    try {
-      val bandRows = bandedFrame(sig, bands, rowsPerBand)
-        .withColumn("part", pmod(col("bucket"), lit(nBucketParts)))
-      bandRows.write.mode("overwrite").partitionBy("part").parquet(s"$path/bands")
-      writeLshStats(bandRows, path, overwrite = true)
-      sig.select(col("doc_id"), col("sh"))
-        .write.mode("overwrite").parquet(s"$path/docs")
-      Seq((k, bands, rowsPerBand, nBucketParts))
-        .toDF("k", "bands", "rows_per_band", "n_bucket_parts")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    } finally sig.unpersist()
+    try writeLshIndexFromSig(sig, k, bands, rowsPerBand, path, nBucketParts)
+    finally sig.unpersist()
+  }
+
+  /** The index-writing back half shared by [[saveLshIndex]] (signatures
+    * fresh from text) and [[rebuildLshIndex]] (signatures re-derived
+    * from the snapshotted doc store): bands → stats → docs, meta LAST
+    * as the commit marker. */
+  private def writeLshIndexFromSig(sig: DataFrame, k: Int, bands: Int,
+                                   rowsPerBand: Int, path: String,
+                                   nBucketParts: Int): Unit = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val bandRows = bandedFrame(sig, bands, rowsPerBand)
+      .withColumn("part", pmod(col("bucket"), lit(nBucketParts)))
+    bandRows.write.mode("overwrite").partitionBy("part").parquet(s"$path/bands")
+    writeLshStats(bandRows, s"$path/stats", overwrite = true)
+    sig.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    Seq((k, bands, rowsPerBand, nBucketParts))
+      .toDF("k", "bands", "rows_per_band", "n_bucket_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    spark.catalog.refreshByPath(path)
   }
 
   /** Per-(part, band, bucket) member counts, written alongside the band
@@ -437,12 +447,12 @@ object Dedup {
     * slices, so freshness is structural, not a cache-invalidation
     * problem. Rows are 4 small ints per distinct bucket — negligible
     * next to the band rows they describe. */
-  private def writeLshStats(bandRows: DataFrame, path: String,
+  private def writeLshStats(bandRows: DataFrame, statsPath: String,
                             overwrite: Boolean): Unit =
     bandRows.groupBy(col("part"), col("band"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("part").parquet(s"$path/stats")
+      .partitionBy("part").parquet(statsPath)
 
   /** Append an accepted batch to a persisted index — the post-dedup
     * step of the daily loop (probe → keep survivors → append them).
@@ -460,35 +470,106 @@ object Dedup {
       val bandRows = bandedFrame(sig, bands, rpb)
         .withColumn("part", pmod(col("bucket"), lit(parts)))
       bandRows.write.mode("append").partitionBy("part").parquet(s"$path/bands")
-      // stats slice ONLY when the index already carries a stats table:
-      // on a legacy (pre-stats) index, creating stats/ from just this
-      // append would be silently WRONG twice over — resident buckets
-      // would report only their appended members (a 9-member template
-      // bucket reads as 1, the cap never trips), and buckets with no
-      // appended rows would have no stats row at all, so the capped
-      // probe's sizes join would drop them and miss real dups. Legacy
-      // indexes stay on the counting fallback until [[backfillLshStats]]
-      // migrates them wholesale.
-      val fs = graft.sources.Hdfs.forPath(spark, path)
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
-        writeLshStats(bandRows, path, overwrite = false)
+      // stats slice ONLY when the index already carries a COMMITTED
+      // stats table (the _SUCCESS gate — a torn stats dir left by a
+      // crashed overwrite must not accrete slices on top of partial
+      // counts): on a legacy (pre-stats) index, creating stats/ from
+      // just this append would be silently WRONG twice over — resident
+      // buckets would report only their appended members (a 9-member
+      // template bucket reads as 1, the cap never trips), and buckets
+      // with no appended rows would have no stats row at all, so the
+      // capped probe's sizes join would drop them and miss real dups.
+      // Legacy/torn indexes stay on the counting fallback until
+      // [[backfillLshStats]] migrates them wholesale.
+      if (lshStatsCommitted(spark, path))
+        writeLshStats(bandRows, s"$path/stats", overwrite = false)
       sig.select(col("doc_id"), col("sh"))
         .write.mode("append").parquet(s"$path/docs")
     } finally sig.unpersist()
   }
+
+  /** The stats fast path's commit gate: a capped probe may trust the
+    * stats side table only when its write COMMITTED (`_SUCCESS`
+    * present at the table root) — a dir-existence check would accept a
+    * torn dir left by a crashed overwrite, and a probe joining against
+    * partial bucket sizes silently DROPS the missing buckets (missed
+    * duplicates) instead of falling back to counting. */
+  private def lshStatsCommitted(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Boolean =
+    graft.sources.Hdfs.forPath(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS"))
 
   /** Backfill (or exact-rebuild) the stats side table from the band
     * data: one aggregate writes the same per-(part, band, bucket)
     * counts a fresh [[saveLshIndex]] would have. Two uses — migrating
     * a legacy index saved before the stats layout existed onto the
     * one-pruned-scan probe path, and collapsing a long append
-    * history's accreted stats slices into exact single rows. */
+    * history's accreted stats slices into exact single rows. The
+    * rewrite goes through the stage-aside/rename swap (never a plain
+    * in-place overwrite of the live dir): probes keep a committed
+    * stats table through every crash point, and [[lshStatsCommitted]]
+    * closes the residual window — a swap interrupted between renames
+    * leaves no `_SUCCESS`, so probes fall back to counting instead of
+    * joining partial sizes. */
   def backfillLshStats(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val fs = graft.sources.Hdfs.forPath(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
-    writeLshStats(spark.read.parquet(s"$path/bands"), path, overwrite = true)
+    recoverStagedTable(spark, fs, path, "stats")
+    stagedRewriteTable(spark, fs, path, "stats") { tmp =>
+      writeLshStats(spark.read.parquet(s"$path/bands"), tmp, overwrite = true)
+    }
+  }
+
+  /** Startup recovery for [[stagedRewriteTable]]'s crash windows:
+    * restore a staged table whose live twin vanished mid-swap, drop
+    * orphaned tmp rewrites. */
+  private def recoverStagedTable(spark: org.apache.spark.sql.SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String, table: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val old = new HPath(root, s"_repair_old_$table")
+    val live = new HPath(root, table)
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(old, live)) throw new java.io.IOException(
+          s"staged-table recovery could not restore $old to $live")
+      } else fs.delete(old, true)
+    }
+    val tmp = new HPath(root, s"_repair_tmp_$table")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** The one table-swap protocol for rewriting a live index table in
+    * place: `write` materializes the replacement into a tmp dir, the
+    * live dir is staged aside, the replacement renamed in, the stage
+    * deleted — every crash point leaves the data recoverable by
+    * [[recoverStagedTable]]. A live dir that does not exist yet (e.g.
+    * backfilling stats onto a legacy index) renames the tmp straight
+    * in. */
+  private def stagedRewriteTable(spark: org.apache.spark.sql.SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String, table: String)(
+                                 write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val live = new HPath(root, table)
+    val tmp = new HPath(root, s"_repair_tmp_$table")
+    write(tmp.toString)
+    if (fs.exists(live)) {
+      val old = new HPath(root, s"_repair_old_$table")
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"staged rewrite could not stage $live aside")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(old, live)
+        throw new java.io.IOException(s"staged rewrite rename failed for $live")
+      }
+      fs.delete(old, true)
+    } else if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"staged rewrite could not install $live")
+    spark.catalog.refreshByPath(live.toString)
   }
 
   /** Repair an index damaged by an at-least-once replayed append (the
@@ -505,42 +586,17 @@ object Dedup {
     * changes nothing but file layout. */
   def repairLshIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String): Unit = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val root = new HPath(path)
-    val fs = FileSystem.get(root.toUri, spark.sessionState.newHadoopConf())
-    require(fs.exists(new HPath(s"$path/meta")),
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
-    // crash recovery: restore a staged table whose live twin vanished
-    // mid-swap; drop orphaned rewrites
-    Seq("bands", "docs").foreach { t =>
-      val old = new HPath(root, s"_repair_old_$t")
-      val live = new HPath(root, t)
-      if (fs.exists(old)) {
-        if (!fs.exists(live)) {
-          if (!fs.rename(old, live)) throw new java.io.IOException(
-            s"repair recovery could not restore $old to $live")
-        } else fs.delete(old, true)
+    // crash recovery first, for all three swappable tables
+    Seq("bands", "docs", "stats").foreach(recoverStagedTable(spark, fs, path, _))
+    def rewrite(t: String)(dedup: DataFrame => DataFrame): Unit =
+      stagedRewriteTable(spark, fs, path, t) { tmp =>
+        val df = dedup(spark.read.parquet(s"$path/$t"))
+        if (t == "bands") df.write.partitionBy("part").parquet(tmp)
+        else df.write.parquet(tmp)
       }
-      val tmp = new HPath(root, s"_repair_tmp_$t")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-    }
-    def rewrite(t: String)(dedup: DataFrame => DataFrame): Unit = {
-      val live = new HPath(root, t)
-      val tmp = new HPath(root, s"_repair_tmp_$t")
-      val df = dedup(spark.read.parquet(live.toString))
-      if (t == "bands")
-        df.write.partitionBy("part").parquet(tmp.toString)
-      else df.write.parquet(tmp.toString)
-      val old = new HPath(root, s"_repair_old_$t")
-      if (!fs.rename(live, old))
-        throw new java.io.IOException(s"repair could not stage $live aside")
-      if (!fs.rename(tmp, live)) {
-        fs.rename(old, live)
-        throw new java.io.IOException(s"repair rename failed for $live")
-      }
-      fs.delete(old, true)
-      spark.catalog.refreshByPath(live.toString)
-    }
     // band rows are fully determined by (doc_id, band): exact distinct
     rewrite("bands")(_.dropDuplicates())
     // one shingle-set row per doc
@@ -563,30 +619,77 @@ object Dedup {
     val fs = graft.sources.Hdfs.forPath(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
+    if (lshStatsCommitted(spark, path))
       graft.sources.Compaction.compactPartitions(spark, s"$path/stats",
         "part=", maxFilesPerPart, targetFiles)
     graft.sources.Compaction.compactPartitions(spark, s"$path/bands",
       "part=", maxFilesPerPart, targetFiles).map(_.toInt)
   }
 
+  /** Re-bucket (and optionally re-band) a persisted LSH index from its
+    * own doc store — the growth-migration half of the maintenance
+    * story, symmetric to [[graft.operators.Similarity.rebuildPqIvf]]:
+    * an index sized at save time keeps its `nBucketParts` through
+    * every append, so a corpus that grows 100× ends up with fat bucket
+    * partitions and weak probe pruning; this re-saves the index under
+    * new partitioning without touching the original text.
+    *
+    * `None` keeps the current value from meta. Changing ONLY
+    * `nBucketParts` is pure layout: band rows and buckets are
+    * unchanged, just re-hashed to partitions, so probe verdicts are
+    * bit-identical before and after (spec-pinned, like compaction's).
+    * Changing `bands`/`rowsPerBand` re-derives signatures from the
+    * stored shingle sets — the result equals a fresh [[saveLshIndex]]
+    * of the same docs at those parameters (spec-pinned); verdicts may
+    * legitimately move (different candidate generation). The shingle
+    * length `k` CANNOT change here — shingles are baked into the doc
+    * store and the text is gone; re-shingling is a fresh
+    * [[saveLshIndex]] from the corpus.
+    *
+    * Crash-safe by re-run via the shared token-committed snapshot
+    * protocol ([[graft.sources.Rebuild]]): the doc store is
+    * snapshotted first, the rebuild runs from the snapshot, and a
+    * completed rebuild's leftover snapshot is discarded rather than
+    * rolling back appends that landed since. */
+  def rebuildLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      nBucketParts: Option[Int] = None,
+                      bands: Option[Int] = None,
+                      rowsPerBand: Option[Int] = None): Unit = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, oldBands, oldRpb, oldParts) =
+      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    val nb = bands.getOrElse(oldBands)
+    val nr = rowsPerBand.getOrElse(oldRpb)
+    val np = nBucketParts.getOrElse(oldParts)
+    require(nb >= 1 && nr >= 1 && np >= 1,
+      s"rebuild parameters must be positive: bands=$nb rowsPerBand=$nr nBucketParts=$np")
+    graft.sources.Rebuild.withCommittedSnapshot(spark, path,
+      spark.read.parquet(s"$path/docs").select(col("doc_id"), col("sh"))) { snap =>
+      // scope-bounded cache as in saveLshIndex: bands/stats/docs all
+      // read the re-signed frame
+      val sig = snap.withColumn("sig", minhashSig(col("sh"), nb * nr)).cache()
+      try writeLshIndexFromSig(sig, k, nb, nr, path, np)
+      finally sig.unpersist()
+    }
+  }
+
   /** Probe a persisted index with a new batch: [[incrementalLshDedup]]
     * semantics, corpus side read from the `part`-partitioned band table
     * (DPP-pruned to the batch's buckets) and the doc store. A capped
     * probe reads bucket sizes from the save-time stats table when the
-    * index has one (one pruned band-data scan total, spec-pinned);
-    * indexes saved by older layouts without `stats/` fall back to
-    * counting within the pruned band scan. */
+    * index has a COMMITTED one ([[lshStatsCommitted]] — one pruned
+    * band-data scan total, spec-pinned); indexes saved by older
+    * layouts without `stats/`, or whose stats rewrite was interrupted
+    * before commit, fall back to counting within the pruned band
+    * scan. */
   def dedupAgainstLshIndex(batch: DataFrame, path: String, threshold: Double,
                            maxBucket: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, bands, rpb, parts) =
       (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
-    val fs = graft.sources.Hdfs.forPath(spark, path)
     val stats =
-      if (maxBucket.isDefined &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
+      if (maxBucket.isDefined && lshStatsCommitted(spark, path))
         Some(spark.read.parquet(s"$path/stats"))
       else None
     dedupAgainstBands(

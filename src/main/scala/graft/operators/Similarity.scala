@@ -848,46 +848,23 @@ object Similarity {
   /** Re-train a drifted [[savePqIvf]] index from its own current
     * vectors, in place: fresh k-means centroids AND fresh PQ codebooks
     * over the full resident+appended population, same (nCentroids, m,
-    * kCode) read from the index's meta. Crash-safe by re-run, not by
-    * atomicity: the current vectors are snapshotted to
-    * `$$path/rebuild_src` FIRST (committed by its own _SUCCESS), and
-    * that snapshot — not the possibly half-rewritten cells table — is
-    * the rebuild source whenever it is NEWER than the committed meta
-    * (a crashed rebuild: snapshot committed, [[savePqIvf]]'s meta —
-    * written last — never landed), so a rebuild that died
-    * mid-overwrite is healed by calling [[rebuildPqIvf]] again. A
-    * snapshot OLDER than the meta belongs to a COMPLETED rebuild whose
-    * final cleanup crashed: vectors may have been appended since, so
-    * rebuilding from it would silently roll the index back — it is
-    * discarded and the current cells re-snapshotted instead. The
-    * snapshot is deleted only after [[savePqIvf]] has committed its
-    * meta. */
+    * kCode) read from the index's meta. Crash-safe by re-run via the
+    * shared snapshot protocol ([[graft.sources.Rebuild]]): the current
+    * vectors are snapshotted (token-committed) FIRST and the rebuild
+    * runs from the snapshot, so a rebuild that died mid-overwrite is
+    * healed by calling [[rebuildPqIvf]] again, and a COMPLETED
+    * rebuild's leftover snapshot (token already echoed to the done
+    * marker) is discarded rather than rolling back later appends. */
   def rebuildPqIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                    trainIters: Int = 10): Unit = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (m, kCode, nCentroids) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val fs = graft.sources.Hdfs.forPath(spark, path)
-    val src = new org.apache.hadoop.fs.Path(s"$path/rebuild_src")
-    val srcSuccess = new org.apache.hadoop.fs.Path(src, "_SUCCESS")
-    val metaSuccess = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    if (fs.exists(srcSuccess) && fs.exists(metaSuccess) &&
-        fs.getFileStatus(metaSuccess).getModificationTime >=
-          fs.getFileStatus(srcSuccess).getModificationTime)
-      // completed rebuild's leftover: stale, discard — and a FAILED
-      // delete must abort, or the stale snapshot would be rebuilt from
-      // after all (the silent-rollback this check exists to prevent)
-      if (!fs.delete(src, true))
-        throw new java.io.IOException(
-          s"cannot discard stale rebuild snapshot $src — aborting rather " +
-            "than rebuilding from it")
-    if (!fs.exists(srcSuccess))
+    graft.sources.Rebuild.withCommittedSnapshot(spark, path,
       spark.read.parquet(s"$path/cells")
-        .select(col("vec_id"), col("embedding"))
-        .write.mode("overwrite").parquet(src.toString)
-    savePqIvf(spark.read.parquet(src.toString), nCentroids, m, kCode,
-      path, trainIters)
-    fs.delete(src, true)
+        .select(col("vec_id"), col("embedding"))) { snap =>
+      savePqIvf(snap, nCentroids, m, kCode, path, trainIters)
+    }
   }
 
   private def pqTopKWith(emb: DataFrame, cbRows: Seq[(Int, Int, Seq[Double])],

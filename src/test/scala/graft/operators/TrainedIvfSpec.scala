@@ -28,6 +28,14 @@ class TrainedIvfSpec extends AnyFunSuite {
     sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
   }
 
+  /** Stage a rebuild-protocol token file (graft.sources.Rebuild's
+    * commit markers) to simulate crash states. */
+  private def writeToken(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path, tok: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(tok.getBytes("UTF-8")) finally out.close()
+  }
+
   test("trained IVF on testdata: recall@10 >= 0.8 at nProbe=10/16, cells balanced (max/mean <= 4)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val (index, assigned) = Similarity.buildIvfTrained(emb, k = 16)
@@ -589,17 +597,15 @@ class TrainedIvfSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("pqivf_stale").toString
     val nCells = 8
     Similarity.savePqIvf(emb, nCentroids = nCells, m = 8, kCode = 16, path)
-    // simulate a rebuild that COMPLETED (meta committed) but crashed
-    // before deleting its snapshot: snapshot exists and is OLDER than
-    // the committed meta
+    // simulate a rebuild that COMPLETED (done token echoed) but crashed
+    // before deleting its snapshot: snapshot committed with token T,
+    // and the index's done marker carries the same T
     spark.read.parquet(s"$path/cells").select(col("vec_id"), col("embedding"))
       .write.mode("overwrite").parquet(s"$path/rebuild_src")
     val fs = FileSystem.get(new HPath(path).toUri,
       spark.sessionState.newHadoopConf())
-    val metaMtime = fs.getFileStatus(new HPath(s"$path/meta/_SUCCESS"))
-      .getModificationTime
-    fs.setTimes(new HPath(s"$path/rebuild_src/_SUCCESS"),
-      metaMtime - 60000L, -1L)
+    writeToken(fs, new HPath(s"$path/rebuild_src/_token"), "tok-completed")
+    writeToken(fs, new HPath(s"$path/rebuild_done_token"), "tok-completed")
     // the daily loop moves on: a new vector lands in the index — an
     // exact clone of sampled query vec 10, so it MUST surface as that
     // query's top neighbor (cos 1.0) iff the rebuild kept it
@@ -627,12 +633,14 @@ class TrainedIvfSpec extends AnyFunSuite {
     val nCells = 8
     Similarity.savePqIvf(emb, nCentroids = nCells, m = 8, kCode = 16, path)
     // simulate a rebuild that died mid-overwrite: the snapshot had
-    // committed (rebuild_src/_SUCCESS exists), then the cells rewrite
-    // was interrupted — model that by dropping a cell partition
+    // committed (its token landed) but the done token never did, then
+    // the cells rewrite was interrupted — model the interruption by
+    // dropping a cell partition
     spark.read.parquet(s"$path/cells").select(col("vec_id"), col("embedding"))
       .write.mode("overwrite").parquet(s"$path/rebuild_src")
     val fs = FileSystem.get(new HPath(path).toUri,
       spark.sessionState.newHadoopConf())
+    writeToken(fs, new HPath(s"$path/rebuild_src/_token"), "tok-inflight")
     val someCell = fs.listStatus(new HPath(s"$path/cells"))
       .filter(_.isDirectory).map(_.getPath)
       .find(_.getName.startsWith("cell=")).get
