@@ -156,8 +156,11 @@ object PipelineScaleBench {
       // or worse, silently measure the wrong corpus
       val idxSuccess = new java.io.File(s"$idxPath/meta/_SUCCESS")
       val corpusSuccess = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
+      // a corpus dir WITHOUT its success marker is an unknown artifact
+      // (File.lastModified() returns 0 for missing files, which would
+      // make any cached index look fresh) — rebuild, never reuse
       val (_, buildSec) =
-        if (idxSuccess.exists() &&
+        if (corpusSuccess.exists() && idxSuccess.exists() &&
             idxSuccess.lastModified() >= corpusSuccess.lastModified()) ((), -1.0)
         else timed(Dedup.saveLshIndex(corpus, k = 3, bands = 8,
           rowsPerBand = 4, idxPath))

@@ -143,31 +143,48 @@ object DedupQueries {
     // hash-checked, not approximated.
     "c6_incremental_lifecycle" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val idx = java.nio.file.Files.createTempDirectory("c6_lsh").toString
-      Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(12)) === 0),
-        k = 3, bands = 8, rowsPerBand = 4, idx, nBucketParts = 16)
-      val probes = (1 to 3).map { b =>
-        // scope-bounded cache: the probe references the batch subtree
-        // several times (buckets, candidates, verification, output
-        // base — the documented dedupAgainstBands recompute) and the
-        // survivor append reads it once more
-        val batch = docs.where(pmod(col("doc_id"), lit(12)) === b).cache()
-        try {
-          Dedup.dedupAgainstLshIndex(batch, idx, threshold = 0.05,
-              maxBucket = Some(3))
-            .write.mode("overwrite").parquet(s"$idx/probe_$b")
-          val probed = s.read.parquet(s"$idx/probe_$b")
-          Dedup.appendToLshIndex(
-            batch.join(probed.where(!col("is_dup")).select(col("doc_id")),
-              "doc_id"), idx)
-          Dedup.compactLshBands(s, idx, maxFilesPerPart = 1)
-          probed.withColumn("batch", lit(b))
-        } finally batch.unpersist(blocking = false)
-      }
-      probes.reduce(_ unionByName _)
-        .select(col("batch"), col("doc_id"), col("n_matches"),
-          col("match_id"), col("is_dup"))
-        .orderBy(col("batch"), col("doc_id"))
+      // Index scratch space: conf-provided root (set graft.scratch.dir
+      // to a cluster-visible path in production — the lifecycle's index
+      // belongs on the same filesystem as its data), defaulting to the
+      // driver's tmp for local runs; ONE fixed subdir per query,
+      // deleted before AND after each execution so repeated Verify/
+      // Bench runs never accrete index builds on disk.
+      val scratchRoot = s.conf.get("graft.scratch.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_scratch")
+      val idx = s"$scratchRoot/c6_lsh"
+      val fs = graft.sources.Hdfs.forPath(s, idx)
+      val idxPath = new org.apache.hadoop.fs.Path(idx)
+      fs.delete(idxPath, true)
+      try {
+        Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(12)) === 0),
+          k = 3, bands = 8, rowsPerBand = 4, idx, nBucketParts = 16)
+        val probes = (1 to 3).map { b =>
+          // scope-bounded cache: the probe references the batch subtree
+          // several times (buckets, candidates, verification, output
+          // base — the documented dedupAgainstBands recompute) and the
+          // survivor append reads it once more
+          val batch = docs.where(pmod(col("doc_id"), lit(12)) === b).cache()
+          try {
+            Dedup.dedupAgainstLshIndex(batch, idx, threshold = 0.05,
+                maxBucket = Some(3))
+              .write.mode("overwrite").parquet(s"$idx/probe_$b")
+            val probed = s.read.parquet(s"$idx/probe_$b")
+            Dedup.appendToLshIndex(
+              batch.join(probed.where(!col("is_dup")).select(col("doc_id")),
+                "doc_id"), idx)
+            Dedup.compactLshBands(s, idx, maxFilesPerPart = 1)
+            probed.withColumn("batch", lit(b))
+          } finally batch.unpersist(blocking = false)
+        }
+        // pin the result off the scratch parquets before they are
+        // deleted: localCheckpoint materializes the rows into storage
+        // blocks and cuts the lineage back to the probe files
+        probes.reduce(_ unionByName _)
+          .select(col("batch"), col("doc_id"), col("n_matches"),
+            col("match_id"), col("is_dup"))
+          .orderBy(col("batch"), col("doc_id"))
+          .localCheckpoint(true)
+      } finally fs.delete(idxPath, true)
     })
   )
 

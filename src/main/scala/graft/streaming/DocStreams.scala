@@ -74,10 +74,14 @@ object DocStreams {
     * stream's state rows plateau, and in-horizon verdicts still equal
     * the batch twin's). With `eviction = None` residency is permanent:
     * verdicts match the batch path for arbitrarily old originals, but
-    * bucket keys AND pair-dedup markers grow with distinct content
-    * forever — acceptable for bounded backfills replayed through the
-    * streaming path, wrong for an unbounded production stream (set a
-    * horizon there).
+    * TWO state surfaces then grow without bound — the (band, bucket)
+    * residency keys (with distinct content), and the trailing
+    * cross-band pair collapse, which in the no-eviction mode is an
+    * unwatermarked stateful `dropDuplicates` keeping one state row
+    * PER EMITTED MATCH PAIR forever. The horizon bounds both on the
+    * same watermark clock. `eviction = None` is therefore acceptable
+    * only for bounded backfills replayed through the streaming path;
+    * an unbounded production stream MUST set a horizon.
     *
     * State note at 100 TB: membership stores each doc's shingle set
     * once per band (×bands memory). The RocksDB state store
@@ -140,9 +144,18 @@ object DocStreams {
     }).as[BandRow]
   }
 
-  /** Start evicting dedup queries inside `body`. Two session confs are
-    * scoped to the query-START calls in it (both are read only at
-    * query start):
+  /** A DEDICATED session for starting evicting dedup queries: a
+    * `spark.newSession()` (same SparkContext, cached data and temp
+    * views; its OWN SQL conf) carrying the two confs these queries
+    * need at start time. Build the streaming source and start the
+    * query from the returned session. A derived session — rather than
+    * toggling the parent's confs around the start call — because SQL
+    * confs are session-global: any unrelated streaming query another
+    * thread started during the toggle window would also have begun
+    * with the chained-stateful guard off, silently weakening Spark's
+    * correctness check for a query that may genuinely need it.
+    *
+    * The two confs (both read only at query start):
     *
     *  1. `statefulOperator.checkCorrectness.enabled = false` — Spark's
     *     chained-stateful guard structurally rejects ANY stateful
@@ -164,17 +177,16 @@ object DocStreams {
     *     size `maxLateness` to the stream's real disorder, as with any
     *     watermark pipeline (in-horizon, in-order verdicts are
     *     spec-pinned equal to the batch twin's). */
-  def withEvictionEnabled[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val confs = Seq(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false",
-      "spark.sql.streaming.multipleWatermarkPolicy" -> "max")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
+  def evictionSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    // the function registry is part of per-session state: the dedup
+    // operators' native expressions must exist in THIS session too
+    graft.functions.Registry.registerAll(s)
+    s
   }
 
   /** The streaming form of the c6 daily lifecycle — continuous

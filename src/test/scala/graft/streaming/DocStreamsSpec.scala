@@ -166,7 +166,6 @@ class DocStreamsSpec extends AnyFunSuite {
 
   test("state horizon: cold buckets retire, total state rows plateau over a long distinct-content stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // 6 triggers of fully-distinct content, 10 s of event time apart,
     // horizon 5 s; without eviction the (band, bucket) key space grows
     // ~linearly with triggers — with the horizon shorter than the
@@ -177,15 +176,17 @@ class DocStreamsSpec extends AnyFunSuite {
         s"doc t$t i$i " + (1 to 8).map(w => s"w${t}_${i}_$w").mkString(" "),
         new java.sql.Timestamp(t * 10000L))
     }
+    // the evicting query runs on its own derived session: the two
+    // eviction confs never leak to queries other threads may start
+    val es = DocStreams.evictionSession(spark)
+    implicit val esCtx: org.apache.spark.sql.SQLContext = es.sqlContext
     val input = MemoryStream[EvStreamDoc]
-    val q = DocStreams.withEvictionEnabled(spark) {
-      DocStreams.streamingLshDedup(input.toDF(), k = 3, bands = 8,
-          rowsPerBand = 4, threshold = 0.5, maxBucket = 8,
-          eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 5000L)))
-        .writeStream.format("memory")
-        .queryName(s"docstream_evict_${System.nanoTime()}")
-        .outputMode("append").start()
-    }
+    val q = DocStreams.streamingLshDedup(input.toDF(), k = 3, bands = 8,
+        rowsPerBand = 4, threshold = 0.5, maxBucket = 8,
+        eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 5000L)))
+      .writeStream.format("memory")
+      .queryName(s"docstream_evict_${System.nanoTime()}")
+      .outputMode("append").start()
     try {
       val totals = (1 to 6).map { t =>
         input.addData(trigger(t): _*); q.processAllAvailable()
@@ -212,21 +213,22 @@ class DocStreamsSpec extends AnyFunSuite {
     val batch = docs.filter(_.doc_id % 11 == 0)
     val corpusIds = corpus.map(_.doc_id).toSet
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val es = DocStreams.evictionSession(spark)
+    implicit val esCtx: org.apache.spark.sql.SQLContext = es.sqlContext
     val input = MemoryStream[EvStreamDoc]
     val name = s"docstream_inhorizon_${System.nanoTime()}"
-    val q = DocStreams.withEvictionEnabled(spark) {
-      DocStreams.streamingLshDedup(input.toDF(), k = 3, bands = 8,
-          rowsPerBand = 4, threshold = 0.05, maxBucket = Int.MaxValue,
-          eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 3600000L)))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-    }
+    val q = DocStreams.streamingLshDedup(input.toDF(), k = 3, bands = 8,
+        rowsPerBand = 4, threshold = 0.05, maxBucket = Int.MaxValue,
+        eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 3600000L)))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
     val got = try {
       Seq(evDocs(corpus, 1000L), evDocs(batch, 2000L)).foreach { t =>
         input.addData(t: _*); q.processAllAvailable()
       }
-      spark.table(name).as[DocStreams.NearDupMatch].collect().toSeq
+      // the memory sink's temp view lives in the session that started
+      // the query
+      es.table(name).as[DocStreams.NearDupMatch].collect().toSeq
     } finally q.stop()
     val filtered = got
       .filter(m => m.doc_id % 11 == 0 && corpusIds(m.match_id))
@@ -243,7 +245,8 @@ class DocStreamsSpec extends AnyFunSuite {
 
   test("state horizon: the sig-only lean-state variant evicts through the same shared core") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val es = DocStreams.evictionSession(spark)
+    implicit val esCtx: org.apache.spark.sql.SQLContext = es.sqlContext
     // in-horizon: generous horizon ⇒ verdicts equal the NoTimeout twin
     // on identical triggers (the eviction plumbing must be invisible
     // inside the window); and a distinct-content stream's state still
@@ -258,14 +261,12 @@ class DocStreamsSpec extends AnyFunSuite {
     val dupB = EvStreamDoc(900002L,
       "alpha beta gamma delta epsilon zeta eta iota", new java.sql.Timestamp(20000L))
     val input = MemoryStream[EvStreamDoc]
-    val q = DocStreams.withEvictionEnabled(spark) {
-      DocStreams.streamingLshDedupSigOnly(input.toDF(), k = 3, bands = 8,
-          rowsPerBand = 4, threshold = 0.25, maxBucket = 8,
-          eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 5000L)))
-        .writeStream.format("memory")
-        .queryName(s"docstream_sig_evict_${System.nanoTime()}")
-        .outputMode("append").start()
-    }
+    val q = DocStreams.streamingLshDedupSigOnly(input.toDF(), k = 3, bands = 8,
+        rowsPerBand = 4, threshold = 0.25, maxBucket = 8,
+        eviction = Some(DocStreams.EvictionHorizon("ts", horizonMs = 5000L)))
+      .writeStream.format("memory")
+      .queryName(s"docstream_sig_evict_${System.nanoTime()}")
+      .outputMode("append").start()
     val totals = try {
       (1 to 5).map { t =>
         val extra = if (t == 1) Seq(dupA) else if (t == 2) Seq(dupB) else Nil
@@ -282,7 +283,7 @@ class DocStreamsSpec extends AnyFunSuite {
     // arrives — the match must emit even though wall-of-data distance
     // exceeds the horizon; only buckets silent past the watermark
     // clock retire (the plateau above)
-    val matched = spark.table(q.name).as[DocStreams.NearDupMatch].collect()
+    val matched = es.table(q.name).as[DocStreams.NearDupMatch].collect()
       .exists(m => m.doc_id == 900002L && m.match_id == 900001L)
     assert(matched, "next-trigger near-dup must match before retirement fires")
   }
