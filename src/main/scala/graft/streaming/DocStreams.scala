@@ -234,12 +234,14 @@ object DocStreams {
       indexPath: String, verdictsPath: String, threshold: Double,
       maxBucket: Option[Int], compactEvery: Int,
       maxFilesPerPart: Int): Unit = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{Path => HPath}
     val spark = batch.sparkSession
     val fs = graft.sources.Hdfs.forPath(spark, verdictsPath)
     val marker = new HPath(s"$verdictsPath/_committed/batch_$id")
-    if (fs.exists(marker)) return // replayed, fully committed: no-op
-    def seal(p: HPath): Unit = { fs.mkdirs(p.getParent); fs.create(p).close() }
+    // replayed, fully committed (marker present, or the id sits under
+    // the marker-GC floor — [[gcSinkMarkers]]): no-op
+    if (SinkMarkers.isCommitted(fs, verdictsPath, id)) return
+    def seal(p: HPath): Unit = SinkMarkers.seal(fs, p)
     val cached = batch.cache()
     try {
       if (!cached.isEmpty) {
@@ -271,6 +273,21 @@ object DocStreams {
       seal(marker)
     } finally cached.unpersist(blocking = false)
   }
+
+  /** Retention GC for [[indexedDedupSink]]'s marker dirs: every
+    * committed micro-batch leaves one `_committed/batch_<id>` and one
+    * `_verdicts/batch_<id>` file forever — months of 1-minute triggers
+    * accrete ~10⁵ small files of pure metadata on an object store.
+    * Prunes both for ids `<= upTo` via [[SinkMarkers.gc]], which first
+    * records the floor as a single name-encoded file so a replay of a
+    * pruned id is STILL a no-op (the exactly-once contract survives
+    * GC — spec-pinned). Run it on the operational cadence with an
+    * `upTo` at or below the stream checkpoint's committed offset; the
+    * verdict DATA partitions are never touched. Returns the floor now
+    * in effect. */
+  def gcSinkMarkers(spark: org.apache.spark.sql.SparkSession,
+                    verdictsPath: String, upTo: Long): Long =
+    SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts"))
 
   /** The shared stateful core: per-(band, bucket) residency, bounded
     * per-trigger admission, online cap, optional watermark-clock state

@@ -136,6 +136,49 @@ class IndexedDedupSinkSpec extends AnyFunSuite {
       s"repaired index must hold exactly one copy of each survivor: $hit")
   }
 
+  test("marker GC: pruned batch ids stay no-ops on replay; uncommitted ids are never covered") {
+    val idx = java.nio.file.Files.createTempDirectory("gc_idx").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("gc_verd").toString
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    def drive(b: Int, id: Long) = DocStreams.processIndexedBatch(role(b),
+      id, idx, verdicts, threshold = 0.05, maxBucket = Some(3),
+      compactEvery = 0, maxFilesPerPart = 8)
+    (1 to 3).foreach(b => drive(b, b - 1L)) // batches 0, 1, 2 committed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    def markers(d: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$verdicts/$d"))
+        .map(_.getPath.getName).filter(_.startsWith("batch_")).sorted.toSeq
+    assert(markers("_committed") === Seq("batch_0", "batch_1", "batch_2"))
+    assert(markers("_verdicts") === Seq("batch_0", "batch_1", "batch_2"))
+    // GC past the committed frontier: the floor stops at the highest
+    // PRESENT marker (2), never covering future ids
+    assert(DocStreams.gcSinkMarkers(spark, verdicts, upTo = 10L) === 2L)
+    assert(markers("_committed").isEmpty)
+    assert(markers("_verdicts").isEmpty)
+    def state() = (
+      spark.read.parquet(verdicts).orderBy(col("batch_id"), col("doc_id"))
+        .collect().map(_.toSeq).toSeq,
+      spark.read.parquet(s"$idx/bands").count(),
+      spark.read.parquet(s"$idx/docs").count())
+    val before = state()
+    assert(before._1.nonEmpty, "verdict data must survive marker GC")
+    // the exactly-once contract survives GC: replaying every pruned id
+    // changes nothing — the floor stands in for the deleted markers
+    (1 to 3).foreach(b => drive(b, b - 1L))
+    assert(state() === before, "replay of a GC'd committed batch must no-op")
+    // a NEW batch id above the floor still processes normally
+    drive(5, 3L)
+    assert(state() !== before)
+    assert(markers("_committed") === Seq("batch_3"))
+    // GC is idempotent and monotone: re-running at a lower upTo keeps
+    // the higher floor
+    assert(DocStreams.gcSinkMarkers(spark, verdicts, upTo = 1L) === 2L)
+    assert(markers("_committed") === Seq("batch_3"))
+  }
+
   test("crash window: a duplicated append moves no verdicts; repairLshIndex restores hygiene") {
     val dup = java.nio.file.Files.createTempDirectory("crash_idx").toString
     val clean = java.nio.file.Files.createTempDirectory("clean_idx").toString
