@@ -516,60 +516,10 @@ object Dedup {
     val fs = graft.sources.Hdfs.forPath(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
-    recoverStagedTable(spark, fs, path, "stats")
-    stagedRewriteTable(spark, fs, path, "stats") { tmp =>
+    graft.sources.TableSwap.recover(fs, path, "stats")
+    graft.sources.TableSwap.rewrite(spark, fs, path, "stats") { tmp =>
       writeLshStats(spark.read.parquet(s"$path/bands"), tmp, overwrite = true)
     }
-  }
-
-  /** Startup recovery for [[stagedRewriteTable]]'s crash windows:
-    * restore a staged table whose live twin vanished mid-swap, drop
-    * orphaned tmp rewrites. */
-  private def recoverStagedTable(spark: org.apache.spark.sql.SparkSession,
-                                 fs: org.apache.hadoop.fs.FileSystem,
-                                 path: String, table: String): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val root = new HPath(path)
-    val old = new HPath(root, s"_repair_old_$table")
-    val live = new HPath(root, table)
-    if (fs.exists(old)) {
-      if (!fs.exists(live)) {
-        if (!fs.rename(old, live)) throw new java.io.IOException(
-          s"staged-table recovery could not restore $old to $live")
-      } else fs.delete(old, true)
-    }
-    val tmp = new HPath(root, s"_repair_tmp_$table")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-  }
-
-  /** The one table-swap protocol for rewriting a live index table in
-    * place: `write` materializes the replacement into a tmp dir, the
-    * live dir is staged aside, the replacement renamed in, the stage
-    * deleted — every crash point leaves the data recoverable by
-    * [[recoverStagedTable]]. A live dir that does not exist yet (e.g.
-    * backfilling stats onto a legacy index) renames the tmp straight
-    * in. */
-  private def stagedRewriteTable(spark: org.apache.spark.sql.SparkSession,
-                                 fs: org.apache.hadoop.fs.FileSystem,
-                                 path: String, table: String)(
-                                 write: String => Unit): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val root = new HPath(path)
-    val live = new HPath(root, table)
-    val tmp = new HPath(root, s"_repair_tmp_$table")
-    write(tmp.toString)
-    if (fs.exists(live)) {
-      val old = new HPath(root, s"_repair_old_$table")
-      if (!fs.rename(live, old))
-        throw new java.io.IOException(s"staged rewrite could not stage $live aside")
-      if (!fs.rename(tmp, live)) {
-        fs.rename(old, live)
-        throw new java.io.IOException(s"staged rewrite rename failed for $live")
-      }
-      fs.delete(old, true)
-    } else if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"staged rewrite could not install $live")
-    spark.catalog.refreshByPath(live.toString)
   }
 
   /** Repair an index damaged by an at-least-once replayed append (the
@@ -590,9 +540,10 @@ object Dedup {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved LSH index (no meta/ table — see saveLshIndex)")
     // crash recovery first, for all three swappable tables
-    Seq("bands", "docs", "stats").foreach(recoverStagedTable(spark, fs, path, _))
+    Seq("bands", "docs", "stats")
+      .foreach(graft.sources.TableSwap.recover(fs, path, _))
     def rewrite(t: String)(dedup: DataFrame => DataFrame): Unit =
-      stagedRewriteTable(spark, fs, path, t) { tmp =>
+      graft.sources.TableSwap.rewrite(spark, fs, path, t) { tmp =>
         val df = dedup(spark.read.parquet(s"$path/$t"))
         if (t == "bands") df.write.partitionBy("part").parquet(tmp)
         else df.write.parquet(tmp)

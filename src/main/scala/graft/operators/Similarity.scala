@@ -724,6 +724,27 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Repair a [[savePqIvf]] index damaged by an at-least-once replayed
+    * append (the [[graft.streaming.VectorStreams.indexedVectorSink]]
+    * crash window): a duplicated append leaves duplicate cell rows,
+    * which can surface the same neighbor twice in a probe's top-k and
+    * waste rescore slots. Exact row-level dedup of the cells table
+    * through the shared stage-aside/rename swap
+    * ([[graft.sources.TableSwap]] — crash-recoverable, idempotent on a
+    * healthy index). Centroids/codebooks/meta are single-writer
+    * (save/rebuild only) and never need repair. */
+  def repairPqIvf(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Unit = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"$path is not a saved PQ-IVF index (no meta/ table — see savePqIvf)")
+    graft.sources.TableSwap.recover(fs, path, "cells")
+    graft.sources.TableSwap.rewrite(spark, fs, path, "cells") { tmp =>
+      spark.read.parquet(s"$path/cells").dropDuplicates()
+        .write.partitionBy("cell").parquet(tmp)
+    }
+  }
+
   /** Probe a [[savePqIvf]] index: `nProbe` nearest cells per query
     * (shared [[nearestCells]] rule), ADC scoring over the codes
     * column, exact-cosine rescore of the top `rescoreK` via a second

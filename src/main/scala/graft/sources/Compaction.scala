@@ -27,6 +27,59 @@ object Hdfs {
       spark.sessionState.newHadoopConf())
 }
 
+/** The one table-swap protocol for rewriting a live index table in
+  * place (LSH bands/docs/stats, PQ-IVF cells): `write` materializes
+  * the replacement into a tmp dir, the live dir is staged aside, the
+  * replacement renamed in, the stage deleted — every crash point
+  * leaves the data recoverable by [[TableSwap.recover]], which every
+  * caller runs at entry. Shared so the repair/backfill surfaces of
+  * both index families audit ONE protocol. */
+object TableSwap {
+
+  /** Startup recovery for [[rewrite]]'s crash windows: restore a
+    * staged table whose live twin vanished mid-swap, drop orphaned tmp
+    * rewrites. */
+  def recover(fs: org.apache.hadoop.fs.FileSystem, path: String,
+              table: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val old = new HPath(root, s"_repair_old_$table")
+    val live = new HPath(root, table)
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(old, live)) throw new java.io.IOException(
+          s"staged-table recovery could not restore $old to $live")
+      } else fs.delete(old, true)
+    }
+    val tmp = new HPath(root, s"_repair_tmp_$table")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Rewrite `path/table` via the stage-aside swap. A live dir that
+    * does not exist yet (e.g. backfilling a side table onto a legacy
+    * index) renames the tmp straight in. */
+  def rewrite(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+              path: String, table: String)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val live = new HPath(root, table)
+    val tmp = new HPath(root, s"_repair_tmp_$table")
+    write(tmp.toString)
+    if (fs.exists(live)) {
+      val old = new HPath(root, s"_repair_old_$table")
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"staged rewrite could not stage $live aside")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(old, live)
+        throw new java.io.IOException(s"staged rewrite rename failed for $live")
+      }
+      fs.delete(old, true)
+    } else if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"staged rewrite could not install $live")
+    spark.catalog.refreshByPath(live.toString)
+  }
+}
+
 object Compaction {
 
   /** Compact partitions of `tableRoot` (dirs named `<prefix><value>`)

@@ -63,6 +63,101 @@ object VectorStreams {
       }
   }
 
+  /** The continuous-curation sink for the VECTOR index — the PQ twin
+    * of [[DocStreams.indexedDedupSink]]: each micro-batch is enriched
+    * against the persisted PQ-IVF index ([[Similarity.pqIvfSearch]] —
+    * the batch cut; row_number windows are legal inside foreachBatch),
+    * the enrichment written as that batch's verdicts, NOVEL arrivals
+    * (no neighbor at cosine >= `novelCos`, including arrivals with no
+    * candidates at all) appended under the frozen centroids/codebooks
+    * ([[Similarity.appendToPqIvf]]), cells compacted every
+    * `compactEvery` batches, and drift checked every
+    * `driftCheckEvery` — a tripped check runs [[Similarity.rebuildPqIvf]]
+    * mid-stream, which cannot move any sealed verdict (they are
+    * files). `vec_id`s must be unique stream-wide, the analog of the
+    * dedup sink's doc_id-disjointness.
+    *
+    * Delivery contract, same shape as the dedup sink's: enrichment
+    * verdicts are EXACTLY-ONCE — written first and sealed by an
+    * `_enriched` marker BEFORE any append, so a replay after a later
+    * crash reuses them verbatim; re-probing after the append would see
+    * the batch's own novel vectors as candidate neighbors (the
+    * self-exclusion covers only identical vec_ids) and flip
+    * intra-batch near-neighbors' novelty. Index appends are
+    * AT-LEAST-ONCE: a crash between the append and the final commit
+    * marker duplicates cell rows on replay — verdicts of later batches
+    * can rank a duplicated neighbor twice until
+    * [[Similarity.repairPqIvf]] restores row-level hygiene (run it on
+    * the operational cadence, like compaction). Markers are GC'd by
+    * [[gcSinkMarkers]]. */
+  def indexedVectorSink(vectors: DataFrame, indexPath: String,
+                        enrichedPath: String, k: Int, nProbe: Int,
+                        rescoreK: Int, novelCos: Double,
+                        driftCheckEvery: Int = 0, driftSampleMod: Int = 10,
+                        skewBound: Double = 4.0, recallFloor: Double = 0.9,
+                        compactEvery: Int = 0, maxFilesPerPart: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processVectorBatch(batch.toDF(), id, indexPath, enrichedPath, k,
+          nProbe, rescoreK, novelCos, driftCheckEvery, driftSampleMod,
+          skewBound, recallFloor, compactEvery, maxFilesPerPart)
+    }
+
+  /** One micro-batch of [[indexedVectorSink]] — exposed so the replay
+    * and crash-window specs can drive it directly. */
+  private[graft] def processVectorBatch(batch: DataFrame, id: Long,
+      indexPath: String, enrichedPath: String, k: Int, nProbe: Int,
+      rescoreK: Int, novelCos: Double, driftCheckEvery: Int,
+      driftSampleMod: Int, skewBound: Double, recallFloor: Double,
+      compactEvery: Int, maxFilesPerPart: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = batch.sparkSession
+    val fs = graft.sources.Hdfs.forPath(spark, enrichedPath)
+    if (SinkMarkers.isCommitted(fs, enrichedPath, id)) return
+    val cached = batch.cache()
+    try {
+      if (!cached.isEmpty) {
+        // phase 1 — enrichment, sealed BEFORE any append
+        val seal1 = new HPath(s"$enrichedPath/_enriched/batch_$id")
+        if (!fs.exists(seal1)) {
+          Similarity.pqIvfSearch(spark, indexPath, cached, k, nProbe,
+              rescoreK)
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(enrichedPath)
+          SinkMarkers.seal(fs, seal1)
+        }
+        // phase 2 — novelty comes off the SEALED enrichment (the same
+        // materialization barrier as the dedup sink's survivors read;
+        // one partition dir, O(1) listing per trigger)
+        val known = spark.read.parquet(s"$enrichedPath/batch_id=$id")
+          .where(col("cos") >= novelCos)
+          .select(col("q_id").as("vec_id")).distinct()
+        val novel = cached.join(known, Seq("vec_id"), "left_anti")
+        if (!novel.isEmpty) Similarity.appendToPqIvf(novel, indexPath)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          graft.sources.Compaction.compactPartitions(spark,
+            s"$indexPath/cells", "cell=", maxFilesPerPart)
+        if (driftCheckEvery > 0 && id % driftCheckEvery == driftCheckEvery - 1) {
+          val report = Similarity.pqIvfDriftCheck(spark, indexPath,
+            driftSampleMod, k, nProbe, rescoreK, skewBound, recallFloor)
+          if (report.drifted) Similarity.rebuildPqIvf(spark, indexPath)
+        }
+      }
+      SinkMarkers.seal(fs, new HPath(s"$enrichedPath/_committed/batch_$id"))
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Marker retention GC for [[indexedVectorSink]] — the
+    * [[DocStreams.gcSinkMarkers]] contract with this sink's phase dir:
+    * prunes `_committed` and `_enriched` markers at or below `upTo`
+    * behind a floor file; replays of pruned ids stay no-ops. */
+  def gcSinkMarkers(spark: org.apache.spark.sql.SparkSession,
+                    enrichedPath: String, upTo: Long): Long =
+    SinkMarkers.gc(spark, enrichedPath, upTo, Seq("_enriched"))
+
   /** Descending-cosine sort key matching Spark's `desc("cos")`
     * ordering rules exactly on the degenerate doubles: Spark orders
     * NaN ABOVE every double, so a NaN cosine (a zero-norm embedding —
