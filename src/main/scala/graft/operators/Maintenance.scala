@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The nightly index-maintenance orchestrator — ONE entry point
+  * composing the maintenance loop an operator actually crons, for
+  * both persisted index families:
+  *
+  *  - PQ-IVF ([[Similarity.savePqIvf]] layout): optional row-hygiene
+  *    repair → [[Similarity.pqIvfDriftCheck]] (occupancy skew +
+  *    sampled serving-config recall) → [[Similarity.rebuildPqIvf]] if
+  *    drifted, else cell compaction when fragmented.
+  *  - LSH ([[Dedup.saveLshIndex]] layout): optional repair → stats
+  *    backfill when the side table is missing/uncommitted → growth
+  *    check (band rows per bucket partition against a bound) →
+  *    [[Dedup.rebuildLshIndex]] under scaled partitioning if
+  *    outgrown, else band/stats compaction when fragmented.
+  *
+  * Each pass returns a [[NightlyReport]] of what it did and why; a
+  * healthy, compacted, in-bounds index reports no actions (the cron
+  * is cheap to run every night). Every composed piece is individually
+  * crash-safe (token-committed snapshots for rebuilds, stage-aside
+  * swaps for rewrites), so a nightly pass that dies resumes cleanly
+  * at the next cron tick — re-running [[nightly]] is always safe.
+  */
+object Maintenance {
+
+  /** What one nightly pass did, in execution order. Actions:
+    * "repair", "backfill-stats", "rebuild", "compact:<n-parts>". */
+  case class NightlyReport(path: String, family: String,
+                           actions: Seq[String],
+                           drift: Option[Similarity.PqIvfDriftReport],
+                           rowsPerPart: Option[Double]) {
+    def rebuilt: Boolean = actions.contains("rebuild")
+    def noOp: Boolean = actions.isEmpty
+  }
+
+  /** Drift-check knobs for the PQ family — `sampleMod`/`k`/`nProbe`/
+    * `rescoreK` should mirror the SERVING configuration (the recall
+    * probe measures what users see). */
+  case class PqConfig(sampleMod: Int = 10, k: Int = 10, nProbe: Int = 4,
+                      rescoreK: Int = 50, skewBound: Double = 4.0,
+                      recallFloor: Double = 0.9, trainIters: Int = 10)
+
+  /** Growth knobs for the LSH family: rebuild when band rows per
+    * bucket partition exceed `rebuildAtRowsPerPart`, re-sizing to the
+    * smallest power of two that brings them under
+    * `targetRowsPerPart`. Defaults model the documented 100 TB sizing
+    * (a few hundred MB of band rows per partition — see
+    * [[Dedup.LshBucketParts]]); tests shrink them. */
+  case class LshConfig(targetRowsPerPart: Long = 4L * 1000 * 1000,
+                       rebuildAtRowsPerPart: Long = 16L * 1000 * 1000)
+
+  /** Run one nightly pass against the index at `path`. The family is
+    * detected from the layout (`cells/` → PQ-IVF, `bands/` → LSH).
+    * `repair` additionally runs the row-hygiene repair first — the
+    * containment step for the streaming sinks' at-least-once append
+    * windows; leave it off when no curation stream writes the index. */
+  def nightly(spark: SparkSession, path: String,
+              maxFilesPerPart: Int = 8,
+              pq: PqConfig = PqConfig(), lsh: LshConfig = LshConfig(),
+              repair: Boolean = false): NightlyReport = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    def exists(t: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t"))
+    require(exists("meta"), s"$path is not a saved index (no meta/ table)")
+    if (exists("cells")) nightlyPq(spark, path, maxFilesPerPart, pq, repair)
+    else if (exists("bands")) nightlyLsh(spark, path, maxFilesPerPart, lsh, repair)
+    else throw new IllegalArgumentException(
+      s"$path has meta/ but neither cells/ (PQ-IVF) nor bands/ (LSH)")
+  }
+
+  private def nightlyPq(spark: SparkSession, path: String,
+                        maxFilesPerPart: Int, pq: PqConfig,
+                        repair: Boolean): NightlyReport = {
+    val actions = Seq.newBuilder[String]
+    if (repair) { Similarity.repairPqIvf(spark, path); actions += "repair" }
+    val report = Similarity.pqIvfDriftCheck(spark, path, pq.sampleMod,
+      pq.k, pq.nProbe, pq.rescoreK, pq.skewBound, pq.recallFloor)
+    if (report.drifted) {
+      Similarity.rebuildPqIvf(spark, path, pq.trainIters)
+      actions += "rebuild"
+    }
+    // compaction runs after a rebuild too: the fresh partitioned write
+    // leaves one file per shuffle task per cell, so a rebuild night
+    // still ends tidy and the NEXT night is a true no-op
+    val compacted = graft.sources.Compaction.compactPartitions(spark,
+      s"$path/cells", "cell=", maxFilesPerPart)
+    if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
+    NightlyReport(path, "pq-ivf", actions.result(), Some(report), None)
+  }
+
+  private def nightlyLsh(spark: SparkSession, path: String,
+                         maxFilesPerPart: Int, lsh: LshConfig,
+                         repair: Boolean): NightlyReport = {
+    val actions = Seq.newBuilder[String]
+    if (repair) { Dedup.repairLshIndex(spark, path); actions += "repair" }
+    else if (!fs(spark, path).exists(
+        new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS"))) {
+      // legacy or torn stats: put capped probes back on the
+      // one-band-scan fast path (repair above already rebuilds stats)
+      Dedup.backfillLshStats(spark, path)
+      actions += "backfill-stats"
+    }
+    val nParts = spark.read.parquet(s"$path/meta").head().getInt(3)
+    val totalRows = spark.read.parquet(s"$path/bands").count()
+    val rowsPerPart = totalRows.toDouble / nParts
+    if (rowsPerPart > lsh.rebuildAtRowsPerPart) {
+      // smallest power of two holding rows-per-part under target —
+      // growth migration, pure layout (probe verdicts pinned)
+      var target = nParts.toLong
+      while (target < Int.MaxValue / 2 &&
+             totalRows.toDouble / target > lsh.targetRowsPerPart)
+        target *= 2
+      Dedup.rebuildLshIndex(spark, path, nBucketParts = Some(target.toInt))
+      actions += "rebuild"
+    }
+    // compaction runs after a rebuild too (fresh write = one file per
+    // shuffle task per part), so the next healthy night is a no-op
+    val compacted = Dedup.compactLshBands(spark, path, maxFilesPerPart)
+    if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
+    NightlyReport(path, "lsh", actions.result(), None, Some(rowsPerPart))
+  }
+
+  private def fs(spark: SparkSession, path: String) =
+    graft.sources.Hdfs.forPath(spark, path)
+}

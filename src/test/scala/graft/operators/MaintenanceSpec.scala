@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The nightly orchestrator driven over three nights of a drifting /
+  * growing corpus, per index family: night 1 compacts append
+  * fragmentation, night 2 trips the family's rebuild tripwire (PQ:
+  * occupancy drift; LSH: rows-per-partition growth) and rebuilds,
+  * night 3 is a no-op — and the index serves exactly throughout.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LSH three nights: compact, growth-rebuild (probe-identical), then no-op") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def role(b: Int) = docs.where(pmod(col("doc_id"), lit(12)) === b)
+    val probeBatch = docs.where(pmod(col("doc_id"), lit(12)) === 11)
+    val path = java.nio.file.Files.createTempDirectory("mnt_lsh").toString
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, path,
+      nBucketParts = 2)
+    Dedup.appendToLshIndex(role(1), path)
+    def probe() = Dedup.dedupAgainstLshIndex(probeBatch, path,
+      threshold = 0.05, maxBucket = Some(3)).collect().map(_.toSeq).toSeq
+    def rowsPerPart() = spark.read.parquet(s"$path/bands").count().toDouble /
+      spark.read.parquet(s"$path/meta").head().getInt(3)
+    // bounds sized off the observed index: tonight is in-bounds,
+    // tripling the corpus later is not
+    val lshCfg = Maintenance.LshConfig(
+      targetRowsPerPart = math.ceil(rowsPerPart()).toLong,
+      rebuildAtRowsPerPart = math.ceil(rowsPerPart() * 2).toLong)
+    val beforeNight1 = probe()
+    val night1 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      lsh = lshCfg)
+    assert(night1.family === "lsh")
+    assert(night1.actions.exists(_.startsWith("compact:")),
+      s"append fragmentation must compact: $night1")
+    assert(!night1.rebuilt, s"in-bounds index must not rebuild: $night1")
+    assert(probe() === beforeNight1)
+    // growth: four more roles land — rows per part now exceeds the bound
+    (2 to 5).foreach(b => Dedup.appendToLshIndex(role(b), path))
+    val beforeNight2 = probe()
+    val partsBefore = spark.read.parquet(s"$path/meta").head().getInt(3)
+    val night2 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      lsh = lshCfg)
+    assert(night2.rebuilt, s"outgrown index must rebuild: $night2")
+    assert(spark.read.parquet(s"$path/meta").head().getInt(3) > partsBefore,
+      "rebuild must widen the bucket partitioning")
+    // re-bucketing is pure layout: verdicts bit-identical
+    assert(probe() === beforeNight2)
+    val night3 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      lsh = lshCfg)
+    assert(night3.noOp, s"healthy compacted in-bounds night must no-op: $night3")
+    assert(probe() === beforeNight2)
+  }
+
+  test("PQ-IVF three nights: compact, drift-rebuild, then no-op; serving stays exact") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") % 4 =!= 0)
+    val extra = emb.where(col("vec_id") % 4 === 0)
+    val nCells = 8
+    val path = java.nio.file.Files.createTempDirectory("mnt_pq").toString
+    Similarity.savePqIvf(resident, nCentroids = nCells, m = 8, kCode = 16, path)
+    Similarity.appendToPqIvf(extra, path)
+    val pqCfg = Maintenance.PqConfig(sampleMod = 10, k = 5, nProbe = 3,
+      rescoreK = 20, skewBound = 4.0, recallFloor = 0.0)
+    val night1 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      pq = pqCfg)
+    assert(night1.family === "pq-ivf")
+    assert(night1.actions.exists(_.startsWith("compact:")),
+      s"append fragmentation must compact: $night1")
+    assert(!night1.rebuilt, s"healthy occupancy must not rebuild: $night1")
+    // drifted ingest: 2x the index mass in a region no frozen centroid
+    // covers — the hot-cell degeneration the tripwire exists for
+    val n = spark.read.parquet(s"$path/cells").count()
+    val ball = spark.range(2 * n)
+      .select((col("id") + lit(1000000L)).as("vec_id"),
+        array((0 until 64).map(i =>
+          (lit(2.5) + sin((col("id") * 13 + lit(i)) * lit(0.7)) * lit(0.8))
+            .cast("float")): _*).as("embedding"))
+    Similarity.appendToPqIvf(ball, path)
+    val night2 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      pq = pqCfg)
+    assert(night2.rebuilt, s"skewed append must trip drift and rebuild: $night2")
+    assert(night2.drift.exists(_.skewDrifted), s"$night2")
+    val night3 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      pq = pqCfg)
+    assert(night3.noOp, s"rebuilt+compacted night must no-op: $night3")
+    assert(night3.drift.exists(!_.drifted), s"$night3")
+    // serving exactness after the whole sequence: exhaustive probe of
+    // the maintained index equals brute force over its own vectors
+    val union = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("embedding"))
+    val queries = union.where(col("vec_id") % 10 === 0)
+    val full = Similarity.pqIvfSearch(spark, path, queries, k = 5,
+      nProbe = nCells, rescoreK = Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceTopK(union, sampleMod = 10, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(full === brute)
+    assert(full.nonEmpty)
+  }
+}
