@@ -462,6 +462,7 @@ object Dedup {
     * would (same banding rule — spec-asserted). */
   def appendToLshIndex(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
+    graft.sources.Rebuild.assertNotInflight(spark, path)
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, bands, rpb, parts) =
       (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
@@ -494,8 +495,8 @@ object Dedup {
     * torn dir left by a crashed overwrite, and a probe joining against
     * partial bucket sizes silently DROPS the missing buckets (missed
     * duplicates) instead of falling back to counting. */
-  private def lshStatsCommitted(spark: org.apache.spark.sql.SparkSession,
-                                path: String): Boolean =
+  private[graft] def lshStatsCommitted(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Boolean =
     graft.sources.Hdfs.forPath(spark, path)
       .exists(new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS"))
 
@@ -605,24 +606,31 @@ object Dedup {
   def rebuildLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       nBucketParts: Option[Int] = None,
                       bands: Option[Int] = None,
-                      rowsPerBand: Option[Int] = None): Unit = {
-    val m = spark.read.parquet(s"$path/meta").head()
-    val (k, oldBands, oldRpb, oldParts) =
-      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
-    val nb = bands.getOrElse(oldBands)
-    val nr = rowsPerBand.getOrElse(oldRpb)
-    val np = nBucketParts.getOrElse(oldParts)
-    require(nb >= 1 && nr >= 1 && np >= 1,
-      s"rebuild parameters must be positive: bands=$nb rowsPerBand=$nr nBucketParts=$np")
-    graft.sources.Rebuild.withCommittedSnapshot(spark, path,
-      spark.read.parquet(s"$path/docs").select(col("doc_id"), col("sh"))) { snap =>
+                      rowsPerBand: Option[Int] = None): Unit =
+    // meta is read lazily INSIDE the snapshot thunk: a re-run healing
+    // a crashed rebuild takes its parameters from the snapshot's
+    // persisted params instead (completing the ORIGINAL rebuild even
+    // if the crash tore meta itself); the caller's overrides apply
+    // only when a FRESH snapshot is taken
+    graft.sources.Rebuild.withCommittedSnapshot(spark, path, {
+      val m = spark.read.parquet(s"$path/meta").head()
+      val nb = bands.getOrElse(m.getInt(1))
+      val nr = rowsPerBand.getOrElse(m.getInt(2))
+      val np = nBucketParts.getOrElse(m.getInt(3))
+      require(nb >= 1 && nr >= 1 && np >= 1,
+        s"rebuild parameters must be positive: bands=$nb rowsPerBand=$nr nBucketParts=$np")
+      (spark.read.parquet(s"$path/docs").select(col("doc_id"), col("sh")),
+       Map("k" -> m.getInt(0).toString, "bands" -> nb.toString,
+           "rows_per_band" -> nr.toString, "n_bucket_parts" -> np.toString))
+    }) { (snap, params) =>
+      val (k, nb, nr, np) = (params("k").toInt, params("bands").toInt,
+        params("rows_per_band").toInt, params("n_bucket_parts").toInt)
       // scope-bounded cache as in saveLshIndex: bands/stats/docs all
       // read the re-signed frame
       val sig = snap.withColumn("sig", minhashSig(col("sh"), nb * nr)).cache()
       try writeLshIndexFromSig(sig, k, nb, nr, path, np)
       finally sig.unpersist()
     }
-  }
 
   /** Probe a persisted index with a new batch: [[incrementalLshDedup]]
     * semantics, corpus side read from the `part`-partitioned band table
@@ -636,6 +644,10 @@ object Dedup {
   def dedupAgainstLshIndex(batch: DataFrame, path: String, threshold: Double,
                            maxBucket: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
+    // mid-rebuild tables may disagree with meta's partitioning — a
+    // probe would silently join on the wrong `part` keys and MISS
+    // duplicates; fail loudly instead (heal by re-running the rebuild)
+    graft.sources.Rebuild.assertNotInflight(spark, path)
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, bands, rpb, parts) =
       (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))

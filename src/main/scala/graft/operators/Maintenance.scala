@@ -60,14 +60,33 @@ object Maintenance {
               maxFilesPerPart: Int = 8,
               pq: PqConfig = PqConfig(), lsh: LshConfig = LshConfig(),
               repair: Boolean = false): NightlyReport = {
+    require(lsh.targetRowsPerPart <= lsh.rebuildAtRowsPerPart,
+      s"targetRowsPerPart (${lsh.targetRowsPerPart}) must be <= " +
+        s"rebuildAtRowsPerPart (${lsh.rebuildAtRowsPerPart}) — an inverted " +
+        "config would rebuild every night without changing the partitioning")
     val fs = graft.sources.Hdfs.forPath(spark, path)
     def exists(t: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t"))
-    require(exists("meta"), s"$path is not a saved index (no meta/ table)")
-    if (exists("cells")) nightlyPq(spark, path, maxFilesPerPart, pq, repair)
-    else if (exists("bands")) nightlyLsh(spark, path, maxFilesPerPart, lsh, repair)
-    else throw new IllegalArgumentException(
+    require(exists("meta") || graft.sources.Rebuild.isInflight(spark, path),
+      s"$path is not a saved index (no meta/ table)")
+    val isPq = exists("cells")
+    val isLsh = exists("bands")
+    require(isPq || isLsh,
       s"$path has meta/ but neither cells/ (PQ-IVF) nor bands/ (LSH)")
+    // heal FIRST: a crashed rebuild left the in-flight marker, so every
+    // probe (including tonight's drift check) fails loudly until the
+    // rebuild is re-run from its committed snapshot — that re-run is
+    // exactly what the nightly cron is for
+    val healed =
+      if (graft.sources.Rebuild.isInflight(spark, path)) {
+        if (isPq) Similarity.rebuildPqIvf(spark, path, pq.trainIters)
+        else Dedup.rebuildLshIndex(spark, path)
+        Seq("heal-rebuild")
+      } else Nil
+    val report =
+      if (isPq) nightlyPq(spark, path, maxFilesPerPart, pq, repair)
+      else nightlyLsh(spark, path, maxFilesPerPart, lsh, repair)
+    report.copy(actions = healed ++ report.actions)
   }
 
   private def nightlyPq(spark: SparkSession, path: String,
@@ -95,8 +114,7 @@ object Maintenance {
                          repair: Boolean): NightlyReport = {
     val actions = Seq.newBuilder[String]
     if (repair) { Dedup.repairLshIndex(spark, path); actions += "repair" }
-    else if (!fs(spark, path).exists(
-        new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS"))) {
+    else if (!Dedup.lshStatsCommitted(spark, path)) {
       // legacy or torn stats: put capped probes back on the
       // one-band-scan fast path (repair above already rebuilds stats)
       Dedup.backfillLshStats(spark, path)
@@ -121,7 +139,4 @@ object Maintenance {
     if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
     NightlyReport(path, "lsh", actions.result(), None, Some(rowsPerPart))
   }
-
-  private def fs(spark: SparkSession, path: String) =
-    graft.sources.Hdfs.forPath(spark, path)
 }

@@ -709,6 +709,7 @@ object Similarity {
     * ingest distribution is the [[ivfCellStats]] tripwire, unchanged. */
   def appendToPqIvf(newVectors: DataFrame, path: String): Unit = {
     val spark = newVectors.sparkSession
+    graft.sources.Rebuild.assertNotInflight(spark, path)
     val meta = spark.read.parquet(s"$path/meta").head()
     val (m, kCode) = (meta.getInt(0), meta.getInt(1))
     val index = IvfIndex(spark.read.parquet(s"$path/centroids").collect()
@@ -788,6 +789,10 @@ object Similarity {
   private[graft] def pqIvfAdcCandidates(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, nProbe: Int): (DataFrame, DataFrame) = {
+    // mid-rebuild cells may be encoded under codebooks the codebook
+    // table does not yet hold — ADC scores would be silently wrong;
+    // fail loudly instead (heal by re-running the rebuild)
+    graft.sources.Rebuild.assertNotInflight(spark, path)
     val meta = spark.read.parquet(s"$path/meta").head()
     val (m, kCode) = (meta.getInt(0), meta.getInt(1))
     val index = IvfIndex(spark.read.parquet(s"$path/centroids").collect()
@@ -877,16 +882,22 @@ object Similarity {
     * rebuild's leftover snapshot (token already echoed to the done
     * marker) is discarded rather than rolling back later appends. */
   def rebuildPqIvf(spark: org.apache.spark.sql.SparkSession, path: String,
-                   trainIters: Int = 10): Unit = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (m, kCode, nCentroids) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    graft.sources.Rebuild.withCommittedSnapshot(spark, path,
-      spark.read.parquet(s"$path/cells")
-        .select(col("vec_id"), col("embedding"))) { snap =>
-      savePqIvf(snap, nCentroids, m, kCode, path, trainIters)
+                   trainIters: Int = 10): Unit =
+    // meta is read lazily INSIDE the snapshot thunk: a re-run healing
+    // a crashed rebuild takes (m, kCode, nCentroids) from the
+    // snapshot's persisted params instead, so it heals even when the
+    // crash tore the meta table itself
+    graft.sources.Rebuild.withCommittedSnapshot(spark, path, {
+      val meta = spark.read.parquet(s"$path/meta").head()
+      (spark.read.parquet(s"$path/cells")
+         .select(col("vec_id"), col("embedding")),
+       Map("m" -> meta.getInt(0).toString,
+           "k_code" -> meta.getInt(1).toString,
+           "n_centroids" -> meta.getInt(2).toString))
+    }) { (snap, params) =>
+      savePqIvf(snap, params("n_centroids").toInt, params("m").toInt,
+        params("k_code").toInt, path, trainIters)
     }
-  }
 
   private def pqTopKWith(emb: DataFrame, cbRows: Seq[(Int, Int, Seq[Double])],
                          m: Int, sampleMod: Int, k: Int,

@@ -146,12 +146,16 @@ object DedupQueries {
       // Index scratch space: conf-provided root (set graft.scratch.dir
       // to a cluster-visible path in production — the lifecycle's index
       // belongs on the same filesystem as its data), defaulting to the
-      // driver's tmp for local runs; ONE fixed subdir per query,
-      // deleted before AND after each execution so repeated Verify/
-      // Bench runs never accrete index builds on disk.
+      // driver's tmp for local runs. The subdir is keyed by the Spark
+      // APPLICATION id: within one app executions are serialized (the
+      // delete-before/-after pair reuses one dir, so repeated Verify/
+      // Bench runs never accrete), while two concurrent processes get
+      // disjoint dirs — a fixed shared name would let one process's
+      // cleanup race the other's probe. A killed app leaves at most
+      // its one dir behind under the scratch root.
       val scratchRoot = s.conf.get("graft.scratch.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_scratch")
-      val idx = s"$scratchRoot/c6_lsh"
+      val idx = s"$scratchRoot/c6_lsh_${s.sparkContext.applicationId}"
       val fs = graft.sources.Hdfs.forPath(s, idx)
       val idxPath = new org.apache.hadoop.fs.Path(idx)
       fs.delete(idxPath, true)

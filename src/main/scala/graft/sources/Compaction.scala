@@ -33,7 +33,19 @@ object Hdfs {
   * replacement renamed in, the stage deleted — every crash point
   * leaves the data recoverable by [[TableSwap.recover]], which every
   * caller runs at entry. Shared so the repair/backfill surfaces of
-  * both index families audit ONE protocol. */
+  * both index families audit ONE protocol.
+  *
+  * SINGLE-MAINTAINER protocol: a writer that appends to the live dir
+  * CONCURRENTLY with the swap (e.g. a curation sink's
+  * `appendToLshIndex` racing a repair) can recreate the live dir
+  * between the two renames; Hadoop/posix rename-into-existing-dir
+  * semantics would then NEST the replacement inside it and the
+  * staged-aside original would be deleted — near-total silent data
+  * loss. [[rewrite]] detects that state, preserves every copy (the
+  * original at `_swap_conflict_<table>`, the rewrite back at the tmp
+  * path) and throws instead. Schedule maintenance when no writer is
+  * active — e.g. from the sink's own foreachBatch cadence, which is
+  * serialized with its appends by construction. */
 object TableSwap {
 
   /** Startup recovery for [[rewrite]]'s crash windows: restore a
@@ -73,10 +85,37 @@ object TableSwap {
         fs.rename(old, live)
         throw new java.io.IOException(s"staged rewrite rename failed for $live")
       }
+      guardNestedRename(fs, root, live, tmp, old, table)
       fs.delete(old, true)
     } else if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"staged rewrite could not install $live")
     spark.catalog.refreshByPath(live.toString)
+  }
+
+  /** The concurrent-writer tripwire (see the object scaladoc): if a
+    * writer recreated `live` between the stage-aside and the install,
+    * the install rename NESTED the replacement inside it. Pull the
+    * replacement back out, preserve the staged original under a name
+    * the recovery sweep will not auto-delete, and fail loudly BEFORE
+    * the original would have been deleted. */
+  private def guardNestedRename(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                live: org.apache.hadoop.fs.Path,
+                                tmp: org.apache.hadoop.fs.Path,
+                                old: org.apache.hadoop.fs.Path,
+                                table: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val nested = new HPath(live, tmp.getName)
+    if (fs.exists(nested)) {
+      fs.rename(nested, tmp)
+      val conflict = new HPath(root, s"_swap_conflict_$table")
+      if (fs.exists(conflict)) fs.delete(conflict, true)
+      fs.rename(old, conflict)
+      throw new java.io.IOException(
+        s"concurrent writer recreated $live during the swap; the full " +
+          s"original is preserved at $conflict and the rewrite at $tmp — " +
+          "stop writers, restore the original, and re-run the maintenance")
+    }
   }
 }
 
@@ -149,6 +188,20 @@ object Compaction {
       if (!fs.rename(tmp, dir)) {
         fs.rename(trash, dir) // restore the original partition
         throw new java.io.IOException(s"compaction rename failed for $dir")
+      }
+      // the same concurrent-writer tripwire as TableSwap.rewrite: an
+      // append recreating the partition dir between the renames nests
+      // the rewrite inside it — preserve both copies and fail loudly
+      // before the staged original is deleted
+      val nested = new HPath(dir, tmp.getName)
+      if (fs.exists(nested)) {
+        fs.rename(nested, tmp)
+        val conflict = new HPath(parent, s"_compact_conflict_${dir.getName}")
+        if (fs.exists(conflict)) fs.delete(conflict, true)
+        fs.rename(trash, conflict)
+        throw new java.io.IOException(
+          s"concurrent writer recreated $dir during compaction; original " +
+            s"preserved at $conflict, rewrite at $tmp — stop writers and restore")
       }
       fs.delete(trash, true)
       compacted += dir.getName.stripPrefix(prefix)

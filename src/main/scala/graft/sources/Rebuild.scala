@@ -13,41 +13,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Freshness is decided by an explicit CONTENT TOKEN, not file mtimes:
   * a random token is written into the snapshot when it commits
-  * (`rebuild_src/_token`, created only after the snapshot parquet has
-  * landed) and echoed to `<index>/rebuild_done_token` only after the
-  * rebuild has committed its meta. A leftover snapshot whose token
-  * EQUALS the done token belongs to a COMPLETED rebuild whose final
-  * cleanup crashed — rows may have been appended since, so rebuilding
-  * from it would silently roll the index back; it is discarded and the
-  * live tables re-snapshotted. Any other state (token present, done
-  * token absent or different) is a crashed IN-FLIGHT rebuild and the
-  * snapshot is resumed from. mtime ordering was rejected here: on
-  * filesystems with coarse modification-time granularity (1 s on some
-  * HDFS/object stores) or renames that do not preserve times, a fresh
-  * crashed snapshot can compare "older" than meta and be misclassified
-  * as stale — the exact silent rollback the check exists to prevent.
+  * (`rebuild_src/_token`, created only after the snapshot parquet and
+  * params have landed) and echoed to `<index>/rebuild_done_token` only
+  * after the rebuild has committed its meta. A leftover snapshot whose
+  * token EQUALS the done token belongs to a COMPLETED rebuild whose
+  * final cleanup crashed — rows may have been appended since, so
+  * rebuilding from it would silently roll the index back; it is
+  * discarded and the live tables re-snapshotted. Any other state
+  * (token present, done token absent or different) is a crashed
+  * IN-FLIGHT rebuild and the snapshot is resumed from. mtime ordering
+  * was rejected here: on filesystems with coarse modification-time
+  * granularity (1 s on some HDFS/object stores) or renames that do
+  * not preserve times, a fresh crashed snapshot can compare "older"
+  * than meta and be misclassified as stale — the exact silent
+  * rollback the check exists to prevent.
   *
-  * The index is NOT serveable mid-rebuild (its tables are overwritten
-  * in place); the guarantee is that no crash point loses data or rolls
-  * back appends, never that probes stay online through the rebuild.
+  * Two further guarantees close the mid-rebuild windows:
+  *
+  *  - The index is NOT serveable mid-rebuild (its tables are
+  *    overwritten in place), and that contract is ENFORCED, not just
+  *    documented: `<index>/rebuild_inflight` exists from just before
+  *    the first overwrite until the rebuild completes, and every
+  *    probe/append entry point calls [[assertNotInflight]] — a crash
+  *    between the tables and the meta commit would otherwise leave an
+  *    index whose meta disagrees with its partitioning (probes would
+  *    silently join on the wrong keys and MISS duplicates).
+  *  - The rebuild PARAMETERS ride the snapshot (`rebuild_src/_params`,
+  *    written before the token), so a re-run can heal even when the
+  *    crash tore the meta table itself — re-entry never needs to read
+  *    the live index. A healed re-run therefore completes the ORIGINAL
+  *    rebuild's parameters; to apply different ones, rebuild again
+  *    after the heal.
   */
 object Rebuild {
 
-  /** Run `rebuild` against a committed snapshot of `snapshot`'s rows.
-    * `snapshot` is only evaluated (and materialized) when no committed
-    * snapshot already exists — a re-run after a crash resumes from the
-    * existing one. `rebuild` receives the snapshot read back from disk
-    * and must commit the index atomically-enough that a RE-RUN from
-    * the same snapshot converges (write meta last). */
+  /** Run `rebuild` against a committed snapshot of `snapshot`'s rows
+    * and key-value params. `snapshot` is only evaluated (and
+    * materialized) when no committed snapshot already exists — a
+    * re-run after a crash resumes from the existing snapshot AND its
+    * persisted params, touching nothing in the live index. `rebuild`
+    * receives the snapshot read back from disk plus the params and
+    * must commit the index so that a RE-RUN from the same snapshot
+    * converges (write meta last). */
   def withCommittedSnapshot(spark: SparkSession, indexRoot: String,
-                            snapshot: => DataFrame)(
-                            rebuild: DataFrame => Unit): Unit = {
+                            snapshot: => (DataFrame, Map[String, String]))(
+                            rebuild: (DataFrame, Map[String, String]) => Unit): Unit = {
     val fs = Hdfs.forPath(spark, indexRoot)
     val src = new HPath(s"$indexRoot/rebuild_src")
     val tokenFile = new HPath(src, "_token")
+    val paramsFile = new HPath(src, "_params")
     val doneFile = new HPath(s"$indexRoot/rebuild_done_token")
-    val srcTok = readToken(fs, tokenFile)
-    if (srcTok.isDefined && srcTok == readToken(fs, doneFile)) {
+    val inflight = new HPath(s"$indexRoot/rebuild_inflight")
+    val srcTok = readFile(fs, tokenFile)
+    if (srcTok.isDefined && srcTok == readFile(fs, doneFile)) {
       // completed rebuild's leftover: stale, discard — and a FAILED
       // delete must abort, or the stale snapshot would be rebuilt from
       // after all (the silent-rollback this protocol exists to prevent)
@@ -56,27 +74,53 @@ object Rebuild {
           s"cannot discard stale rebuild snapshot $src — aborting rather " +
             "than rebuilding from it")
     }
-    if (readToken(fs, tokenFile).isEmpty) {
+    if (readFile(fs, tokenFile).isEmpty) {
       // no committed snapshot (never started, crashed mid-snapshot, or
       // the stale one was just discarded): drop any partial dir and
-      // snapshot the CURRENT live rows; the token lands last, so the
-      // snapshot is committed exactly when the token is readable
+      // snapshot the CURRENT live rows + params; the token lands last,
+      // so the snapshot is committed exactly when the token is readable
       if (fs.exists(src)) fs.delete(src, true)
-      snapshot.write.mode("overwrite").parquet(src.toString)
-      writeToken(fs, tokenFile, java.util.UUID.randomUUID().toString)
+      val (df, params) = snapshot
+      df.write.mode("overwrite").parquet(src.toString)
+      writeFile(fs, paramsFile, params.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("\n"))
+      writeFile(fs, tokenFile, java.util.UUID.randomUUID().toString)
     }
-    val tok = readToken(fs, tokenFile).getOrElse(throw new IllegalStateException(
+    val tok = readFile(fs, tokenFile).getOrElse(throw new IllegalStateException(
       s"snapshot token vanished under $src"))
-    rebuild(spark.read.parquet(src.toString))
+    val params = readFile(fs, paramsFile).map(_.linesIterator
+      .filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap).getOrElse(Map.empty)
+    // the enforcement marker spans exactly the window where the live
+    // tables may disagree with each other or with meta
+    writeFile(fs, inflight, tok)
+    rebuild(spark.read.parquet(src.toString), params)
+    fs.delete(inflight, false)
     // commit order: done token BEFORE deleting the snapshot — a crash
     // between the two leaves a stale-classified leftover, cleaned at
     // the next entry; a crash before the token re-runs the (idempotent)
     // rebuild from the same snapshot
-    writeToken(fs, doneFile, tok)
+    writeFile(fs, doneFile, tok)
     fs.delete(src, true)
   }
 
-  private def readToken(fs: FileSystem, p: HPath): Option[String] =
+  /** True while a rebuild is (or crashed) mid-overwrite at
+    * `indexRoot`. */
+  def isInflight(spark: SparkSession, indexRoot: String): Boolean =
+    Hdfs.forPath(spark, indexRoot)
+      .exists(new HPath(s"$indexRoot/rebuild_inflight"))
+
+  /** The probe/append guard: an index with an in-flight (crashed or
+    * concurrent) rebuild must fail loudly instead of silently serving
+    * half-rewritten tables against a possibly-mismatched meta. */
+  def assertNotInflight(spark: SparkSession, indexRoot: String): Unit =
+    if (isInflight(spark, indexRoot))
+      throw new IllegalStateException(
+        s"index at $indexRoot has an in-flight (crashed or concurrent) " +
+          "rebuild — re-run the rebuild to heal before probing or appending")
+
+  private def readFile(fs: FileSystem, p: HPath): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -89,8 +133,8 @@ object Rebuild {
       } finally in.close()
     }
 
-  private def writeToken(fs: FileSystem, p: HPath, tok: String): Unit = {
+  private def writeFile(fs: FileSystem, p: HPath, content: String): Unit = {
     val out = fs.create(p, true)
-    try out.write(tok.getBytes(UTF_8)) finally out.close()
+    try out.write(content.getBytes(UTF_8)) finally out.close()
   }
 }

@@ -261,12 +261,18 @@ object DocStreams {
         // materialization barrier as the batch lifecycle, and the
         // replay path by construction). Reading the one partition dir
         // directly keeps the per-trigger listing O(1), not O(every
-        // batch ever committed).
-        val survivors = cached.join(
-          spark.read.parquet(s"$verdictsPath/batch_id=$id")
-            .where(!col("is_dup")).select(col("doc_id")),
-          "doc_id")
-        if (!survivors.isEmpty) Dedup.appendToLshIndex(survivors, indexPath)
+        // batch ever committed). A batch whose docs ALL had empty
+        // shingle sets (blank/too-short text) probes to zero rows, so
+        // the partition dir never exists — nothing to append; reading
+        // it anyway would throw on every replay behind the seal.
+        val verdictDir = new HPath(s"$verdictsPath/batch_id=$id")
+        if (fs.exists(verdictDir)) {
+          val survivors = cached.join(
+            spark.read.parquet(verdictDir.toString)
+              .where(!col("is_dup")).select(col("doc_id")),
+            "doc_id")
+          if (!survivors.isEmpty) Dedup.appendToLshIndex(survivors, indexPath)
+        }
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           Dedup.compactLshBands(spark, indexPath, maxFilesPerPart)
       }

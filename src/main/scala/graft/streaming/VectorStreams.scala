@@ -131,11 +131,19 @@ object VectorStreams {
         }
         // phase 2 — novelty comes off the SEALED enrichment (the same
         // materialization barrier as the dedup sink's survivors read;
-        // one partition dir, O(1) listing per trigger)
-        val known = spark.read.parquet(s"$enrichedPath/batch_id=$id")
-          .where(col("cos") >= novelCos)
-          .select(col("q_id").as("vec_id")).distinct()
-        val novel = cached.join(known, Seq("vec_id"), "left_anti")
+        // one partition dir, O(1) listing per trigger). A batch whose
+        // arrivals found NO candidates at all (every probed cell
+        // empty) commits zero rows, so the partition dir never exists
+        // — everything is novel; reading it anyway would throw on
+        // every replay behind the already-written seal.
+        val partDir = new HPath(s"$enrichedPath/batch_id=$id")
+        val novel =
+          if (!fs.exists(partDir)) cached
+          else cached.join(
+            spark.read.parquet(partDir.toString)
+              .where(col("cos") >= novelCos)
+              .select(col("q_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
         if (!novel.isEmpty) Similarity.appendToPqIvf(novel, indexPath)
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           graft.sources.Compaction.compactPartitions(spark,

@@ -97,17 +97,33 @@ class LshIndexRebuildSpec extends AnyFunSuite {
       val out = fs.create(hp(p), true)
       try out.write(tok.getBytes("UTF-8")) finally out.close()
     }
-    // --- crashed IN-FLIGHT rebuild: snapshot committed (token landed,
-    // done token absent), bands half-rewritten — drop a partition
+    // --- crashed IN-FLIGHT rebuild, worst case: snapshot committed
+    // (params + token landed, done token absent), the in-flight marker
+    // up, bands half-rewritten (a partition dropped) AND meta itself
+    // torn away by the crash
     spark.read.parquet(s"$path/docs")
       .write.mode("overwrite").parquet(s"$path/rebuild_src")
+    writeTok(s"$path/rebuild_src/_params",
+      "k=3\nbands=8\nrows_per_band=4\nn_bucket_parts=16")
     writeTok(s"$path/rebuild_src/_token", "tok-inflight")
+    writeTok(s"$path/rebuild_inflight", "tok-inflight")
     val somePart = fs.listStatus(hp(s"$path/bands"))
       .filter(_.isDirectory).map(_.getPath)
       .find(_.getName.startsWith("part=")).get
     fs.delete(somePart, true)
-    Dedup.rebuildLshIndex(spark, path, nBucketParts = Some(16))
+    fs.delete(hp(s"$path/meta"), true)
+    // probes fail LOUDLY mid-rebuild — half-rewritten bands against a
+    // possibly-mismatched meta must never silently miss duplicates
+    val ex = intercept[IllegalStateException] {
+      Dedup.dedupAgainstLshIndex(batch, path, threshold = 0.05)
+    }
+    assert(ex.getMessage.contains("in-flight"))
+    // healing re-run: parameters come from the snapshot (meta is gone)
+    Dedup.rebuildLshIndex(spark, path)
     assert(!fs.exists(hp(s"$path/rebuild_src")))
+    assert(!fs.exists(hp(s"$path/rebuild_inflight")))
+    assert(spark.read.parquet(s"$path/meta").head().getInt(3) === 16,
+      "heal must complete the ORIGINAL rebuild's parameters")
     assert(probeRows(batch, path) === before,
       "healed rebuild must restore the full population from the snapshot")
     // --- completed rebuild's leftover: snapshot token == done token.

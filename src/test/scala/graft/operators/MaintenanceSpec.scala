@@ -59,6 +59,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(probe() === beforeNight2)
   }
 
+  test("a crashed rebuild is healed by the next nightly tick: heal-rebuild first, probes restored") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+    val path = java.nio.file.Files.createTempDirectory("mnt_heal").toString
+    Dedup.saveLshIndex(corpus, k = 3, bands = 8, rowsPerBand = 4, path,
+      nBucketParts = 4)
+    val before = Dedup.dedupAgainstLshIndex(batch, path, threshold = 0.05,
+      maxBucket = Some(3)).collect().map(_.toSeq).toSeq
+    // stage a crashed mid-rebuild state: committed snapshot (params +
+    // token), in-flight marker up, a band partition already clobbered
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    def write(p: String, s2: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      try out.write(s2.getBytes("UTF-8")) finally out.close()
+    }
+    spark.read.parquet(s"$path/docs")
+      .write.mode("overwrite").parquet(s"$path/rebuild_src")
+    write(s"$path/rebuild_src/_params",
+      "k=3\nbands=8\nrows_per_band=4\nn_bucket_parts=8")
+    write(s"$path/rebuild_src/_token", "tok-crashed")
+    write(s"$path/rebuild_inflight", "tok-crashed")
+    val gone = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/bands"))
+      .filter(_.isDirectory).map(_.getPath)
+      .find(_.getName.startsWith("part=")).get
+    fs.delete(gone, true)
+    intercept[IllegalStateException] {
+      Dedup.dedupAgainstLshIndex(batch, path, threshold = 0.05)
+    }
+    // the nightly cron is the heal: it re-runs the rebuild from the
+    // snapshot BEFORE anything that would probe
+    val report = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
+    assert(report.actions.headOption === Some("heal-rebuild"), s"$report")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/rebuild_inflight")))
+    assert(Dedup.dedupAgainstLshIndex(batch, path, threshold = 0.05,
+      maxBucket = Some(3)).collect().map(_.toSeq).toSeq === before)
+  }
+
   test("PQ-IVF three nights: compact, drift-rebuild, then no-op; serving stays exact") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))

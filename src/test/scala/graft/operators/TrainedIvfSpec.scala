@@ -640,6 +640,8 @@ class TrainedIvfSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$path/rebuild_src")
     val fs = FileSystem.get(new HPath(path).toUri,
       spark.sessionState.newHadoopConf())
+    writeToken(fs, new HPath(s"$path/rebuild_src/_params"),
+      "m=8\nk_code=16\nn_centroids=8")
     writeToken(fs, new HPath(s"$path/rebuild_src/_token"), "tok-inflight")
     val someCell = fs.listStatus(new HPath(s"$path/cells"))
       .filter(_.isDirectory).map(_.getPath)

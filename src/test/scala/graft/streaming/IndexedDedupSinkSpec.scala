@@ -136,6 +136,35 @@ class IndexedDedupSinkSpec extends AnyFunSuite {
       s"repaired index must hold exactly one copy of each survivor: $hit")
   }
 
+  test("a batch of empty-shingle docs commits cleanly and replays as a no-op (no wedge behind the seal)") {
+    val idx = java.nio.file.Files.createTempDirectory("zero_idx").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("zero_verd").toString
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    // non-empty batch, but every doc is too short for a 3-shingle:
+    // the probe emits zero rows and the batch_id partition dir is
+    // never created — the sink must seal and move on, not throw on a
+    // read of the missing dir behind the already-written verdict seal
+    val blank = Seq((900L, ""), (901L, "two words")).toDF("doc_id", "text")
+    def state() = (
+      spark.read.parquet(s"$idx/bands").count(),
+      spark.read.parquet(s"$idx/docs").count())
+    val before = state()
+    DocStreams.processIndexedBatch(blank, 0L, idx, verdicts,
+      threshold = 0.05, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_0")))
+    assert(state() === before, "unsignable docs must not reach the index")
+    DocStreams.processIndexedBatch(blank, 0L, idx, verdicts,
+      threshold = 0.05, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8)
+    assert(state() === before)
+  }
+
   test("marker GC: pruned batch ids stay no-ops on replay; uncommitted ids are never covered") {
     val idx = java.nio.file.Files.createTempDirectory("gc_idx").toString
     val verdicts = java.nio.file.Files.createTempDirectory("gc_verd").toString

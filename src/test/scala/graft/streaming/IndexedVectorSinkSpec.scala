@@ -115,6 +115,37 @@ class IndexedVectorSinkSpec extends AnyFunSuite {
     assert(state() === before, "floor replay must change nothing")
   }
 
+  test("a batch with ZERO enrichment rows commits cleanly and replays as a no-op (no wedge behind the seal)") {
+    val idx = java.nio.file.Files.createTempDirectory("vsink_zero_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("vsink_zero_out").toString
+    // two far-apart residents, one per cell; the arrivals carry the
+    // SAME vec_ids, so with nProbe=1 each probes only its own cell and
+    // the self-exclusion drops the single candidate — pqIvfSearch
+    // returns zero rows and the batch_id partition dir is never
+    // created. The sink must still append (no neighbor ⇒ novel),
+    // seal, and replay as a no-op instead of wedging on a read of the
+    // missing dir.
+    val two = Seq(
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, Seq.tabulate(64)(i => if (i < 32) 5.0f else -5.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.savePqIvf(two, nCentroids = 2, m = 8, kCode = 4, idx)
+    def drive0(): Unit = VectorStreams.processVectorBatch(two, 0L, idx, out,
+      k = 5, nProbe = 1, rescoreK = 20, novelCos = 0.999,
+      driftCheckEvery = 0, driftSampleMod = 10, skewBound = 4.0,
+      recallFloor = 0.0, compactEvery = 0, maxFilesPerPart = 8)
+    drive0()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(out).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/_committed/batch_0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/batch_id=0")))
+    val cells = spark.read.parquet(s"$idx/cells").count()
+    assert(cells === 4L, "the candidate-less arrivals are novel and appended")
+    drive0()
+    assert(spark.read.parquet(s"$idx/cells").count() === cells)
+  }
+
   test("crash after append: sealed enrichment reused verbatim; repairPqIvf removes the duplicate rows") {
     val idx = java.nio.file.Files.createTempDirectory("vsink_crash_idx").toString
     val clean = java.nio.file.Files.createTempDirectory("vsink_clean_idx").toString
