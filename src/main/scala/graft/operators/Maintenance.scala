@@ -67,18 +67,28 @@ object Maintenance {
     val fs = graft.sources.Hdfs.forPath(spark, path)
     def exists(t: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t"))
-    require(exists("meta") || graft.sources.Rebuild.isInflight(spark, path),
+    val inflight = graft.sources.Rebuild.isInflight(spark, path)
+    require(exists("meta") || inflight,
       s"$path is not a saved index (no meta/ table)")
-    val isPq = exists("cells")
-    val isLsh = exists("bands")
+    // family detection must survive the crash class the heal exists
+    // for: a rebuild that died during its FIRST table overwrite leaves
+    // cells/ (or bands/) absent for the whole window, so fall back to
+    // the snapshot's persisted params when a rebuild is in flight
+    val snapParams =
+      if (inflight) graft.sources.Rebuild.snapshotParams(spark, path)
+      else None
+    val isPq = exists("cells") || snapParams.exists(_.contains("n_centroids"))
+    val isLsh = !isPq &&
+      (exists("bands") || snapParams.exists(_.contains("n_bucket_parts")))
     require(isPq || isLsh,
-      s"$path has meta/ but neither cells/ (PQ-IVF) nor bands/ (LSH)")
+      s"$path has neither cells/ (PQ-IVF) nor bands/ (LSH) nor a " +
+        "rebuild snapshot identifying the family")
     // heal FIRST: a crashed rebuild left the in-flight marker, so every
     // probe (including tonight's drift check) fails loudly until the
     // rebuild is re-run from its committed snapshot — that re-run is
     // exactly what the nightly cron is for
     val healed =
-      if (graft.sources.Rebuild.isInflight(spark, path)) {
+      if (inflight) {
         if (isPq) Similarity.rebuildPqIvf(spark, path, pq.trainIters)
         else Dedup.rebuildLshIndex(spark, path)
         Seq("heal-rebuild")

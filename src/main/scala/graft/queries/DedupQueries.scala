@@ -158,6 +158,20 @@ object DedupQueries {
       val idx = s"$scratchRoot/c6_lsh_${s.sparkContext.applicationId}"
       val fs = graft.sources.Hdfs.forPath(s, idx)
       val idxPath = new org.apache.hadoop.fs.Path(idx)
+      // sweep siblings left by KILLED apps (their finally never ran):
+      // age-gated so a live concurrent run — whose dir is minutes old
+      // and actively gaining children — is never touched, while
+      // leftovers cannot accrete across crashed runs
+      val rootPath = new org.apache.hadoop.fs.Path(scratchRoot)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        fs.listStatus(rootPath)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("c6_lsh_") &&
+            st.getPath.getName != idxPath.getName &&
+            st.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
       fs.delete(idxPath, true)
       try {
         Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(12)) === 0),

@@ -85,37 +85,59 @@ object TableSwap {
         fs.rename(old, live)
         throw new java.io.IOException(s"staged rewrite rename failed for $live")
       }
-      guardNestedRename(fs, root, live, tmp, old, table)
+      guardNestedRename(fs, live, tmp, old,
+        new HPath(root, s"_swap_conflict_$table"))
       fs.delete(old, true)
     } else if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"staged rewrite could not install $live")
     spark.catalog.refreshByPath(live.toString)
   }
 
-  /** The concurrent-writer tripwire (see the object scaladoc): if a
+  /** The concurrent-writer tripwire (see the object scaladoc), shared
+    * by [[rewrite]] and the compactor's per-partition swap: if a
     * writer recreated `live` between the stage-aside and the install,
     * the install rename NESTED the replacement inside it. Pull the
-    * replacement back out, preserve the staged original under a name
-    * the recovery sweep will not auto-delete, and fail loudly BEFORE
-    * the original would have been deleted. */
-  private def guardNestedRename(fs: org.apache.hadoop.fs.FileSystem,
-                                root: org.apache.hadoop.fs.Path,
-                                live: org.apache.hadoop.fs.Path,
-                                tmp: org.apache.hadoop.fs.Path,
-                                old: org.apache.hadoop.fs.Path,
-                                table: String): Unit = {
+    * replacement back out, move the staged original to `conflict` — a
+    * name the recovery sweeps never auto-delete — and fail loudly
+    * BEFORE the original would have been deleted. Every rename result
+    * is checked: an unchecked failure would leave the only full copy
+    * at the staged name, which the NEXT entry's recovery sweep
+    * auto-deletes (live exists ⇒ staged is presumed litter) — the
+    * exact loss this guard prevents. If the conflict move fails, the
+    * original is restored AS live (and the racer's partial table moved
+    * to `conflict` instead), so no copy ever sits at an auto-deleted
+    * name. Returns normally only when no race occurred. */
+  private[sources] def guardNestedRename(fs: org.apache.hadoop.fs.FileSystem,
+                                         live: org.apache.hadoop.fs.Path,
+                                         tmp: org.apache.hadoop.fs.Path,
+                                         staged: org.apache.hadoop.fs.Path,
+                                         conflict: org.apache.hadoop.fs.Path)
+      : Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val nested = new HPath(live, tmp.getName)
-    if (fs.exists(nested)) {
-      fs.rename(nested, tmp)
-      val conflict = new HPath(root, s"_swap_conflict_$table")
-      if (fs.exists(conflict)) fs.delete(conflict, true)
-      fs.rename(old, conflict)
+    if (!fs.exists(nested)) return
+    val rewriteAt = if (fs.rename(nested, tmp)) tmp else nested
+    if (fs.exists(conflict)) fs.delete(conflict, true)
+    if (fs.rename(staged, conflict))
       throw new java.io.IOException(
         s"concurrent writer recreated $live during the swap; the full " +
-          s"original is preserved at $conflict and the rewrite at $tmp — " +
-          "stop writers, restore the original, and re-run the maintenance")
-    }
+          s"original is preserved at $conflict and the rewrite at " +
+          s"$rewriteAt — stop writers, restore the original, and re-run " +
+          "the maintenance")
+    // the conflict move failed: do NOT leave the original at the
+    // staged name (the recovery sweep would delete it) — put it back
+    // as live and move the racer's partial table aside instead
+    if (fs.rename(live, conflict) && fs.rename(staged, live))
+      throw new java.io.IOException(
+        s"concurrent writer recreated $live during the swap; the " +
+          s"original has been RESTORED as $live, the racing writer's " +
+          s"rows moved to $conflict (re-append them), rewrite at " +
+          s"$rewriteAt — stop writers before re-running the maintenance")
+    throw new java.io.IOException(
+      s"concurrent writer recreated $live during the swap and the " +
+        s"filesystem refuses renames; the only full copy is still at " +
+        s"$staged — do NOT run recovery (it would delete it); move it " +
+        "to safety by hand, stop writers, then restore")
   }
 }
 
@@ -189,20 +211,12 @@ object Compaction {
         fs.rename(trash, dir) // restore the original partition
         throw new java.io.IOException(s"compaction rename failed for $dir")
       }
-      // the same concurrent-writer tripwire as TableSwap.rewrite: an
-      // append recreating the partition dir between the renames nests
-      // the rewrite inside it — preserve both copies and fail loudly
-      // before the staged original is deleted
-      val nested = new HPath(dir, tmp.getName)
-      if (fs.exists(nested)) {
-        fs.rename(nested, tmp)
-        val conflict = new HPath(parent, s"_compact_conflict_${dir.getName}")
-        if (fs.exists(conflict)) fs.delete(conflict, true)
-        fs.rename(trash, conflict)
-        throw new java.io.IOException(
-          s"concurrent writer recreated $dir during compaction; original " +
-            s"preserved at $conflict, rewrite at $tmp — stop writers and restore")
-      }
+      // the shared concurrent-writer tripwire: an append recreating
+      // the partition dir between the renames nests the rewrite inside
+      // it — both copies are preserved and the swap aborts loudly
+      // before the staged original could be deleted
+      TableSwap.guardNestedRename(fs, dir, tmp, trash,
+        new HPath(parent, s"_compact_conflict_${dir.getName}"))
       fs.delete(trash, true)
       compacted += dir.getName.stripPrefix(prefix)
     }

@@ -74,6 +74,15 @@ object Rebuild {
           s"cannot discard stale rebuild snapshot $src — aborting rather " +
             "than rebuilding from it")
     }
+    // the enforcement marker goes up BEFORE anything else — including
+    // the snapshot itself. It must cover every window in which a
+    // committed snapshot exists without its done token: if appends
+    // could land in such a window (e.g. a crash right after the token
+    // landed, before the first overwrite), the next rebuild's resume
+    // from that snapshot would silently roll them back. With the
+    // marker up first, probes and appends fail loudly from here until
+    // the done token commits.
+    writeFile(fs, inflight, "up")
     if (readFile(fs, tokenFile).isEmpty) {
       // no committed snapshot (never started, crashed mid-snapshot, or
       // the stale one was just discarded): drop any partial dir and
@@ -91,17 +100,23 @@ object Rebuild {
     val params = readFile(fs, paramsFile).map(_.linesIterator
       .filter(_.contains("=")).map { l =>
         val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
-      }.toMap).getOrElse(Map.empty)
-    // the enforcement marker spans exactly the window where the live
-    // tables may disagree with each other or with meta
-    writeFile(fs, inflight, tok)
+      }.toMap).getOrElse(throw new IllegalStateException(
+      s"committed rebuild snapshot $src has no _params file (written by " +
+        "an older layout?) — if the live index is consistent, delete " +
+        s"$src and $inflight and re-run; otherwise write $paramsFile by " +
+        "hand from the index's intended parameters before re-running"))
     rebuild(spark.read.parquet(src.toString), params)
-    fs.delete(inflight, false)
-    // commit order: done token BEFORE deleting the snapshot — a crash
-    // between the two leaves a stale-classified leftover, cleaned at
-    // the next entry; a crash before the token re-runs the (idempotent)
-    // rebuild from the same snapshot
+    // commit order: done token FIRST, then the marker comes down, then
+    // the snapshot goes. A crash after the done token with the marker
+    // still up is loud (probes blocked) and heals as stale at the next
+    // entry; deleting the marker before the done token would instead
+    // leave an unguarded index with a resumable-looking snapshot —
+    // appends landing there would be rolled back by the next rebuild.
     writeFile(fs, doneFile, tok)
+    if (!fs.delete(inflight, false))
+      throw new java.io.IOException(
+        s"rebuild committed but could not clear $inflight — probes stay " +
+          "blocked; remove the marker (and $src) by hand or re-run")
     fs.delete(src, true)
   }
 
@@ -110,6 +125,18 @@ object Rebuild {
   def isInflight(spark: SparkSession, indexRoot: String): Boolean =
     Hdfs.forPath(spark, indexRoot)
       .exists(new HPath(s"$indexRoot/rebuild_inflight"))
+
+  /** The persisted params of a committed-but-unfinished rebuild
+    * snapshot, if one exists — lets a healer identify the index
+    * family/parameters even when the crash tore the live tables the
+    * detection would otherwise read. */
+  def snapshotParams(spark: SparkSession,
+                     indexRoot: String): Option[Map[String, String]] =
+    readFile(Hdfs.forPath(spark, indexRoot),
+      new HPath(s"$indexRoot/rebuild_src/_params"))
+      .map(_.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap)
 
   /** The probe/append guard: an index with an in-flight (crashed or
     * concurrent) rebuild must fail loudly instead of silently serving

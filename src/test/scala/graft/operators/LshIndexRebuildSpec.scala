@@ -147,6 +147,71 @@ class LshIndexRebuildSpec extends AnyFunSuite {
     assert(probeRows(batch, path) === afterAppend)
   }
 
+  test("marker-ordering crash states: pre-snapshot crash heals; done-token-before-marker-clear blocks resume rollback; paramless legacy snapshot fails with a named remedy") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+    def mk(tag: String): (String, org.apache.hadoop.fs.FileSystem) = {
+      val p = java.nio.file.Files.createTempDirectory(tag).toString
+      Dedup.saveLshIndex(corpus, k = 3, bands = 8, rowsPerBand = 4, p,
+        nBucketParts = 4)
+      (p, fsOf(p))
+    }
+    def writeTok(fs: org.apache.hadoop.fs.FileSystem, p: String,
+                 tok: String): Unit = {
+      val out = fs.create(hp(p), true)
+      try out.write(tok.getBytes("UTF-8")) finally out.close()
+    }
+    // --- crash BETWEEN the marker going up and the snapshot token
+    // landing: live tables untouched, but probes must already be
+    // blocked (this window is why appends here cannot be rolled back),
+    // and a re-run heals by taking a FRESH snapshot
+    val (p1, fs1) = mk("lsh_premark")
+    val before1 = probeRows(batch, p1)
+    writeTok(fs1, s"$p1/rebuild_inflight", "up")
+    intercept[IllegalStateException] {
+      Dedup.dedupAgainstLshIndex(batch, p1, threshold = 0.05)
+    }
+    intercept[IllegalStateException] {
+      Dedup.appendToLshIndex(batch, p1)
+    }
+    Dedup.rebuildLshIndex(spark, p1, nBucketParts = Some(8))
+    assert(!fs1.exists(hp(s"$p1/rebuild_inflight")))
+    assert(probeRows(batch, p1) === before1)
+    // --- crash AFTER the done token but BEFORE the marker cleared:
+    // probes blocked (loud), and the next rebuild discards the now
+    // stale snapshot instead of resuming it — so appends that could
+    // never have landed (probes were blocked) stay impossible to lose
+    val (p2, fs2) = mk("lsh_postdone")
+    val before2 = probeRows(batch, p2)
+    spark.read.parquet(s"$p2/docs")
+      .write.mode("overwrite").parquet(s"$p2/rebuild_src")
+    writeTok(fs2, s"$p2/rebuild_src/_params",
+      "k=3\nbands=8\nrows_per_band=4\nn_bucket_parts=4")
+    writeTok(fs2, s"$p2/rebuild_src/_token", "tok-done")
+    writeTok(fs2, s"$p2/rebuild_done_token", "tok-done")
+    writeTok(fs2, s"$p2/rebuild_inflight", "up")
+    intercept[IllegalStateException] {
+      Dedup.dedupAgainstLshIndex(batch, p2, threshold = 0.05)
+    }
+    Dedup.rebuildLshIndex(spark, p2)
+    assert(!fs2.exists(hp(s"$p2/rebuild_inflight")))
+    assert(!fs2.exists(hp(s"$p2/rebuild_src")))
+    assert(probeRows(batch, p2) === before2)
+    // --- a committed snapshot WITHOUT _params (pre-params layout):
+    // the resume must fail with a message naming the file and remedy,
+    // never an opaque key lookup
+    val (p3, fs3) = mk("lsh_legacy_snap")
+    spark.read.parquet(s"$p3/docs")
+      .write.mode("overwrite").parquet(s"$p3/rebuild_src")
+    writeTok(fs3, s"$p3/rebuild_src/_token", "tok-old-layout")
+    val ex = intercept[IllegalStateException] {
+      Dedup.rebuildLshIndex(spark, p3)
+    }
+    assert(ex.getMessage.contains("_params"), ex.getMessage)
+  }
+
   test("torn stats overwrite: capped probe falls back to counting (no dropped buckets); staged backfill heals") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
