@@ -131,7 +131,19 @@ object Maintenance {
       actions += "backfill-stats"
     }
     val nParts = spark.read.parquet(s"$path/meta").head().getInt(3)
-    val totalRows = spark.read.parquet(s"$path/bands").count()
+    // band-row total from the tiny stats side table when committed
+    // (slice counts sum to exactly the band rows) — a nightly
+    // full scan of the band data just to count it is the kind of cost
+    // that matters at corpus scale; counting is the uncommitted-stats
+    // fallback only
+    val totalRows =
+      if (Dedup.lshStatsCommitted(spark, path))
+        spark.read.parquet(s"$path/stats")
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("n"),
+            org.apache.spark.sql.functions.lit(0L)))
+          .head().getLong(0)
+      else spark.read.parquet(s"$path/bands").count()
     val rowsPerPart = totalRows.toDouble / nParts
     if (rowsPerPart > lsh.rebuildAtRowsPerPart) {
       // smallest power of two holding rows-per-part under target —

@@ -43,6 +43,10 @@ class LshIndexRebuildSpec extends AnyFunSuite {
     val before = probeRows(batch, path)
     assert(before.nonEmpty)
     assert(partDirs(path) <= 4)
+    def docsFiles() = fsOf(path).listStatus(hp(s"$path/docs"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val docsBefore = docsFiles()
     Dedup.rebuildLshIndex(spark, path, nBucketParts = Some(16))
     // meta carries the new partitioning; the probe derives `part` from
     // it, so verdicts must not move — re-bucketing is layout only
@@ -50,6 +54,11 @@ class LshIndexRebuildSpec extends AnyFunSuite {
     assert(meta.getInt(3) === 16)
     assert(partDirs(path) > 4, "band rows must spread over the new parts")
     assert(probeRows(batch, path) === before)
+    // the fast path's whole point: a pure re-bucket rewrites ONLY the
+    // band/stats layout — the doc store's files are byte-untouched
+    // (no re-sign, no shingle-set IO)
+    assert(docsFiles() === docsBefore,
+      "pure re-bucket must not rewrite the doc store")
     // the snapshot protocol cleaned up after itself
     assert(!fsOf(path).exists(hp(s"$path/rebuild_src")))
     // stats survived as a committed table: capped probes stay on the
