@@ -466,7 +466,17 @@ object Dedup {
     * Parquet append touches only the partitions the new buckets hash
     * into; resident partitions' files are untouched. Probes after the
     * append see the union exactly as a fresh [[saveLshIndex]] of it
-    * would (same banding rule — spec-asserted). */
+    * would (same banding rule — spec-asserted).
+    *
+    * Not transactional across its tables: a crash between the bands
+    * append and the stats slice (or the doc-store append) leaves the
+    * index torn — stats undercount the batch (capped probes under-trip
+    * on its buckets, maintenance sizing reads slightly low) until
+    * [[backfillLshStats]] or [[repairLshIndex]] restores exactness.
+    * Callers needing a crash-contained append run it behind the
+    * curation sink's sealed-verdict protocol
+    * ([[graft.streaming.DocStreams.indexedDedupSink]]) and repair on
+    * the operational cadence. */
   def appendToLshIndex(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
     graft.sources.Rebuild.assertNotInflight(spark, path)

@@ -132,10 +132,15 @@ object Maintenance {
     }
     val nParts = spark.read.parquet(s"$path/meta").head().getInt(3)
     // band-row total from the tiny stats side table when committed
-    // (slice counts sum to exactly the band rows) — a nightly
-    // full scan of the band data just to count it is the kind of cost
-    // that matters at corpus scale; counting is the uncommitted-stats
-    // fallback only
+    // (slice counts sum to the band rows) — a nightly full scan of the
+    // band data just to count it is the kind of cost that matters at
+    // corpus scale; counting is the uncommitted-stats fallback only.
+    // Known, bounded drift: an append that crashed between its bands
+    // write and its stats slice undercounts by that batch until
+    // repair/backfill rewrites stats exactly — tolerable for a
+    // multiples-scale growth tripwire, and `repair = true` nights (the
+    // sink-written-index configuration, where torn appends actually
+    // occur) restore exactness as a side effect
     val totalRows =
       if (Dedup.lshStatsCommitted(spark, path))
         spark.read.parquet(s"$path/stats")

@@ -159,17 +159,27 @@ object DedupQueries {
       val fs = graft.sources.Hdfs.forPath(s, idx)
       val idxPath = new org.apache.hadoop.fs.Path(idx)
       // sweep siblings left by KILLED apps (their finally never ran):
-      // age-gated so a live concurrent run — whose dir is minutes old
-      // and actively gaining children — is never touched, while
-      // leftovers cannot accrete across crashed runs
+      // age-gated so a live concurrent run is never touched, while
+      // leftovers cannot accrete across crashed runs. Liveness is the
+      // NEWEST mtime down to depth 3, not the dir root's: a root dir's
+      // mtime only moves on direct-child changes, so one long write
+      // stage (everything landing under bands/_temporary/...) would
+      // leave the root looking idle — the committer's task dirs churn
+      // a grandchild's mtime, which the bounded scan does see.
       val rootPath = new org.apache.hadoop.fs.Path(scratchRoot)
       if (fs.exists(rootPath)) {
         val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        def newestMtime(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
+          val st = fs.getFileStatus(p)
+          if (depth == 0 || !st.isDirectory) st.getModificationTime
+          else (st.getModificationTime +: fs.listStatus(p).toSeq
+            .map(c => newestMtime(c.getPath, depth - 1))).max
+        }
         fs.listStatus(rootPath)
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("c6_lsh_") &&
-            st.getPath.getName != idxPath.getName &&
-            st.getModificationTime < cutoff)
+            st.getPath.getName != idxPath.getName)
+          .filter(st => newestMtime(st.getPath, 3) < cutoff)
           .foreach(st => fs.delete(st.getPath, true))
       }
       fs.delete(idxPath, true)

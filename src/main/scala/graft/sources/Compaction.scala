@@ -86,7 +86,7 @@ object TableSwap {
         throw new java.io.IOException(s"staged rewrite rename failed for $live")
       }
       guardNestedRename(fs, live, tmp, old,
-        new HPath(root, s"_swap_conflict_$table"))
+        conflictPath(root, s"_swap_conflict_$table"))
       fs.delete(old, true)
     } else if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"staged rewrite could not install $live")
@@ -103,10 +103,22 @@ object TableSwap {
     * is checked: an unchecked failure would leave the only full copy
     * at the staged name, which the NEXT entry's recovery sweep
     * auto-deletes (live exists ⇒ staged is presumed litter) — the
-    * exact loss this guard prevents. If the conflict move fails, the
+    * exact loss this guard prevents. The conflict name is UNIQUE per
+    * incident ([[conflictPath]]): renaming into an existing dir would
+    * nest — the very semantics being guarded against — so the
+    * original's safety must never hang on deleting stale leftovers of
+    * a previous incident first. If the conflict move fails, the
     * original is restored AS live (and the racer's partial table moved
     * to `conflict` instead), so no copy ever sits at an auto-deleted
     * name. Returns normally only when no race occurred. */
+  /** A per-incident conflict dir name: never pre-existing, so the
+    * preservation rename can neither nest into stale leftovers nor
+    * depend on first deleting them. */
+  private[sources] def conflictPath(parent: org.apache.hadoop.fs.Path,
+                                    base: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(parent,
+      s"${base}_${java.util.UUID.randomUUID().toString.take(8)}")
+
   private[sources] def guardNestedRename(fs: org.apache.hadoop.fs.FileSystem,
                                          live: org.apache.hadoop.fs.Path,
                                          tmp: org.apache.hadoop.fs.Path,
@@ -117,7 +129,6 @@ object TableSwap {
     val nested = new HPath(live, tmp.getName)
     if (!fs.exists(nested)) return
     val rewriteAt = if (fs.rename(nested, tmp)) tmp else nested
-    if (fs.exists(conflict)) fs.delete(conflict, true)
     if (fs.rename(staged, conflict))
       throw new java.io.IOException(
         s"concurrent writer recreated $live during the swap; the full " +
@@ -216,7 +227,7 @@ object Compaction {
       // it — both copies are preserved and the swap aborts loudly
       // before the staged original could be deleted
       TableSwap.guardNestedRename(fs, dir, tmp, trash,
-        new HPath(parent, s"_compact_conflict_${dir.getName}"))
+        TableSwap.conflictPath(parent, s"_compact_conflict_${dir.getName}"))
       fs.delete(trash, true)
       compacted += dir.getName.stripPrefix(prefix)
     }

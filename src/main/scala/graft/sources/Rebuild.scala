@@ -87,20 +87,29 @@ object Rebuild {
       // no committed snapshot (never started, crashed mid-snapshot, or
       // the stale one was just discarded): drop any partial dir and
       // snapshot the CURRENT live rows + params; the token lands last,
-      // so the snapshot is committed exactly when the token is readable
-      if (fs.exists(src)) fs.delete(src, true)
-      val (df, params) = snapshot
-      df.write.mode("overwrite").parquet(src.toString)
-      writeFile(fs, paramsFile, params.toSeq.sorted
-        .map { case (k, v) => s"$k=$v" }.mkString("\n"))
-      writeFile(fs, tokenFile, java.util.UUID.randomUUID().toString)
+      // so the snapshot is committed exactly when the token is readable.
+      // A failure anywhere in here (bad caller params, an unreadable
+      // meta, a transient IO error) leaves the live index UNTOUCHED
+      // with nothing to resume — clear the marker we just raised, or a
+      // validation typo would block every probe until someone pays for
+      // a full rebuild just to remove a file
+      try {
+        if (fs.exists(src)) fs.delete(src, true)
+        val (df, params) = snapshot
+        df.write.mode("overwrite").parquet(src.toString)
+        writeFile(fs, paramsFile, params.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString("\n"))
+        writeFile(fs, tokenFile, java.util.UUID.randomUUID().toString)
+      } catch {
+        case t: Throwable =>
+          if (readFile(fs, tokenFile).isEmpty) fs.delete(inflight, false)
+          throw t
+      }
     }
     val tok = readFile(fs, tokenFile).getOrElse(throw new IllegalStateException(
       s"snapshot token vanished under $src"))
-    val params = readFile(fs, paramsFile).map(_.linesIterator
-      .filter(_.contains("=")).map { l =>
-        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
-      }.toMap).getOrElse(throw new IllegalStateException(
+    val params = readFile(fs, paramsFile).map(parseParams)
+      .getOrElse(throw new IllegalStateException(
       s"committed rebuild snapshot $src has no _params file (written by " +
         "an older layout?) — if the live index is consistent, delete " +
         s"$src and $inflight and re-run; otherwise write $paramsFile by " +
@@ -116,7 +125,7 @@ object Rebuild {
     if (!fs.delete(inflight, false))
       throw new java.io.IOException(
         s"rebuild committed but could not clear $inflight — probes stay " +
-          "blocked; remove the marker (and $src) by hand or re-run")
+          s"blocked; remove the marker (and $src) by hand or re-run")
     fs.delete(src, true)
   }
 
@@ -133,10 +142,15 @@ object Rebuild {
   def snapshotParams(spark: SparkSession,
                      indexRoot: String): Option[Map[String, String]] =
     readFile(Hdfs.forPath(spark, indexRoot),
-      new HPath(s"$indexRoot/rebuild_src/_params"))
-      .map(_.linesIterator.filter(_.contains("=")).map { l =>
-        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
-      }.toMap)
+      new HPath(s"$indexRoot/rebuild_src/_params")).map(parseParams)
+
+  /** The one parser for the `_params` key=value lines — the resume
+    * path and the healer's family detection must never disagree on the
+    * format. */
+  private def parseParams(content: String): Map[String, String] =
+    content.linesIterator.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
 
   /** The probe/append guard: an index with an in-flight (crashed or
     * concurrent) rebuild must fail loudly instead of silently serving
