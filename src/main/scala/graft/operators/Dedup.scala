@@ -1122,6 +1122,126 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------- persisted decontamination index (d15)
+
+  /** Persist a benchmark DECONTAMINATION index — the [[saveLshIndex]]
+    * production shape applied to decontamination: benchmark suites are
+    * STATIC while the corpus arrives daily, so the benchmark's
+    * distinct k-shingle hash set is built ONCE and every arriving
+    * batch probes it, paying |batch| work instead of re-shingling the
+    * benchmark per check ([[bloomContamination]]'s in-memory form
+    * recomputes both sides every call). Layout: `hashes/` — the
+    * exact-confirm store, hash-partitioned (`part = pmod(h, n)`) so a
+    * probe's confirm join is a DPP-pruned scan; `bloom/` — the
+    * serialized driver Bloom over the same hashes (the codegen
+    * prefilter that kills non-matching batch shingles below the first
+    * exchange); `meta/` — (k, fpp, n_hashes, n_hash_parts), written
+    * LAST as the commit marker. Exactness never depends on the bloom
+    * (the confirm join owns it — spec-pinned at fpp = 0.5). */
+  def saveDeconIndex(benchmark: DataFrame, k: Int, path: String,
+                     fpp: Double = 0.01, nHashParts: Int = 64): Unit = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    // consumed three times (count, bloom build, write) — pin the
+    // shingled frame, release before returning
+    val hashes = benchmark.select(
+        explode(Registry.shingleHashes(
+          TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+      .distinct()
+      .withColumn("part", pmod(col("h"), lit(nHashParts)))
+      .cache()
+    try {
+      val n = math.max(hashes.count(), 1L)
+      val bloom = hashes.stat.bloomFilter("h", n, fpp)
+      val bytes = { val bo = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bo); bo.toByteArray }
+      hashes.write.mode("overwrite").partitionBy("part")
+        .parquet(s"$path/hashes")
+      Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/bloom")
+      Seq((k, fpp, n, nHashParts))
+        .toDF("k", "fpp", "n_hashes", "n_hash_parts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      spark.catalog.refreshByPath(path)
+    } finally hashes.unpersist()
+  }
+
+  /** Probe a [[saveDeconIndex]] artifact with an arriving batch: per
+    * batch doc (with a nonempty shingle set), the fraction of its
+    * distinct k-shingles found in the benchmark — the containment
+    * score [[contamination]] computes, roles swapped to the production
+    * direction (score the ARRIVALS against the static benchmark). The
+    * plan is the d12 shape against persisted state: the index's bloom
+    * prunes batch shingles inside the scan stage, survivors confirm
+    * by a left-semi join against the hash store's pruned partitions
+    * (DPP — spec-pinned), and false positives die at the confirm, so
+    * the result equals the in-memory exact form bit for bit. */
+  def decontaminateAgainstDeconIndex(batch: DataFrame,
+                                     path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, parts) = (m.getInt(0), m.getInt(3))
+    val bytes = spark.read.parquet(s"$path/bloom").head()
+      .getAs[Array[Byte]](0)
+    val withSh = batch.select(col("doc_id"),
+        explode(Registry.shingleHashes(
+          TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val hits = withSh.select(col("h")).distinct()
+      // map-side prune BELOW the distinct's exchange, as in d12
+      .where(graft.functions.BloomExprs.mightContainLong(col("h"), bytes))
+      .withColumn("part", pmod(col("h"), lit(parts)))
+      .join(spark.read.parquet(s"$path/hashes"), Seq("part", "h"),
+        "left_semi")
+      .select(col("h")).withColumn("_hit", lit(true))
+    withSh.join(hits, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_hit"))
+      .withColumn("containment",
+        col("n_hit").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The daily-loop composition: drop arriving docs whose containment
+    * against the persisted benchmark index reaches `maxContainment`,
+    * BEFORE they enter downstream curation (dedup index appends,
+    * training shards). Docs too short to shingle cannot be
+    * contaminated and pass through. Runs anywhere a batch DataFrame
+    * exists — including inside a curation sink's foreachBatch, ahead
+    * of [[dedupAgainstLshIndex]]. */
+  def decontaminateBatch(batch: DataFrame, deconPath: String,
+                         maxContainment: Double): DataFrame =
+    batch.join(
+      decontaminateAgainstDeconIndex(batch, deconPath)
+        .where(col("containment") >= maxContainment)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** DuckDB oracle for [[decontaminateAgainstDeconIndex]] on the
+    * `documents` table: benchmark = `doc_id % benchMod = 0`, arriving
+    * batch = `doc_id % batchMod = 0` minus the benchmark; the
+    * bloom + persisted layout are invisible to the result (exact
+    * containment, like d12's oracle). */
+  def deconIndexSql(k: Int, benchMod: Int, batchMod: Int): String = {
+    val joins = (1 until k).map(j =>
+      s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
+    val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+       |shs AS (SELECT t0.doc_id, $catted AS s FROM p t0 $joins),
+       |sh AS (SELECT DISTINCT doc_id, ${fnvSql("s")} AS h FROM shs),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $benchMod = 0),
+       |batch AS (SELECT doc_id, h FROM sh
+       |          WHERE doc_id % $batchMod = 0 AND doc_id % $benchMod <> 0)
+       |SELECT b.doc_id, COUNT(*) AS n_shingles,
+       |       CAST(COUNT(c.h) AS BIGINT) AS n_hit,
+       |       CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+       |FROM batch b LEFT JOIN bench c ON c.h = b.h
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[contamination]] with the benchmark cohort
     * `doc_id % benchMod = 0`: same FNV-1a shingles, same distinct-set
     * containment. */

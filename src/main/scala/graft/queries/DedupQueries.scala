@@ -143,47 +143,7 @@ object DedupQueries {
     // hash-checked, not approximated.
     "c6_incremental_lifecycle" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      // Index scratch space: conf-provided root (set graft.scratch.dir
-      // to a cluster-visible path in production — the lifecycle's index
-      // belongs on the same filesystem as its data), defaulting to the
-      // driver's tmp for local runs. The subdir is keyed by the Spark
-      // APPLICATION id: within one app executions are serialized (the
-      // delete-before/-after pair reuses one dir, so repeated Verify/
-      // Bench runs never accrete), while two concurrent processes get
-      // disjoint dirs — a fixed shared name would let one process's
-      // cleanup race the other's probe. A killed app leaves at most
-      // its one dir behind under the scratch root.
-      val scratchRoot = s.conf.get("graft.scratch.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_scratch")
-      val idx = s"$scratchRoot/c6_lsh_${s.sparkContext.applicationId}"
-      val fs = graft.sources.Hdfs.forPath(s, idx)
-      val idxPath = new org.apache.hadoop.fs.Path(idx)
-      // sweep siblings left by KILLED apps (their finally never ran):
-      // age-gated so a live concurrent run is never touched, while
-      // leftovers cannot accrete across crashed runs. Liveness is the
-      // NEWEST mtime down to depth 3, not the dir root's: a root dir's
-      // mtime only moves on direct-child changes, so one long write
-      // stage (everything landing under bands/_temporary/...) would
-      // leave the root looking idle — the committer's task dirs churn
-      // a grandchild's mtime, which the bounded scan does see.
-      val rootPath = new org.apache.hadoop.fs.Path(scratchRoot)
-      if (fs.exists(rootPath)) {
-        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-        def newestMtime(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
-          val st = fs.getFileStatus(p)
-          if (depth == 0 || !st.isDirectory) st.getModificationTime
-          else (st.getModificationTime +: fs.listStatus(p).toSeq
-            .map(c => newestMtime(c.getPath, depth - 1))).max
-        }
-        fs.listStatus(rootPath)
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("c6_lsh_") &&
-            st.getPath.getName != idxPath.getName)
-          .filter(st => newestMtime(st.getPath, 3) < cutoff)
-          .foreach(st => fs.delete(st.getPath, true))
-      }
-      fs.delete(idxPath, true)
-      try {
+      withIndexScratch(s, "c6_lsh") { idx =>
         Dedup.saveLshIndex(docs.where(pmod(col("doc_id"), lit(12)) === 0),
           k = 3, bands = 8, rowsPerBand = 4, idx, nBucketParts = 16)
         val probes = (1 to 3).map { b =>
@@ -204,17 +164,75 @@ object DedupQueries {
             probed.withColumn("batch", lit(b))
           } finally batch.unpersist(blocking = false)
         }
-        // pin the result off the scratch parquets before they are
-        // deleted: localCheckpoint materializes the rows into storage
-        // blocks and cuts the lineage back to the probe files
         probes.reduce(_ unionByName _)
           .select(col("batch"), col("doc_id"), col("n_matches"),
             col("match_id"), col("is_dup"))
           .orderBy(col("batch"), col("doc_id"))
-          .localCheckpoint(true)
-      } finally fs.delete(idxPath, true)
+      }
+    }),
+
+    // Persisted decontamination index — the d14 "build once, probe
+    // daily" shape applied to decontamination: the benchmark cohort
+    // (doc_id % 97 = 0) is shingled ONCE into an on-disk bloom + hash
+    // store, and the arriving batch (doc_id % 7 = 0, benchmark rows
+    // excluded) probes it for containment. The bloom and the persisted
+    // layout are invisible to the result (exact confirm join, as in
+    // d12) — the oracle replays plain exact containment.
+    "d15_decon_index" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      withIndexScratch(s, "d15_decon") { idx =>
+        Dedup.saveDeconIndex(docs.where(pmod(col("doc_id"), lit(97)) === 0),
+          k = 4, idx, nHashParts = 16)
+        Dedup.decontaminateAgainstDeconIndex(
+          docs.where(pmod(col("doc_id"), lit(7)) === 0 &&
+            pmod(col("doc_id"), lit(97)) =!= 0), idx)
+      }
     })
   )
+
+  /** Scratch space for queries that build on-disk index artifacts:
+    * conf-provided root (set `graft.scratch.dir` to a cluster-visible
+    * path in production — the artifacts belong on the same filesystem
+    * as the data), defaulting to the driver's tmp locally. The subdir
+    * is keyed by the Spark APPLICATION id: within one app executions
+    * are serialized (delete-before/-after reuses one dir, so repeated
+    * Verify/Bench runs never accrete), while concurrent processes get
+    * disjoint dirs — a fixed shared name would let one process's
+    * cleanup race the other's probe. Stale siblings from KILLED apps
+    * (their finally never ran) are swept by age, judged by the newest
+    * mtime down to depth 3 — a dir root's mtime only moves on
+    * direct-child changes, so one long write stage (IO landing under
+    * `bands/_temporary/...`) would leave the root looking idle while
+    * the committer's task dirs churn a grandchild. The body's frame is
+    * localCheckpoint'd (materialized off the scratch files) before the
+    * cleanup, so the delete cannot race the lazy read. */
+  private def withIndexScratch(s: SparkSession, name: String)(
+      body: String => DataFrame): DataFrame = {
+    val scratchRoot = s.conf.get("graft.scratch.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft_scratch")
+    val idx = s"$scratchRoot/${name}_${s.sparkContext.applicationId}"
+    val fs = graft.sources.Hdfs.forPath(s, idx)
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val rootPath = new org.apache.hadoop.fs.Path(scratchRoot)
+    if (fs.exists(rootPath)) {
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      def newestMtime(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
+        val st = fs.getFileStatus(p)
+        if (depth == 0 || !st.isDirectory) st.getModificationTime
+        else (st.getModificationTime +: fs.listStatus(p).toSeq
+          .map(c => newestMtime(c.getPath, depth - 1))).max
+      }
+      fs.listStatus(rootPath)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"${name}_") &&
+          st.getPath.getName != idxPath.getName)
+        .filter(st => newestMtime(st.getPath, 3) < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    fs.delete(idxPath, true)
+    try body(idx).localCheckpoint(true)
+    finally fs.delete(idxPath, true)
+  }
 
   private def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -245,6 +263,11 @@ object DedupQueries {
     "c6_incremental_lifecycle" ->
       Dedup.incrementalLifecycleSql(k = 3, bands = 8, rowsPerBand = 4,
         threshold = 0.05, mod = 12, nBatches = 3, maxBucket = 3),
+
+    // the bloom + persisted layout are invisible: exact containment of
+    // the arriving batch against the benchmark cohort
+    "d15_decon_index" ->
+      Dedup.deconIndexSql(k = 4, benchMod = 97, batchMod = 7),
 
     "d4_simhash_pairs" -> Dedup.simhashPairsSql(maxDist = 3),
 

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The persisted decontamination index (Dedup.saveDeconIndex /
+  * decontaminateAgainstDeconIndex): probing the on-disk artifact must
+  * equal the in-memory exact containment bit for bit at any bloom fpp
+  * (the confirm join owns correctness), the confirm scan must be
+  * DPP-pruned to the batch's hash partitions, and the batch-filter
+  * composition must keep contaminated docs out of downstream curation.
+  */
+class DeconIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+    .select(col("doc_id"), col("text"))
+
+  private def bench = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+  private def batch = docs.where(pmod(col("doc_id"), lit(11)) =!= 0 &&
+    pmod(col("doc_id"), lit(3)) === 0)
+
+  /** In-memory exact twin: containment of `batch` docs against the
+    * benchmark's distinct shingle-hash set, same shape as the probe. */
+  private def exact(k: Int): Seq[Seq[Any]] = {
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.Registry.shingleHashes(
+        graft.functions.TextFunctions.wsTokens(lower(col("text"))),
+        k)).as("h")).dropDuplicates("doc_id", "h")
+    val b = sh(bench).select(col("h")).distinct()
+      .withColumn("_hit", lit(true))
+    sh(batch).join(b, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_hit"))
+      .withColumn("containment",
+        col("n_hit").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+  }
+
+  test("persisted probe equals in-memory exact containment; confirm scan is DPP-pruned") {
+    val path = java.nio.file.Files.createTempDirectory("decon_idx").toString
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    val probed = Dedup.decontaminateAgainstDeconIndex(batch, path)
+    assert(probed.collect().map(_.toSeq).toSeq === exact(4))
+    // some doc must actually be contaminated for the fixture to mean
+    // anything (near-dup corpus: shared shingles exist)
+    assert(probed.where(col("n_hit") > 0).count() > 0)
+    // the confirm join carries the hash-store's partition column as an
+    // equi-key: dynamic partition pruning restricts the scan to the
+    // partitions the batch's own (bloom-surviving) hashes land in
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
+  test("exactness never depends on the bloom: fpp = 0.5 probes bit-identically") {
+    val path = java.nio.file.Files.createTempDirectory("decon_fpp").toString
+    Dedup.saveDeconIndex(bench, k = 4, path, fpp = 0.5, nHashParts = 8)
+    assert(Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .collect().map(_.toSeq).toSeq === exact(4))
+  }
+
+  test("decontaminateBatch keeps contaminated docs out of the curation loop; shingle-less docs pass") {
+    val path = java.nio.file.Files.createTempDirectory("decon_gate").toString
+    // benchmark = one known document; the arriving batch carries a
+    // verbatim leak of it, a clean doc, and a doc too short to shingle
+    val leak = "the quick brown fox jumps over the lazy dog every day"
+    Dedup.saveDeconIndex(Seq((1L, leak)).toDF("doc_id", "text"), k = 4, path)
+    val arriving = Seq(
+      (10L, leak), // full containment
+      (11L, "completely unrelated text about columnar storage layouts ok"),
+      (12L, "too short")) // zero 4-shingles
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminateBatch(arriving, path,
+      maxContainment = 0.8).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L),
+      "the leak is dropped; clean and unshingleable docs pass")
+    // composition with the dedup index: the contaminated doc never
+    // reaches the LSH index's append path
+    val lsh = java.nio.file.Files.createTempDirectory("decon_lsh").toString
+    Dedup.saveLshIndex(Seq((1L, "resident corpus document text entirely"))
+      .toDF("doc_id", "text"), k = 2, bands = 4, rowsPerBand = 2, lsh,
+      nBucketParts = 4)
+    val clean = Dedup.decontaminateBatch(arriving, path, maxContainment = 0.8)
+    Dedup.appendToLshIndex(clean, lsh)
+    val resident = spark.read.parquet(s"$lsh/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!resident.contains(10L), "contaminated doc must not enter the index")
+    assert(resident.contains(11L))
+  }
+}
