@@ -1054,16 +1054,27 @@ object Dedup {
         TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
       .dropDuplicates("doc_id", "h")
     val corpus = withSh.where(!col("is_bench"))
-      .select(col("h")).distinct().withColumn("_in_corpus", lit(true))
-    withSh.where(col("is_bench"))
-      .join(corpus, Seq("h"), "left_outer")
+      .select(col("h")).distinct()
+    containmentScores(withSh.where(col("is_bench")), corpus)
+  }
+
+  /** The containment-score tail every decontamination form shares:
+    * per scored doc, the fraction of its distinct k-shingle hashes
+    * present in `hitHashes`. ONE definition on purpose — [[contamination]],
+    * [[bloomContamination]] and [[decontaminateAgainstDeconIndex]] all
+    * promise bit-identical scores to their oracle twins, which only
+    * holds while the aggregate arithmetic cannot drift between them. */
+  private def containmentScores(perDocShingles: DataFrame,
+                                hitHashes: DataFrame): DataFrame =
+    perDocShingles
+      .join(hitHashes.select(col("h")).withColumn("_hit", lit(true)),
+        Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
-        count(col("_in_corpus")).as("n_hit"))
+        count(col("_hit")).as("n_hit"))
       .withColumn("containment",
         col("n_hit").cast("double") / col("n_shingles"))
       .orderBy(col("doc_id"))
-  }
 
   /** [[contamination]] with a broadcast-Bloom prefilter on the corpus
     * side — SAME exact output (the caller can diff the two frames), a
@@ -1112,14 +1123,7 @@ object Dedup {
       // exact confirm: false positives die here, so the output is
       // bit-identical to [[contamination]] at any fpp
       .join(benchHashes, Seq("h"), "left_semi")
-      .withColumn("_in_corpus", lit(true))
-    bench.join(corpus, Seq("h"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        count(col("_in_corpus")).as("n_hit"))
-      .withColumn("containment",
-        col("n_hit").cast("double") / col("n_shingles"))
-      .orderBy(col("doc_id"))
+    containmentScores(bench, corpus)
   }
 
   // --------------------- persisted decontamination index (d15)
@@ -1135,13 +1139,27 @@ object Dedup {
     * probe's confirm join is a DPP-pruned scan; `bloom/` — the
     * serialized driver Bloom over the same hashes (the codegen
     * prefilter that kills non-matching batch shingles below the first
-    * exchange); `meta/` — (k, fpp, n_hashes, n_hash_parts), written
-    * LAST as the commit marker. Exactness never depends on the bloom
+    * exchange); `meta/` — (k, fpp, n_hashes, n_hash_parts). The whole
+    * artifact is staged and installed as ONE [[graft.sources.TableSwap]]
+    * root swap: a FIRST save appears atomically (a single rename), and
+    * a RE-save (updated benchmark suite) never tears the live index —
+    * the in-place alternative would leave the OLD meta standing as a
+    * valid commit over new hashes with a stale bloom, whose false
+    * negatives the exact confirm join cannot repair (a bloom's
+    * no-false-negative guarantee only holds against the set it was
+    * built from). Crash-safe by re-run: the next save heals staged
+    * leftovers via [[graft.sources.TableSwap.recover]]; a probe racing
+    * the swap's rename window fails loudly on the missing meta rather
+    * than reading torn state. Exactness never depends on the bloom
     * (the confirm join owns it — spec-pinned at fpp = 0.5). */
   def saveDeconIndex(benchmark: DataFrame, k: Int, path: String,
                      fpp: Double = 0.01, nHashParts: Int = 64): Unit = {
     val spark = benchmark.sparkSession
     import spark.implicits._
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (parent, name) = (root.getParent.toString, root.getName)
+    graft.sources.TableSwap.recover(fs, parent, name)
     // consumed three times (count, bloom build, write) — pin the
     // shingled frame, release before returning
     val hashes = benchmark.select(
@@ -1151,18 +1169,27 @@ object Dedup {
       .withColumn("part", pmod(col("h"), lit(nHashParts)))
       .cache()
     try {
-      val n = math.max(hashes.count(), 1L)
-      val bloom = hashes.stat.bloomFilter("h", n, fpp)
+      // n_hashes records the TRUE count (0 for an unshingleable
+      // benchmark — every doc shorter than k tokens); only the bloom
+      // sizing needs the >=1 clamp
+      val n = hashes.count()
+      // stat.bloomFilter NPEs on an empty frame (null treeAggregate
+      // buffer) — an unshingleable benchmark gets the explicit empty
+      // filter instead
+      val bloom =
+        if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+        else hashes.stat.bloomFilter("h", n, fpp)
       val bytes = { val bo = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bo); bo.toByteArray }
-      hashes.write.mode("overwrite").partitionBy("part")
-        .parquet(s"$path/hashes")
-      Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/bloom")
-      Seq((k, fpp, n, nHashParts))
-        .toDF("k", "fpp", "n_hashes", "n_hash_parts")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      spark.catalog.refreshByPath(path)
+      graft.sources.TableSwap.rewrite(spark, fs, parent, name) { tmp =>
+        hashes.write.mode("overwrite").partitionBy("part")
+          .parquet(s"$tmp/hashes")
+        Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/bloom")
+        Seq((k, fpp, n, nHashParts))
+          .toDF("k", "fpp", "n_hashes", "n_hash_parts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      }
     } finally hashes.unpersist()
   }
 
@@ -1174,7 +1201,8 @@ object Dedup {
     * plan is the d12 shape against persisted state: the index's bloom
     * prunes batch shingles inside the scan stage, survivors confirm
     * by a left-semi join against the hash store's pruned partitions
-    * (DPP — spec-pinned), and false positives die at the confirm, so
+    * (a static in-list over the batch's own candidate partitions —
+    * spec-pinned), and false positives die at the confirm, so
     * the result equals the in-memory exact form bit for bit. */
   def decontaminateAgainstDeconIndex(batch: DataFrame,
                                      path: String): DataFrame = {
@@ -1183,23 +1211,39 @@ object Dedup {
     val (k, parts) = (m.getInt(0), m.getInt(3))
     val bytes = spark.read.parquet(s"$path/bloom").head()
       .getAs[Array[Byte]](0)
+    // consumed twice (the bloom/confirm hits subtree and the outer
+    // containment join), and column pruning makes the two subtrees
+    // unequal so ReuseExchange cannot collapse them — pin the shingled
+    // batch once instead of shingling it twice per probe (the dominant
+    // probe cost; same rule as bloomContamination's bench pin)
     val withSh = batch.select(col("doc_id"),
         explode(Registry.shingleHashes(
           TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
       .dropDuplicates("doc_id", "h")
-    val hits = withSh.select(col("h")).distinct()
+      .localCheckpoint()
+    val candidates = withSh.select(col("h")).distinct()
       // map-side prune BELOW the distinct's exchange, as in d12
       .where(graft.functions.BloomExprs.mightContainLong(col("h"), bytes))
       .withColumn("part", pmod(col("h"), lit(parts)))
-      .join(spark.read.parquet(s"$path/hashes"), Seq("part", "h"),
-        "left_semi")
-      .select(col("h")).withColumn("_hit", lit(true))
-    withSh.join(hits, Seq("h"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_hit"))
-      .withColumn("containment",
-        col("n_hit").cast("double") / col("n_shingles"))
-      .orderBy(col("doc_id"))
+    // STATIC partition pruning on the confirm scan, driven by the
+    // batch's own bloom-surviving hash partitions: <= nHashParts
+    // values, a bounded driver aggregate over the PINNED frame (the
+    // localCheckpoint hides the batch's selective source predicates
+    // from Catalyst, so the DPP rule no longer fires on its own — the
+    // explicit in-list is the same pruning, decided once instead of
+    // re-derived per run)
+    val candParts = candidates.select(col("part")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // explicit schema: an unshingleable benchmark commits an EMPTY
+    // hash store (no schema-bearing parquet under hashes/), which a
+    // schemaless read cannot infer — the probe must still run and
+    // score everything clean, not throw far from the bad save
+    val store = spark.read.schema("h BIGINT, part BIGINT")
+      .parquet(s"$path/hashes")
+      .where(col("part").isin(candParts: _*))
+    val hits = candidates.join(store, Seq("part", "h"), "left_semi")
+      .select(col("h"))
+    containmentScores(withSh, hits)
   }
 
   /** The daily-loop composition: drop arriving docs whose containment

@@ -40,7 +40,7 @@ class DeconIndexSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
   }
 
-  test("persisted probe equals in-memory exact containment; confirm scan is DPP-pruned") {
+  test("persisted probe equals in-memory exact containment; confirm scan is partition-pruned") {
     val path = java.nio.file.Files.createTempDirectory("decon_idx").toString
     Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
     val probed = Dedup.decontaminateAgainstDeconIndex(batch, path)
@@ -48,11 +48,15 @@ class DeconIndexSpec extends AnyFunSuite {
     // some doc must actually be contaminated for the fixture to mean
     // anything (near-dup corpus: shared shingles exist)
     assert(probed.where(col("n_hit") > 0).count() > 0)
-    // the confirm join carries the hash-store's partition column as an
-    // equi-key: dynamic partition pruning restricts the scan to the
-    // partitions the batch's own (bloom-surviving) hashes land in
-    val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    // the confirm scan is statically pruned to the partitions the
+    // batch's own (bloom-surviving) hashes land in — an explicit
+    // in-list on the store's partition column reaches the scan's
+    // PartitionFilters (the probe pins its shingled batch, which hides
+    // the batch's source predicates from the DPP rule; the in-list is
+    // the same pruning made deterministic)
+    val plan = probed.queryExecution.executedPlan.toString.toLowerCase
+    assert("partitionfilters: \\[[^\\]]*part[^\\]]* in \\(".r
+      .findFirstIn(plan).isDefined, plan)
   }
 
   test("exactness never depends on the bloom: fpp = 0.5 probes bit-identically") {
@@ -60,6 +64,80 @@ class DeconIndexSpec extends AnyFunSuite {
     Dedup.saveDeconIndex(bench, k = 4, path, fpp = 0.5, nHashParts = 8)
     assert(Dedup.decontaminateAgainstDeconIndex(batch, path)
       .collect().map(_.toSeq).toSeq === exact(4))
+  }
+
+  test("re-save over a live index commits atomically; crash states heal by re-run") {
+    val dir = java.nio.file.Files.createTempDirectory("decon_resave")
+    val path = s"$dir/idx"
+    // day 1: benchmark cohort A
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    // the suite is updated: cohort B (disjoint mod class) replaces A —
+    // the re-save must fully supersede, not merge with, the old artifact
+    val benchB = docs.where(pmod(col("doc_id"), lit(11)) === 1)
+    val batchB = docs.where(pmod(col("doc_id"), lit(11)) =!= 1 &&
+      pmod(col("doc_id"), lit(3)) === 0)
+    Dedup.saveDeconIndex(benchB, k = 4, path, nHashParts = 8)
+    def exactB: Seq[Seq[Any]] = {
+      def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        explode(graft.functions.Registry.shingleHashes(
+          graft.functions.TextFunctions.wsTokens(lower(col("text"))),
+          4)).as("h")).dropDuplicates("doc_id", "h")
+      val b = sh(benchB).select(col("h")).distinct()
+        .withColumn("_hit", lit(true))
+      sh(batchB).join(b, Seq("h"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_hit"))
+        .withColumn("containment",
+          col("n_hit").cast("double") / col("n_shingles"))
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    }
+    val afterResave = Dedup.decontaminateAgainstDeconIndex(batchB, path)
+      .collect().map(_.toSeq).toSeq
+    assert(afterResave === exactB, "probe reflects ONLY the new benchmark")
+
+    // crash state 1: a save died while writing its staging dir — the
+    // live index is untouched; the next save sweeps the leftover
+    val tmpDir = new java.io.File(s"$dir/_repair_tmp_idx")
+    assert(tmpDir.mkdirs())
+    java.nio.file.Files.write(tmpDir.toPath.resolve("junk"),
+      "partial".getBytes)
+    Dedup.saveDeconIndex(benchB, k = 4, path, nHashParts = 8)
+    assert(!tmpDir.exists(), "orphaned staging swept")
+    assert(Dedup.decontaminateAgainstDeconIndex(batchB, path)
+      .collect().map(_.toSeq).toSeq === exactB)
+
+    // crash state 2: a re-save died BETWEEN the swap's renames — live
+    // was staged aside, the replacement never installed. A probe fails
+    // loudly (no meta), and the next save first restores the staged
+    // original, then installs fresh: no torn state is ever readable
+    assert(new java.io.File(path).renameTo(
+      new java.io.File(s"$dir/_repair_old_idx")))
+    assert(tmpDir.mkdirs())
+    intercept[Exception] {
+      Dedup.decontaminateAgainstDeconIndex(batchB, path).collect()
+    }
+    Dedup.saveDeconIndex(benchB, k = 4, path, nHashParts = 8)
+    assert(!new java.io.File(s"$dir/_repair_old_idx").exists())
+    assert(Dedup.decontaminateAgainstDeconIndex(batchB, path)
+      .collect().map(_.toSeq).toSeq === exactB)
+  }
+
+  test("unshingleable benchmark commits an empty index that probes clean, not a crash") {
+    val path = java.nio.file.Files.createTempDirectory("decon_empty")
+      .toString + "/idx"
+    // every benchmark doc is shorter than k tokens: zero shingle hashes
+    Dedup.saveDeconIndex(
+      Seq((1L, "too short"), (2L, "also tiny")).toDF("doc_id", "text"),
+      k = 4, path)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    assert(meta.getLong(2) === 0L, "n_hashes records the truth, not the bloom clamp")
+    val arriving = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val scored = Dedup.decontaminateAgainstDeconIndex(arriving, path).collect()
+    assert(scored.length === 1 && scored(0).getLong(2) === 0L,
+      "probe runs and scores clean against an empty hash store")
+    assert(Dedup.decontaminateBatch(arriving, path, maxContainment = 0.5)
+      .count() === 1L, "nothing is dropped by an empty benchmark")
   }
 
   test("decontaminateBatch keeps contaminated docs out of the curation loop; shingle-less docs pass") {
