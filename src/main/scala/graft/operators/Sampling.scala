@@ -186,6 +186,58 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  // ------------------------------------------- leakage-safe splits
+
+  /** Leakage-safe train/val/test assignment: every near-duplicate
+    * CLUSTER lands in one split, so no held-out example has a near-dup
+    * in train (the contamination [[Quality.splitLeakage]] audits —
+    * this is the operator that PRODUCES splits passing that audit).
+    *
+    * `items` is the id universe (one column `id`); `pairs` the
+    * near-dup graph (`id1`,`id2`, e.g. LSH candidates post-verify).
+    * Clusters come from [[Dedup.connectedComponents]]; unpaired items
+    * are their own singleton component. The split is a pure function
+    * of the component id via the portable PolyHash64 (stable across
+    * runs/retries/engines, reproducible in the DuckDB oracle), bucketed
+    * mod 100 against `cuts` — ascending (name, upperBound) thresholds,
+    * last bound must be 100, e.g. ("train",80),("val",90),("test",100).
+    *
+    * Scale posture (100 TB): components over the pair graph (pairs are
+    * Θ(true dups), never all-pairs), then ONE left join items⋈labels on
+    * id — both sides shuffle on id once; the label side is |paired
+    * docs| ≪ corpus. The hash-bucket assignment itself is map-side. */
+  def componentSplits(items: DataFrame, pairs: DataFrame,
+                      cuts: Seq[(String, Int)] = Seq(
+                        "train" -> 80, "val" -> 90, "test" -> 100),
+                      assumeDistinctPairs: Boolean = false): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be ascending upper bounds ending at 100, got $cuts")
+    val comps = Dedup.connectedComponents(
+      pairs.select(col("id1"), col("id2")),
+      assumeDistinctPairs = assumeDistinctPairs)
+    val labeled = items.select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+    val bucket = pmod(PolyHash64.polyHash64(col("comp").cast("string")), lit(100))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), e) => when(bucket < cut, name).otherwise(e)
+    }
+    labeled.withColumn("split", split)
+  }
+
+  /** DuckDB twin of [[componentSplits]]'s bucket→split expression;
+    * the caller supplies the component column SQL (cast to VARCHAR to
+    * match Spark's string-of-bigint hash input). */
+  def componentSplitSql(compSql: String,
+                        cuts: Seq[(String, Int)] = Seq(
+                          "train" -> 80, "val" -> 90, "test" -> 100)): String = {
+    val b = s"((${PolyHash64.sql(s"CAST($compSql AS VARCHAR)")}) % 100)"
+    val whens = cuts.init.map { case (n, c) => s"WHEN $b < $c THEN '$n'" }
+      .mkString(" ")
+    s"(CASE $whens ELSE '${cuts.last._1}' END)"
+  }
+
   /** DuckDB twin of the per-row copy count [[epochMix]] materializes. */
   def epochMixCopiesSql(strata: String, keySql: String,
                         weights: Map[String, Double],

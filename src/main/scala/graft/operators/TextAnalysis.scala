@@ -237,6 +237,184 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
   }
 
+  // ------------------------------------------ repetition signals (Gopher)
+
+  /** Gopher-style per-document repetition signals (Rae et al. 2021,
+    * table A1; reference analog: the quality-filter stage its corpus
+    * ingest assumes upstream of backend/app/main.py's analytics): for
+    * each document, the fraction of duplicate "lines" (the corpus has
+    * no newlines, so a line = a fixed `segWords`-word segment — d13's
+    * [[Dedup.lineDedup]] convention), the characters those duplicates
+    * cover, the character share of the single most frequent word
+    * n-gram (for each n in `topNs`), and the character share covered
+    * by ANY within-doc duplicated n-gram (for each n in `dupNs`,
+    * positional union so overlapping duplicates are not double-counted).
+    *
+    * All numerators/denominators are exact integers over token chars
+    * (spaces excluded); each fraction is ONE final double division, so
+    * the DuckDB oracle ([[repetitionSignalsSql]]) matches bit-exactly.
+    *
+    * Scale posture (100 TB): pure per-row higher-order functions — zero
+    * shuffles, embarrassingly parallel, whole rows never leave their
+    * input partition. The within-doc n-gram counting is O(words²) per
+    * document (nested filter), which is the right trade for real
+    * corpora: pipelines cap document length before these signals
+    * (Gopher drops >100k-word docs first), and for the capped median
+    * (~10³ words) the quadratic constant is microseconds — far cheaper
+    * than the explode + per-(doc,gram) shuffle a relational form would
+    * pay n_gram-widths times over the full corpus. The two projections
+    * below are deliberate: segs/grams are aliased once and referenced
+    * many times, which keeps CollapseProject from inlining (re-running)
+    * the splits per signal. */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+                        segWords: Int = 8,
+                        topNs: Seq[Int] = Seq(2, 3, 4),
+                        dupNs: Seq[Int] = Seq(5, 10)): org.apache.spark.sql.DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    require((topNs ++ dupNs).forall(_ >= 1), "n-gram widths must be >= 1")
+    val w = col("w")
+    def tokChars(c: Column): Column = length(translate(c, " ", "")).cast("long")
+    def cntIn(arr: Column, g: Column): Column =
+      size(filter(arr, x => x === g)).cast("long")
+    def gramsExpr(n: Int): Column =
+      when(size(w) >= n, expr(
+        s"transform(sequence(1, size(w) - $n + 1), i -> array_join(slice(w, i, $n), ' '))"))
+        .otherwise(array().cast("array<string>"))
+
+    val ns = (topNs ++ dupNs).distinct
+    val staged = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        length(translate(col("text"), " ", "")).cast("long").as("total_chars"))
+      .select(Seq(col("doc_id"), w, col("total_chars"),
+        expr(
+          s"""transform(sequence(1, cast(ceil(size(w) / ${segWords}D) as int)),
+             |  i -> array_join(slice(w, (i - 1) * $segWords + 1, $segWords), ' '))"""
+            .stripMargin).as("segs")) ++
+        ns.map(n => gramsExpr(n).as(s"g$n")): _*)
+
+    def frac(numer: Column): Column =
+      when(col("total_chars") === 0, lit(0.0))
+        .otherwise(numer.cast("double") / col("total_chars"))
+    // most frequent n-gram's char coverage: max over distinct grams of
+    // count * token-chars (deterministic — no tie-break on the gram
+    // itself needed, the covered-char product is the compared value)
+    def topChars(grams: Column): Column = coalesce(
+      array_max(transform(array_distinct(grams),
+        g => cntIn(grams, g) * tokChars(g))), lit(0L))
+    // positional union of all >=2x n-grams: 1-based start positions of
+    // duplicated grams -> covered word indices -> distinct -> char sum
+    def dupCoveredChars(grams: Column, n: Int): Column = {
+      val starts = transform(grams,
+        (g, i) => struct((i + 1).as("p"), cntIn(grams, g).as("c")))
+      val dupStarts = transform(
+        filter(starts, s => s.getField("c") >= 2), s => s.getField("p"))
+      val covered = array_distinct(flatten(
+        transform(dupStarts, p => sequence(p, p + (n - 1)))))
+      coalesce(aggregate(covered, lit(0L),
+        (acc, p) => acc + length(element_at(w, p)).cast("long")), lit(0L))
+    }
+
+    val nLines = size(col("segs")).cast("long")
+    val dupLineExcess =
+      (size(col("segs")) - size(array_distinct(col("segs")))).cast("long")
+    val dupLineChars = aggregate(
+      transform(array_distinct(col("segs")),
+        g => (cntIn(col("segs"), g) - lit(1L)) * tokChars(g)),
+      lit(0L), (acc, x) => acc + x)
+
+    staged.select(Seq(
+      col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      col("total_chars"),
+      nLines.as("n_lines"),
+      when(nLines === 0, lit(0.0))
+        .otherwise(dupLineExcess.cast("double") / nLines).as("dup_line_frac"),
+      frac(dupLineChars).as("dup_line_char_frac")) ++
+      topNs.map(n => frac(topChars(col(s"g$n"))).as(s"top${n}_char_frac")) ++
+      dupNs.map(n =>
+        frac(dupCoveredChars(col(s"g$n"), n)).as(s"dup${n}_char_frac")): _*)
+  }
+
+  /** DuckDB oracle for [[repetitionSignals]]: the identical rules in
+    * relational form (explode + group-count instead of per-row lambda
+    * counting — same integers, one identical final division).
+    * `from` must expose (doc_id, text). */
+  def repetitionSignalsSql(segWords: Int = 8,
+                           topNs: Seq[Int] = Seq(2, 3, 4),
+                           dupNs: Seq[Int] = Seq(5, 10),
+                           from: String = "documents"): String = {
+    val ns = (topNs ++ dupNs).distinct
+    val gramCtes = ns.map { n =>
+      s"""g$n AS (
+         |  SELECT w.doc_id, s.i AS pos,
+         |         array_to_string(w.w[s.i : s.i + ${n - 1}], ' ') AS gram
+         |  FROM w, LATERAL (
+         |    SELECT unnest(range(1, GREATEST(len(w.w) - $n + 1, 0) + 1)) AS i) s)"""
+        .stripMargin
+    }
+    val topCtes = topNs.map { n =>
+      s"""top$n AS (
+         |  SELECT doc_id, MAX(cnt * LENGTH(REPLACE(gram, ' ', ''))) AS topchars
+         |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+         |        FROM g$n GROUP BY doc_id, gram) t
+         |  GROUP BY doc_id)""".stripMargin
+    }
+    val dupCtes = dupNs.map { n =>
+      s"""dup$n AS (
+         |  SELECT c.doc_id, CAST(SUM(LENGTH(ww.w[c.p])) AS BIGINT) AS dupchars
+         |  FROM (SELECT DISTINCT d.doc_id, r.p
+         |        FROM (SELECT doc_id, pos FROM g$n
+         |              QUALIFY COUNT(*) OVER (PARTITION BY doc_id, gram) >= 2) d,
+         |             LATERAL (SELECT unnest(range(d.pos, d.pos + $n)) AS p) r) c
+         |  JOIN w ww ON ww.doc_id = c.doc_id
+         |  GROUP BY c.doc_id)""".stripMargin
+    }
+    val topSel = topNs.map(n =>
+      s"""       CASE WHEN w.total_chars = 0 THEN 0.0 ELSE
+         |         CAST(COALESCE(top$n.topchars, 0) AS DOUBLE) / w.total_chars END
+         |         AS top${n}_char_frac""".stripMargin)
+    val dupSel = dupNs.map(n =>
+      s"""       CASE WHEN w.total_chars = 0 THEN 0.0 ELSE
+         |         CAST(COALESCE(dup$n.dupchars, 0) AS DOUBLE) / w.total_chars END
+         |         AS dup${n}_char_frac""".stripMargin)
+    val joins = (topNs.map(n => s"top$n") ++ dupNs.map(n => s"dup$n"))
+      .map(t => s"LEFT JOIN $t ON $t.doc_id = w.doc_id").mkString("\n")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |         CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS total_chars
+       |  FROM $from),
+       |segs AS (
+       |  SELECT w.doc_id,
+       |         array_to_string(
+       |           w.w[(s.i - 1) * $segWords + 1 : s.i * $segWords], ' ') AS seg
+       |  FROM w, LATERAL (
+       |    SELECT unnest(range(1,
+       |      CAST(ceil(len(w.w) / $segWords.0) AS BIGINT) + 1)) AS i) s),
+       |segagg AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       |         CAST(SUM(cnt - 1) AS BIGINT) AS dup_lines,
+       |         CAST(SUM((cnt - 1) * segchars) AS BIGINT) AS dup_line_chars
+       |  FROM (SELECT doc_id, seg, COUNT(*) AS cnt,
+       |               LENGTH(REPLACE(seg, ' ', '')) AS segchars
+       |        FROM segs GROUP BY doc_id, seg) g
+       |  GROUP BY doc_id),
+       |${(gramCtes ++ topCtes ++ dupCtes).mkString(",\n")}
+       |SELECT w.doc_id,
+       |       CAST(len(w.w) AS BIGINT) AS n_words,
+       |       w.total_chars,
+       |       segagg.n_lines,
+       |       CASE WHEN segagg.n_lines = 0 THEN 0.0 ELSE
+       |         CAST(segagg.dup_lines AS DOUBLE) / segagg.n_lines END
+       |         AS dup_line_frac,
+       |       CASE WHEN w.total_chars = 0 THEN 0.0 ELSE
+       |         CAST(segagg.dup_line_chars AS DOUBLE) / w.total_chars END
+       |         AS dup_line_char_frac,
+       |${(topSel ++ dupSel).mkString(",\n")}
+       |FROM w JOIN segagg ON segagg.doc_id = w.doc_id
+       |$joins
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
   def qualitySql(col: String): String = {
     val t = TextFunctions.wsTokensSql(s"lower($col)")
     val ws = LangWords.head._2.map(w => s"'$w'").mkString(",")

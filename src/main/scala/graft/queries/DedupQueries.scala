@@ -86,6 +86,34 @@ object DedupQueries {
         Tables.part(s, dir).select(col("p_partkey").as("id"),
           col("p_retailprice").as("quality")))),
 
+    // Leakage-safe split assignment: near-dup components (the d7
+    // graph) each land whole in one hash-assigned train/val/test
+    // split — the operator that PRODUCES splits passing the s14
+    // leakage audit. leaked_pairs (pairs straddling splits) is in the
+    // oracle-checked output and must be 0 by construction.
+    "s21_component_split" -> ((s, dir) => {
+      import graft.operators.Sampling
+      // item universe is a superset of the paired (%50) nodes so the
+      // output exercises singleton components and all three splits
+      val items = Tables.part(s, dir)
+        .where(pmod(col("p_partkey"), lit(10)) === 0)
+        .select(col("p_partkey").as("id"))
+      val pairs = levenshteinPairs(s, dir).select(col("id1"), col("id2"))
+      val labeled = Sampling.componentSplits(items, pairs,
+        assumeDistinctPairs = true) // strict id1<id2 join -> unique pairs
+      val leaked = pairs
+        .join(labeled.select(col("id").as("id1"), col("split").as("s1")), "id1")
+        .join(labeled.select(col("id").as("id2"), col("split").as("s2")), "id2")
+        .where(col("s1") =!= col("s2"))
+        .agg(count(lit(1)).as("leaked_pairs"))
+      labeled.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("comp")).as("n_comps"),
+          sum(col("id")).cast("long").as("id_checksum"))
+        .crossJoin(broadcast(leaked))
+        .orderBy(col("split"))
+    }),
+
     // Exact duplicated-span removal (RefinedWeb-style): excise every
     // 13-token span occurring >= 2x anywhere in the corpus — span-level
     // surgery on kept documents, vs d1/d3's whole-doc dedup. The
@@ -335,6 +363,38 @@ object DedupQueries {
         |SELECT comp, COUNT(*) AS n_members,
         |       CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS survivor
         |FROM r GROUP BY comp ORDER BY comp""".stripMargin,
+
+    // Same reachability fixpoint, then whole-component hash splits;
+    // the scalar leaked-pairs subquery proves zero cross-split dups.
+    "s21_component_split" -> {
+      val splitSql = graft.operators.Sampling.componentSplitSql(
+        "COALESCE(c.comp, i.id)")
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.p_partkey AS id1, b.p_partkey AS id2
+         |  FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) a
+         |  JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0) b
+         |    ON a.p_partkey < b.p_partkey
+         |  WHERE levenshtein(a.p_name, b.p_name) <= 10),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM p
+         |          UNION SELECT id2, id1 FROM p),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |items AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 10 = 0),
+         |lab AS (
+         |  SELECT i.id, COALESCE(c.comp, i.id) AS comp, $splitSql AS split
+         |  FROM items i LEFT JOIN comps c ON c.id = i.id)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |       CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_comps,
+         |       CAST(SUM(id) AS BIGINT) AS id_checksum,
+         |       CAST((SELECT COUNT(*) FROM p
+         |             JOIN lab a ON a.id = p.id1
+         |             JOIN lab b ON b.id = p.id2
+         |             WHERE a.split <> b.split) AS BIGINT) AS leaked_pairs
+         |FROM lab GROUP BY split ORDER BY split""".stripMargin
+    },
 
     "d11_duplicated_span_removal" ->
       s"""SELECT * FROM (

@@ -120,6 +120,25 @@ object TextQueries {
       graft.operators.Frequent.frequentTerms(
         Tables.documents(s, dir), num = 1, denom = 150)),
 
+    // Extension: Gopher repetition signals per doc — duplicate-line
+    // fraction/chars, top-n-gram char share, duplicated-n-gram char
+    // coverage. The corpus is repetition-free, so every other sampled
+    // doc gets its first 12 words appended twice (the oracle mirrors
+    // the synthesis 1:1) — both the zero and the non-zero branch of
+    // every signal fire.
+    "t14_repetition_signals" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val rep = concat(col("text"), lit(" "),
+        array_join(slice(w, 1, 12), " "), lit(" "),
+        array_join(slice(w, 1, 12), " "))
+      val docs = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(50)) === 0, rep)
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.repetitionSignals(docs).orderBy(col("doc_id"))
+    }),
+
     // Extension: PII/URL scrubbing over deterministically injected PII
     "t5_pii_scrub" -> ((s, dir) => {
       import graft.operators.Scrub
@@ -333,6 +352,14 @@ object TextQueries {
 
     "t13_frequent_terms" ->
       graft.operators.Frequent.frequentTermsSql(num = 1, denom = 150),
+
+    "t14_repetition_signals" -> {
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val src = "(SELECT doc_id, CASE WHEN doc_id % 50 = 0 " +
+        s"THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 25 = 0) src"
+      TextAnalysis.repetitionSignalsSql(from = src)
+    },
 
     "t5_pii_scrub" -> {
       import graft.operators.Scrub

@@ -336,13 +336,15 @@ class PlanSpec extends AnyFunSuite {
     // cohort (feeds d7/d9), funnel stage counts (crossJoin of K
     // single-row aggregates), and single-row broadcast scalars (t9/t10
     // corpus totals, a24's merged-sketch × exact-count pairing — a
-    // 1-row build side is the cheapest possible join)
+    // 1-row build side is the cheapest possible join). s21 inherits
+    // BOTH shapes: it consumes the d5/d7 levenshtein cohort as its
+    // pair graph and attaches the 1-row leaked-pairs audit scalar.
     val intendedCross = Set(
       "v1_cosine_topk", "v3_embedding_neardup_pairs", "v5_quantized_topk",
       "v7_pq_topk",
       "d5_levenshtein_pairs", "d7_neardup_components", "d9_neardup_survivors",
       "e6_funnel", "t9_unigram_likelihood", "t10_tfidf_topk",
-      "a24_sketch_rollup", "q4_drift_report")
+      "a24_sketch_rollup", "q4_drift_report", "s21_component_split")
     // e5 relies on the range-join rule, which activates on the same
     // conf Bench/Verify set — sweep under production settings
     spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")
