@@ -210,9 +210,10 @@ object Sampling {
                       cuts: Seq[(String, Int)] = Seq(
                         "train" -> 80, "val" -> 90, "test" -> 100),
                       assumeDistinctPairs: Boolean = false): DataFrame = {
-    require(cuts.nonEmpty && cuts.last._2 == 100 &&
-      cuts.map(_._2) == cuts.map(_._2).sorted,
-      s"cuts must be ascending upper bounds ending at 100, got $cuts")
+    require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.head._2 > 0 &&
+      cuts.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "cuts must be STRICTLY ascending upper bounds in (0, 100] ending " +
+        s"at 100 (a bound <= 0 or a tie makes a split unreachable), got $cuts")
     val comps = Dedup.connectedComponents(
       pairs.select(col("id1"), col("id2")),
       assumeDistinctPairs = assumeDistinctPairs)
@@ -228,14 +229,19 @@ object Sampling {
 
   /** DuckDB twin of [[componentSplits]]'s bucket→split expression;
     * the caller supplies the component column SQL (cast to VARCHAR to
-    * match Spark's string-of-bigint hash input). */
+    * match Spark's string-of-bigint hash input). The rolling hash is
+    * hoisted into a correlated derived table so it is computed ONCE
+    * per row, not once per CASE branch; split names are quote-escaped
+    * so the twin accepts exactly the names the Spark side does. */
   def componentSplitSql(compSql: String,
                         cuts: Seq[(String, Int)] = Seq(
                           "train" -> 80, "val" -> 90, "test" -> 100)): String = {
-    val b = s"((${PolyHash64.sql(s"CAST($compSql AS VARCHAR)")}) % 100)"
-    val whens = cuts.init.map { case (n, c) => s"WHEN $b < $c THEN '$n'" }
-      .mkString(" ")
-    s"(CASE $whens ELSE '${cuts.last._1}' END)"
+    def esc(n: String) = n.replace("'", "''")
+    val whens = cuts.init.map { case (n, c) =>
+      s"WHEN _b.b < $c THEN '${esc(n)}'" }.mkString(" ")
+    val hash = PolyHash64.sql(s"CAST($compSql AS VARCHAR)")
+    s"(SELECT CASE $whens ELSE '${esc(cuts.last._1)}' END " +
+      s"FROM (SELECT ($hash) % 100 AS b) _b)"
   }
 
   /** DuckDB twin of the per-row copy count [[epochMix]] materializes. */

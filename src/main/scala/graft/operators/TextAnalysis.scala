@@ -272,6 +272,8 @@ object TextAnalysis {
                         dupNs: Seq[Int] = Seq(5, 10)): org.apache.spark.sql.DataFrame = {
     require(segWords >= 1, s"segWords must be >= 1, got $segWords")
     require((topNs ++ dupNs).forall(_ >= 1), "n-gram widths must be >= 1")
+    require(topNs.distinct == topNs && dupNs.distinct == dupNs,
+      s"duplicate n-gram widths would emit duplicate output columns: $topNs $dupNs")
     val w = col("w")
     def tokChars(c: Column): Column = length(translate(c, " ", "")).cast("long")
     def cntIn(arr: Column, g: Column): Column =
@@ -343,6 +345,8 @@ object TextAnalysis {
                            topNs: Seq[Int] = Seq(2, 3, 4),
                            dupNs: Seq[Int] = Seq(5, 10),
                            from: String = "documents"): String = {
+    require(topNs.distinct == topNs && dupNs.distinct == dupNs,
+      s"duplicate n-gram widths would emit duplicate CTE names: $topNs $dupNs")
     val ns = (topNs ++ dupNs).distinct
     val gramCtes = ns.map { n =>
       s"""g$n AS (

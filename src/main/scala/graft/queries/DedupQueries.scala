@@ -98,7 +98,12 @@ object DedupQueries {
       val items = Tables.part(s, dir)
         .where(pmod(col("p_partkey"), lit(10)) === 0)
         .select(col("p_partkey").as("id"))
+      // the O(cohort^2) levenshtein join feeds BOTH the component
+      // labels and the leaked-pairs audit below — materialize it once
+      // (without this, the audit's lineage re-runs the cross join
+      // after componentSplits' internal cache is unpersisted)
       val pairs = levenshteinPairs(s, dir).select(col("id1"), col("id2"))
+        .localCheckpoint(true)
       val labeled = Sampling.componentSplits(items, pairs,
         assumeDistinctPairs = true) // strict id1<id2 join -> unique pairs
       val leaked = pairs

@@ -68,5 +68,26 @@ class ComponentSplitsSpec extends AnyFunSuite {
       Sampling.componentSplits(items, pairs,
         cuts = Seq("a" -> 90, "b" -> 80, "c" -> 100))
     }
+    // a bound <= 0 or a tied bound makes that split unreachable —
+    // must fail loudly, not silently produce an empty split
+    intercept[IllegalArgumentException] {
+      Sampling.componentSplits(items, pairs,
+        cuts = Seq("a" -> 0, "b" -> 100))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.componentSplits(items, pairs,
+        cuts = Seq("a" -> 80, "b" -> 80, "c" -> 100))
+    }
+  }
+
+  test("SQL twin computes the hash once and escapes split names") {
+    val sql = Sampling.componentSplitSql("c.comp",
+      cuts = Seq("don't" -> 80, "rest" -> 100))
+    // the rolling hash is hoisted into the derived table — exactly one
+    // occurrence, not one per CASE branch
+    val hashHits = graft.functions.PolyHash64.sql("CAST(c.comp AS VARCHAR)")
+    assert(sql.split(java.util.regex.Pattern.quote(hashHits)).length - 1 === 1,
+      s"hash must appear exactly once, got: $sql")
+    assert(sql.contains("'don''t'"), s"quote not escaped: $sql")
   }
 }

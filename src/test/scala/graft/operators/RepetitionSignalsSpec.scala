@@ -86,5 +86,16 @@ class RepetitionSignalsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.repetitionSignals(df, topNs = Seq(0))
     }
+    // duplicate widths would emit duplicate output columns (Spark) /
+    // duplicate CTE names (DuckDB twin) — both must refuse
+    intercept[IllegalArgumentException] {
+      TextAnalysis.repetitionSignals(df, topNs = Seq(2, 2))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.repetitionSignals(df, dupNs = Seq(5, 5))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.repetitionSignalsSql(topNs = Seq(2, 2))
+    }
   }
 }
