@@ -244,6 +244,55 @@ object Sampling {
       s"FROM (SELECT ($hash) % 100 AS b) _b)"
   }
 
+  // ------------------------------------------- per-group hard caps
+
+  /** Per-group hard cap (the RefinedWeb-style per-domain quota): keep
+    * at most `cap` rows per value of `groupCol`, the kept subset
+    * chosen deterministically as the `cap` smallest
+    * (PolyHash64(key), id) pairs — a pure function of the data, stable
+    * across runs, retries, partitionings, and engines (the DuckDB twin
+    * [[groupCapSql]] replays it). Groups at or under the cap pass
+    * through whole. Complements the rate-based operators
+    * ([[stratifiedSample]] keeps a FRACTION per stratum;
+    * [[temperatureMix]] derives the fractions) with the absolute
+    * ceiling a boilerplate-heavy domain needs regardless of its share.
+    *
+    * Scale posture (100 TB): the selection is a grouped bottom-k via
+    * the bounded-heap [[Ranking.TopKLongPairs]] aggregate, NOT a
+    * `row_number() OVER (PARTITION BY group)` window — the window form
+    * shuffles and SORTS every row of every group, while the heap keeps
+    * `cap` pairs per buffer and rides map-side partial aggregation
+    * (a25's measured 2.26x at 40M rows). The kept-id side is at most
+    * `cap` rows per group — a small fraction of the input, but NOT
+    * forcibly broadcast: with millions of domains the kept set can
+    * exceed broadcast size, so the join back is left to AQE, which
+    * broadcasts it when it fits and shuffles on (group, id) when not.
+    *
+    * `idCol` must be a unique Long row key (hash ties break by id, so
+    * duplicate ids would make the boundary pick ambiguous). */
+  def groupCap(df: DataFrame, groupCol: String, idCol: String, key: Column,
+               cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val topk = udaf(new Ranking.TopKLongPairs(cap))
+    // TopKLongPairs keeps the k LARGEST keys; negating the hash keeps
+    // the k smallest — (hash ASC, id ASC), the documented order
+    val kept = df
+      .select(col(groupCol).as("_g"),
+        (-PolyHash64.polyHash64(key)).as("_k"), col(idCol).as("_id"))
+      .groupBy(col("_g"))
+      .agg(topk(col("_k"), col("_id")).as("_top"))
+      .select(col("_g").as(groupCol), explode(col("_top")).as("_p"))
+      .select(col(groupCol), col("_p._2").as(idCol))
+    df.join(kept, Seq(groupCol, idCol), "left_semi")
+  }
+
+  /** DuckDB twin of [[groupCap]]'s selection as a QUALIFY fragment to
+    * append to a SELECT over the same rows. */
+  def groupCapSql(group: String, idCol: String, keySql: String,
+                  cap: Int): String =
+    s"QUALIFY ROW_NUMBER() OVER (PARTITION BY $group " +
+      s"ORDER BY (${PolyHash64.sql(keySql)}), $idCol) <= $cap"
+
   /** DuckDB twin of the per-row copy count [[epochMix]] materializes. */
   def epochMixCopiesSql(strata: String, keySql: String,
                         weights: Map[String, Double],

@@ -166,6 +166,26 @@ object CoverageQueries {
         .orderBy(col("source"))
     }),
 
+    // S22: per-group hard caps (the RefinedWeb per-domain quota) —
+    // the absolute ceiling rate-based mixing (s6/s17) cannot express:
+    // at most 100 docs per lang, the kept set the 100 smallest content
+    // hashes. At the gate SF `en` (218 docs) binds and every other
+    // lang passes whole, so both branches are oracle-checked. Grouped
+    // bottom-k via the bounded heap — no per-group window sort.
+    "s22_group_caps" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, dir)
+      val capped = Sampling.groupCap(docs, "lang", "doc_id",
+        key = concat(col("doc_id").cast("string"), lit("/"), col("lang")),
+        cap = 100)
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(capped.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_kept"),
+              sum(col("doc_id")).cast("long").as("id_checksum")),
+          Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // C3: curation pipeline v2 — the round-6 operators composed in the
     // order a real corpus build runs them: cheap map-side source
     // rebalancing FIRST (s17), exact span surgery on the survivors
@@ -1200,6 +1220,20 @@ object CoverageQueries {
          |  SELECT doc_id + 1000000, text, source FROM documents
          |  WHERE doc_id % 13 = 0),
          |${graft.operators.Quality.splitLeakageSql("rows_x", "md5(text)", splitSql)}""".stripMargin
+    },
+
+    "s22_group_caps" -> {
+      val qualify = graft.operators.Sampling.groupCapSql("lang", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || lang)", cap = 100)
+      s"""WITH capped AS (
+         |  SELECT lang, doc_id FROM documents
+         |  $qualify),
+         |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |        FROM documents GROUP BY lang)
+         |SELECT t.lang, t.n_docs, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(SUM(c.doc_id) AS BIGINT) AS id_checksum
+         |FROM tot t JOIN capped c ON c.lang = t.lang
+         |GROUP BY t.lang, t.n_docs ORDER BY t.lang""".stripMargin
     },
 
     "s6_stratified_sample" -> {

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.TestSpark
+import graft.functions.PolyHash64
+
+/** Pins [[Sampling.groupCap]]: at most `cap` rows survive per group,
+  * over-cap groups keep exactly the cap smallest (hash, id) pairs,
+  * under-cap groups pass through whole, the choice is partitioning-
+  * independent, and the plan is the bounded-heap aggregate — no
+  * per-group window sort.
+  */
+class GroupCapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // group a: 40 rows, group b: 5 rows, group c: 12 rows
+  private val rows =
+    (1L to 40L).map(i => ("a", i)) ++
+    (101L to 105L).map(i => ("b", i)) ++
+    (201L to 212L).map(i => ("c", i))
+  private def df = rows.toDF("g", "id")
+  private def key = concat(col("id").cast("string"), lit("/"), col("g"))
+
+  private def expectedKept(cap: Int): Map[String, Set[Long]] =
+    rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map { case (_, id) =>
+        (PolyHash64.hash(UTF8String.fromString(s"$id/$g")), id)
+      }.sortBy(identity).take(cap).map(_._2).toSet
+    }
+
+  test("over-cap groups keep exactly the cap smallest hashes; under-cap pass whole") {
+    val out = Sampling.groupCap(df, "g", "id", key, cap = 10).collect()
+      .groupBy(_.getString(0)).map { case (g, rs) =>
+        g -> rs.map(_.getLong(1)).toSet
+      }
+    val exp = expectedKept(10)
+    assert(out("a") === exp("a") && out("a").size === 10)
+    assert(out("b") === (101L to 105L).toSet) // under cap: untouched
+    assert(out("c") === exp("c") && out("c").size === 10)
+  }
+
+  test("selection is partitioning-independent") {
+    val base = Sampling.groupCap(df, "g", "id", key, cap = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    Seq(1, 3, 16).foreach { n =>
+      val re = Sampling.groupCap(df.repartition(n), "g", "id", key, cap = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(re === base, s"kept set changed under repartition($n)")
+    }
+  }
+
+  test("no per-group window sort in the plan") {
+    val plan = Sampling.groupCap(df, "g", "id", key, cap = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"groupCap must not plan a window:\n$plan")
+  }
+
+  test("invalid cap rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.groupCap(df, "g", "id", key, cap = 0)
+    }
+  }
+}
