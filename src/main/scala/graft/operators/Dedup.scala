@@ -204,13 +204,14 @@ object Dedup {
   /** The shared MinHash CTE prefix (`toks` → … → `band`) used by both
     * [[minhashLshSql]] and [[incrementalLshSql]] — one text so the two
     * oracles can never diverge on the signature/band arithmetic. */
-  private def minhashBandCtes(k: Int, bands: Int, rowsPerBand: Int): String = {
+  private def minhashBandCtes(k: Int, bands: Int, rowsPerBand: Int,
+                              from: String = "documents"): String = {
     val joins = (1 until k).map(j =>
       s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
     val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
     val numHashes = bands * rowsPerBand
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $from),
        |p AS (
        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
        |shs AS (
@@ -236,8 +237,8 @@ object Dedup {
   }
 
   def minhashLshSql(k: Int, bands: Int, rowsPerBand: Int,
-                    threshold: Double): String = {
-    s"""${minhashBandCtes(k, bands, rowsPerBand)},
+                    threshold: Double, from: String = "documents"): String = {
+    s"""${minhashBandCtes(k, bands, rowsPerBand, from)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM band a JOIN band b
@@ -1260,6 +1261,31 @@ object Dedup {
         .where(col("containment") >= maxContainment)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+
+  /** Frame-to-frame decontamination — the in-memory twin of
+    * [[decontaminateBatch]] for pipelines that hold the benchmark as a
+    * DataFrame rather than a persisted index (one-shot curation runs,
+    * compositions like c7): score every batch doc's distinct-shingle
+    * containment against the benchmark's distinct shingle-hash set and
+    * drop docs at or above `maxContainment`. Docs too short to shingle
+    * cannot be contaminated and pass through — the same rule as the
+    * persisted probe. Containment arithmetic is [[containmentScores]],
+    * shared with every other decon form, so the three can never
+    * diverge. At 100 TB prefer [[saveDeconIndex]] +
+    * [[decontaminateBatch]]: this form re-shingles the benchmark on
+    * every call and has no bloom prefilter below the exchange. */
+  def decontaminateFrames(batch: DataFrame, bench: DataFrame, k: Int = 8,
+                          maxContainment: Double = 0.8): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col("doc_id"),
+      explode(Registry.shingleHashes(
+        TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+    val benchHashes = shingled(bench).select(col("h")).distinct()
+    val contaminated = containmentScores(
+        shingled(batch).dropDuplicates("doc_id", "h"), benchHashes)
+      .where(col("containment") >= maxContainment)
+      .select(col("doc_id"))
+    batch.join(contaminated, Seq("doc_id"), "left_anti")
+  }
 
   /** DuckDB oracle for [[decontaminateAgainstDeconIndex]] on the
     * `documents` table: benchmark = `doc_id % benchMod = 0`, arriving

@@ -209,14 +209,23 @@ object Sampling {
   def componentSplits(items: DataFrame, pairs: DataFrame,
                       cuts: Seq[(String, Int)] = Seq(
                         "train" -> 80, "val" -> 90, "test" -> 100),
-                      assumeDistinctPairs: Boolean = false): DataFrame = {
+                      assumeDistinctPairs: Boolean = false): DataFrame =
+    componentSplitsFromComponents(items,
+      Dedup.connectedComponents(pairs.select(col("id1"), col("id2")),
+        assumeDistinctPairs = assumeDistinctPairs), cuts)
+
+  /** [[componentSplits]] over ALREADY-COMPUTED component labels
+    * (`id`, `comp`) — for pipelines that ran
+    * [[Dedup.connectedComponents]] for other reasons (survivor picks,
+    * rollups) and must not pay the fixpoint twice. Items absent from
+    * `comps` are their own singleton component. */
+  def componentSplitsFromComponents(items: DataFrame, comps: DataFrame,
+                                    cuts: Seq[(String, Int)] = Seq(
+                                      "train" -> 80, "val" -> 90, "test" -> 100)): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.head._2 > 0 &&
       cuts.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
       "cuts must be STRICTLY ascending upper bounds in (0, 100] ending " +
         s"at 100 (a bound <= 0 or a tie makes a split unreachable), got $cuts")
-    val comps = Dedup.connectedComponents(
-      pairs.select(col("id1"), col("id2")),
-      assumeDistinctPairs = assumeDistinctPairs)
     val labeled = items.select(col("id"))
       .join(comps, Seq("id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("id")))

@@ -186,6 +186,61 @@ object CoverageQueries {
         .orderBy(col("lang"))
     }),
 
+    // C7: the round-10 curation chain composed end to end — the
+    // quality → decontaminate → dedup → split → quota sequence a
+    // corpus build runs before training. (1) Gopher repetition gate
+    // over t14's signals (the corpus is repetition-free, so every
+    // 30th doc of the slice gets its 12-word head appended twice and
+    // the gate provably BINDS — measured dup10 >= 0.28 on synthesized
+    // docs, 0.0 on clean); (2) frame decontamination against the
+    // held-out %3==1 benchmark slice (k=8 shingles, containment >=
+    // 0.5 drops); (3) MinHash-LSH near-dup components over the
+    // survivors; (4) leakage-safe whole-component splits REUSING the
+    // already-computed components (no second fixpoint); (5) the
+    // per-source hard quota on the curated corpus. ONE nested-CTE
+    // oracle replays the whole chain.
+    "c7_curation_pipeline" -> ((s, dir) => {
+      import graft.operators.{Dedup, Sampling, TextAnalysis}
+      val wr = split(col("text"), " ")
+      val rep = concat(col("text"), lit(" "),
+        array_join(slice(wr, 1, 12), " "), lit(" "),
+        array_join(slice(wr, 1, 12), " "))
+      val all = Tables.documents(s, dir)
+      // pinned once: the synthesized slice feeds the signal subtree,
+      // the gate join, and both decon consumers (c3's pattern)
+      val docs = all.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(30)) === 0, rep)
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint()
+      val sig = TextAnalysis.repetitionSignals(docs,
+        topNs = Seq(2), dupNs = Seq(10))
+      val gated = docs.join(
+        sig.where(col("dup10_char_frac") < 0.10).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val bench = all.where(pmod(col("doc_id"), lit(3)) === 1)
+      // kept: consumed by the LSH subtree, the split items, and the
+      // final join — materialize the decon verdict once
+      val kept = Dedup.decontaminateFrames(gated, bench,
+          k = 8, maxContainment = 0.5)
+        .localCheckpoint()
+      val pairs = Dedup.minhashLshPairs(kept, k = 3, bands = 8,
+        rowsPerBand = 4, threshold = 0.05).select(col("id1"), col("id2"))
+      val comps = Dedup.connectedComponents(pairs, assumeDistinctPairs = true)
+      val labeled = Sampling.componentSplitsFromComponents(
+        kept.select(col("doc_id").as("id")), comps)
+      val curated = kept.join(
+        labeled.select(col("id").as("doc_id"), col("split")), Seq("doc_id"))
+      Sampling.groupCap(curated, "source", "doc_id",
+          key = concat(col("doc_id").cast("string"), lit("/"), col("source")),
+          cap = 5)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // C3: curation pipeline v2 — the round-6 operators composed in the
     // order a real corpus build runs them: cheap map-side source
     // rebalancing FIRST (s17), exact span surgery on the survivors
@@ -1220,6 +1275,80 @@ object CoverageQueries {
          |  SELECT doc_id + 1000000, text, source FROM documents
          |  WHERE doc_id % 13 = 0),
          |${graft.operators.Quality.splitLeakageSql("rows_x", "md5(text)", splitSql)}""".stripMargin
+    },
+
+    // every stage replayed in one WITH chain: synthesis, the t14
+    // signal gate, exact decon containment (doc_id-disjoint slices, so
+    // gated+bench share one shingle pipeline), the nested LSH pair
+    // query over the kept docs, the reachability fixpoint, the
+    // hash-bucket splits, and the per-source QUALIFY quota. The
+    // multiply-referenced CTEs are AS MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, and the nested LSH query alone reads
+    // `kept` several times — inlined, every read re-runs the whole
+    // shingle+decon chain (measured >10 min vs 7 s at the gate SF)
+    "c7_curation_pipeline" -> {
+      import graft.operators.{Dedup, Sampling, TextAnalysis}
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val sigSql = TextAnalysis.repetitionSignalsSql(
+        topNs = Seq(2), dupNs = Seq(10), from = "corpus")
+      val pairsSql = Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, from = "kept")
+      val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
+      val capQualify = Sampling.groupCapSql("source", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
+      val dk = 8 // decon shingle width
+      val dJoins = (1 until dk).map(j =>
+        s"JOIN dp t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j")
+        .mkString(" ")
+      val dCat = (0 until dk).map(j => s"t$j.tok").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
+         |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sig AS (
+         |$sigSql),
+         |gated AS MATERIALIZED (
+         |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
+         |  WHERE sig.dup10_char_frac < 0.10),
+         |dtok AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM gated
+         |  UNION ALL
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |dp AS (
+         |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+         |  FROM dtok),
+         |dshs AS (SELECT t0.doc_id, $dCat AS s FROM dp t0 $dJoins),
+         |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${Dedup.fnvSql("s")} AS h FROM dshs),
+         |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT b.doc_id,
+         |           CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+         |    FROM (SELECT doc_id, h FROM dsh WHERE doc_id % 3 = 0) b
+         |    LEFT JOIN bhash c ON c.h = b.h GROUP BY b.doc_id)
+         |  WHERE containment >= 0.5),
+         |kept AS MATERIALIZED (
+         |  SELECT g.* FROM gated g
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pairs AS MATERIALIZED (
+         |$pairsSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT kk.doc_id, kk.source, kk.text, $splitSql AS split
+         |  FROM kept kk LEFT JOIN comps cm ON cm.id = kk.doc_id),
+         |capped AS (SELECT * FROM labeled $capQualify)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
     },
 
     "s22_group_caps" -> {

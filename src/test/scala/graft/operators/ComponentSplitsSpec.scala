@@ -80,6 +80,15 @@ class ComponentSplitsSpec extends AnyFunSuite {
     }
   }
 
+  test("precomputed-components form equals the recomputing form") {
+    val comps = Dedup.connectedComponents(pairs, assumeDistinctPairs = true)
+    val a = Sampling.componentSplitsFromComponents(items, comps)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.componentSplits(items, pairs, assumeDistinctPairs = true)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("SQL twin computes the hash once and escapes split names") {
     val sql = Sampling.componentSplitSql("c.comp",
       cuts = Seq("don't" -> 80, "rest" -> 100))

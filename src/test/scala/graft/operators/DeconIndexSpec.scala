@@ -169,4 +169,25 @@ class DeconIndexSpec extends AnyFunSuite {
     assert(!resident.contains(10L), "contaminated doc must not enter the index")
     assert(resident.contains(11L))
   }
+
+  test("decontaminateFrames equals the persisted decontaminateBatch verdicts; shingle-less docs pass") {
+    val path = java.nio.file.Files.createTempDirectory("decon_fr").toString
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    val viaIndex = Dedup.decontaminateBatch(batch, path,
+      maxContainment = 0.5).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val viaFrames = Dedup.decontaminateFrames(batch, bench, k = 4,
+      maxContainment = 0.5).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaFrames === viaIndex,
+      "frame-to-frame decon must match the persisted-index verdicts")
+    // the threshold must actually drop something for the comparison
+    // to mean anything (near-dup corpus: cross-slice dups exist)
+    assert(viaFrames.size < batch.count(),
+      "fixture must contain at least one contaminated doc")
+    // a doc too short to shingle passes through, same as the probe
+    val tiny = Seq((900L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.decontaminateFrames(tiny, bench, k = 4, maxContainment = 0.0)
+      .count() === 1L, "unshingleable docs cannot be contaminated")
+  }
 }
