@@ -124,6 +124,17 @@ object Dedup {
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     Registry.minhashSig(shingleHashes, numHashes)
 
+  /** THE per-doc shingle-hash stream: k-token shingles over whitespace
+    * tokens of the lowercased text, native-hashed, one row per
+    * occurrence (callers dedup/distinct as their containment form
+    * needs). Single definition shared by every decontamination form
+    * ([[contamination]], [[bloomContamination]], [[saveDeconIndex]],
+    * [[decontaminateAgainstDeconIndex]], [[decontaminateFrames]]) so
+    * tokenization or shingle hashing can never drift between them. */
+  private def shingleHashCol(k: Int): Column =
+    explode(Registry.shingleHashes(
+      TextFunctions.wsTokens(lower(col("text"))), k))
+
   /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
     * exact-Jaccard verification of candidates only.
     * @param bands × @param rowsPerBand = signature length. */
@@ -1051,8 +1062,7 @@ object Dedup {
     * semi-joined to the benchmark's shingles — never doc×doc pairs. */
   def contamination(docs: DataFrame, benchPred: Column, k: Int = 8): DataFrame = {
     val withSh = docs.select(col("doc_id"), benchPred.as("is_bench"),
-      explode(Registry.shingleHashes(
-        TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+        shingleHashCol(k).as("h"))
       .dropDuplicates("doc_id", "h")
     val corpus = withSh.where(!col("is_bench"))
       .select(col("h")).distinct()
@@ -1103,8 +1113,7 @@ object Dedup {
   def bloomContamination(docs: DataFrame, benchPred: Column, k: Int = 8,
       fpp: Double = 0.01): DataFrame = {
     val withSh = docs.select(col("doc_id"), benchPred.as("is_bench"),
-      explode(Registry.shingleHashes(
-        TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+        shingleHashCol(k).as("h"))
       .dropDuplicates("doc_id", "h")
     // the benchmark side is small by definition (a benchmark suite vs a
     // corpus) and is consumed three times (count, bloom build, final
@@ -1163,9 +1172,7 @@ object Dedup {
     graft.sources.TableSwap.recover(fs, parent, name)
     // consumed three times (count, bloom build, write) — pin the
     // shingled frame, release before returning
-    val hashes = benchmark.select(
-        explode(Registry.shingleHashes(
-          TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+    val hashes = benchmark.select(shingleHashCol(k).as("h"))
       .distinct()
       .withColumn("part", pmod(col("h"), lit(nHashParts)))
       .cache()
@@ -1217,9 +1224,7 @@ object Dedup {
     // unequal so ReuseExchange cannot collapse them — pin the shingled
     // batch once instead of shingling it twice per probe (the dominant
     // probe cost; same rule as bloomContamination's bench pin)
-    val withSh = batch.select(col("doc_id"),
-        explode(Registry.shingleHashes(
-          TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+    val withSh = batch.select(col("doc_id"), shingleHashCol(k).as("h"))
       .dropDuplicates("doc_id", "h")
       .localCheckpoint()
     val candidates = withSh.select(col("h")).distinct()
@@ -1276,9 +1281,8 @@ object Dedup {
     * every call and has no bloom prefilter below the exchange. */
   def decontaminateFrames(batch: DataFrame, bench: DataFrame, k: Int = 8,
                           maxContainment: Double = 0.8): DataFrame = {
-    def shingled(df: DataFrame) = df.select(col("doc_id"),
-      explode(Registry.shingleHashes(
-        TextFunctions.wsTokens(lower(col("text"))), k)).as("h"))
+    def shingled(df: DataFrame) =
+      df.select(col("doc_id"), shingleHashCol(k).as("h"))
     val benchHashes = shingled(bench).select(col("h")).distinct()
     val contaminated = containmentScores(
         shingled(batch).dropDuplicates("doc_id", "h"), benchHashes)
@@ -1287,21 +1291,37 @@ object Dedup {
     batch.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** The k-shingle CTE chain every decontamination oracle shares —
+    * `<p>toks` (tokenize the `from` relation's (doc_id, text) rows),
+    * `<p>p` (positional unnest), `<p>shs` (k-gram strings), ending in
+    * `<p>sh`: DISTINCT (doc_id, FNV-1a shingle hash). ONE definition
+    * (the SQL twin of [[shingleHashCol]]) so the d8/d15/c7 oracles can
+    * never drift from each other; `prefix` keeps several chains in one
+    * query distinct, `materializedSh` pins the final CTE for oracles
+    * that read it more than once (DuckDB inlines plain CTEs). */
+  private[graft] def shingleCtesSql(k: Int, from: String,
+                                    prefix: String = "",
+                                    materializedSh: Boolean = false): String = {
+    val joins = (1 until k).map(j =>
+      s"JOIN ${prefix}p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j")
+      .mkString(" ")
+    val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
+    val mat = if (materializedSh) "MATERIALIZED " else ""
+    s"""${prefix}toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $from),
+       |${prefix}p AS (
+       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM ${prefix}toks),
+       |${prefix}shs AS (SELECT t0.doc_id, $catted AS s FROM ${prefix}p t0 $joins),
+       |${prefix}sh AS $mat(SELECT DISTINCT doc_id, ${fnvSql("s")} AS h FROM ${prefix}shs)""".stripMargin
+  }
+
   /** DuckDB oracle for [[decontaminateAgainstDeconIndex]] on the
     * `documents` table: benchmark = `doc_id % benchMod = 0`, arriving
     * batch = `doc_id % batchMod = 0` minus the benchmark; the
     * bloom + persisted layout are invisible to the result (exact
     * containment, like d12's oracle). */
   def deconIndexSql(k: Int, benchMod: Int, batchMod: Int): String = {
-    val joins = (1 until k).map(j =>
-      s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
-    val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
-       |p AS (
-       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
-       |shs AS (SELECT t0.doc_id, $catted AS s FROM p t0 $joins),
-       |sh AS (SELECT DISTINCT doc_id, ${fnvSql("s")} AS h FROM shs),
+    s"""WITH ${shingleCtesSql(k, "documents")},
        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $benchMod = 0),
        |batch AS (SELECT doc_id, h FROM sh
        |          WHERE doc_id % $batchMod = 0 AND doc_id % $benchMod <> 0)
@@ -1316,15 +1336,7 @@ object Dedup {
     * `doc_id % benchMod = 0`: same FNV-1a shingles, same distinct-set
     * containment. */
   def contaminationSql(k: Int, benchMod: Int): String = {
-    val joins = (1 until k).map(j =>
-      s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
-    val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
-       |p AS (
-       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
-       |shs AS (SELECT t0.doc_id, $catted AS s FROM p t0 $joins),
-       |sh AS (SELECT DISTINCT doc_id, ${fnvSql("s")} AS h FROM shs),
+    s"""WITH ${shingleCtesSql(k, "documents")},
        |corpus AS (SELECT DISTINCT h FROM sh WHERE doc_id % $benchMod <> 0),
        |bench AS (SELECT doc_id, h FROM sh WHERE doc_id % $benchMod = 0)
        |SELECT b.doc_id, COUNT(*) AS n_shingles,

@@ -209,10 +209,21 @@ object Sampling {
   def componentSplits(items: DataFrame, pairs: DataFrame,
                       cuts: Seq[(String, Int)] = Seq(
                         "train" -> 80, "val" -> 90, "test" -> 100),
-                      assumeDistinctPairs: Boolean = false): DataFrame =
+                      assumeDistinctPairs: Boolean = false): DataFrame = {
+    // validate BEFORE the components fixpoint: connectedComponents is
+    // eager (checkpointed rounds), so a bad `cuts` must fail here, not
+    // after hours of label propagation over the pair graph
+    validateCuts(cuts)
     componentSplitsFromComponents(items,
       Dedup.connectedComponents(pairs.select(col("id1"), col("id2")),
         assumeDistinctPairs = assumeDistinctPairs), cuts)
+  }
+
+  private def validateCuts(cuts: Seq[(String, Int)]): Unit =
+    require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.head._2 > 0 &&
+      cuts.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "cuts must be STRICTLY ascending upper bounds in (0, 100] ending " +
+        s"at 100 (a bound <= 0 or a tie makes a split unreachable), got $cuts")
 
   /** [[componentSplits]] over ALREADY-COMPUTED component labels
     * (`id`, `comp`) — for pipelines that ran
@@ -222,10 +233,7 @@ object Sampling {
   def componentSplitsFromComponents(items: DataFrame, comps: DataFrame,
                                     cuts: Seq[(String, Int)] = Seq(
                                       "train" -> 80, "val" -> 90, "test" -> 100)): DataFrame = {
-    require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.head._2 > 0 &&
-      cuts.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
-      "cuts must be STRICTLY ascending upper bounds in (0, 100] ending " +
-        s"at 100 (a bound <= 0 or a tie makes a split unreachable), got $cuts")
+    validateCuts(cuts)
     val labeled = items.select(col("id"))
       .join(comps, Seq("id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("id")))
@@ -275,24 +283,36 @@ object Sampling {
     * `cap` rows per group — a small fraction of the input, but NOT
     * forcibly broadcast: with millions of domains the kept set can
     * exceed broadcast size, so the join back is left to AQE, which
-    * broadcasts it when it fits and shuffles on (group, id) when not.
+    * broadcasts it when it fits and shuffles on the id when not.
     *
     * `idCol` must be a unique Long row key (hash ties break by id, so
-    * duplicate ids would make the boundary pick ambiguous). */
+    * duplicate ids would make the boundary pick ambiguous) — which is
+    * also why the semi join back is on the id ALONE: a composite
+    * (group, id) key would drop every NULL-group row to null-unsafe
+    * equality. A NULL group is capped as its own group (exactly the
+    * twin's `PARTITION BY`), and a NULL `key` orders AFTER every real
+    * hash (the twin's default NULLS LAST), ties broken by id. */
   def groupCap(df: DataFrame, groupCol: String, idCol: String, key: Column,
                cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val topk = udaf(new Ranking.TopKLongPairs(cap))
     // TopKLongPairs keeps the k LARGEST keys; negating the hash keeps
-    // the k smallest — (hash ASC, id ASC), the documented order
+    // the k smallest — (hash ASC, id ASC), the documented order. A
+    // NULL key (e.g. a concat through a NULL group) becomes
+    // Long.MaxValue BEFORE negation — outside PolyHash64's [0, p)
+    // range, so it sorts strictly after every real hash, never ties
+    // one, and keeps the udaf's non-nullable Long input satisfied.
     val kept = df
       .select(col(groupCol).as("_g"),
-        (-PolyHash64.polyHash64(key)).as("_k"), col(idCol).as("_id"))
+        (-coalesce(PolyHash64.polyHash64(key), lit(Long.MaxValue))).as("_k"),
+        col(idCol).as("_id"))
       .groupBy(col("_g"))
       .agg(topk(col("_k"), col("_id")).as("_top"))
-      .select(col("_g").as(groupCol), explode(col("_top")).as("_p"))
-      .select(col(groupCol), col("_p._2").as(idCol))
-    df.join(kept, Seq(groupCol, idCol), "left_semi")
+      .select(explode(col("_top")).as("_p"))
+      .select(col("_p._2").as(idCol))
+    // the Seq-key join hoists the key column first — restore the
+    // caller's column order
+    df.join(kept, Seq(idCol), "left_semi").select(df.columns.map(col): _*)
   }
 
   /** DuckDB twin of [[groupCap]]'s selection as a QUALIFY fragment to

@@ -206,8 +206,8 @@ object CoverageQueries {
         array_join(slice(wr, 1, 12), " "), lit(" "),
         array_join(slice(wr, 1, 12), " "))
       val all = Tables.documents(s, dir)
-      // pinned once: the synthesized slice feeds the signal subtree,
-      // the gate join, and both decon consumers (c3's pattern)
+      // pinned once: the synthesized slice feeds the signal subtree
+      // and the gate join (c3's pattern)
       val docs = all.where(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id"), col("source"),
           when(pmod(col("doc_id"), lit(30)) === 0, rep)
@@ -215,9 +215,14 @@ object CoverageQueries {
         .localCheckpoint()
       val sig = TextAnalysis.repetitionSignals(docs,
         topNs = Seq(2), dupNs = Seq(10))
+      // pinned too: decontaminateFrames consumes its batch twice (the
+      // shingle/containment side and the final anti join) — without
+      // the cut the repetition aggregation + gate join run twice (the
+      // oracle materializes its `gated` CTE for the same reason)
       val gated = docs.join(
         sig.where(col("dup10_char_frac") < 0.10).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint()
       val bench = all.where(pmod(col("doc_id"), lit(3)) === 1)
       // kept: consumed by the LSH subtree, the split items, and the
       // final join — materialize the decon verdict once
@@ -1296,11 +1301,13 @@ object CoverageQueries {
       val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
       val capQualify = Sampling.groupCapSql("source", "doc_id",
         "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
-      val dk = 8 // decon shingle width
-      val dJoins = (1 until dk).map(j =>
-        s"JOIN dp t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j")
-        .mkString(" ")
-      val dCat = (0 until dk).map(j => s"t$j.tok").mkString(" || ' ' || ")
+      // decon shingles: the SAME generated CTE chain as the d15/d8
+      // oracles (Dedup.shingleCtesSql), over gated ∪ the benchmark
+      // slice; the final dsh CTE is MATERIALIZED (read twice below)
+      val dShingles = Dedup.shingleCtesSql(k = 8,
+        from = "(SELECT doc_id, text FROM gated UNION ALL " +
+          "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)",
+        prefix = "d", materializedSh = true)
       s"""WITH RECURSIVE corpus AS MATERIALIZED (
          |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
          |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
@@ -1310,17 +1317,7 @@ object CoverageQueries {
          |gated AS MATERIALIZED (
          |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
          |  WHERE sig.dup10_char_frac < 0.10),
-         |dtok AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-         |  FROM gated
-         |  UNION ALL
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
-         |  FROM documents WHERE doc_id % 3 = 1),
-         |dp AS (
-         |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
-         |  FROM dtok),
-         |dshs AS (SELECT t0.doc_id, $dCat AS s FROM dp t0 $dJoins),
-         |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${Dedup.fnvSql("s")} AS h FROM dshs),
+         |$dShingles,
          |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
          |contaminated AS (
          |  SELECT doc_id FROM (

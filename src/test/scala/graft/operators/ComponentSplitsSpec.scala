@@ -80,6 +80,23 @@ class ComponentSplitsSpec extends AnyFunSuite {
     }
   }
 
+  test("cuts validated BEFORE the eager components fixpoint runs") {
+    // pairs that explode if the graph is ever evaluated: the bad-cuts
+    // require must fire first (connectedComponents is eager — paying
+    // the full fixpoint before a trivial argument check would be hours
+    // at scale). If the fixpoint ran, we'd see a SparkException here.
+    import org.apache.spark.sql.functions.{col, udf}
+    val boom = udf((_: Long) => {
+      throw new RuntimeException("fixpoint must not run"); 0L
+    })
+    val poisonPairs = items.select(boom(col("id")).as("id1"),
+      boom(col("id")).as("id2"))
+    intercept[IllegalArgumentException] {
+      Sampling.componentSplits(items, poisonPairs,
+        cuts = Seq("train" -> 80))
+    }
+  }
+
   test("precomputed-components form equals the recomputing form") {
     val comps = Dedup.connectedComponents(pairs, assumeDistinctPairs = true)
     val a = Sampling.componentSplitsFromComponents(items, comps)

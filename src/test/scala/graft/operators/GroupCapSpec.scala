@@ -59,6 +59,25 @@ class GroupCapSpec extends AnyFunSuite {
       s"groupCap must not plan a window:\n$plan")
   }
 
+  test("NULL group is capped as its own group, not dropped") {
+    // key = concat(id, '/', g) is NULL for the NULL group, so every
+    // hash in that group ties (NULLS LAST) and ids break the tie:
+    // the cap smallest ids survive. Before the null-safe fix the
+    // composite-key semi join silently dropped ALL null-group rows.
+    val withNull = df.union(
+      (301L to 308L).map(i => (null.asInstanceOf[String], i)).toDF("g", "id"))
+    val out = Sampling.groupCap(withNull, "g", "id", key, cap = 5)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    val nullKept = out.filter(_._1.isEmpty).map(_._2).toSet
+    assert(nullKept === (301L to 305L).toSet,
+      s"NULL group must keep the cap smallest ids, got $nullKept")
+    // the real groups are untouched by the NULL group's presence
+    assert(out.filter(_._1.contains("b")).map(_._2).toSet ===
+      (101L to 105L).toSet)
+    assert(out.filter(_._1.contains("a")).map(_._2).toSet ===
+      expectedKept(5)("a"))
+  }
+
   test("invalid cap rejected") {
     intercept[IllegalArgumentException] {
       Sampling.groupCap(df, "g", "id", key, cap = 0)
