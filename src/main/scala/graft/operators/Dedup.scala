@@ -78,7 +78,7 @@ object Dedup {
       s"JOIN p t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j").mkString(" ")
     val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  SELECT doc_id, ${TextFunctions.wsTokensSql("lower(text)")} AS t
        |  FROM documents $sample),
        |p AS (
        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
@@ -222,7 +222,7 @@ object Dedup {
     val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
     val numHashes = bands * rowsPerBand
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $from),
+       |  SELECT doc_id, ${TextFunctions.wsTokensSql("lower(text)")} AS t FROM $from),
        |p AS (
        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
        |shs AS (
@@ -1307,8 +1307,11 @@ object Dedup {
       .mkString(" ")
     val catted = (0 until k).map(j => s"t$j.tok").mkString(" || ' ' || ")
     val mat = if (materializedSh) "MATERIALIZED " else ""
+    // tokenization is wsTokensSql — the exact twin of the Spark side's
+    // wsTokens (plain trim() leaves tabs/newlines, shifting every
+    // k-gram; the '' -> [] guard matches Spark's empty-doc zero rows)
     s"""${prefix}toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $from),
+       |  SELECT doc_id, ${graft.functions.TextFunctions.wsTokensSql("lower(text)")} AS t FROM $from),
        |${prefix}p AS (
        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM ${prefix}toks),
        |${prefix}shs AS (SELECT t0.doc_id, $catted AS s FROM ${prefix}p t0 $joins),
@@ -1321,7 +1324,7 @@ object Dedup {
     * bloom + persisted layout are invisible to the result (exact
     * containment, like d12's oracle). */
   def deconIndexSql(k: Int, benchMod: Int, batchMod: Int): String = {
-    s"""WITH ${shingleCtesSql(k, "documents")},
+    s"""WITH ${shingleCtesSql(k, "documents", materializedSh = true)},
        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $benchMod = 0),
        |batch AS (SELECT doc_id, h FROM sh
        |          WHERE doc_id % $batchMod = 0 AND doc_id % $benchMod <> 0)
@@ -1336,7 +1339,7 @@ object Dedup {
     * `doc_id % benchMod = 0`: same FNV-1a shingles, same distinct-set
     * containment. */
   def contaminationSql(k: Int, benchMod: Int): String = {
-    s"""WITH ${shingleCtesSql(k, "documents")},
+    s"""WITH ${shingleCtesSql(k, "documents", materializedSh = true)},
        |corpus AS (SELECT DISTINCT h FROM sh WHERE doc_id % $benchMod <> 0),
        |bench AS (SELECT doc_id, h FROM sh WHERE doc_id % $benchMod = 0)
        |SELECT b.doc_id, COUNT(*) AS n_shingles,
@@ -1786,7 +1789,7 @@ object Dedup {
       s"($b, CAST('${BigInt(1) << (width * b)}' AS HUGEINT))").mkString(", ")
     val mask = (BigInt(1) << width).toString
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       |  SELECT doc_id, ${TextFunctions.wsTokensSql("lower(text)")} AS t FROM documents),
        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
        |th AS (SELECT doc_id, ${fnvSql("tok")} AS h FROM tok),
        |pw(bit, p) AS (VALUES $pw64),

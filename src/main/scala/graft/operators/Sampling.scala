@@ -319,8 +319,11 @@ object Sampling {
     * append to a SELECT over the same rows. */
   def groupCapSql(group: String, idCol: String, keySql: String,
                   cap: Int): String =
+    // NULLS LAST spelled out: the Spark side pins NULL keys strictly
+    // after every real hash, and DuckDB's default_null_order is a
+    // session setting — don't depend on it
     s"QUALIFY ROW_NUMBER() OVER (PARTITION BY $group " +
-      s"ORDER BY (${PolyHash64.sql(keySql)}), $idCol) <= $cap"
+      s"ORDER BY (${PolyHash64.sql(keySql)}) NULLS LAST, $idCol) <= $cap"
 
   /** DuckDB twin of the per-row copy count [[epochMix]] materializes. */
   def epochMixCopiesSql(strata: String, keySql: String,
