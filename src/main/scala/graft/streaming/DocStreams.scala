@@ -295,6 +295,117 @@ object DocStreams {
                     verdictsPath: String, upTo: Long): Long =
     SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts"))
 
+  /** Gate threshold for [[curationSink]]'s repetition stage: a doc
+    * whose positional duplicate-`dupN`-gram character coverage
+    * ([[graft.operators.TextAnalysis.repetitionSignals]]'s
+    * `dup<N>_char_frac` — the Gopher rule) is at or above
+    * `maxCharFrac` is quarantined before dedup ever sees it. */
+  case class RepetitionGate(dupN: Int = 10, maxCharFrac: Double = 0.10)
+
+  /** The FULL streaming curation pipeline — the c7 batch composition
+    * as one continuous sink. Each micro-batch is
+    * (1) repetition-gated (pure per-row Gopher dup-gram arithmetic,
+    * zero shuffles), (2) decontaminated against the PERSISTED
+    * benchmark index ([[Dedup.decontaminateAgainstDeconIndex]] —
+    * one bloom-prefiltered, partition-pruned probe), then (3) run
+    * through the exactly-once indexed dedup lifecycle
+    * ([[processIndexedBatch]]: sealed verdicts → survivor append →
+    * periodic compaction), so only repetition-clean, leak-free,
+    * novel documents ever enter the index. Docs dropped by (1) or
+    * (2) are recorded under `quarantinePath` as (doc_id, stage) rows
+    * partitioned by batch_id and written with dynamic partition
+    * overwrite — a replay re-derives the identical rows and
+    * overwrites in place, so the audit trail is idempotent without
+    * its own marker protocol.
+    *
+    * Crash contract: stages (1)-(2) are PURE functions of the batch
+    * and the decon index, so a replay recomputes the same curated
+    * subset and the dedup stage's sealed-verdict/commit markers carry
+    * the exactly-once story unchanged ([[indexedDedupSink]]'s
+    * contract, verbatim). That purity is also the one operational
+    * requirement: the decon index must not be RE-SAVED while a
+    * crashed batch may still replay — a changed benchmark changes
+    * stage-(2) verdicts, and the replayed curated cohort would no
+    * longer be the one the sealed dedup verdicts describe. Re-save
+    * the benchmark between committed batches (the same cadence as
+    * [[gcSinkMarkers]]), never mid-window. */
+  def curationSink(docs: DataFrame, indexPath: String, deconPath: String,
+                   verdictsPath: String, threshold: Double,
+                   maxContainment: Double = 0.8,
+                   gate: Option[RepetitionGate] = Some(RepetitionGate()),
+                   quarantinePath: Option[String] = None,
+                   maxBucket: Option[Int] = None,
+                   compactEvery: Int = 0,
+                   maxFilesPerPart: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processCurationBatch(batch.toDF(), id, indexPath, deconPath,
+          verdictsPath, threshold, maxContainment, gate, quarantinePath,
+          maxBucket, compactEvery, maxFilesPerPart)
+    }
+
+  /** One micro-batch of [[curationSink]] — exposed so the replay and
+    * crash-window specs can drive it directly. */
+  private[graft] def processCurationBatch(batch: DataFrame, id: Long,
+      indexPath: String, deconPath: String, verdictsPath: String,
+      threshold: Double, maxContainment: Double,
+      gate: Option[RepetitionGate], quarantinePath: Option[String],
+      maxBucket: Option[Int], compactEvery: Int,
+      maxFilesPerPart: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = batch.sparkSession
+    val fs = graft.sources.Hdfs.forPath(spark, verdictsPath)
+    // fully committed: the curated subset went through the dedup
+    // lifecycle and the quarantine partition was overwritten BEFORE
+    // the final marker sealed — nothing to redo
+    if (SinkMarkers.isCommitted(fs, verdictsPath, id)) return
+    val cached = batch.cache()
+    try {
+      if (cached.isEmpty) {
+        // nothing arrived: let the dedup stage seal the commit marker
+        processIndexedBatch(cached, id, indexPath, verdictsPath,
+          threshold, maxBucket, compactEvery, maxFilesPerPart)
+        return
+      }
+      // stage 1 — repetition gate: per-row arithmetic, no shuffle
+      val repBad = gate.map { g =>
+        graft.operators.TextAnalysis
+          .repetitionSignals(cached, topNs = Nil, dupNs = Seq(g.dupN))
+          .where(col(s"dup${g.dupN}_char_frac") >= g.maxCharFrac)
+          .select(col("doc_id"))
+      }
+      val gated = repBad
+        .map(bad => cached.join(bad, Seq("doc_id"), "left_anti"))
+        .getOrElse(cached)
+      // stage 2 — decontamination: ONE probe serves both the
+      // quarantine trail and the anti join (pin the tiny id frame);
+      // docs too short to shingle are absent from the probe and pass
+      val contaminated = Dedup
+        .decontaminateAgainstDeconIndex(gated, deconPath)
+        .where(col("containment") >= maxContainment)
+        .select(col("doc_id"))
+        .localCheckpoint()
+      val curated = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      // quarantine trail first: it must exist by the time the final
+      // marker seals, and dynamic overwrite keyed by batch_id makes a
+      // replayed write byte-for-byte idempotent (stages are pure)
+      quarantinePath.foreach { qp =>
+        repBad.map(_.withColumn("stage", lit("repetition")))
+          .getOrElse(spark.emptyDataFrame
+            .select(lit(0L).as("doc_id"), lit("").as("stage")).limit(0))
+          .unionByName(contaminated.withColumn("stage", lit("contamination")))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(qp)
+      }
+      // stage 3 — the exactly-once dedup lifecycle, unchanged
+      processIndexedBatch(curated, id, indexPath, verdictsPath,
+        threshold, maxBucket, compactEvery, maxFilesPerPart)
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** The shared stateful core: per-(band, bucket) residency, bounded
     * per-trigger admission, online cap, optional watermark-clock state
     * horizon; `mkScore` is applied to the arrival's payload once and to

@@ -1,0 +1,241 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The full streaming curation pipeline ([[DocStreams.curationSink]]:
+  * repetition gate → persisted-index decontamination → exactly-once
+  * indexed dedup) vs the batch composition it streams: per-batch
+  * curated cohorts, quarantine trail, and the final index must match
+  * the manual loop exactly; replays must be no-ops; the quarantine
+  * partition must be idempotent under the documented crash windows;
+  * and neither repetition-gated nor contaminated docs may ever reach
+  * the index.
+  */
+class CurationSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // corpus slices from the fixture; every 5th doc of a batch gets its
+  // 12-word head appended twice so the repetition gate provably binds
+  private def docsAll = graft.sources.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+    .select(col("doc_id"), col("text"))
+
+  private def synth(df: org.apache.spark.sql.DataFrame) = {
+    val wr = split(col("text"), " ")
+    val rep = concat(col("text"), lit(" "),
+      array_join(slice(wr, 1, 12), " "), lit(" "),
+      array_join(slice(wr, 1, 12), " "))
+    df.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0, rep)
+        .otherwise(col("text")).as("text"))
+  }
+
+  private def role(b: Int) = synth(
+    docsAll.where(pmod(col("doc_id"), lit(12)) === b))
+
+  // benchmark for the decon index: a disjoint slice of the corpus, so
+  // real contamination hits exist (fixture texts repeat across docs)
+  private def bench = docsAll.where(pmod(col("doc_id"), lit(12)) === 11)
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def mkDecon(): String = {
+    val d = tmp("cur_decon") + "/decon"
+    Dedup.saveDeconIndex(bench, k = 8, d, nHashParts = 8)
+    d
+  }
+
+  /** The batch twin of one curation micro-batch: gate → decon → the
+    * manual probe/append loop against `idx`. Returns the probe's
+    * verdict rows (collected BEFORE the append — rerunning the probe
+    * after it would see the batch's own rows) and the (doc_id, stage)
+    * quarantine rows. */
+  private def manualBatch(b: org.apache.spark.sql.DataFrame, decon: String,
+                          idx: String, threshold: Double, maxB: Option[Int])
+      : (Seq[Seq[Any]], Seq[(Long, String)]) = {
+    val repBad = TextAnalysis
+      .repetitionSignals(b, topNs = Nil, dupNs = Seq(10))
+      .where(col("dup10_char_frac") >= 0.10).select(col("doc_id"))
+    val gated = b.join(repBad, Seq("doc_id"), "left_anti")
+    val contaminated = Dedup.decontaminateAgainstDeconIndex(gated, decon)
+      .where(col("containment") >= 0.5).select(col("doc_id"))
+    val curated = gated.join(contaminated, Seq("doc_id"), "left_anti")
+    val quarantined =
+      repBad.collect().map(r => (r.getLong(0), "repetition")).toSeq ++
+      contaminated.collect().map(r => (r.getLong(0), "contamination")).toSeq
+    val probed = Dedup.dedupAgainstLshIndex(curated, idx, threshold, maxB)
+    val verdictRows = probed.orderBy(col("doc_id")).collect()
+      .map(_.toSeq).toSeq
+    Dedup.appendToLshIndex(
+      curated.join(probed.where(!col("is_dup")).select(col("doc_id")),
+        "doc_id"), idx)
+    (verdictRows, quarantined)
+  }
+
+  test("streamed curation equals the manual gate→decon→dedup loop; quarantine trail matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val streamIdx = tmp("cur_idx")
+    val twinIdx = tmp("cur_twin")
+    val verdicts = tmp("cur_verd")
+    val quarantine = tmp("cur_quar")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4,
+      streamIdx, nBucketParts = 8)
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4,
+      twinIdx, nBucketParts = 8)
+    val input = MemoryStream[StreamDoc]
+    val q = DocStreams.curationSink(input.toDF(), streamIdx, decon,
+        verdicts, threshold = 0.05, maxContainment = 0.5,
+        gate = Some(DocStreams.RepetitionGate(dupN = 10, maxCharFrac = 0.10)),
+        quarantinePath = Some(quarantine), maxBucket = Some(3))
+      .option("checkpointLocation", tmp("cur_ckpt"))
+      .start()
+    try {
+      var sawQuarantine = false
+      (1 to 3).foreach { b =>
+        input.addData(role(b).as[(Long, String)].collect()
+          .map(t => StreamDoc(t._1, t._2)): _*)
+        q.processAllAvailable()
+        val (expVerdicts, expQuar) = manualBatch(role(b), decon, twinIdx,
+          threshold = 0.05, maxB = Some(3))
+        val got = spark.read.parquet(verdicts)
+          .where(col("batch_id") === (b - 1)) // MemoryStream ids 0-based
+          .select(col("doc_id"), col("n_matches"), col("match_id"),
+            col("is_dup"))
+          .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+        assert(got === expVerdicts, s"batch $b verdicts diverge")
+        assert(expVerdicts.nonEmpty)
+        val gotQuar = spark.read.parquet(quarantine)
+          .where(col("batch_id") === (b - 1))
+          .select(col("doc_id"), col("stage")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(gotQuar === expQuar.toSet, s"batch $b quarantine diverges")
+        if (expQuar.nonEmpty) sawQuarantine = true
+      }
+      assert(sawQuarantine, "fixture must exercise the quarantine path")
+    } finally q.stop()
+    // both indexes must serve identical answers to a later batch
+    val later = role(5)
+    val a = Dedup.dedupAgainstLshIndex(later, streamIdx, threshold = 0.05,
+      maxBucket = Some(3)).collect().map(_.toSeq).toSeq
+    val b2 = Dedup.dedupAgainstLshIndex(later, twinIdx, threshold = 0.05,
+      maxBucket = Some(3)).collect().map(_.toSeq).toSeq
+    assert(a === b2)
+    assert(a.nonEmpty)
+  }
+
+  test("quarantined docs never enter the index; clean docs all accounted for") {
+    val idx = tmp("cur_idx2")
+    val verdicts = tmp("cur_verd2")
+    val quarantine = tmp("cur_quar2")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    DocStreams.processCurationBatch(role(1), 0L, idx, decon, verdicts,
+      threshold = 0.05, maxContainment = 0.5,
+      gate = Some(DocStreams.RepetitionGate()),
+      quarantinePath = Some(quarantine),
+      maxBucket = Some(3), compactEvery = 0, maxFilesPerPart = 8)
+    val quarIds = spark.read.parquet(quarantine)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(quarIds.nonEmpty, "fixture must quarantine something")
+    val indexed = spark.read.parquet(s"$idx/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(quarIds.intersect(indexed).isEmpty,
+      "quarantined docs must never reach the index doc store")
+    // every batch doc is exactly one of: quarantined, verdicted
+    val verdicted = spark.read.parquet(verdicts)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val batchIds = role(1).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(quarIds.intersect(verdicted).isEmpty)
+    assert((quarIds ++ verdicted) === batchIds,
+      "gate+decon+dedup must partition the batch exactly")
+  }
+
+  test("a fully-committed batch replayed is a no-op (index, verdicts, quarantine untouched)") {
+    val idx = tmp("cur_idx3")
+    val verdicts = tmp("cur_verd3")
+    val quarantine = tmp("cur_quar3")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    def drive() = DocStreams.processCurationBatch(role(1), 0L, idx, decon,
+      verdicts, threshold = 0.05, maxContainment = 0.5,
+      gate = Some(DocStreams.RepetitionGate()),
+      quarantinePath = Some(quarantine),
+      maxBucket = Some(3), compactEvery = 0, maxFilesPerPart = 8)
+    drive()
+    def state() = (
+      spark.read.parquet(verdicts).orderBy(col("doc_id"))
+        .collect().map(_.toSeq).toSeq,
+      spark.read.parquet(quarantine).orderBy(col("doc_id"))
+        .collect().map(_.toSeq).toSeq,
+      spark.read.parquet(s"$idx/bands").count(),
+      spark.read.parquet(s"$idx/docs").count())
+    val before = state()
+    drive()
+    assert(state() === before, "replay of a committed batch must change nothing")
+  }
+
+  test("crash after quarantine write, before dedup: replay overwrites the partition in place") {
+    val idx = tmp("cur_idx4")
+    val verdicts = tmp("cur_verd4")
+    val quarantine = tmp("cur_quar4")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    def drive() = DocStreams.processCurationBatch(role(1), 0L, idx, decon,
+      verdicts, threshold = 0.05, maxContainment = 0.5,
+      gate = Some(DocStreams.RepetitionGate()),
+      quarantinePath = Some(quarantine),
+      maxBucket = Some(3), compactEvery = 0, maxFilesPerPart = 8)
+    drive()
+    val committed = spark.read.parquet(quarantine)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    // simulate a crash AFTER the quarantine write but BEFORE the dedup
+    // stage committed: delete the final marker (the quarantine
+    // partition survives) and replay — the pure stages re-derive the
+    // identical rows and dynamic overwrite replaces them in place
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_0"),
+      true)
+    drive()
+    val after = spark.read.parquet(quarantine)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(after === committed,
+      "replayed quarantine partition must be byte-identical rows")
+  }
+
+  test("empty batch and gate=None both commit cleanly") {
+    val idx = tmp("cur_idx5")
+    val verdicts = tmp("cur_verd5")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    DocStreams.processCurationBatch(empty, 0L, idx, decon, verdicts,
+      threshold = 0.05, maxContainment = 0.5, gate = None,
+      quarantinePath = None, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_0")))
+    // gate=None: no repetition stage — decon still applies
+    DocStreams.processCurationBatch(role(2), 1L, idx, decon, verdicts,
+      threshold = 0.05, maxContainment = 0.5, gate = None,
+      quarantinePath = None, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8)
+    assert(spark.read.parquet(verdicts).count() > 0)
+  }
+}
