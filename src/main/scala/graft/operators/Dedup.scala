@@ -1181,14 +1181,7 @@ object Dedup {
       // benchmark — every doc shorter than k tokens); only the bloom
       // sizing needs the >=1 clamp
       val n = hashes.count()
-      // stat.bloomFilter NPEs on an empty frame (null treeAggregate
-      // buffer) — an unshingleable benchmark gets the explicit empty
-      // filter instead
-      val bloom =
-        if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
-        else hashes.stat.bloomFilter("h", n, fpp)
-      val bytes = { val bo = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bo); bo.toByteArray }
+      val bytes = deconBloomBytes(hashes, n, fpp)
       graft.sources.TableSwap.rewrite(spark, fs, parent, name) { tmp =>
         hashes.write.mode("overwrite").partitionBy("part")
           .parquet(s"$tmp/hashes")
@@ -1198,6 +1191,59 @@ object Dedup {
           .toDF("k", "fpp", "n_hashes", "n_hash_parts")
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       }
+    } finally hashes.unpersist()
+  }
+
+  /** Bloom sizing/serialization shared by [[saveDeconIndex]] and
+    * [[rebuildDeconBloom]] — `stat.bloomFilter` NPEs on an empty
+    * frame (null treeAggregate buffer), so an unshingleable benchmark
+    * gets the explicit empty filter. */
+  private def deconBloomBytes(hashes: DataFrame, n: Long,
+                              fpp: Double): Array[Byte] = {
+    val bloom =
+      if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+      else hashes.stat.bloomFilter("h", n, fpp)
+    val bo = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bo)
+    bo.toByteArray
+  }
+
+  /** Re-derive a decon index's bloom sidecar (and meta's recorded
+    * hash count) from its own hash store — the heal for a damaged,
+    * unreadable, or stale bloom. The hash store is the source of
+    * truth (the confirm join owns exactness; the bloom only prunes
+    * inside the scan stage), so a rebuilt bloom is correct by
+    * construction. Crash-safe by re-run: bloom swaps before meta, and
+    * a crash between the two leaves a VALID new bloom under the old
+    * meta — `n_hashes` is informational (the probe reads only `k` and
+    * `n_hash_parts`), and the nightly count tripwire re-trips and
+    * finishes the meta rewrite. Returns the true hash count. */
+  def rebuildDeconBloom(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Long = {
+    import spark.implicits._
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    // leftovers of a crashed PRIOR bloom rebuild first
+    graft.sources.TableSwap.recover(fs, path, "bloom")
+    graft.sources.TableSwap.recover(fs, path, "meta")
+    val m = spark.read.parquet(s"$path/meta").head()
+    val k = m.getInt(0)
+    val fpp = m.getDouble(1)
+    val parts = m.getInt(3)
+    val hashes = spark.read.schema("h BIGINT, part BIGINT")
+      .parquet(s"$path/hashes").cache()
+    try {
+      val n = hashes.count()
+      val bytes = deconBloomBytes(hashes, n, fpp)
+      graft.sources.TableSwap.rewrite(spark, fs, path, "bloom") { tmp =>
+        Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      graft.sources.TableSwap.rewrite(spark, fs, path, "meta") { tmp =>
+        Seq((k, fpp, n, parts))
+          .toDF("k", "fpp", "n_hashes", "n_hash_parts")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
+      n
     } finally hashes.unpersist()
   }
 

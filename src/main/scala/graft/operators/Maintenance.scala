@@ -67,6 +67,20 @@ object Maintenance {
     val fs = graft.sources.Hdfs.forPath(spark, path)
     def exists(t: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t"))
+    // heal a crashed ROOT swap first (the decon family's re-save
+    // stages the whole artifact aside): family-agnostic and a no-op
+    // for the LSH/PQ layouts, which never swap their roots — without
+    // it a decon index whose live dir died mid-swap has no meta/ to
+    // detect the family from
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootStaged =
+      fs.exists(new org.apache.hadoop.fs.Path(root.getParent,
+        s"_repair_old_${root.getName}")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(root.getParent,
+        s"_repair_tmp_${root.getName}"))
+    if (rootStaged)
+      graft.sources.TableSwap.recover(fs, root.getParent.toString,
+        root.getName)
     val inflight = graft.sources.Rebuild.isInflight(spark, path)
     require(exists("meta") || inflight,
       s"$path is not a saved index (no meta/ table)")
@@ -80,9 +94,16 @@ object Maintenance {
     val isPq = exists("cells") || snapParams.exists(_.contains("n_centroids"))
     val isLsh = !isPq &&
       (exists("bands") || snapParams.exists(_.contains("n_bucket_parts")))
-    require(isPq || isLsh,
-      s"$path has neither cells/ (PQ-IVF) nor bands/ (LSH) nor a " +
-        "rebuild snapshot identifying the family")
+    val isDecon = !isPq && !isLsh && exists("bloom") && exists("hashes")
+    require(isPq || isLsh || isDecon,
+      s"$path has neither cells/ (PQ-IVF) nor bands/ (LSH) nor " +
+        "bloom/+hashes/ (decon) nor a rebuild snapshot identifying " +
+        "the family")
+    if (isDecon) {
+      val r = nightlyDecon(spark, path, maxFilesPerPart)
+      return r.copy(actions =
+        (if (rootStaged) Seq("heal-swap") else Nil) ++ r.actions)
+    }
     // heal FIRST: a crashed rebuild left the in-flight marker, so every
     // probe (including tonight's drift check) fails loudly until the
     // rebuild is re-run from its committed snapshot — that re-run is
@@ -97,6 +118,43 @@ object Maintenance {
       if (isPq) nightlyPq(spark, path, maxFilesPerPart, pq, repair)
       else nightlyLsh(spark, path, maxFilesPerPart, lsh, repair)
     report.copy(actions = healed ++ report.actions)
+  }
+
+  /** Nightly pass for the decontamination family
+    * ([[Dedup.saveDeconIndex]] layout — `hashes/` + `bloom` + `meta`
+    * under an atomically root-swapped dir): verify the bloom sidecar
+    * against the hash store it prunes for (meta's recorded count must
+    * match, the bloom must be readable, and — blooms have no false
+    * negatives — every stored hash must probe positive), rebuild it
+    * from the store if not ([[Dedup.rebuildDeconBloom]]), then
+    * compact fragmented hash partitions. The full-store probe scan is
+    * proportionate: a benchmark suite is small by definition (the
+    * whole design reason the bloom broadcasts). */
+  private def nightlyDecon(spark: SparkSession, path: String,
+                           maxFilesPerPart: Int): NightlyReport = {
+    import org.apache.spark.sql.functions.col
+    val actions = Seq.newBuilder[String]
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    // sub-table leftovers of a crashed prior bloom rebuild
+    graft.sources.TableSwap.recover(fs, path, "bloom")
+    graft.sources.TableSwap.recover(fs, path, "meta")
+    val metaN = spark.read.parquet(s"$path/meta").head().getLong(2)
+    val hashes = spark.read.schema("h BIGINT, part BIGINT")
+      .parquet(s"$path/hashes")
+    val trueN = hashes.count()
+    val falseNegatives = scala.util.Try(
+        spark.read.parquet(s"$path/bloom").head().getAs[Array[Byte]](0))
+      .map(bytes => hashes.where(!graft.functions.BloomExprs
+        .mightContainLong(col("h"), bytes)).count())
+    if (falseNegatives.isFailure || falseNegatives.get > 0 ||
+        metaN != trueN) {
+      Dedup.rebuildDeconBloom(spark, path)
+      actions += "rebuild-bloom"
+    }
+    val compacted = graft.sources.Compaction.compactPartitions(spark,
+      s"$path/hashes", "part=", maxFilesPerPart)
+    if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
+    NightlyReport(path, "decon", actions.result(), None, None)
   }
 
   private def nightlyPq(spark: SparkSession, path: String,

@@ -59,6 +59,72 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(probe() === beforeNight2)
   }
 
+  test("decon three nights: compact, damaged-bloom rebuild (probe-identical), then no-op") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.where(pmod(col("doc_id"), lit(12)) === 11)
+    val batch = docs.where(pmod(col("doc_id"), lit(12)) === 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("mnt_dec").toString + "/decon"
+    Dedup.saveDeconIndex(bench, k = 8, path, nHashParts = 4)
+    def probe() = Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    // night 1: the save's shuffled write leaves several files per
+    // hash partition — compacts, nothing else
+    val night1 = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
+    assert(night1.family === "decon")
+    assert(night1.actions.forall(_.startsWith("compact")),
+      s"healthy fresh index must only compact: $night1")
+    assert(probe() === before)
+    // damage: a bloom of the WRONG content (stale/corrupt sidecar) —
+    // stored hashes now probe negative, which a correct bloom can
+    // never do. Exactness holds meanwhile (the confirm join owns it).
+    val badBloom = org.apache.spark.util.sketch.BloomFilter.create(1, 0.01)
+    badBloom.putLong(Long.MinValue)
+    val bo = new java.io.ByteArrayOutputStream(); badBloom.writeTo(bo)
+    Seq(Tuple1(bo.toByteArray)).toDF("bloom").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/bloom")
+    // night 2: false-negative tripwire fires, bloom rebuilt from the
+    // hash store, probe verdicts bit-identical
+    val night2 = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
+    assert(night2.actions.contains("rebuild-bloom"),
+      s"a bloom with false negatives must rebuild: $night2")
+    assert(probe() === before)
+    // night 3: no-op
+    val night3 = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
+    assert(night3.noOp, s"healthy night must no-op: $night3")
+    assert(probe() === before)
+  }
+
+  test("decon: a re-save that died mid root swap is healed by the nightly tick") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.where(pmod(col("doc_id"), lit(12)) === 11)
+    val batch = docs.where(pmod(col("doc_id"), lit(12)) === 3)
+    val parent = java.nio.file.Files.createTempDirectory("mnt_dec2").toString
+    val path = parent + "/decon"
+    Dedup.saveDeconIndex(bench, k = 8, path, nHashParts = 4)
+    val before = Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    // simulate the swap's worst window: live renamed aside, the new
+    // root never arrived — probes now have no meta to read at all
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(parent, "_repair_old_decon")))
+    intercept[Exception] {
+      Dedup.decontaminateAgainstDeconIndex(batch, path).collect()
+    }
+    val night = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
+    assert(night.actions.contains("heal-swap"), s"must heal: $night")
+    assert(Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq === before,
+      "healed index must serve the pre-crash verdicts")
+  }
+
   test("a crashed rebuild is healed by the next nightly tick: heal-rebuild first, probes restored") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
