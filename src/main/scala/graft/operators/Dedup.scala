@@ -1220,31 +1220,36 @@ object Dedup {
     * finishes the meta rewrite. Returns the true hash count. */
   def rebuildDeconBloom(spark: org.apache.spark.sql.SparkSession,
                         path: String): Long = {
-    import spark.implicits._
     val fs = graft.sources.Hdfs.forPath(spark, path)
     // leftovers of a crashed PRIOR bloom rebuild first
     graft.sources.TableSwap.recover(fs, path, "bloom")
     graft.sources.TableSwap.recover(fs, path, "meta")
     val m = spark.read.parquet(s"$path/meta").head()
-    val k = m.getInt(0)
-    val fpp = m.getDouble(1)
-    val parts = m.getInt(3)
     val hashes = spark.read.schema("h BIGINT, part BIGINT")
-      .parquet(s"$path/hashes").cache()
-    try {
-      val n = hashes.count()
-      val bytes = deconBloomBytes(hashes, n, fpp)
-      graft.sources.TableSwap.rewrite(spark, fs, path, "bloom") { tmp =>
-        Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-      }
-      graft.sources.TableSwap.rewrite(spark, fs, path, "meta") { tmp =>
-        Seq((k, fpp, n, parts))
-          .toDF("k", "fpp", "n_hashes", "n_hash_parts")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-      }
-      n
-    } finally hashes.unpersist()
+      .parquet(s"$path/hashes")
+    rebuildDeconBloomAs(spark, path, m.getInt(0), m.getDouble(1),
+      m.getInt(3), hashes, hashes.count())
+  }
+
+  /** [[rebuildDeconBloom]] with the meta row and hash count already in
+    * hand — the nightly cron has just read both for its tripwire, and
+    * re-reading a store it scanned moments ago is wasted I/O. */
+  private[graft] def rebuildDeconBloomAs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int, fpp: Double, parts: Int, hashes: DataFrame, n: Long): Long = {
+    import spark.implicits._
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    val bytes = deconBloomBytes(hashes, n, fpp)
+    graft.sources.TableSwap.rewrite(spark, fs, path, "bloom") { tmp =>
+      Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    graft.sources.TableSwap.rewrite(spark, fs, path, "meta") { tmp =>
+      Seq((k, fpp, n, parts))
+        .toDF("k", "fpp", "n_hashes", "n_hash_parts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    n
   }
 
   /** Probe a [[saveDeconIndex]] artifact with an arriving batch: per

@@ -71,16 +71,29 @@ object Maintenance {
     // stages the whole artifact aside): family-agnostic and a no-op
     // for the LSH/PQ layouts, which never swap their roots — without
     // it a decon index whose live dir died mid-swap has no meta/ to
-    // detect the family from
+    // detect the family from. ONLY the live-missing crash class: a
+    // present live dir plus a staged _repair_tmp is what an
+    // IN-PROGRESS re-save looks like from outside (its multi-minute
+    // staging write), and recovering there would delete the staging
+    // dir out from under the writer — the next save's own recover
+    // handles that litter if it really was a crash
     val root = new org.apache.hadoop.fs.Path(path)
-    val rootStaged =
+    val rootStaged = !fs.exists(root) &&
       fs.exists(new org.apache.hadoop.fs.Path(root.getParent,
-        s"_repair_old_${root.getName}")) ||
-      fs.exists(new org.apache.hadoop.fs.Path(root.getParent,
-        s"_repair_tmp_${root.getName}"))
+        s"_repair_old_${root.getName}"))
     if (rootStaged)
       graft.sources.TableSwap.recover(fs, root.getParent.toString,
         root.getName)
+    // sub-table leftovers of a crashed bloom/meta rewrite
+    // ([[Dedup.rebuildDeconBloom]]'s two swaps) can leave bloom/ or
+    // even meta/ missing — recover them BEFORE the meta require and
+    // the family detection that need them present. hashes/ is
+    // decon-specific layout (LSH has bands/, PQ has cells/), so this
+    // touches nothing on the other families' roots.
+    if (exists("hashes")) {
+      graft.sources.TableSwap.recover(fs, path, "bloom")
+      graft.sources.TableSwap.recover(fs, path, "meta")
+    }
     val inflight = graft.sources.Rebuild.isInflight(spark, path)
     require(exists("meta") || inflight,
       s"$path is not a saved index (no meta/ table)")
@@ -126,19 +139,23 @@ object Maintenance {
     * against the hash store it prunes for (meta's recorded count must
     * match, the bloom must be readable, and — blooms have no false
     * negatives — every stored hash must probe positive), rebuild it
-    * from the store if not ([[Dedup.rebuildDeconBloom]]), then
-    * compact fragmented hash partitions. The full-store probe scan is
-    * proportionate: a benchmark suite is small by definition (the
-    * whole design reason the bloom broadcasts). */
+    * from the store if not ([[Dedup.rebuildDeconBloom]]'s internals,
+    * fed tonight's already-read meta). Compaction runs FIRST, not
+    * last: its entry sweep restores a hash partition a prior night's
+    * crashed compaction left staged aside, and counting (or rebuilding
+    * a bloom from) the torn store would bake false negatives into the
+    * sidecar for a whole day — benchmark leaks scoring clean is the
+    * exact failure this family exists to prevent. The full-store probe
+    * scan is proportionate: a benchmark suite is small by definition
+    * (the whole design reason the bloom broadcasts). */
   private def nightlyDecon(spark: SparkSession, path: String,
                            maxFilesPerPart: Int): NightlyReport = {
     import org.apache.spark.sql.functions.col
     val actions = Seq.newBuilder[String]
-    val fs = graft.sources.Hdfs.forPath(spark, path)
-    // sub-table leftovers of a crashed prior bloom rebuild
-    graft.sources.TableSwap.recover(fs, path, "bloom")
-    graft.sources.TableSwap.recover(fs, path, "meta")
-    val metaN = spark.read.parquet(s"$path/meta").head().getLong(2)
+    val compacted = graft.sources.Compaction.compactPartitions(spark,
+      s"$path/hashes", "part=", maxFilesPerPart)
+    if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
+    val m = spark.read.parquet(s"$path/meta").head()
     val hashes = spark.read.schema("h BIGINT, part BIGINT")
       .parquet(s"$path/hashes")
     val trueN = hashes.count()
@@ -147,13 +164,11 @@ object Maintenance {
       .map(bytes => hashes.where(!graft.functions.BloomExprs
         .mightContainLong(col("h"), bytes)).count())
     if (falseNegatives.isFailure || falseNegatives.get > 0 ||
-        metaN != trueN) {
-      Dedup.rebuildDeconBloom(spark, path)
+        m.getLong(2) != trueN) {
+      Dedup.rebuildDeconBloomAs(spark, path, m.getInt(0), m.getDouble(1),
+        m.getInt(3), hashes, trueN)
       actions += "rebuild-bloom"
     }
-    val compacted = graft.sources.Compaction.compactPartitions(spark,
-      s"$path/hashes", "part=", maxFilesPerPart)
-    if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
     NightlyReport(path, "decon", actions.result(), None, None)
   }
 

@@ -98,6 +98,64 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(probe() === before)
   }
 
+  test("decon: a bloom rebuild that died mid sub-table swap is healed by the nightly tick") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.where(pmod(col("doc_id"), lit(12)) === 11)
+    val batch = docs.where(pmod(col("doc_id"), lit(12)) === 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("mnt_dec3").toString + "/decon"
+    Dedup.saveDeconIndex(bench, k = 8, path, nHashParts = 4)
+    val before = Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    // the worst window of rebuildDeconBloom's bloom swap: live bloom
+    // renamed aside, the replacement never arrived — probes throw and
+    // the family's own layout marker (bloom/) is GONE, the state the
+    // pre-detection recover exists for
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/bloom"),
+      new org.apache.hadoop.fs.Path(s"$path/_repair_old_bloom")))
+    intercept[Exception] {
+      Dedup.decontaminateAgainstDeconIndex(batch, path).collect()
+    }
+    val night = Maintenance.nightly(spark, path, maxFilesPerPart = 8)
+    assert(night.family === "decon", s"family must survive the crash: $night")
+    assert(Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq === before,
+      "healed index must serve the pre-crash verdicts")
+  }
+
+  test("decon: a hash partition torn by a crashed compaction is restored BEFORE the bloom check") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.where(pmod(col("doc_id"), lit(12)) === 11)
+    val batch = docs.where(pmod(col("doc_id"), lit(12)) === 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("mnt_dec4").toString + "/decon"
+    Dedup.saveDeconIndex(bench, k = 8, path, nHashParts = 4)
+    val before = Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    // compaction's dangerous window: a live hash partition staged
+    // aside, replacement never arrived. If the bloom tripwire counted
+    // the torn store FIRST it would rebuild a bloom missing this
+    // partition's hashes — false negatives the probe would trust for
+    // a day. The compact pass's entry sweep must restore it first.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/hashes/part=1"),
+      new org.apache.hadoop.fs.Path(s"$path/_compact_old_part=1")))
+    val night = Maintenance.nightly(spark, path, maxFilesPerPart = 8)
+    assert(!night.actions.contains("rebuild-bloom"),
+      s"restored store must count clean — a rebuild here means the " +
+        s"tripwire saw the torn store: $night")
+    assert(Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq === before,
+      "restored index must serve the pre-crash verdicts")
+  }
+
   test("decon: a re-save that died mid root swap is healed by the nightly tick") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
