@@ -196,6 +196,14 @@ object Registry {
     reg.createOrReplaceTempFunction("pq_adc",
       exprs => PqAdc(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
       "scala_udf")
+    // widths ride as CSV literals — empty string = empty width list
+    def csvInts(e: Expression): Seq[Int] = {
+      val s = e.eval().toString
+      if (s.isEmpty) Nil else s.split(',').toSeq.map(_.toInt)
+    }
+    reg.createOrReplaceTempFunction("repetition_stats",
+      exprs => RepetitionStats(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        csvInts(exprs(2)), csvInts(exprs(3))), "scala_udf")
   }
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
@@ -212,6 +220,11 @@ object Registry {
     call_function("gram_hashes", tokens, lit(k))
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingleHashes, lit(numHashes))
+
+  def repetitionStats(tokens: Column, segWords: Int,
+                      topNs: Seq[Int], dupNs: Seq[Int]): Column =
+    call_function("repetition_stats", tokens, lit(segWords),
+      lit(topNs.mkString(",")), lit(dupNs.mkString(",")))
 
   def pqEncode(emb: Column, cbFlat: Column, m: Int, kCode: Int): Column =
     call_function("pq_encode", emb, cbFlat, lit(m), lit(kCode))

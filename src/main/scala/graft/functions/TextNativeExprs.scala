@@ -192,3 +192,144 @@ case class HyperplaneSig(child: Expression, nBits: Int, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
 }
+
+/** All Gopher repetition-signal integer numerators in ONE linear
+  * HashMap pass over the token array (reference semantics:
+  * [[graft.operators.TextAnalysis.repetitionSignals]]'s documented
+  * rules; Rae et al. 2021 table A1). Replaces the per-row
+  * higher-order-function formulation whose nested `filter` count was
+  * O(grams²) string comparisons per document — ~10⁶ compares for a
+  * 10³-word doc PER width, which measured 32 s for 1.7k sf0.1 docs
+  * where this pass takes under a second. Counting by hash map is
+  * exact (token sequences joined by a single space are injective when
+  * tokens are themselves space-free, which `split(text, ' ')`
+  * guarantees), and every emitted value is the same exact integer the
+  * lambda form produced, so the DuckDB oracle is unchanged.
+  *
+  * Output layout (array<long>):
+  * `[n_words, total_chars, n_lines, dup_line_excess, dup_line_chars]`
+  * then one `top_chars` per width in `topNs`, then one
+  * `dup_covered_chars` (positional union) per width in `dupNs`. */
+case class RepetitionStats(child: Expression, segWords: Int,
+                           topNs: Seq[Int], dupNs: Seq[Int])
+    extends UnaryExpression with CodegenFallback {
+  require(segWords >= 1 && (topNs ++ dupNs).forall(_ >= 1))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[ArrayData]
+    val n = w.numElements()
+    val toks = new Array[String](n)
+    val tokLen = new Array[Long](n)
+    var totalChars = 0L
+    var i = 0
+    while (i < n) {
+      val s = w.getUTF8String(i)
+      toks(i) = s.toString
+      tokLen(i) = s.numChars().toLong
+      totalChars += tokLen(i)
+      i += 1
+    }
+    val out = new Array[Long](5 + topNs.size + dupNs.size)
+    out(0) = n.toLong
+    out(1) = totalChars
+
+    // ---- fixed-width "lines" (segWords-token segments)
+    val nLines = (n + segWords - 1) / segWords
+    out(2) = nLines.toLong
+    if (nLines > 0) {
+      // seg string -> (count, token-chars); equal strings have equal
+      // token-char sums, so chars recorded at first sight are exact
+      val segs = new java.util.HashMap[String, Array[Long]]()
+      val sb = new java.lang.StringBuilder
+      var li = 0
+      while (li < nLines) {
+        sb.setLength(0)
+        val start = li * segWords
+        val end = math.min(start + segWords, n)
+        var chars = 0L
+        var j = start
+        while (j < end) {
+          if (j > start) sb.append(' ')
+          sb.append(toks(j)); chars += tokLen(j)
+          j += 1
+        }
+        val e = segs.computeIfAbsent(sb.toString, _ => Array(0L, chars))
+        e(0) += 1L
+        li += 1
+      }
+      var excess = 0L
+      var dupChars = 0L
+      val it = segs.values().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e(0) >= 2) { excess += e(0) - 1; dupChars += (e(0) - 1) * e(1) }
+      }
+      out(3) = excess
+      out(4) = dupChars
+    }
+
+    // ---- per-width n-gram signals
+    val widths = (topNs ++ dupNs).distinct
+    val topChars = new java.util.HashMap[Int, Long]()
+    val dupCovered = new java.util.HashMap[Int, Long]()
+    widths.foreach { nn =>
+      val g = n - nn + 1
+      if (g <= 0) { topChars.put(nn, 0L); dupCovered.put(nn, 0L) }
+      else {
+        // gram string -> (count, token-chars); plus per-position gram
+        // refs so the coverage pass re-reads counts without re-joining
+        val counts = new java.util.HashMap[String, Array[Long]]()
+        val atPos = new Array[Array[Long]](g)
+        val sb = new java.lang.StringBuilder
+        var p = 0
+        while (p < g) {
+          sb.setLength(0)
+          var chars = 0L
+          var j = p
+          while (j < p + nn) {
+            if (j > p) sb.append(' ')
+            sb.append(toks(j)); chars += tokLen(j)
+            j += 1
+          }
+          val e = counts.computeIfAbsent(sb.toString, _ => Array(0L, chars))
+          e(0) += 1L
+          atPos(p) = e
+          p += 1
+        }
+        var top = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val cover = e(0) * e(1)
+          if (cover > top) top = cover
+        }
+        topChars.put(nn, top)
+        if (dupNs.contains(nn)) {
+          // positional union: a word covered by ANY >=2x gram counts once
+          val covered = new Array[Boolean](n)
+          p = 0
+          while (p < g) {
+            if (atPos(p)(0) >= 2L) {
+              var j = p
+              while (j < p + nn) { covered(j) = true; j += 1 }
+            }
+            p += 1
+          }
+          var sum = 0L
+          var j = 0
+          while (j < n) { if (covered(j)) sum += tokLen(j); j += 1 }
+          dupCovered.put(nn, sum)
+        }
+      }
+    }
+    var o = 5
+    topNs.foreach { nn => out(o) = topChars.get(nn); o += 1 }
+    dupNs.foreach { nn => out(o) = dupCovered.get(nn); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}

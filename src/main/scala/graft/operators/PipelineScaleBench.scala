@@ -49,8 +49,12 @@ object PipelineScaleBench {
     // sensitive part (segment hash shuffle + frequent-set broadcast),
     // and the prefix copies plant exactly the cross-copy frequent
     // segments the broadcast path must stay small under
+    // c7 rides it too: its gate/decon stages are per-row and
+    // shuffle-bounded, its LSH+components stage is c2's machinery
+    // over the curated third of the corpus — the composition must
+    // inherit the sublinear curve, not multiply it
     val queries = Seq("c1_corpus_pipeline", "c2_dedup_pipeline",
-      "c3_curation_v2", "c4_ingest_curation")
+      "c3_curation_v2", "c4_ingest_curation", "c7_curation_pipeline")
 
     import BenchTime.timed
     // JIT/codegen warmup at a thin slice so the 1× point isn't taxed

@@ -254,18 +254,14 @@ object TextAnalysis {
     * (spaces excluded); each fraction is ONE final double division, so
     * the DuckDB oracle ([[repetitionSignalsSql]]) matches bit-exactly.
     *
-    * Scale posture (100 TB): pure per-row higher-order functions — zero
-    * shuffles, embarrassingly parallel, whole rows never leave their
-    * input partition. The within-doc n-gram counting is O(words²) per
-    * document (nested filter), which is the right trade for real
-    * corpora: pipelines cap document length before these signals
-    * (Gopher drops >100k-word docs first), and for the capped median
-    * (~10³ words) the quadratic constant is microseconds — far cheaper
-    * than the explode + per-(doc,gram) shuffle a relational form would
-    * pay n_gram-widths times over the full corpus. The two projections
-    * below are deliberate: segs/grams are aliased once and referenced
-    * many times, which keeps CollapseProject from inlining (re-running)
-    * the splits per signal. */
+    * Scale posture (100 TB): ONE native per-row expression
+    * ([[graft.functions.RepetitionStats]]) — zero shuffles,
+    * embarrassingly parallel, whole rows never leave their input
+    * partition, and the within-doc counting is a linear hash-map pass.
+    * (The first formulation counted with nested per-row lambdas —
+    * O(grams²) string comparisons per document per width, which
+    * measured 32 s for 1.7k sf0.1-sized docs where the native pass
+    * takes under a second; the emitted integers are identical.) */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
                         segWords: Int = 8,
                         topNs: Seq[Int] = Seq(2, 3, 4),
@@ -274,67 +270,27 @@ object TextAnalysis {
     require((topNs ++ dupNs).forall(_ >= 1), "n-gram widths must be >= 1")
     require(topNs.distinct == topNs && dupNs.distinct == dupNs,
       s"duplicate n-gram widths would emit duplicate output columns: $topNs $dupNs")
-    val w = col("w")
-    def tokChars(c: Column): Column = length(translate(c, " ", "")).cast("long")
-    def cntIn(arr: Column, g: Column): Column =
-      size(filter(arr, x => x === g)).cast("long")
-    def gramsExpr(n: Int): Column =
-      when(size(w) >= n, expr(
-        s"transform(sequence(1, size(w) - $n + 1), i -> array_join(slice(w, i, $n), ' '))"))
-        .otherwise(array().cast("array<string>"))
-
-    val ns = (topNs ++ dupNs).distinct
-    val staged = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"),
-        length(translate(col("text"), " ", "")).cast("long").as("total_chars"))
-      .select(Seq(col("doc_id"), w, col("total_chars"),
-        expr(
-          s"""transform(sequence(1, cast(ceil(size(w) / ${segWords}D) as int)),
-             |  i -> array_join(slice(w, (i - 1) * $segWords + 1, $segWords), ' '))"""
-            .stripMargin).as("segs")) ++
-        ns.map(n => gramsExpr(n).as(s"g$n")): _*)
-
+    // the stats array is aliased once and referenced per signal — the
+    // projection split keeps CollapseProject from inlining (re-running)
+    // the native pass per output column
+    val staged = docs.select(col("doc_id"),
+      graft.functions.Registry.repetitionStats(
+        split(col("text"), " "), segWords, topNs, dupNs).as("st"))
+    def st(i: Int): Column = element_at(col("st"), i + 1)
     def frac(numer: Column): Column =
-      when(col("total_chars") === 0, lit(0.0))
-        .otherwise(numer.cast("double") / col("total_chars"))
-    // most frequent n-gram's char coverage: max over distinct grams of
-    // count * token-chars (deterministic — no tie-break on the gram
-    // itself needed, the covered-char product is the compared value)
-    def topChars(grams: Column): Column = coalesce(
-      array_max(transform(array_distinct(grams),
-        g => cntIn(grams, g) * tokChars(g))), lit(0L))
-    // positional union of all >=2x n-grams: 1-based start positions of
-    // duplicated grams -> covered word indices -> distinct -> char sum
-    def dupCoveredChars(grams: Column, n: Int): Column = {
-      val starts = transform(grams,
-        (g, i) => struct((i + 1).as("p"), cntIn(grams, g).as("c")))
-      val dupStarts = transform(
-        filter(starts, s => s.getField("c") >= 2), s => s.getField("p"))
-      val covered = array_distinct(flatten(
-        transform(dupStarts, p => sequence(p, p + (n - 1)))))
-      coalesce(aggregate(covered, lit(0L),
-        (acc, p) => acc + length(element_at(w, p)).cast("long")), lit(0L))
-    }
-
-    val nLines = size(col("segs")).cast("long")
-    val dupLineExcess =
-      (size(col("segs")) - size(array_distinct(col("segs")))).cast("long")
-    val dupLineChars = aggregate(
-      transform(array_distinct(col("segs")),
-        g => (cntIn(col("segs"), g) - lit(1L)) * tokChars(g)),
-      lit(0L), (acc, x) => acc + x)
-
+      when(st(1) === 0, lit(0.0)).otherwise(numer.cast("double") / st(1))
     staged.select(Seq(
       col("doc_id"),
-      size(w).cast("long").as("n_words"),
-      col("total_chars"),
-      nLines.as("n_lines"),
-      when(nLines === 0, lit(0.0))
-        .otherwise(dupLineExcess.cast("double") / nLines).as("dup_line_frac"),
-      frac(dupLineChars).as("dup_line_char_frac")) ++
-      topNs.map(n => frac(topChars(col(s"g$n"))).as(s"top${n}_char_frac")) ++
-      dupNs.map(n =>
-        frac(dupCoveredChars(col(s"g$n"), n)).as(s"dup${n}_char_frac")): _*)
+      st(0).as("n_words"),
+      st(1).as("total_chars"),
+      st(2).as("n_lines"),
+      when(st(2) === 0, lit(0.0))
+        .otherwise(st(3).cast("double") / st(2)).as("dup_line_frac"),
+      frac(st(4)).as("dup_line_char_frac")) ++
+      topNs.zipWithIndex.map { case (n, i) =>
+        frac(st(5 + i)).as(s"top${n}_char_frac") } ++
+      dupNs.zipWithIndex.map { case (n, i) =>
+        frac(st(5 + topNs.size + i)).as(s"dup${n}_char_frac") }: _*)
   }
 
   /** DuckDB oracle for [[repetitionSignals]]: the identical rules in
