@@ -219,16 +219,23 @@ case class RepetitionStats(child: Expression, segWords: Int,
 
   protected override def nullSafeEval(input: Any): Any = {
     val w = input.asInstanceOf[ArrayData]
-    val n = w.numElements()
-    val toks = new Array[String](n)
-    val tokLen = new Array[Long](n)
+    val nRaw = w.numElements()
+    val toks = new Array[String](nRaw)
+    val tokLen = new Array[Long](nRaw)
     var totalChars = 0L
+    // null elements are ignored, matching the replaced HOF formulation
+    // (array_join skips nulls). split() never yields them, but the
+    // registered SQL function must not NPE on a hand-built array.
+    var n = 0
     var i = 0
-    while (i < n) {
-      val s = w.getUTF8String(i)
-      toks(i) = s.toString
-      tokLen(i) = s.numChars().toLong
-      totalChars += tokLen(i)
+    while (i < nRaw) {
+      if (!w.isNullAt(i)) {
+        val s = w.getUTF8String(i)
+        toks(n) = s.toString
+        tokLen(n) = s.numChars().toLong
+        totalChars += tokLen(n)
+        n += 1
+      }
       i += 1
     }
     val out = new Array[Long](5 + topNs.size + dupNs.size)
@@ -298,14 +305,19 @@ case class RepetitionStats(child: Expression, segWords: Int,
           atPos(p) = e
           p += 1
         }
-        var top = 0L
-        val it = counts.values().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val cover = e(0) * e(1)
-          if (cover > top) top = cover
+        // the max scan only pays off for widths actually emitted as a
+        // top-gram signal — dupNs-only widths (and the sink's
+        // topNs=Nil case) skip it entirely
+        if (topNs.contains(nn)) {
+          var top = 0L
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val cover = e(0) * e(1)
+            if (cover > top) top = cover
+          }
+          topChars.put(nn, top)
         }
-        topChars.put(nn, top)
         if (dupNs.contains(nn)) {
           // positional union: a word covered by ANY >=2x gram counts once
           val covered = new Array[Boolean](n)

@@ -1,10 +1,21 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import graft.functions.Registry
 
-// Temporary stage profiler for c7 — not part of the library surface.
+/** Stage profiler for the c7 curation chain — a dev tool, not part of
+  * the library surface. Calls the SAME stage builders the declared
+  * query uses ([[graft.queries.CurationStages]]), so the profiled
+  * pipeline cannot drift from the benchmarked/oracle-gated one.
+  *
+  * Every stage is FORCED inside its timer (the pinned stages by their
+  * own localCheckpoint; the lazy ones by an explicit one), so each
+  * printed number is that stage's cost and nothing downstream — the
+  * earlier version timed the lazy pair builder at ~0 s and billed the
+  * whole candidate join to the components stage. The checkpoint cuts
+  * on the normally-lazy stages mean the profiled TOTAL is not the
+  * fused bench time; per-stage attribution is the point here.
+  */
 object C7Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -24,55 +35,14 @@ object C7Profile {
       r
     }
 
-    // replicate the c7 query stage by stage
-    import graft.operators.{Dedup, Sampling, TextAnalysis}
-    val wr = split(col("text"), " ")
-    val rep = concat(col("text"), lit(" "),
-      array_join(slice(wr, 1, 12), " "), lit(" "),
-      array_join(slice(wr, 1, 12), " "))
+    import graft.queries.CurationStages._
     val all = graft.sources.Tables.documents(spark, dir)
-    val docs = t("docs-pin") {
-      all.where(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id"), col("source"),
-          when(pmod(col("doc_id"), lit(30)) === 0, rep)
-            .otherwise(col("text")).as("text"))
-        .localCheckpoint()
-    }
-    val sig = TextAnalysis.repetitionSignals(docs,
-      topNs = Seq(2), dupNs = Seq(10))
-    val gated = t("gate-pin") {
-      docs.join(
-        sig.where(col("dup10_char_frac") < 0.10).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-        .localCheckpoint()
-    }
-    val bench = all.where(pmod(col("doc_id"), lit(3)) === 1)
-    val kept = t("decon-pin") {
-      Dedup.decontaminateFrames(gated, bench, k = 8, maxContainment = 0.5)
-        .localCheckpoint()
-    }
-    val pairs = t("lsh-pairs") {
-      Dedup.minhashLshPairs(kept, k = 3, bands = 8,
-        rowsPerBand = 4, threshold = 0.05).select(col("id1"), col("id2"))
-    }
-    val comps = t("components") {
-      Dedup.connectedComponents(pairs, assumeDistinctPairs = true)
-    }
-    val labeled = Sampling.componentSplitsFromComponents(
-      kept.select(col("doc_id").as("id")), comps)
-    val curated = kept.join(
-      labeled.select(col("id").as("doc_id"), col("split")), Seq("doc_id"))
-    val out = t("quota+agg") {
-      Sampling.groupCap(curated, "source", "doc_id",
-          key = concat(col("doc_id").cast("string"), lit("/"), col("source")),
-          cap = 5)
-        .groupBy(col("source"), col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text"))).cast("long").as("chars"),
-          sum(col("doc_id")).cast("long").as("id_checksum"))
-        .orderBy(col("source"), col("split"))
-        .collect()
-    }
+    val docs = t("docs-pin") { synthesized(all) }
+    val gatedDocs = t("gate-pin") { gated(docs) }
+    val kept = t("decon-pin") { decontaminated(gatedDocs, benchSlice(all)) }
+    val pairs = t("lsh-pairs") { nearDupPairs(kept).localCheckpoint() }
+    val comps = t("components") { components(pairs).localCheckpoint() }
+    val out = t("quota+agg") { quotaRollup(curated(kept, comps)).collect() }
     println(s"c7prof rows=${out.length}")
     spark.stop()
   }

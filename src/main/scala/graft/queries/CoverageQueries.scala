@@ -199,51 +199,17 @@ object CoverageQueries {
     // already-computed components (no second fixpoint); (5) the
     // per-source hard quota on the curated corpus. ONE nested-CTE
     // oracle replays the whole chain.
+    // Stage bodies live in CurationStages — ONE definition shared with
+    // the stage profiler (operators.C7Profile), so profiled and
+    // benchmarked pipelines cannot drift. The localCheckpoint cuts are
+    // documented there (each pinned frame has 2-3 consumers; the
+    // oracle materializes the same CTEs for the same reason).
     "c7_curation_pipeline" -> ((s, dir) => {
-      import graft.operators.{Dedup, Sampling, TextAnalysis}
-      val wr = split(col("text"), " ")
-      val rep = concat(col("text"), lit(" "),
-        array_join(slice(wr, 1, 12), " "), lit(" "),
-        array_join(slice(wr, 1, 12), " "))
+      import CurationStages._
       val all = Tables.documents(s, dir)
-      // pinned once: the synthesized slice feeds the signal subtree
-      // and the gate join (c3's pattern)
-      val docs = all.where(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id"), col("source"),
-          when(pmod(col("doc_id"), lit(30)) === 0, rep)
-            .otherwise(col("text")).as("text"))
-        .localCheckpoint()
-      val sig = TextAnalysis.repetitionSignals(docs,
-        topNs = Seq(2), dupNs = Seq(10))
-      // pinned too: decontaminateFrames consumes its batch twice (the
-      // shingle/containment side and the final anti join) — without
-      // the cut the repetition aggregation + gate join run twice (the
-      // oracle materializes its `gated` CTE for the same reason)
-      val gated = docs.join(
-        sig.where(col("dup10_char_frac") < 0.10).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-        .localCheckpoint()
-      val bench = all.where(pmod(col("doc_id"), lit(3)) === 1)
-      // kept: consumed by the LSH subtree, the split items, and the
-      // final join — materialize the decon verdict once
-      val kept = Dedup.decontaminateFrames(gated, bench,
-          k = 8, maxContainment = 0.5)
-        .localCheckpoint()
-      val pairs = Dedup.minhashLshPairs(kept, k = 3, bands = 8,
-        rowsPerBand = 4, threshold = 0.05).select(col("id1"), col("id2"))
-      val comps = Dedup.connectedComponents(pairs, assumeDistinctPairs = true)
-      val labeled = Sampling.componentSplitsFromComponents(
-        kept.select(col("doc_id").as("id")), comps)
-      val curated = kept.join(
-        labeled.select(col("id").as("doc_id"), col("split")), Seq("doc_id"))
-      Sampling.groupCap(curated, "source", "doc_id",
-          key = concat(col("doc_id").cast("string"), lit("/"), col("source")),
-          cap = 5)
-        .groupBy(col("source"), col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text"))).cast("long").as("chars"),
-          sum(col("doc_id")).cast("long").as("id_checksum"))
-        .orderBy(col("source"), col("split"))
+      val docs = synthesized(all)
+      val kept = decontaminated(gated(docs), benchSlice(all))
+      quotaRollup(curated(kept, components(nearDupPairs(kept))))
     }),
 
     // C3: curation pipeline v2 — the round-6 operators composed in the

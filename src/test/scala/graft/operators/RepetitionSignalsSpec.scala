@@ -78,6 +78,22 @@ class RepetitionSignalsSpec extends AnyFunSuite {
       s"repetitionSignals must not shuffle:\n$plan")
   }
 
+  test("registered SQL function ignores null array elements instead of NPEing") {
+    // split() never yields null elements, but repetition_stats is a
+    // registered SQL function a user can hand an arbitrary array — null
+    // elements must be skipped (the HOF formulation's array_join rule),
+    // never crash the task. With the null dropped the stats equal the
+    // 3-token doc's.
+    val r = spark.sql(
+      "SELECT repetition_stats(array('a', CAST(NULL AS string), 'a', 'a'), 2, '2', '2') AS st")
+      .collect()(0).getAs[scala.collection.Seq[Long]]("st")
+    val clean = spark.sql(
+      "SELECT repetition_stats(array('a', 'a', 'a'), 2, '2', '2') AS st")
+      .collect()(0).getAs[scala.collection.Seq[Long]]("st")
+    assert(r === clean)
+    assert(r.head === 3L) // n_words counts non-null tokens
+  }
+
   test("invalid params rejected") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
