@@ -1252,6 +1252,43 @@ object Dedup {
     n
   }
 
+  /** Content fingerprint of a [[saveDeconIndex]] artifact: FNV-1a 64
+    * over the serialized bloom bytes mixed with every meta field. The
+    * bloom is derived from the hash store (same elements + same sizing
+    * ⇒ same bit array — insertion is deterministic and OR-merge is
+    * order-independent), so the fingerprint is stable across
+    * [[rebuildDeconBloom]] heals of the SAME benchmark and changes on
+    * any re-save that could change probe verdicts. Deliberately NOT an
+    * mtime (coarse filesystem clocks misclassify — the `sources.Rebuild`
+    * lesson); two tiny driver-side file reads per call.
+    * [[graft.streaming.DocStreams.processCurationBatch]] records it
+    * next to each batch's sealed verdicts to catch the one operational
+    * misuse its crash contract cannot survive: a benchmark re-save
+    * inside a crash-replay window. */
+  def deconIndexFingerprint(spark: org.apache.spark.sql.SparkSession,
+                            path: String): String = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val bloom = spark.read.parquet(s"$path/bloom").head().getAs[Array[Byte]](0)
+    var h = graft.functions.ShingleHashes.FnvOffset
+    def mix(v: Long): Unit = {
+      var i = 0
+      while (i < 8) {
+        h ^= (v >>> (i * 8)) & 0xffL; h *= graft.functions.ShingleHashes.FnvPrime
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < bloom.length) {
+      h ^= (bloom(i) & 0xffL); h *= graft.functions.ShingleHashes.FnvPrime
+      i += 1
+    }
+    mix(m.getInt(0).toLong)                                  // k
+    mix(java.lang.Double.doubleToLongBits(m.getDouble(1)))   // fpp
+    mix(m.getLong(2))                                        // n_hashes
+    mix(m.getInt(3).toLong)                                  // n_hash_parts
+    f"$h%016x"
+  }
+
   /** Probe a [[saveDeconIndex]] artifact with an arriving batch: per
     * batch doc (with a nonempty shingle set), the fraction of its
     * distinct k-shingles found in the benchmark — the containment

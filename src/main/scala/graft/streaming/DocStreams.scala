@@ -295,6 +295,15 @@ object DocStreams {
                     verdictsPath: String, upTo: Long): Long =
     SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts"))
 
+  /** [[gcSinkMarkers]] for [[curationSink]] streams: additionally
+    * prunes the per-batch decon-fingerprint markers (`_decon/
+    * batch_<id>_<fp>`) on the same committed floor — a batch at or
+    * below the floor replays as a no-op before the fingerprint is
+    * ever consulted, so its marker is dead weight. */
+  def gcCurationMarkers(spark: org.apache.spark.sql.SparkSession,
+                        verdictsPath: String, upTo: Long): Long =
+    SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts", "_decon"))
+
   /** Gate threshold for [[curationSink]]'s repetition stage: a doc
     * whose positional duplicate-`dupN`-gram character coverage
     * ([[graft.operators.TextAnalysis.repetitionSignals]]'s
@@ -327,8 +336,17 @@ object DocStreams {
     * crashed batch may still replay — a changed benchmark changes
     * stage-(2) verdicts, and the replayed curated cohort would no
     * longer be the one the sealed dedup verdicts describe. Re-save
-    * the benchmark between committed batches (the same cadence as
-    * [[gcSinkMarkers]]), never mid-window. */
+    * the benchmark between committed batches, never mid-window. The
+    * requirement is ENFORCED, not just documented: each batch records
+    * the index's content fingerprint
+    * ([[graft.operators.Dedup.deconIndexFingerprint]]) in a
+    * name-encoded `_decon/batch_<id>_<fp>` marker before its dedup
+    * verdicts can seal, and a replay that finds sealed verdicts under
+    * a different fingerprint throws instead of silently appending the
+    * wrong survivors (spec-pinned; a fingerprint change before the
+    * seal is safe and just re-records). Use [[gcCurationMarkers]] —
+    * not [[gcSinkMarkers]] — for marker retention on these streams so
+    * the `_decon` markers are pruned on the same floor. */
   def curationSink(docs: DataFrame, indexPath: String, deconPath: String,
                    verdictsPath: String, threshold: Double,
                    maxContainment: Double = 0.8,
@@ -367,6 +385,42 @@ object DocStreams {
         processIndexedBatch(cached, id, indexPath, verdictsPath,
           threshold, maxBucket, compactEvery, maxFilesPerPart)
         return
+      }
+      // Decon-staleness tripwire. The crash contract requires the decon
+      // index to stay static while this batch can still replay: the
+      // dedup stage's verdicts are sealed against the curated cohort
+      // stage (2) produced, and a replay recomputes stage (2) from the
+      // LIVE index. Record the index's content fingerprint in a
+      // name-encoded marker BEFORE anything downstream can seal; a
+      // replay that finds sealed dedup verdicts under a DIFFERENT
+      // fingerprint fails loudly — silently proceeding would join the
+      // new curated cohort against verdicts describing the old one and
+      // corrupt the index. A fingerprint change BEFORE the verdict seal
+      // is safe (nothing derived from the old index survives), so the
+      // marker is re-recorded and the batch proceeds — re-saves between
+      // committed batches stay legal.
+      val fp = graft.operators.Dedup.deconIndexFingerprint(spark, deconPath)
+      val deconDir = new org.apache.hadoop.fs.Path(s"$verdictsPath/_decon")
+      SinkMarkers.suffixOf(fs, deconDir, id) match {
+        case Some(old) if old != fp =>
+          if (fs.exists(new org.apache.hadoop.fs.Path(
+              s"$verdictsPath/_verdicts/batch_$id")))
+            throw new IllegalStateException(
+              s"decon index at $deconPath was re-saved (fingerprint $old -> $fp) " +
+                s"inside batch $id's crash-replay window: its dedup verdicts were " +
+                "sealed against the old benchmark and this replay cannot " +
+                "reconstruct that curated cohort. Restore the previous index, or " +
+                s"discard the batch's _verdicts/_decon markers AND its verdict " +
+                "partition, then restart; re-save benchmarks only between " +
+                "committed batches (the gcCurationMarkers cadence).")
+          fs.delete(new org.apache.hadoop.fs.Path(deconDir, s"batch_${id}_$old"),
+            false)
+          SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(deconDir,
+            s"batch_${id}_$fp"))
+        case Some(_) => // same index — the idempotent-replay case
+        case None =>
+          SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(deconDir,
+            s"batch_${id}_$fp"))
       }
       // stage 1 — repetition gate: per-row arithmetic, no shuffle
       val repBad = gate.map { g =>

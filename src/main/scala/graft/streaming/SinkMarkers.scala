@@ -55,6 +55,29 @@ private[graft] object SinkMarkers {
     fs.create(p, true).close()
   }
 
+  /** Parse the batch id out of a `batch_<id>` or `batch_<id>_<suffix>`
+    * marker name — the suffixed form carries a value in the name (the
+    * same trick as `_floor_<id>`), e.g. the curation sink's per-batch
+    * decon-index fingerprint. */
+  private[streaming] def parseBatchId(name: String): Option[Long] = {
+    if (!name.startsWith("batch_")) return None
+    val rest = name.stripPrefix("batch_")
+    val digits = rest.takeWhile(_.isDigit)
+    if (digits.isEmpty) None
+    else if (digits.length == rest.length || rest.charAt(digits.length) == '_')
+      digits.toLongOption
+    else None
+  }
+
+  /** The suffix of a `batch_<id>_<suffix>` marker under `dir`, if one
+    * exists for this id. */
+  def suffixOf(fs: FileSystem, dir: HPath, id: Long): Option[String] = {
+    val prefix = s"batch_${id}_"
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+  }
+
   /** Prune markers for batch ids `<= upTo` from `_committed` and each
     * of `phaseDirs`, after raising the floor. The floor only rises to
     * the highest PRESENT commit marker at or below `upTo` (never past
@@ -70,8 +93,7 @@ private[graft] object SinkMarkers {
     def batchIds(d: HPath): Seq[(Long, HPath)] =
       if (!fs.exists(d)) Nil
       else fs.listStatus(d).toSeq.map(_.getPath)
-        .flatMap(p => p.getName.stripPrefix("batch_").toLongOption
-          .filter(_ => p.getName.startsWith("batch_")).map(_ -> p))
+        .flatMap(p => parseBatchId(p.getName).map(_ -> p))
     val committed = batchIds(dir)
     val newFloor = (committed.map(_._1).filter(_ <= upTo) :+ prev).max
     if (newFloor > prev)

@@ -190,4 +190,25 @@ class DeconIndexSpec extends AnyFunSuite {
     assert(Dedup.decontaminateFrames(tiny, bench, k = 4, maxContainment = 0.0)
       .count() === 1L, "unshingleable docs cannot be contaminated")
   }
+
+  test("fingerprint is content: stable across re-save and bloom heal, changed by a different benchmark") {
+    val path = java.nio.file.Files.createTempDirectory("decon_fp")
+      .toString + "/idx"
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    val fp = Dedup.deconIndexFingerprint(spark, path)
+    // a bloom heal from the index's own hash store changes nothing
+    Dedup.rebuildDeconBloom(spark, path)
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp,
+      "bloom rebuild from the same store must not change the fingerprint")
+    // a byte-identical re-save (same benchmark, same params) is the
+    // same content — the curation sink must not trip on it
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp,
+      "same-content re-save must keep the fingerprint")
+    // a different benchmark is different content
+    Dedup.saveDeconIndex(docs.where(pmod(col("doc_id"), lit(11)) === 1),
+      k = 4, path, nHashParts = 8)
+    assert(Dedup.deconIndexFingerprint(spark, path) !== fp,
+      "changed benchmark must change the fingerprint")
+  }
 }

@@ -215,6 +215,108 @@ class CurationSinkSpec extends AnyFunSuite {
       "replayed quarantine partition must be byte-identical rows")
   }
 
+  test("decon re-save between committed batches is legal; inside a crash-replay window it fails loudly") {
+    val idx = tmp("cur_idx6")
+    val verdicts = tmp("cur_verd6")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    def drive(b: Int) = DocStreams.processCurationBatch(role(b + 1),
+      b.toLong, idx, decon, verdicts, threshold = 0.05,
+      maxContainment = 0.5, gate = Some(DocStreams.RepetitionGate()),
+      quarantinePath = None, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8)
+    drive(0)
+    // re-save with a DIFFERENT benchmark BETWEEN committed batches —
+    // the documented legal cadence; the next batch records the new
+    // fingerprint and proceeds
+    Dedup.saveDeconIndex(docsAll.where(pmod(col("doc_id"), lit(12)) === 10),
+      k = 8, decon, nHashParts = 8)
+    drive(1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_1")))
+    // crash window: batch 2 fully ran (verdicts sealed) but the final
+    // commit marker is lost; the benchmark is then re-saved — the
+    // replay must refuse, because its recomputed curated cohort is no
+    // longer the one the sealed verdicts describe
+    drive(2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_2"),
+      true)
+    Dedup.saveDeconIndex(bench, k = 8, decon, nHashParts = 8)
+    val ex = intercept[IllegalStateException] { drive(2) }
+    assert(ex.getMessage.contains("crash-replay window"))
+    // same-content re-save mid-window does NOT trip (fingerprint is
+    // content, so the verdicts are still reconstructible): restore the
+    // window's benchmark and the replay completes
+    Dedup.saveDeconIndex(docsAll.where(pmod(col("doc_id"), lit(12)) === 10),
+      k = 8, decon, nHashParts = 8)
+    drive(2)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_2")))
+  }
+
+  test("fingerprint change BEFORE the verdict seal re-records and proceeds") {
+    val idx = tmp("cur_idx7")
+    val verdicts = tmp("cur_verd7")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    // a crash can land after the _decon marker but before anything is
+    // sealed; a re-save in that window is safe (nothing derived from
+    // the old index survives) — the marker must re-record, not throw
+    SinkMarkers.seal(fs,
+      new org.apache.hadoop.fs.Path(s"$verdicts/_decon/batch_0_deadbeef"))
+    DocStreams.processCurationBatch(role(1), 0L, idx, decon, verdicts,
+      threshold = 0.05, maxContainment = 0.5,
+      gate = Some(DocStreams.RepetitionGate()), quarantinePath = None,
+      maxBucket = Some(3), compactEvery = 0, maxFilesPerPart = 8)
+    val markers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$verdicts/_decon"))
+      .map(_.getPath.getName).toSeq
+    assert(!markers.contains("batch_0_deadbeef"), "stale marker replaced")
+    assert(markers.count(_.startsWith("batch_0_")) === 1)
+    assert(markers.exists(_ ===
+      "batch_0_" + Dedup.deconIndexFingerprint(spark, decon)))
+  }
+
+  test("gcCurationMarkers prunes _decon markers; a pruned id still replays as a no-op") {
+    val idx = tmp("cur_idx8")
+    val verdicts = tmp("cur_verd8")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    def drive(b: Int) = DocStreams.processCurationBatch(role(b + 1),
+      b.toLong, idx, decon, verdicts, threshold = 0.05,
+      maxContainment = 0.5, gate = Some(DocStreams.RepetitionGate()),
+      quarantinePath = None, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8)
+    drive(0); drive(1)
+    assert(DocStreams.gcCurationMarkers(spark, verdicts, upTo = 1L) === 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    val left = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$verdicts/_decon"))
+      .map(_.getPath.getName).toSeq
+    assert(!left.exists(_.startsWith("batch_0_")))
+    assert(!left.exists(_.startsWith("batch_1_")))
+    // floor covers the pruned ids: replay is a no-op even though the
+    // decon marker (and fingerprint) is gone
+    def state() = (
+      spark.read.parquet(verdicts).orderBy(col("doc_id"))
+        .collect().map(_.toSeq).toSeq,
+      spark.read.parquet(s"$idx/docs").count())
+    val before = state()
+    drive(0)
+    assert(state() === before)
+  }
+
   test("empty batch and gate=None both commit cleanly") {
     val idx = tmp("cur_idx5")
     val verdicts = tmp("cur_verd5")
