@@ -1182,13 +1182,16 @@ object Dedup {
       // sizing needs the >=1 clamp
       val n = hashes.count()
       val bytes = deconBloomBytes(hashes, n, fpp)
+      // verdict-relevant content digest rides in meta so the per-batch
+      // fingerprint never has to rescan the store
+      val digest = deconContentDigest(hashes)
       graft.sources.TableSwap.rewrite(spark, fs, parent, name) { tmp =>
         hashes.write.mode("overwrite").partitionBy("part")
           .parquet(s"$tmp/hashes")
         Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
           .write.mode("overwrite").parquet(s"$tmp/bloom")
-        Seq((k, fpp, n, nHashParts))
-          .toDF("k", "fpp", "n_hashes", "n_hash_parts")
+        Seq((k, fpp, n, nHashParts, digest))
+          .toDF("k", "fpp", "n_hashes", "n_hash_parts", "content_digest")
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       }
     } finally hashes.unpersist()
@@ -1240,53 +1243,79 @@ object Dedup {
     import spark.implicits._
     val fs = graft.sources.Hdfs.forPath(spark, path)
     val bytes = deconBloomBytes(hashes, n, fpp)
+    // recomputed from the store, so a heal is digest-IDENTICAL to the
+    // original save (same hash set ⇒ same digest) and also migrates
+    // legacy pre-digest indexes to the persisted-column layout
+    val digest = deconContentDigest(hashes)
     graft.sources.TableSwap.rewrite(spark, fs, path, "bloom") { tmp =>
       Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
         .write.mode("overwrite").parquet(tmp)
     }
     graft.sources.TableSwap.rewrite(spark, fs, path, "meta") { tmp =>
-      Seq((k, fpp, n, parts))
-        .toDF("k", "fpp", "n_hashes", "n_hash_parts")
+      Seq((k, fpp, n, parts, digest))
+        .toDF("k", "fpp", "n_hashes", "n_hash_parts", "content_digest")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
     n
   }
 
-  /** Content fingerprint of a [[saveDeconIndex]] artifact: FNV-1a 64
-    * over the serialized bloom bytes mixed with every meta field. The
-    * bloom is derived from the hash store (same elements + same sizing
-    * ⇒ same bit array — insertion is deterministic and OR-merge is
-    * order-independent), so the fingerprint is stable across
-    * [[rebuildDeconBloom]] heals of the SAME benchmark and changes on
-    * any re-save that could change probe verdicts. Deliberately NOT an
-    * mtime (coarse filesystem clocks misclassify — the `sources.Rebuild`
-    * lesson); two tiny driver-side file reads per call.
+  /** FNV-1a 64 fold over little-endian long words — the one mixer the
+    * decon content digest and fingerprint share. */
+  private def fnvMix(vs: Long*): Long = {
+    var h = graft.functions.ShingleHashes.FnvOffset
+    vs.foreach { v =>
+      var i = 0
+      while (i < 8) {
+        h ^= (v >>> (i * 8)) & 0xffL
+        h *= graft.functions.ShingleHashes.FnvPrime
+        i += 1
+      }
+    }
+    h
+  }
+
+  /** Order/partition-independent digest of a decon index's DISTINCT
+    * shingle-hash set: two decorrelated xor folds (xor is the one
+    * 64-bit reduction that is commutative, associative, and overflow-
+    * free under ANSI arithmetic) plus the count, FNV-mixed. Computed
+    * once at save time and persisted in meta as `content_digest`. */
+  private def deconContentDigest(hashes: DataFrame): Long = {
+    val r = hashes.agg(
+      expr("bit_xor(h)"), expr("bit_xor(xxhash64(h))"),
+      count(lit(1))).head()
+    fnvMix(if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      r.getLong(2))
+  }
+
+  /** Content fingerprint of a [[saveDeconIndex]] artifact, covering
+    * EXACTLY the probe-verdict-relevant state: the shingle width `k`
+    * and the distinct shingle-hash set (via the persisted
+    * `content_digest` meta column). Tuning-only state is deliberately
+    * excluded — verdicts are exact at any `fpp` (spec-pinned) and
+    * `n_hash_parts` is layout — so a same-benchmark re-save at
+    * different tuning keeps the fingerprint, as do
+    * [[rebuildDeconBloom]] heals and byte-identical re-saves; any
+    * benchmark content change flips it. Deliberately NOT an mtime
+    * (coarse filesystem clocks misclassify — the `sources.Rebuild`
+    * lesson). Cost: one driver-side read of the 1-row meta table;
+    * legacy indexes saved before the digest column fall back to one
+    * aggregation over the hash store (the digest lands in meta at the
+    * next save or bloom heal).
     * [[graft.streaming.DocStreams.processCurationBatch]] records it
     * next to each batch's sealed verdicts to catch the one operational
     * misuse its crash contract cannot survive: a benchmark re-save
     * inside a crash-replay window. */
   def deconIndexFingerprint(spark: org.apache.spark.sql.SparkSession,
                             path: String): String = {
-    val m = spark.read.parquet(s"$path/meta").head()
-    val bloom = spark.read.parquet(s"$path/bloom").head().getAs[Array[Byte]](0)
-    var h = graft.functions.ShingleHashes.FnvOffset
-    def mix(v: Long): Unit = {
-      var i = 0
-      while (i < 8) {
-        h ^= (v >>> (i * 8)) & 0xffL; h *= graft.functions.ShingleHashes.FnvPrime
-        i += 1
-      }
-    }
-    var i = 0
-    while (i < bloom.length) {
-      h ^= (bloom(i) & 0xffL); h *= graft.functions.ShingleHashes.FnvPrime
-      i += 1
-    }
-    mix(m.getInt(0).toLong)                                  // k
-    mix(java.lang.Double.doubleToLongBits(m.getDouble(1)))   // fpp
-    mix(m.getLong(2))                                        // n_hashes
-    mix(m.getInt(3).toLong)                                  // n_hash_parts
-    f"$h%016x"
+    val meta = spark.read.parquet(s"$path/meta")
+    val m = meta.head()
+    val digest =
+      if (meta.schema.fieldNames.contains("content_digest"))
+        m.getAs[Long]("content_digest")
+      else deconContentDigest(spark.read.schema("h BIGINT, part BIGINT")
+        .parquet(s"$path/hashes"))
+    f"${fnvMix(m.getInt(0).toLong, digest)}%016x"
   }
 
   /** Probe a [[saveDeconIndex]] artifact with an arriving batch: per

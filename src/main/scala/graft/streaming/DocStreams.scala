@@ -339,14 +339,17 @@ object DocStreams {
     * the benchmark between committed batches, never mid-window. The
     * requirement is ENFORCED, not just documented: each batch records
     * the index's content fingerprint
-    * ([[graft.operators.Dedup.deconIndexFingerprint]]) in a
-    * name-encoded `_decon/batch_<id>_<fp>` marker before its dedup
-    * verdicts can seal, and a replay that finds sealed verdicts under
-    * a different fingerprint throws instead of silently appending the
-    * wrong survivors (spec-pinned; a fingerprint change before the
-    * seal is safe and just re-records). Use [[gcCurationMarkers]] —
-    * not [[gcSinkMarkers]] — for marker retention on these streams so
-    * the `_decon` markers are pruned on the same floor. */
+    * ([[graft.operators.Dedup.deconIndexFingerprint]] — verdict-
+    * relevant content only, so bloom heals and tuning-only re-saves
+    * never trip) in a name-encoded `_decon/batch_<id>_<fp>` marker
+    * before its dedup verdicts can seal, re-checks it after the probe
+    * (a mid-batch re-save aborts before anything seals), and a replay
+    * that finds sealed verdicts under a different — or missing —
+    * fingerprint throws instead of silently appending the wrong
+    * survivors (all spec-pinned; a fingerprint change before the seal
+    * is safe and just re-records). Use [[gcCurationMarkers]] — not
+    * [[gcSinkMarkers]] — for marker retention on these streams so the
+    * `_decon` markers are pruned on the same floor. */
   def curationSink(docs: DataFrame, indexPath: String, deconPath: String,
                    verdictsPath: String, threshold: Double,
                    maxContainment: Double = 0.8,
@@ -393,32 +396,41 @@ object DocStreams {
       // LIVE index. Record the index's content fingerprint in a
       // name-encoded marker BEFORE anything downstream can seal; a
       // replay that finds sealed dedup verdicts under a DIFFERENT
-      // fingerprint fails loudly — silently proceeding would join the
-      // new curated cohort against verdicts describing the old one and
-      // corrupt the index. A fingerprint change BEFORE the verdict seal
-      // is safe (nothing derived from the old index survives), so the
-      // marker is re-recorded and the batch proceeds — re-saves between
-      // committed batches stay legal.
+      // fingerprint — or under NO recorded fingerprint (a stream
+      // upgraded mid-window, or manual marker surgery) — fails loudly,
+      // because silently proceeding would join the recomputed curated
+      // cohort against verdicts describing a different one and corrupt
+      // the index. A fingerprint change BEFORE the verdict seal is safe
+      // (nothing derived from the old index survives), so the marker is
+      // re-recorded and the batch proceeds — re-saves between committed
+      // batches stay legal.
       val fp = graft.operators.Dedup.deconIndexFingerprint(spark, deconPath)
       val deconDir = new org.apache.hadoop.fs.Path(s"$verdictsPath/_decon")
+      def verdictsSealed: Boolean = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$verdictsPath/_verdicts/batch_$id"))
+      def refuse(recorded: String): Nothing = throw new IllegalStateException(
+        s"batch $id has sealed dedup verdicts but its recorded decon " +
+          s"fingerprint is $recorded (live index at $deconPath is $fp): the " +
+          "decon index changed inside the batch's crash-replay window, so " +
+          "this replay cannot reconstruct the curated cohort the verdicts " +
+          "describe. Restore the index the verdicts were computed against, " +
+          "or discard the batch's _verdicts/_decon markers AND its verdict " +
+          "partition, then restart; re-save benchmarks only between " +
+          "committed batches (the gcCurationMarkers cadence).")
       SinkMarkers.suffixOf(fs, deconDir, id) match {
         case Some(old) if old != fp =>
-          if (fs.exists(new org.apache.hadoop.fs.Path(
-              s"$verdictsPath/_verdicts/batch_$id")))
-            throw new IllegalStateException(
-              s"decon index at $deconPath was re-saved (fingerprint $old -> $fp) " +
-                s"inside batch $id's crash-replay window: its dedup verdicts were " +
-                "sealed against the old benchmark and this replay cannot " +
-                "reconstruct that curated cohort. Restore the previous index, or " +
-                s"discard the batch's _verdicts/_decon markers AND its verdict " +
-                "partition, then restart; re-save benchmarks only between " +
-                "committed batches (the gcCurationMarkers cadence).")
+          if (verdictsSealed) refuse(old)
           fs.delete(new org.apache.hadoop.fs.Path(deconDir, s"batch_${id}_$old"),
             false)
           SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(deconDir,
             s"batch_${id}_$fp"))
         case Some(_) => // same index — the idempotent-replay case
         case None =>
+          // sealed verdicts with NO fingerprint on record: the index
+          // they were computed against is unknowable — blessing the
+          // live one would be exactly the silent wrong-survivor append
+          // this tripwire exists to stop
+          if (verdictsSealed) refuse("absent")
           SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(deconDir,
             s"batch_${id}_$fp"))
       }
@@ -440,6 +452,19 @@ object DocStreams {
         .where(col("containment") >= maxContainment)
         .select(col("doc_id"))
         .localCheckpoint()
+      // the fingerprint was read BEFORE the probe; a re-save landing in
+      // between would let verdicts seal against an index the marker does
+      // not describe (and make the tripwire's later advice wrong). The
+      // checkpoint above is the probe's LAST read of the decon index, so
+      // re-checking here closes that window. Nothing is sealed yet — a
+      // mismatch aborts cleanly and the stream's retry re-enters the
+      // tripwire, which re-records against the settled index.
+      val fpAfter = graft.operators.Dedup.deconIndexFingerprint(spark, deconPath)
+      if (fpAfter != fp)
+        throw new IllegalStateException(
+          s"decon index at $deconPath changed (fingerprint $fp -> $fpAfter) " +
+            s"while batch $id was probing it — aborting before anything " +
+            "seals. Re-save benchmarks only between committed batches.")
       val curated = gated.join(contaminated, Seq("doc_id"), "left_anti")
       // quarantine trail first: it must exist by the time the final
       // marker seals, and dynamic overwrite keyed by batch_id makes a

@@ -205,6 +205,41 @@ class DeconIndexSpec extends AnyFunSuite {
     Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
     assert(Dedup.deconIndexFingerprint(spark, path) === fp,
       "same-content re-save must keep the fingerprint")
+    // tuning-only re-saves (fpp, nHashParts) cannot change verdicts
+    // (exactness never depends on the bloom; parts are layout), so the
+    // fingerprint must not trip a live stream on them either
+    Dedup.saveDeconIndex(bench, k = 4, path, fpp = 0.5, nHashParts = 4)
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp,
+      "same-benchmark re-save at different tuning must keep the fingerprint")
+    // a legacy index saved before the content_digest meta column reads
+    // the same fingerprint via the hash-store fallback
+    val metaRows = spark.read.parquet(s"$path/meta")
+      .select(col("k"), col("fpp"), col("n_hashes"), col("n_hash_parts"))
+      .collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(metaRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("fpp",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n_hashes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_hash_parts",
+            org.apache.spark.sql.types.IntegerType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp,
+      "legacy 4-column meta must fingerprint identically via the store scan")
+    // and a bloom heal migrates the legacy meta to the digest layout
+    // without changing the fingerprint
+    Dedup.rebuildDeconBloom(spark, path)
+    assert(spark.read.parquet(s"$path/meta").schema.fieldNames
+      .contains("content_digest"), "heal must persist the digest column")
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp)
     // a different benchmark is different content
     Dedup.saveDeconIndex(docs.where(pmod(col("doc_id"), lit(11)) === 1),
       k = 4, path, nHashParts = 8)

@@ -71,6 +71,10 @@ class MaintenanceSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     val before = probe()
     assert(before.nonEmpty)
+    // the nightly's every action must be fingerprint-STABLE, or the
+    // cron would trip a live curationSink's decon-staleness tripwire
+    // mid-window — pinned across all three nights below
+    val fp = Dedup.deconIndexFingerprint(spark, path)
     // night 1: the save's shuffled write leaves several files per
     // hash partition — compacts, nothing else
     val night1 = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
@@ -78,6 +82,8 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(night1.actions.forall(_.startsWith("compact")),
       s"healthy fresh index must only compact: $night1")
     assert(probe() === before)
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp,
+      "compaction must not change the content fingerprint")
     // damage: a bloom of the WRONG content (stale/corrupt sidecar) —
     // stored hashes now probe negative, which a correct bloom can
     // never do. Exactness holds meanwhile (the confirm join owns it).
@@ -92,10 +98,13 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(night2.actions.contains("rebuild-bloom"),
       s"a bloom with false negatives must rebuild: $night2")
     assert(probe() === before)
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp,
+      "a bloom heal must not change the content fingerprint")
     // night 3: no-op
     val night3 = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
     assert(night3.noOp, s"healthy night must no-op: $night3")
     assert(probe() === before)
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp)
   }
 
   test("decon: a bloom rebuild that died mid sub-table swap is healed by the nightly tick") {

@@ -258,6 +258,41 @@ class CurationSinkSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_2")))
   }
 
+  test("sealed verdicts with NO recorded fingerprint refuse to replay") {
+    // the upgrade trap: a stream that crashed mid-window under the
+    // pre-tripwire code has sealed verdicts but no _decon marker — the
+    // index they were computed against is unknowable, so blessing the
+    // live one would be the exact silent wrong-survivor append the
+    // tripwire exists to stop
+    val idx = tmp("cur_idx9")
+    val verdicts = tmp("cur_verd9")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    def drive() = DocStreams.processCurationBatch(role(1), 0L, idx, decon,
+      verdicts, threshold = 0.05, maxContainment = 0.5,
+      gate = Some(DocStreams.RepetitionGate()), quarantinePath = None,
+      maxBucket = Some(3), compactEvery = 0, maxFilesPerPart = 8)
+    drive()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_0"),
+      true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verdicts/_decon"), true)
+    val ex = intercept[IllegalStateException] { drive() }
+    assert(ex.getMessage.contains("absent"))
+    // the documented remediation completes the batch: discard the
+    // verdict seal and partition so the replay recomputes everything
+    // against the live index
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verdicts/_verdicts/batch_0"),
+      true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verdicts/batch_id=0"), true)
+    drive()
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$verdicts/_committed/batch_0")))
+  }
+
   test("fingerprint change BEFORE the verdict seal re-records and proceeds") {
     val idx = tmp("cur_idx7")
     val verdicts = tmp("cur_verd7")
