@@ -1190,8 +1190,9 @@ object Dedup {
           .parquet(s"$tmp/hashes")
         Seq(Tuple1(bytes)).toDF("bloom").coalesce(1)
           .write.mode("overwrite").parquet(s"$tmp/bloom")
-        Seq((k, fpp, n, nHashParts, digest))
-          .toDF("k", "fpp", "n_hashes", "n_hash_parts", "content_digest")
+        Seq((k, fpp, n, nHashParts, digest, bloomBytesDigest(bytes)))
+          .toDF("k", "fpp", "n_hashes", "n_hash_parts", "content_digest",
+            "bloom_digest")
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       }
     } finally hashes.unpersist()
@@ -1214,13 +1215,17 @@ object Dedup {
   /** Re-derive a decon index's bloom sidecar (and meta's recorded
     * hash count) from its own hash store — the heal for a damaged,
     * unreadable, or stale bloom. The hash store is the source of
-    * truth (the confirm join owns exactness; the bloom only prunes
-    * inside the scan stage), so a rebuilt bloom is correct by
-    * construction. Crash-safe by re-run: bloom swaps before meta, and
-    * a crash between the two leaves a VALID new bloom under the old
-    * meta — `n_hashes` is informational (the probe reads only `k` and
-    * `n_hash_parts`), and the nightly count tripwire re-trips and
-    * finishes the meta rewrite. Returns the true hash count. */
+    * truth (the confirm join owns exactness against false POSITIVES;
+    * false NEGATIVES are what the heal repairs), so a rebuilt bloom is
+    * correct by construction. Crash-safe by re-run: bloom swaps before
+    * meta, and a crash between the two leaves a VALID new bloom under
+    * the old meta. When the store was unchanged (the damaged-sidecar
+    * heal) the rebuilt bloom is byte-identical to the one old meta's
+    * `bloom_digest` records, so probes keep serving through the
+    * window; when the store drifted, probes REFUSE (digest mismatch)
+    * until the next tick re-trips and finishes the meta rewrite —
+    * loud, never a silent false-negative serve. Returns the true hash
+    * count. */
   def rebuildDeconBloom(spark: org.apache.spark.sql.SparkSession,
                         path: String): Long = {
     val fs = graft.sources.Hdfs.forPath(spark, path)
@@ -1252,8 +1257,9 @@ object Dedup {
         .write.mode("overwrite").parquet(tmp)
     }
     graft.sources.TableSwap.rewrite(spark, fs, path, "meta") { tmp =>
-      Seq((k, fpp, n, parts, digest))
-        .toDF("k", "fpp", "n_hashes", "n_hash_parts", "content_digest")
+      Seq((k, fpp, n, parts, digest, bloomBytesDigest(bytes)))
+        .toDF("k", "fpp", "n_hashes", "n_hash_parts", "content_digest",
+          "bloom_digest")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
     n
@@ -1270,6 +1276,22 @@ object Dedup {
         h *= graft.functions.ShingleHashes.FnvPrime
         i += 1
       }
+    }
+    h
+  }
+
+  /** FNV-1a 64 over the serialized bloom bytes — persisted in meta as
+    * `bloom_digest` at save/heal time and re-checked by every probe
+    * (which already holds the bytes in driver memory), so a corrupt or
+    * stale bloom sidecar refuses loudly instead of silently dropping
+    * true contamination hits at the prefilter. */
+  private def bloomBytesDigest(bytes: Array[Byte]): Long = {
+    var h = graft.functions.ShingleHashes.FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= graft.functions.ShingleHashes.FnvPrime
+      i += 1
     }
     h
   }
@@ -1292,16 +1314,21 @@ object Dedup {
     * EXACTLY the probe-verdict-relevant state: the shingle width `k`
     * and the distinct shingle-hash set (via the persisted
     * `content_digest` meta column). Tuning-only state is deliberately
-    * excluded — verdicts are exact at any `fpp` (spec-pinned) and
-    * `n_hash_parts` is layout — so a same-benchmark re-save at
-    * different tuning keeps the fingerprint, as do
+    * excluded — verdicts are exact at any `fpp` (spec-pinned),
+    * `n_hash_parts` is layout, and the bloom sidecar needs no coverage
+    * here because every probe verifies it against meta's
+    * `bloom_digest` before serving (a wrong bloom refuses, so no
+    * verdict can ever be sealed through one) — a same-benchmark
+    * re-save at different tuning keeps the fingerprint, as do
     * [[rebuildDeconBloom]] heals and byte-identical re-saves; any
     * benchmark content change flips it. Deliberately NOT an mtime
     * (coarse filesystem clocks misclassify — the `sources.Rebuild`
-    * lesson). Cost: one driver-side read of the 1-row meta table;
-    * legacy indexes saved before the digest column fall back to one
-    * aggregation over the hash store (the digest lands in meta at the
-    * next save or bloom heal).
+    * lesson). The value is version-prefixed (`v2...`) so a future
+    * format change is distinguishable from a content change inside a
+    * crash-replay window. Cost: one driver-side read of the 1-row meta
+    * table; legacy indexes saved before the digest column fall back to
+    * one aggregation over the hash store (the digest lands in meta at
+    * the next save, heal, or nightly tick).
     * [[graft.streaming.DocStreams.processCurationBatch]] records it
     * next to each batch's sealed verdicts to catch the one operational
     * misuse its crash contract cannot survive: a benchmark re-save
@@ -1315,7 +1342,24 @@ object Dedup {
         m.getAs[Long]("content_digest")
       else deconContentDigest(spark.read.schema("h BIGINT, part BIGINT")
         .parquet(s"$path/hashes"))
-    f"${fnvMix(m.getInt(0).toLong, digest)}%016x"
+    f"v2${fnvMix(m.getInt(0).toLong, digest)}%016x"
+  }
+
+  /** Opaque token over EVERY meta field (names and values) of a decon
+    * index — the curation sink's torn-probe tripwire. Unlike
+    * [[deconIndexFingerprint]], this deliberately covers
+    * verdict-NEUTRAL state too: a tuning-only re-save (say
+    * `n_hash_parts` 8 → 4) that root-swaps mid-probe tears the probe
+    * itself — candidates carry `pmod(h, 8)` partitions while the store
+    * scan lists the new 4-part layout, so the confirm join misses most
+    * true hits. Comparing this token before and after the probe
+    * detects ANY completed re-save in the window, verdict-relevant or
+    * not. */
+  private[graft] def deconMetaToken(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): String = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    m.schema.fieldNames.zip(m.toSeq)
+      .map { case (n, v) => s"$n=$v" }.mkString(";")
   }
 
   /** Probe a [[saveDeconIndex]] artifact with an arriving batch: per
@@ -1336,6 +1380,20 @@ object Dedup {
     val (k, parts) = (m.getInt(0), m.getInt(3))
     val bytes = spark.read.parquet(s"$path/bloom").head()
       .getAs[Array[Byte]](0)
+    // a bloom with false negatives silently drops true contamination
+    // hits at the prefilter (the confirm join can only veto false
+    // POSITIVES), so a sidecar that does not match the digest meta
+    // recorded at save/heal time must refuse, never serve — the bytes
+    // are already in driver memory, so the check is free of extra I/O.
+    // Legacy pre-digest metas skip it (migrated at the next save, heal,
+    // or nightly tick).
+    if (m.schema.fieldNames.contains("bloom_digest") &&
+        m.getAs[Long]("bloom_digest") != bloomBytesDigest(bytes))
+      throw new IllegalStateException(
+        s"decon index at $path has a bloom sidecar that does not match " +
+          "its meta's recorded bloom_digest — a corrupt or stale bloom " +
+          "can silently miss contamination (false negatives). Heal with " +
+          "rebuildDeconBloom or Maintenance.nightly before probing.")
     // consumed twice (the bloom/confirm hits subtree and the outer
     // containment join), and column pruning makes the two subtrees
     // unequal so ReuseExchange cannot collapse them — pin the shingled

@@ -163,11 +163,19 @@ object Maintenance {
         spark.read.parquet(s"$path/bloom").head().getAs[Array[Byte]](0))
       .map(bytes => hashes.where(!graft.functions.BloomExprs
         .mightContainLong(col("h"), bytes)).count())
-    if (falseNegatives.isFailure || falseNegatives.get > 0 ||
-        m.getLong(2) != trueN) {
+    // legacy pre-digest metas also trip the heal: persisting
+    // content_digest/bloom_digest takes every future fingerprint read
+    // (the curation sink pays one per micro-batch) off the
+    // full-store-scan fallback, and turns probe-side bloom
+    // verification on for this index
+    val legacyMeta = !m.schema.fieldNames.contains("content_digest") ||
+      !m.schema.fieldNames.contains("bloom_digest")
+    val damaged = falseNegatives.isFailure || falseNegatives.get > 0 ||
+      m.getLong(2) != trueN
+    if (damaged || legacyMeta) {
       Dedup.rebuildDeconBloomAs(spark, path, m.getInt(0), m.getDouble(1),
         m.getInt(3), hashes, trueN)
-      actions += "rebuild-bloom"
+      actions += (if (damaged) "rebuild-bloom" else "migrate-meta")
     }
     NightlyReport(path, "decon", actions.result(), None, None)
   }

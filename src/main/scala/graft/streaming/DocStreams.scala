@@ -408,15 +408,33 @@ object DocStreams {
       val deconDir = new org.apache.hadoop.fs.Path(s"$verdictsPath/_decon")
       def verdictsSealed: Boolean = fs.exists(
         new org.apache.hadoop.fs.Path(s"$verdictsPath/_verdicts/batch_$id"))
-      def refuse(recorded: String): Nothing = throw new IllegalStateException(
-        s"batch $id has sealed dedup verdicts but its recorded decon " +
-          s"fingerprint is $recorded (live index at $deconPath is $fp): the " +
-          "decon index changed inside the batch's crash-replay window, so " +
-          "this replay cannot reconstruct the curated cohort the verdicts " +
-          "describe. Restore the index the verdicts were computed against, " +
-          "or discard the batch's _verdicts/_decon markers AND its verdict " +
-          "partition, then restart; re-save benchmarks only between " +
-          "committed batches (the gcCurationMarkers cadence).")
+      def refuse(recorded: String): Nothing = {
+        // say WHAT failed honestly: a genuinely changed index, a
+        // fingerprint from an older format (an upgrade crossed the
+        // window — the index itself may be untouched, but that can no
+        // longer be proven), or no record at all
+        val why =
+          if (recorded == "absent")
+            "no decon fingerprint is on record for it (a stream upgraded " +
+              "mid-window, or manual marker surgery)"
+          else if (!recorded.startsWith("v2"))
+            s"its recorded fingerprint $recorded predates the current " +
+              "fingerprint format (an upgrade crossed the window), so the " +
+              "two cannot be compared"
+          else
+            s"its recorded decon fingerprint $recorded does not match the " +
+              s"live index at $deconPath ($fp)"
+        throw new IllegalStateException(
+          s"batch $id has sealed dedup verdicts inside a crash-replay " +
+            s"window, but $why: this replay cannot prove it reconstructs " +
+            "the curated cohort the verdicts describe. Restore the index " +
+            "the verdicts were computed against (then, for a format " +
+            "mismatch, re-seal the _decon marker with the current " +
+            "fingerprint), or discard the batch's _verdicts/_decon markers " +
+            "AND its verdict partition, then restart; re-save benchmarks " +
+            "only between committed batches (the gcCurationMarkers " +
+            "cadence).")
+      }
       SinkMarkers.suffixOf(fs, deconDir, id) match {
         case Some(old) if old != fp =>
           if (verdictsSealed) refuse(old)
@@ -446,24 +464,28 @@ object DocStreams {
         .getOrElse(cached)
       // stage 2 — decontamination: ONE probe serves both the
       // quarantine trail and the anti join (pin the tiny id frame);
-      // docs too short to shingle are absent from the probe and pass
+      // docs too short to shingle are absent from the probe and pass.
+      // The meta token brackets the probe: ANY re-save completing
+      // while the probe runs — content OR verdict-neutral tuning —
+      // either tears the probe's partition arithmetic (candidates
+      // hashed under one n_hash_parts, store listed under another) or
+      // lets verdicts seal against an index the marker does not
+      // describe. The checkpoint is the probe's LAST read of the
+      // index; comparing the token across it catches both. Nothing is
+      // sealed yet — a mismatch aborts cleanly and the stream's retry
+      // re-enters the tripwire, which re-records against the settled
+      // index.
+      val tokBefore = graft.operators.Dedup.deconMetaToken(spark, deconPath)
       val contaminated = Dedup
         .decontaminateAgainstDeconIndex(gated, deconPath)
         .where(col("containment") >= maxContainment)
         .select(col("doc_id"))
         .localCheckpoint()
-      // the fingerprint was read BEFORE the probe; a re-save landing in
-      // between would let verdicts seal against an index the marker does
-      // not describe (and make the tripwire's later advice wrong). The
-      // checkpoint above is the probe's LAST read of the decon index, so
-      // re-checking here closes that window. Nothing is sealed yet — a
-      // mismatch aborts cleanly and the stream's retry re-enters the
-      // tripwire, which re-records against the settled index.
-      val fpAfter = graft.operators.Dedup.deconIndexFingerprint(spark, deconPath)
-      if (fpAfter != fp)
+      if (graft.operators.Dedup.deconMetaToken(spark, deconPath) != tokBefore)
         throw new IllegalStateException(
-          s"decon index at $deconPath changed (fingerprint $fp -> $fpAfter) " +
-            s"while batch $id was probing it — aborting before anything " +
+          s"decon index at $deconPath was re-saved while batch $id was " +
+            "probing it — the probe may be torn (or describe an index the " +
+            "fingerprint marker does not), so aborting before anything " +
             "seals. Re-save benchmarks only between committed batches.")
       val curated = gated.join(contaminated, Seq("doc_id"), "left_anti")
       // quarantine trail first: it must exist by the time the final

@@ -191,6 +191,33 @@ class DeconIndexSpec extends AnyFunSuite {
       .count() === 1L, "unshingleable docs cannot be contaminated")
   }
 
+  test("a bloom sidecar that does not match meta refuses the probe; a heal restores service") {
+    // a wrong bloom has false negatives, which silently DROP true
+    // contamination hits at the prefilter (the confirm join only vetoes
+    // false positives) — serving through one is the worst decon failure
+    // mode, so the probe verifies the sidecar against meta's recorded
+    // digest before anything runs
+    val path = java.nio.file.Files.createTempDirectory("decon_badbloom")
+      .toString + "/idx"
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    val before = Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty)
+    val bad = org.apache.spark.util.sketch.BloomFilter.create(1, 0.01)
+    bad.putLong(Long.MinValue)
+    val bo = new java.io.ByteArrayOutputStream(); bad.writeTo(bo)
+    Seq(Tuple1(bo.toByteArray)).toDF("bloom").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/bloom")
+    val ex = intercept[IllegalStateException] {
+      Dedup.decontaminateAgainstDeconIndex(batch, path).count()
+    }
+    assert(ex.getMessage.contains("bloom sidecar"))
+    Dedup.rebuildDeconBloom(spark, path)
+    assert(Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq === before,
+      "healed index must serve the pre-damage verdicts")
+  }
+
   test("fingerprint is content: stable across re-save and bloom heal, changed by a different benchmark") {
     val path = java.nio.file.Files.createTempDirectory("decon_fp")
       .toString + "/idx"
@@ -234,11 +261,15 @@ class DeconIndexSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     assert(Dedup.deconIndexFingerprint(spark, path) === fp,
       "legacy 4-column meta must fingerprint identically via the store scan")
+    // legacy meta has no bloom_digest — probes must still serve
+    // (verification is digest-gated), not throw
+    assert(Dedup.decontaminateAgainstDeconIndex(batch, path).count() > 0)
     // and a bloom heal migrates the legacy meta to the digest layout
     // without changing the fingerprint
     Dedup.rebuildDeconBloom(spark, path)
-    assert(spark.read.parquet(s"$path/meta").schema.fieldNames
-      .contains("content_digest"), "heal must persist the digest column")
+    val healed = spark.read.parquet(s"$path/meta").schema.fieldNames
+    assert(healed.contains("content_digest") && healed.contains("bloom_digest"),
+      "heal must persist both digest columns")
     assert(Dedup.deconIndexFingerprint(spark, path) === fp)
     // a different benchmark is different content
     Dedup.saveDeconIndex(docs.where(pmod(col("doc_id"), lit(11)) === 1),

@@ -107,6 +107,53 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Dedup.deconIndexFingerprint(spark, path) === fp)
   }
 
+  test("decon: a healthy legacy pre-digest index migrates its meta on the nightly tick") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.where(pmod(col("doc_id"), lit(12)) === 11)
+    val batch = docs.where(pmod(col("doc_id"), lit(12)) === 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("mnt_dec_mig").toString + "/decon"
+    Dedup.saveDeconIndex(bench, k = 8, path, nHashParts = 4)
+    val fp = Dedup.deconIndexFingerprint(spark, path)
+    def probe() = Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val before = probe()
+    // strip meta to the legacy 4-column layout
+    val legacy = spark.read.parquet(s"$path/meta")
+      .select(col("k"), col("fpp"), col("n_hashes"), col("n_hash_parts"))
+      .collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(legacy, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("fpp",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n_hashes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_hash_parts",
+            org.apache.spark.sql.types.IntegerType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a healthy legacy index must still migrate (otherwise a curation
+    // sink's per-batch fingerprint pays a full store scan forever)
+    val night = Maintenance.nightly(spark, path, maxFilesPerPart = 8)
+    assert(night.actions.contains("migrate-meta"),
+      s"healthy legacy meta must migrate: $night")
+    val fields = spark.read.parquet(s"$path/meta").schema.fieldNames
+    assert(fields.contains("content_digest") && fields.contains("bloom_digest"))
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp,
+      "migration must not change the fingerprint")
+    assert(probe() === before)
+    // migrated: the next night is a true no-op
+    val night2 = Maintenance.nightly(spark, path, maxFilesPerPart = 8)
+    assert(night2.noOp, s"post-migration night must no-op: $night2")
+  }
+
   test("decon: a bloom rebuild that died mid sub-table swap is healed by the nightly tick") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))

@@ -281,7 +281,17 @@ class CurationSinkSpec extends AnyFunSuite {
       true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$verdicts/_decon"), true)
     val ex = intercept[IllegalStateException] { drive() }
-    assert(ex.getMessage.contains("absent"))
+    assert(ex.getMessage.contains("no decon fingerprint is on record"))
+    // an OLD-FORMAT marker (pre-versioning) is the other upgrade state:
+    // the index may be untouched, but that can no longer be proven —
+    // refuse must say the FORMAT is the problem, not claim the index
+    // changed
+    SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(
+      s"$verdicts/_decon/batch_0_deadbeefdeadbeef"))
+    val ex2 = intercept[IllegalStateException] { drive() }
+    assert(ex2.getMessage.contains("predates the current fingerprint format"))
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$verdicts/_decon/batch_0_deadbeefdeadbeef"), false)
     // the documented remediation completes the batch: discard the
     // verdict seal and partition so the replay recomputes everything
     // against the live index
