@@ -1800,6 +1800,61 @@ object Dedup {
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))
 
+  /** The SemDeDup SELECTION step (Abbas et al. 2023's prune, over
+    * [[semanticNearDupPairs]]' candidate structure): per vector, a
+    * `dropped` verdict — true iff a near-duplicate (cos ≥ `minCos`)
+    * with a SMALLER vec_id exists in the vector's OWN cell, i.e. the
+    * deterministic keep-first rule. Returns (vec_id, cell, dropped).
+    *
+    * Deliberately NOT a connected-components closure (d7/d9's
+    * text-side survivor rule): this is one in-cell semi-join with no
+    * fixpoint — one shuffle on the cell key after the assignment map —
+    * and it never merges vectors linked only through an intermediary
+    * (1~3 and 2~3 without 1~2 keeps BOTH 1 and 2; components' min-id
+    * rule would keep only 1). Like any keep-first rule it can drop a
+    * vector to a neighbor that itself dropped (1~2~3 in id order
+    * keeps only 1). Equivalently: dropped = the id2 side of the pair
+    * list (pairs are emitted with id1 < id2), the law the spec pins.
+    * Cell-boundary misses are the standard SemDeDup trade; at corpus
+    * scale use [[semDedupPruneTrained]], whose k-means cells bound
+    * every cell's quadratic pair block. */
+  def semDedupPrune(emb: DataFrame, nCentroids: Int,
+                    minCos: Double): DataFrame = {
+    val (_, assigned) = Similarity.buildIvf(
+      emb.select(col("vec_id"), col("embedding")), nCentroids)
+    pruneInCell(assigned, minCos)
+  }
+
+  /** Production variant of [[semDedupPrune]]: k-means-trained cells
+    * (optionally sample-trained) — the same seed/trained split as
+    * [[semanticNearDupPairsTrained]], for the same reason (the seed
+    * variant keeps the bit-exact d16 oracle; trained centroids keep
+    * cell sizes — and so each cell's pair block — bounded on real
+    * clustered embeddings). */
+  def semDedupPruneTrained(emb: DataFrame, nCentroids: Int, minCos: Double,
+                           sampleMod: Long = 1L): DataFrame = {
+    val (_, assigned) = Similarity.buildIvfTrained(
+      emb.select(col("vec_id"), col("embedding")), nCentroids,
+      sampleMod = sampleMod)
+    pruneInCell(assigned, minCos)
+  }
+
+  /** Shared prune stage: dropped = an in-cell LEFT SEMI against the
+    * smaller-id near neighbors; the verdict frame is assigned LEFT
+    * JOIN dropped, so survivors and victims ride one relation. */
+  private def pruneInCell(assigned: DataFrame, minCos: Double): DataFrame = {
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("b.vec_id") < col("a.vec_id") &&
+          Registry.cosineSim(col("a.vec"), col("b.vec")) >= minCos,
+        "left_semi")
+      .select(col("vec_id"), lit(true).as("dropped"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
   /** Semantic decontamination: flag corpus vectors within cosine ≥
     * `minCos` of ANY benchmark vector — [[contamination]]'s embedding-
     * space sibling (shingle containment catches verbatim leaks; this
@@ -1903,6 +1958,33 @@ object Dedup {
        |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE ($dot) / (sqrt(${n2("a")}) * sqrt(${n2("b")})) >= $minCos
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** DuckDB oracle for the d16 per-cell rollup of [[semDedupPrune]]:
+    * the IVF assignment CTE, the exists-smaller-neighbor verdict as a
+    * correlated EXISTS with the unrolled in-order cosine, grouped per
+    * cell. */
+  def semDedupPruneSql(dim: Int, nCentroids: Int, minCos: Double): String = {
+    val dot = (1 to dim)
+      .map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t.embedding[$i] AS DOUBLE)*CAST($t.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""${Similarity.ivfAssignCte(dim, nCentroids)},
+       |verdicts AS (
+       |  SELECT a.vec_id, a.cell,
+       |         EXISTS (SELECT 1 FROM assign b
+       |                 WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+       |                   AND ($dot) / (sqrt(${n2("a")}) * sqrt(${n2("b")}))
+       |                       >= $minCos) AS dropped
+       |  FROM assign a)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dropped,
+       |       CAST(SUM(CASE WHEN NOT dropped THEN vec_id ELSE 0 END) AS BIGINT)
+       |         AS survivor_checksum
+       |FROM verdicts GROUP BY cell ORDER BY cell""".stripMargin
   }
 
   // ---------------------------------------------------------- SimHash

@@ -37,6 +37,24 @@ object DedupQueries {
       Dedup.semanticNearDupPairs(Tables.embeddings(s, dir),
         nCentroids = 16, minCos = 0.3)),
 
+    // D16: the SemDeDup SELECTION step d6 stops short of — per-vector
+    // keep-first verdicts (dropped iff a smaller-id in-cell neighbor
+    // within the bound exists; NOT a components closure — 1~3, 2~3
+    // without 1~2 keeps both 1 and 2), rolled up per cell so the
+    // result stays k rows at any corpus size. Uses d6's nCentroids at
+    // a lower cosine bound so the prune provably binds on the fixture
+    // embeddings.
+    "d16_semdedup_prune" -> ((s, dir) =>
+      Dedup.semDedupPrune(Tables.embeddings(s, dir),
+          nCentroids = 16, minCos = 0.2)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).cast("long")
+            .as("n_dropped"),
+          sum(when(!col("dropped"), col("vec_id")).otherwise(0L)).cast("long")
+            .as("survivor_checksum"))
+        .orderBy(col("cell"))),
+
     // Decontamination: shingle containment of the benchmark cohort
     // (doc_id % 97 = 0 as the stand-in benchmark) against the rest
     "d8_contamination" -> ((s, dir) =>
@@ -306,6 +324,9 @@ object DedupQueries {
 
     "d6_semantic_neardup_pairs" ->
       Dedup.semanticNearDupSql(dim = 64, nCentroids = 16, minCos = 0.3),
+
+    "d16_semdedup_prune" ->
+      Dedup.semDedupPruneSql(dim = 64, nCentroids = 16, minCos = 0.2),
 
     "d8_contamination" -> Dedup.contaminationSql(k = 3, benchMod = 97),
 
