@@ -1839,20 +1839,23 @@ object Dedup {
     pruneInCell(assigned, minCos)
   }
 
-  /** Shared prune stage: dropped = an in-cell LEFT SEMI against the
-    * smaller-id near neighbors; the verdict frame is assigned LEFT
-    * JOIN dropped, so survivors and victims ride one relation. */
+  /** Shared prune stage: the verdict is a LEFT SEMI (dropped) unioned
+    * with a LEFT ANTI (kept) against the SAME smaller-id-near-neighbor
+    * condition — every vector lands in exactly one branch, the four
+    * join inputs share the identical cell-keyed exchanges (one
+    * ReuseExchange'd shuffle of the assignment map, no vec_id
+    * re-shuffle), and semi/anti join outputs are duplicate-free by
+    * construction. The earlier left-join-back-on-vec_id formulation
+    * cost a second full-corpus shuffle for the same verdicts. */
   private def pruneInCell(assigned: DataFrame, minCos: Double): DataFrame = {
-    val dropped = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col("b.vec_id") < col("a.vec_id") &&
-          Registry.cosineSim(col("a.vec"), col("b.vec")) >= minCos,
-        "left_semi")
-      .select(col("vec_id"), lit(true).as("dropped"))
-    assigned.select(col("vec_id"), col("cell"))
-      .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("dropped"), lit(false)).as("dropped"))
+    def cond = col("a.cell") === col("b.cell") &&
+      col("b.vec_id") < col("a.vec_id") &&
+      Registry.cosineSim(col("a.vec"), col("b.vec")) >= minCos
+    def branch(joinType: String, verdict: Boolean) =
+      assigned.as("a").join(assigned.as("b"), cond, joinType)
+        .select(col("vec_id"), col("cell"), lit(verdict).as("dropped"))
+    branch("left_semi", verdict = true)
+      .unionByName(branch("left_anti", verdict = false))
   }
 
   /** Semantic decontamination: flag corpus vectors within cosine ≥
@@ -1983,7 +1986,9 @@ object Dedup {
        |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_dropped,
        |       CAST(SUM(CASE WHEN NOT dropped THEN vec_id ELSE 0 END) AS BIGINT)
-       |         AS survivor_checksum
+       |         AS survivor_checksum,
+       |       CAST(SUM(CASE WHEN NOT dropped THEN vec_id * vec_id ELSE 0 END)
+       |            AS BIGINT) AS survivor_checksum2
        |FROM verdicts GROUP BY cell ORDER BY cell""".stripMargin
   }
 

@@ -52,7 +52,13 @@ object DedupQueries {
           sum(when(col("dropped"), 1L).otherwise(0L)).cast("long")
             .as("n_dropped"),
           sum(when(!col("dropped"), col("vec_id")).otherwise(0L)).cast("long")
-            .as("survivor_checksum"))
+            .as("survivor_checksum"),
+          // second moment: equal-count verdict SWAPS that preserve the
+          // id sum (keep {1,4} vs {2,3}) cannot also preserve the
+          // sum of squares — the pair would otherwise hash-match with
+          // different per-vector verdicts
+          sum(when(!col("dropped"), col("vec_id") * col("vec_id"))
+            .otherwise(0L)).cast("long").as("survivor_checksum2"))
         .orderBy(col("cell"))),
 
     // Decontamination: shingle containment of the benchmark cohort
