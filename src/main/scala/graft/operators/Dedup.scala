@@ -1334,7 +1334,17 @@ object Dedup {
     * misuse its crash contract cannot survive: a benchmark re-save
     * inside a crash-replay window. */
   def deconIndexFingerprint(spark: org.apache.spark.sql.SparkSession,
-                            path: String): String = {
+                            path: String): String =
+    deconIndexStamp(spark, path)._1
+
+  /** (fingerprint, meta token) from ONE read of the 1-row meta table —
+    * the curation sink takes both at batch entry so they can never
+    * describe different index states (a two-read formulation let a
+    * re-save land between them, sealing the fingerprint marker for an
+    * index the token bracket never saw). */
+  private[graft] def deconIndexStamp(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, String) = {
     val meta = spark.read.parquet(s"$path/meta")
     val m = meta.head()
     val digest =
@@ -1342,24 +1352,36 @@ object Dedup {
         m.getAs[Long]("content_digest")
       else deconContentDigest(spark.read.schema("h BIGINT, part BIGINT")
         .parquet(s"$path/hashes"))
-    f"v2${fnvMix(m.getInt(0).toLong, digest)}%016x"
+    (f"v2${fnvMix(m.getInt(0).toLong, digest)}%016x", deconMetaToken(spark, path, m))
   }
 
   /** Opaque token over EVERY meta field (names and values) of a decon
-    * index — the curation sink's torn-probe tripwire. Unlike
-    * [[deconIndexFingerprint]], this deliberately covers
-    * verdict-NEUTRAL state too: a tuning-only re-save (say
-    * `n_hash_parts` 8 → 4) that root-swaps mid-probe tears the probe
-    * itself — candidates carry `pmod(h, 8)` partitions while the store
-    * scan lists the new 4-part layout, so the confirm join misses most
-    * true hits. Comparing this token before and after the probe
-    * detects ANY completed re-save in the window, verdict-relevant or
-    * not. */
+    * index PLUS the meta directory's file names — the curation sink's
+    * torn-probe tripwire. Unlike [[deconIndexFingerprint]], this
+    * deliberately covers verdict-NEUTRAL state too: a tuning-only
+    * re-save (say `n_hash_parts` 8 → 4) that root-swaps mid-probe
+    * tears the probe itself — candidates carry `pmod(h, 8)` partitions
+    * while the store scan lists the new 4-part layout, so the confirm
+    * join misses most true hits. The file names (every parquet write
+    * mints fresh UUID part names) make the token ABA-proof: two
+    * re-saves inside one probe window that restore field-identical
+    * meta still change it. Comparing the token before and after the
+    * probe therefore detects ANY completed meta rewrite in the window
+    * — a benchmark re-save, a bloom heal, or a legacy-meta migration;
+    * the latter two are fingerprint-stable, so the aborted batch's
+    * replay re-enters cleanly. */
   private[graft] def deconMetaToken(spark: org.apache.spark.sql.SparkSession,
-                                    path: String): String = {
-    val m = spark.read.parquet(s"$path/meta").head()
+                                    path: String): String =
+    deconMetaToken(spark, path, spark.read.parquet(s"$path/meta").head())
+
+  private def deconMetaToken(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             m: org.apache.spark.sql.Row): String = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/meta"))
+      .map(_.getPath.getName).sorted.mkString(",")
     m.schema.fieldNames.zip(m.toSeq)
-      .map { case (n, v) => s"$n=$v" }.mkString(";")
+      .map { case (n, v) => s"$n=$v" }.mkString(";") + "|" + files
   }
 
   /** Probe a [[saveDeconIndex]] artifact with an arriving batch: per

@@ -167,7 +167,12 @@ object Maintenance {
     // content_digest/bloom_digest takes every future fingerprint read
     // (the curation sink pays one per micro-batch) off the
     // full-store-scan fallback, and turns probe-side bloom
-    // verification on for this index
+    // verification on for this index. Any meta rewrite here (this
+    // migration, or a bloom heal) landing inside a live curation
+    // batch's in-flight window aborts that ONE trigger via the sink's
+    // meta-token bracket — loud and retryable, the replay re-enters
+    // cleanly because every nightly action is fingerprint-stable
+    // (spec-pinned); that beats a torn probe passing silently
     val legacyMeta = !m.schema.fieldNames.contains("content_digest") ||
       !m.schema.fieldNames.contains("bloom_digest")
     val damaged = falseNegatives.isFailure || falseNegatives.get > 0 ||

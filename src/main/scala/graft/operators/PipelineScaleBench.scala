@@ -311,9 +311,26 @@ object PipelineScaleBench {
         System.err.println("psb rebuild OUTPUT MISMATCH")
         spark.stop(); sys.exit(4)
       }
-      // the migrated index stays cached (same corpus, just re-bucketed
-      // — the freshness check accepts it); only the fresh-save twin is
-      // scratch
+      // restore the save-time layout before the index goes back to the
+      // cache: leaving it 4x re-bucketed COMPOUNDS across runs (64 ->
+      // 256 -> 1024 parts ...) and quietly turns the NEXT run's d14
+      // probe legs into measurements of an ever-more-over-partitioned
+      // artifact — the round-10 session-3 hot run measured exactly
+      // that (probe 8.15s against a once-migrated 256-part cache vs
+      // 2.90s recorded against the save-time 64-part layout, while
+      // the recompute legs got FASTER). Restore targets the d14 leg's
+      // SAVE DEFAULT, not run-start meta (run-start meta on an
+      // already-polluted cache — a crash between the 4x rebucket and
+      // this line — would bake the inflation in forever). The restore
+      // is itself the probe-bit-identical re-bucket path, asserted.
+      Dedup.rebuildLshIndex(spark, idxPath,
+        nBucketParts = Some(Dedup.LshBucketParts))
+      val probeRestored = Dedup.dedupAgainstLshIndex(batch, idxPath,
+        threshold = 0.05, maxBucket = Some(64)).collect().map(_.toSeq).toSeq
+      if (probeRestored != probeBefore) {
+        System.err.println("psb rebuild RESTORE MISMATCH")
+        spark.stop(); sys.exit(4)
+      }
       val fs = graft.sources.Hdfs.forPath(spark, idxPath)
       fs.delete(new org.apache.hadoop.fs.Path(freshPath), true)
     }

@@ -404,7 +404,13 @@ object DocStreams {
       // (nothing derived from the old index survives), so the marker is
       // re-recorded and the batch proceeds — re-saves between committed
       // batches stay legal.
-      val fp = graft.operators.Dedup.deconIndexFingerprint(spark, deconPath)
+      // fingerprint and meta token come from ONE meta read, so the
+      // token bracket opened here covers the marker seal below: a
+      // re-save landing anywhere between this read and the post-probe
+      // token check aborts the batch before anything seals, rather
+      // than sealing a marker the probe never saw
+      val (fp, tokBefore) =
+        graft.operators.Dedup.deconIndexStamp(spark, deconPath)
       val deconDir = new org.apache.hadoop.fs.Path(s"$verdictsPath/_decon")
       def verdictsSealed: Boolean = fs.exists(
         new org.apache.hadoop.fs.Path(s"$verdictsPath/_verdicts/batch_$id"))
@@ -465,17 +471,19 @@ object DocStreams {
       // stage 2 — decontamination: ONE probe serves both the
       // quarantine trail and the anti join (pin the tiny id frame);
       // docs too short to shingle are absent from the probe and pass.
-      // The meta token brackets the probe: ANY re-save completing
-      // while the probe runs — content OR verdict-neutral tuning —
-      // either tears the probe's partition arithmetic (candidates
-      // hashed under one n_hash_parts, store listed under another) or
-      // lets verdicts seal against an index the marker does not
-      // describe. The checkpoint is the probe's LAST read of the
-      // index; comparing the token across it catches both. Nothing is
-      // sealed yet — a mismatch aborts cleanly and the stream's retry
-      // re-enters the tripwire, which re-records against the settled
-      // index.
-      val tokBefore = graft.operators.Dedup.deconMetaToken(spark, deconPath)
+      // The meta token (taken with the fingerprint above) brackets the
+      // marker seal AND the probe: ANY meta rewrite completing in the
+      // window — a benchmark re-save (content or verdict-neutral
+      // tuning, whose layout change tears the probe's partition
+      // arithmetic), a bloom heal, or a legacy-meta migration — either
+      // tears the probe or lets verdicts seal against an index the
+      // marker does not describe. The checkpoint below is the probe's
+      // LAST read of the index; comparing the token across it catches
+      // all of these (ABA included — the token carries the meta
+      // part-file names). Nothing is sealed yet — a mismatch aborts
+      // cleanly and the stream's retry re-enters the tripwire, which
+      // re-records against the settled index (fp-stable rewrites like
+      // heals/migrations cost exactly one aborted trigger).
       val contaminated = Dedup
         .decontaminateAgainstDeconIndex(gated, deconPath)
         .where(col("containment") >= maxContainment)
@@ -483,10 +491,12 @@ object DocStreams {
         .localCheckpoint()
       if (graft.operators.Dedup.deconMetaToken(spark, deconPath) != tokBefore)
         throw new IllegalStateException(
-          s"decon index at $deconPath was re-saved while batch $id was " +
-            "probing it — the probe may be torn (or describe an index the " +
-            "fingerprint marker does not), so aborting before anything " +
-            "seals. Re-save benchmarks only between committed batches.")
+          s"decon index at $deconPath had its meta rewritten (re-save, " +
+            s"bloom heal, or meta migration) while batch $id was in " +
+            "flight — the probe may be torn or describe an index the " +
+            "fingerprint marker does not, so aborting before anything " +
+            "seals; the replay re-enters cleanly. Re-save benchmarks " +
+            "only between committed batches.")
       val curated = gated.join(contaminated, Seq("doc_id"), "left_anti")
       // quarantine trail first: it must exist by the time the final
       // marker seals, and dynamic overwrite keyed by batch_id makes a
