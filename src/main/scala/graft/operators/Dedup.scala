@@ -1335,24 +1335,32 @@ object Dedup {
     * inside a crash-replay window. */
   def deconIndexFingerprint(spark: org.apache.spark.sql.SparkSession,
                             path: String): String =
-    deconIndexStamp(spark, path)._1
+    fpFromMeta(spark, path, spark.read.parquet(s"$path/meta"))
 
-  /** (fingerprint, meta token) from ONE read of the 1-row meta table —
-    * the curation sink takes both at batch entry so they can never
-    * describe different index states (a two-read formulation let a
-    * re-save land between them, sealing the fingerprint marker for an
-    * index the token bracket never saw). */
-  private[graft] def deconIndexStamp(
-      spark: org.apache.spark.sql.SparkSession,
-      path: String): (String, String) = {
-    val meta = spark.read.parquet(s"$path/meta")
+  private def fpFromMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         meta: DataFrame): String = {
     val m = meta.head()
     val digest =
       if (meta.schema.fieldNames.contains("content_digest"))
         m.getAs[Long]("content_digest")
       else deconContentDigest(spark.read.schema("h BIGINT, part BIGINT")
         .parquet(s"$path/hashes"))
-    (f"v2${fnvMix(m.getInt(0).toLong, digest)}%016x", deconMetaToken(spark, path, m))
+    f"v2${fnvMix(m.getInt(0).toLong, digest)}%016x"
+  }
+
+  /** (fingerprint, meta token) from ONE read of the 1-row meta table —
+    * the curation sink takes both at batch entry so they can never
+    * describe different index states (a two-read formulation let a
+    * re-save land between them, sealing the fingerprint marker for an
+    * index the token bracket never saw). Fingerprint-only callers use
+    * [[deconIndexFingerprint]], which skips the token's directory
+    * listing. */
+  private[graft] def deconIndexStamp(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, String) = {
+    val meta = spark.read.parquet(s"$path/meta")
+    (fpFromMeta(spark, path, meta), deconMetaToken(spark, path, meta.head()))
   }
 
   /** Opaque token over EVERY meta field (names and values) of a decon

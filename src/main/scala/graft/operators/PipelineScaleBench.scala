@@ -163,9 +163,21 @@ object PipelineScaleBench {
       // a corpus dir WITHOUT its success marker is an unknown artifact
       // (File.lastModified() returns 0 for missing files, which would
       // make any cached index look fresh) — rebuild, never reuse
+      // cache reuse ALSO requires save-time params: the rebuild leg
+      // mutates the cached x-max index (4x re-bucket, re-band) and
+      // restores it afterwards, but a crash mid-leg leaves non-save
+      // banding/partitioning cached — without this check every later
+      // run would exit(4) at the probe-vs-recompute equality with no
+      // self-heal path
+      def cachedParamsOk: Boolean = scala.util.Try {
+        val m = spark.read.parquet(s"$idxPath/meta").head()
+        m.getInt(0) == 3 && m.getInt(1) == 8 && m.getInt(2) == 4 &&
+          m.getInt(3) == Dedup.LshBucketParts
+      }.getOrElse(false)
       val (_, buildSec) =
         if (corpusSuccess.exists() && idxSuccess.exists() &&
-            idxSuccess.lastModified() >= corpusSuccess.lastModified()) ((), -1.0)
+            idxSuccess.lastModified() >= corpusSuccess.lastModified() &&
+            cachedParamsOk) ((), -1.0)
         else timed(Dedup.saveLshIndex(corpus, k = 3, bands = 8,
           rowsPerBand = 4, idxPath))
       graft.Isolation.scrub(spark)
@@ -323,8 +335,13 @@ object PipelineScaleBench {
       // already-polluted cache — a crash between the 4x rebucket and
       // this line — would bake the inflation in forever). The restore
       // is itself the probe-bit-identical re-bucket path, asserted.
+      // banding pinned too: unchanged banding takes the re-bucket fast
+      // path for free, and a crash between the leg's re-band and
+      // re-band-back otherwise leaves 4x8 banding cached (the d14
+      // leg's param check is the cross-run heal; this is the in-run one)
       Dedup.rebuildLshIndex(spark, idxPath,
-        nBucketParts = Some(Dedup.LshBucketParts))
+        nBucketParts = Some(Dedup.LshBucketParts),
+        bands = Some(8), rowsPerBand = Some(4))
       val probeRestored = Dedup.dedupAgainstLshIndex(batch, idxPath,
         threshold = 0.05, maxBucket = Some(64)).collect().map(_.toSeq).toSeq
       if (probeRestored != probeBefore) {

@@ -218,6 +218,30 @@ class DeconIndexSpec extends AnyFunSuite {
       "healed index must serve the pre-damage verdicts")
   }
 
+  test("meta token changes on EVERY meta rewrite — field-identical re-saves and heals included — while the fingerprint holds") {
+    // the curation sink's torn-probe bracket depends on this exact
+    // asymmetry: fp-stable rewrites must still flip the token (the
+    // token carries the meta part-file names, fresh UUIDs per write),
+    // or an ABA double re-save / mid-probe heal would pass the bracket
+    val path = java.nio.file.Files.createTempDirectory("decon_tok")
+      .toString + "/idx"
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    val fp = Dedup.deconIndexFingerprint(spark, path)
+    val tok0 = Dedup.deconMetaToken(spark, path)
+    assert(Dedup.deconIndexStamp(spark, path) === (fp, tok0),
+      "stamp must agree with the standalone reads")
+    // byte/field-identical re-save: fingerprint holds, token flips
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    val tok1 = Dedup.deconMetaToken(spark, path)
+    assert(tok1 !== tok0, "field-identical re-save must change the token")
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp)
+    // bloom heal: fingerprint holds, token flips again
+    Dedup.rebuildDeconBloom(spark, path)
+    val tok2 = Dedup.deconMetaToken(spark, path)
+    assert(tok2 !== tok1, "a bloom heal's meta rewrite must change the token")
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp)
+  }
+
   test("fingerprint is content: stable across re-save and bloom heal, changed by a different benchmark") {
     val path = java.nio.file.Files.createTempDirectory("decon_fp")
       .toString + "/idx"
