@@ -359,24 +359,30 @@ object Dedup {
     // corpus rows cohabiting a batch bucket; join carries `part` so the
     // partition column is an equi-join key — the DPP handle
     val hit = corpusBands.join(bBands.select(keys.map(col): _*).distinct(), keys)
-    val okHit = maxBucket match {
-      case Some(cap) =>
-        val sizes = bucketSizes match {
-          // precomputed stats: restrict to the batch's buckets first
-          // (the same pruned-join shape as `hit`, so DPP applies to the
-          // stats scan too), then sum across save/append slices — each
-          // append writes its own per-bucket counts, so the sum is the
-          // current full bucket size with no staleness window
-          case Some(st) =>
-            st.join(bBands.select(keys.map(col): _*).distinct(), keys)
-              .groupBy(keys.map(col): _*).agg(sum(col("n")).as("n"))
-          // a bucket lives wholly inside part = bucket % nBucketParts, so
-          // counting within the pruned scan IS the full bucket size
-          case None =>
-            hit.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-        }
+    val okHit = (maxBucket, bucketSizes) match {
+      // precomputed stats: restrict to the batch's buckets first
+      // (the same pruned-join shape as `hit`, so DPP applies to the
+      // stats scan too), then sum across save/append slices — each
+      // append writes its own per-bucket counts, so the sum is the
+      // current full bucket size with no staleness window. LEFT join:
+      // a bucket present in the band data but with NO stats row yet —
+      // the crash window between [[appendToLshIndex]]'s bands append
+      // and its stats slice, or a probe racing a concurrent append
+      // between those two writes — is size-UNKNOWN and must be probed
+      // (an inner join would silently drop it: missed duplicates, the
+      // one failure mode worse than an untripped cap).
+      case (Some(cap), Some(st)) =>
+        val sizes = st.join(bBands.select(keys.map(col): _*).distinct(), keys)
+          .groupBy(keys.map(col): _*).agg(sum(col("n")).as("n"))
+        hit.join(sizes, keys, "left_outer")
+          .where(col("n").isNull || col("n") <= cap).drop("n")
+      // a bucket lives wholly inside part = bucket % nBucketParts, so
+      // counting within the pruned scan IS the full bucket size (and
+      // every hit bucket has a count row — the inner join drops none)
+      case (Some(cap), None) =>
+        val sizes = hit.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
         hit.join(sizes.where(col("n") <= cap).drop("n"), keys)
-      case None => hit
+      case (None, _) => hit
     }
     val cand = bBands.as("b")
       .join(okHit.as("c"), keys)
@@ -482,9 +488,13 @@ object Dedup {
     *
     * Not transactional across its tables: a crash between the bands
     * append and the stats slice (or the doc-store append) leaves the
-    * index torn — stats undercount the batch (capped probes under-trip
-    * on its buckets, maintenance sizing reads slightly low) until
-    * [[backfillLshStats]] or [[repairLshIndex]] restores exactness.
+    * index torn — stats undercount the batch's PRE-EXISTING buckets
+    * (capped probes under-trip on them, maintenance sizing reads
+    * slightly low), and its BRAND-NEW buckets have no stats row at all,
+    * which capped probes treat as size-unknown and always probe (the
+    * sizes join is a left join precisely so these cannot be dropped —
+    * a dropped bucket is a silently missed duplicate). Exactness
+    * returns when [[backfillLshStats]] or [[repairLshIndex]] runs.
     * Callers needing a crash-contained append run it behind the
     * curation sink's sealed-verdict protocol
     * ([[graft.streaming.DocStreams.indexedDedupSink]]) and repair on
@@ -504,12 +514,13 @@ object Dedup {
       // stats table (the _SUCCESS gate — a torn stats dir left by a
       // crashed overwrite must not accrete slices on top of partial
       // counts): on a legacy (pre-stats) index, creating stats/ from
-      // just this append would be silently WRONG twice over — resident
-      // buckets would report only their appended members (a 9-member
-      // template bucket reads as 1, the cap never trips), and buckets
-      // with no appended rows would have no stats row at all, so the
-      // capped probe's sizes join would drop them and miss real dups.
-      // Legacy/torn indexes stay on the counting fallback until
+      // just this append would be silently WRONG — resident buckets
+      // would report only their appended members (a 9-member template
+      // bucket reads as 1, the cap never trips), and buckets with no
+      // appended rows would have no stats row at all, probing forever
+      // as size-unknown (the sizes left join includes them, but the
+      // cap they were configured for never engages). Legacy/torn
+      // indexes stay on the counting fallback until
       // [[backfillLshStats]] migrates them wholesale.
       if (lshStatsCommitted(spark, path))
         writeLshStats(bandRows, s"$path/stats", overwrite = false)
@@ -521,9 +532,9 @@ object Dedup {
   /** The stats fast path's commit gate: a capped probe may trust the
     * stats side table only when its write COMMITTED (`_SUCCESS`
     * present at the table root) — a dir-existence check would accept a
-    * torn dir left by a crashed overwrite, and a probe joining against
-    * partial bucket sizes silently DROPS the missing buckets (missed
-    * duplicates) instead of falling back to counting. */
+    * torn dir left by a crashed overwrite, whose partial counts
+    * under-size resident buckets (caps never trip) and leave the rest
+    * probing as size-unknown, instead of falling back to counting. */
   private[graft] def lshStatsCommitted(spark: org.apache.spark.sql.SparkSession,
                                        path: String): Boolean =
     graft.sources.Hdfs.forPath(spark, path)
@@ -1386,10 +1397,60 @@ object Dedup {
                              path: String,
                              m: org.apache.spark.sql.Row): String = {
     val fs = graft.sources.Hdfs.forPath(spark, path)
+    // a nightly hash-store compaction never touches meta, so the token
+    // alone cannot see its per-partition rename swaps — the compactor
+    // holds this marker instead, and the token read (both ends of the
+    // sink's probe bracket) refuses while it is up
+    assertDeconNotCompacting(fs, path)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/meta"))
       .map(_.getPath.getName).sorted.mkString(",")
     m.schema.fieldNames.zip(m.toSeq)
       .map { case (n, v) => s"$n=$v" }.mkString(";") + "|" + files
+  }
+
+  /** Refuse to probe (or stamp) a decon index whose hash store is
+    * being compacted: [[graft.operators.Maintenance]]'s nightly pass
+    * seals `_compacting` before its first per-partition rename swap
+    * and clears it after the swaps AND a fingerprint-stable meta bump
+    * — a probe whose confirm scan lists a partition inside the
+    * two-rename window reads ZERO rows for it and scores contaminated
+    * docs clean, and the sink's meta token cannot catch that on its
+    * own (compaction never rewrites meta). Between the marker (refuses
+    * any probe overlapping the window at either end) and the meta bump
+    * (fails the closing token check of a probe that spanned the WHOLE
+    * window), every overlap shape aborts loudly and replays cleanly.
+    * An orphaned marker (compaction crashed mid-swap) keeps refusing
+    * until the next nightly run heals the store — loud until proven
+    * whole, the same rule as the rebuild in-flight marker. */
+  private[graft] def assertDeconNotCompacting(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compacting")))
+      throw new IllegalStateException(
+        s"decon index at $path is being compacted (_compacting marker " +
+          "present): its hash partitions may be mid-swap and a probe " +
+          "could read a partition as empty — retry after the nightly " +
+          "maintenance pass completes (an orphaned marker means the " +
+          "pass crashed; re-run Maintenance.nightly to heal)")
+
+  /** Fingerprint-STABLE meta rewrite: same fields, same values, fresh
+    * part-file names — bumps [[deconMetaToken]] without changing
+    * [[deconIndexFingerprint]]. The nightly compactor calls this after
+    * swapping hash partitions so a probe that spanned its entire
+    * marker window (opened before the seal, closed after the clear —
+    * the one shape the marker alone cannot see) still fails its
+    * closing token check. Crash-safe via the meta [[TableSwap]]
+    * protocol; the nightly's entry recovery heals a torn bump. */
+  private[graft] def bumpDeconMeta(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Unit = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    // pin the single row BEFORE the swap deletes the files it came from
+    val meta = spark.read.parquet(s"$path/meta")
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(meta.collect().toSeq)
+        .asJava, meta.schema)
+    graft.sources.TableSwap.rewrite(spark, fs, path, "meta") { tmp =>
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** Probe a [[saveDeconIndex]] artifact with an arriving batch: per
@@ -1406,6 +1467,12 @@ object Dedup {
   def decontaminateAgainstDeconIndex(batch: DataFrame,
                                      path: String): DataFrame = {
     val spark = batch.sparkSession
+    // the hash store may be mid-compaction (partitions absent between
+    // the compactor's two renames) — refuse rather than score torn;
+    // unbracketed batch callers get the entry check, the curation
+    // sink's stamp/token bracket additionally covers a compaction
+    // STARTING after this line (see assertDeconNotCompacting)
+    assertDeconNotCompacting(graft.sources.Hdfs.forPath(spark, path), path)
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, parts) = (m.getInt(0), m.getInt(3))
     val bytes = spark.read.parquet(s"$path/bloom").head()

@@ -147,14 +147,49 @@ object Maintenance {
     * sidecar for a whole day — benchmark leaks scoring clean is the
     * exact failure this family exists to prevent. The full-store probe
     * scan is proportionate: a benchmark suite is small by definition
-    * (the whole design reason the bloom broadcasts). */
+    * (the whole design reason the bloom broadcasts).
+    *
+    * CONCURRENT-READER bracket: [[graft.sources.TableSwap]]'s
+    * single-maintainer caveat covers concurrent WRITERS; a concurrent
+    * READER — a live curation stream probing this index — could list a
+    * hash partition inside a compaction's two-rename window, read it
+    * as empty, and score contaminated docs clean, with verdicts then
+    * sealing (compaction never touches meta, so the sink's token
+    * bracket alone cannot see it). So the compaction here runs under
+    * the `_compacting` marker every probe/stamp refuses on
+    * ([[Dedup.assertDeconNotCompacting]]), and when any partition was
+    * swapped — tonight or by an orphaned prior crash — meta is
+    * rewritten fingerprint-stably ([[Dedup.bumpDeconMeta]]) so a probe
+    * spanning the whole window still fails its closing token check.
+    * Cost: probes abort-and-retry during the compaction slice of the
+    * nightly window, plus at most one aborted trigger for the token
+    * bump — loud and replayable, never a silent clean score. */
   private def nightlyDecon(spark: SparkSession, path: String,
                            maxFilesPerPart: Int): NightlyReport = {
     import org.apache.spark.sql.functions.col
     val actions = Seq.newBuilder[String]
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    // a crashed bumpDeconMeta leaves meta staged aside — restore it
+    // before anything reads meta
+    graft.sources.TableSwap.recover(fs, path, "meta")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_compacting")
+    // an orphaned marker = a prior nightly crashed mid-compaction; its
+    // swaps may have completed without the meta bump, so tonight must
+    // bump even if nothing is left to compact (a probe could have
+    // spanned the crashed run's window and still be in flight)
+    val orphaned = fs.exists(marker)
+    fs.create(marker, true).close()
     val compacted = graft.sources.Compaction.compactPartitions(spark,
       s"$path/hashes", "part=", maxFilesPerPart)
     if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
+    if (orphaned || compacted.nonEmpty) {
+      Dedup.bumpDeconMeta(spark, path)
+      if (orphaned) actions += "heal-compaction-bracket"
+    }
+    if (!fs.delete(marker, false) && fs.exists(marker))
+      throw new java.io.IOException(
+        s"could not clear the _compacting marker at $marker — probes " +
+          "will keep refusing; clear it by re-running the nightly pass")
     val m = spark.read.parquet(s"$path/meta").head()
     val hashes = spark.read.schema("h BIGINT, part BIGINT")
       .parquet(s"$path/hashes")

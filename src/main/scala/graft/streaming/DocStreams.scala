@@ -145,9 +145,12 @@ object DocStreams {
   }
 
   /** A DEDICATED session for starting evicting dedup queries: a
-    * `spark.newSession()` (same SparkContext, cached data and temp
-    * views; its OWN SQL conf) carrying the two confs these queries
-    * need at start time. Build the streaming source and start the
+    * `spark.newSession()` (same SparkContext and cached data; its OWN
+    * SQL conf, temp views, and function registry — which is why this
+    * method re-registers the native functions, and why a streaming
+    * source built against a PARENT-session temp view must be rebuilt
+    * against this one) carrying the two confs these queries need at
+    * start time. Build the streaming source and start the
     * query from the returned session. A derived session — rather than
     * toggling the parent's confs around the start call — because SQL
     * confs are session-global: any unrelated streaming query another
@@ -444,8 +447,19 @@ object DocStreams {
       SinkMarkers.suffixOf(fs, deconDir, id) match {
         case Some(old) if old != fp =>
           if (verdictsSealed) refuse(old)
-          fs.delete(new org.apache.hadoop.fs.Path(deconDir, s"batch_${id}_$old"),
-            false)
+          // the stale marker MUST be gone before the new one seals:
+          // two coexisting batch_<id>_* markers make suffixOf
+          // nondeterministic (whichever listStatus returns first), so
+          // a silently failed delete could later refuse a valid replay
+          // or bless a stale fingerprint
+          val stale = new org.apache.hadoop.fs.Path(deconDir,
+            s"batch_${id}_$old")
+          if (!fs.delete(stale, false) && fs.exists(stale))
+            throw new IllegalStateException(
+              s"could not delete the stale decon fingerprint marker " +
+                s"$stale; sealing a second marker for batch $id would " +
+                "make the replay tripwire nondeterministic — aborting " +
+                "this trigger (the replay re-enters cleanly)")
           SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(deconDir,
             s"batch_${id}_$fp"))
         case Some(_) => // same index — the idempotent-replay case

@@ -70,12 +70,23 @@ private[graft] object SinkMarkers {
   }
 
   /** The suffix of a `batch_<id>_<suffix>` marker under `dir`, if one
-    * exists for this id. */
+    * exists for this id. Exactly one may exist: the suffix carries a
+    * RECORD (e.g. the curation sink's decon fingerprint), and two
+    * coexisting records for one batch make every downstream decision
+    * nondeterministic (whichever listStatus returns first) — fail
+    * loudly instead, naming both, so the operator removes the stale
+    * one rather than a tripwire silently comparing against it. */
   def suffixOf(fs: FileSystem, dir: HPath, id: Long): Option[String] = {
     val prefix = s"batch_${id}_"
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    if (!fs.exists(dir)) return None
+    val found = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq
+    if (found.sizeIs > 1)
+      throw new IllegalStateException(
+        s"batch $id has ${found.size} suffixed markers under $dir " +
+          s"(${found.sorted.mkString(", ")}): the record is ambiguous — " +
+          "delete the stale marker(s) before restarting the stream")
+    found.headOption
   }
 
   /** Prune markers for batch ids `<= upTo` from `_committed` and each

@@ -472,6 +472,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(migrated.collect().map(_.toSeq).toSeq === viaStats)
   }
 
+  test("incremental dedup: a torn append (bands written, stats slice lost) keeps the new buckets probeable under a cap") {
+    val template = "the quick brown fox jumps over the lazy dog again and again"
+    val path = java.nio.file.Files.createTempDirectory("lsh_torn").toString
+    Dedup.saveLshIndex(
+      Seq((1L, "resident corpus text about columnar storage layouts"))
+        .toDF("doc_id", "text"),
+      k = 2, bands = 4, rowsPerBand = 2, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    def statsFiles(): Set[String] = {
+      val it = fs.listFiles(statsPath, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.result()
+    }
+    val before = statsFiles()
+    Dedup.appendToLshIndex(
+      Seq((100L, template)).toDF("doc_id", "text"), path)
+    // simulate the crash window between the bands append and the stats
+    // slice: the appended doc's band rows exist, its stats rows do not
+    val torn = statsFiles() -- before
+    assert(torn.nonEmpty, "append should have written a stats slice")
+    torn.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    assert(Dedup.lshStatsCommitted(spark, path),
+      "the stats table must still LOOK committed — that is the trap")
+    val probe = Dedup.dedupAgainstLshIndex(
+      Seq((500L, template)).toDF("doc_id", "text"), path,
+      threshold = 0.5, maxBucket = Some(3))
+    def scansOf(df: org.apache.spark.sql.DataFrame, sub: String): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(sub)) => s
+      }.size
+    // still the stats fast path (one band scan), yet the stats-less
+    // bucket must be probed as size-unknown, not silently dropped
+    assert(scansOf(probe, "/bands") === 1)
+    assert(scansOf(probe, "/stats") === 1)
+    val verdict = probe.collect().head
+    assert(verdict.getAs[Boolean]("is_dup") === true &&
+      verdict.getAs[Long]("match_id") === 100L,
+      s"torn-append bucket was dropped from the capped probe: $verdict")
+    // repair restores exact counts; the verdict is unchanged
+    Dedup.backfillLshStats(spark, path)
+    val healed = Dedup.dedupAgainstLshIndex(
+      Seq((500L, template)).toDF("doc_id", "text"), path,
+      threshold = 0.5, maxBucket = Some(3)).collect().head
+    assert(healed.getAs[Boolean]("is_dup") === true)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
   test("incremental dedup: append on a legacy (stats-less) index must not create a partial stats table") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))

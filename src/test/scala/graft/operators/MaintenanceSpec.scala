@@ -107,6 +107,53 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Dedup.deconIndexFingerprint(spark, path) === fp)
   }
 
+  test("decon: nightly compaction brackets live probes — marker refuses, spanning probes fail the token check") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.where(pmod(col("doc_id"), lit(12)) === 11)
+    val batch = docs.where(pmod(col("doc_id"), lit(12)) === 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("mnt_dec_brk").toString + "/decon"
+    Dedup.saveDeconIndex(bench, k = 8, path, nHashParts = 4)
+    def probe() = Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val before = probe()
+    val fp = Dedup.deconIndexFingerprint(spark, path)
+    val tok0 = Dedup.deconMetaToken(spark, path)
+    // inside the compaction window (marker up) every probe and stamp
+    // refuses rather than reading a possibly mid-swap hash partition
+    // as empty (contaminated docs scoring clean)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_compacting")
+    fs.create(marker, true).close()
+    intercept[IllegalStateException] {
+      Dedup.decontaminateAgainstDeconIndex(batch, path)
+    }
+    intercept[IllegalStateException] { Dedup.deconMetaToken(spark, path) }
+    intercept[IllegalStateException] { Dedup.deconIndexStamp(spark, path) }
+    // an ORPHANED marker (that compaction crashed) keeps refusing until
+    // the nightly heals; the heal must also bump the meta token — the
+    // crashed run's swaps may have completed, and a probe that spanned
+    // its whole window can only be caught at its closing token check
+    val night = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
+    assert(night.actions.exists(_.startsWith("compact:")), s"$night")
+    assert(night.actions.contains("heal-compaction-bracket"), s"$night")
+    assert(!fs.exists(marker), "nightly must clear the marker")
+    assert(Dedup.deconMetaToken(spark, path) !== tok0,
+      "a spanning probe's closing token check must fail after swaps")
+    assert(Dedup.deconIndexFingerprint(spark, path) === fp,
+      "the token bump must be fingerprint-stable (no verdict-marker trips)")
+    assert(probe() === before, "compaction must not change verdicts")
+    // a night with nothing to compact and no orphan leaves the token
+    // untouched — live probes see no aborts at all
+    val tok1 = Dedup.deconMetaToken(spark, path)
+    val night2 = Maintenance.nightly(spark, path, maxFilesPerPart = 8)
+    assert(night2.noOp, s"$night2")
+    assert(Dedup.deconMetaToken(spark, path) === tok1)
+  }
+
   test("decon: a healthy legacy pre-digest index migrates its meta on the nightly tick") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))

@@ -330,6 +330,29 @@ class CurationSinkSpec extends AnyFunSuite {
       "batch_0_" + Dedup.deconIndexFingerprint(spark, decon)))
   }
 
+  test("two coexisting fingerprint markers for one batch fail loudly (ambiguous record)") {
+    val verdicts = tmp("cur_verd7b")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    val dir = new org.apache.hadoop.fs.Path(s"$verdicts/_decon")
+    // a failed stale-marker delete racing the new seal is the one way
+    // two records for one batch can coexist; whichever listStatus
+    // returned first used to win silently — the tripwire could then
+    // refuse a valid replay or bless a stale fingerprint
+    SinkMarkers.seal(fs,
+      new org.apache.hadoop.fs.Path(dir, "batch_0_deadbeef"))
+    SinkMarkers.seal(fs,
+      new org.apache.hadoop.fs.Path(dir, "batch_0_cafebabe"))
+    val ex = intercept[IllegalStateException] {
+      SinkMarkers.suffixOf(fs, dir, 0L)
+    }
+    assert(ex.getMessage.contains("deadbeef") &&
+      ex.getMessage.contains("cafebabe"), ex.getMessage)
+    // other batch ids are unaffected
+    assert(SinkMarkers.suffixOf(fs, dir, 1L) === None)
+  }
+
   test("gcCurationMarkers prunes _decon markers; a pruned id still replays as a no-op") {
     val idx = tmp("cur_idx8")
     val verdicts = tmp("cur_verd8")
