@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental near-dup CLUSTER REGISTRY — the operational
+  * tail of the dedup lifecycle. The batch operators turn pairs into
+  * clusters one-shot ([[Dedup.connectedComponents]], d7/c2); the
+  * incremental lifecycle (d14/c6, `DocStreams.indexedDedupSink`)
+  * produces match PAIRS batch by batch but until now discarded the
+  * cluster structure — a user asking "which canonical document does
+  * doc X map to" after a month of daily appends had to re-run
+  * components over every pair ever emitted. The registry maintains
+  * that answer as an on-disk table updated per batch, including the
+  * hard case: a new document matching TWO previously-separate
+  * clusters merges them (cross-batch union-find).
+  *
+  * Reference semantics: the dedup grouping of
+  * lexam_data_pipeline's variant/question de-duplication
+  * (backend/services/dataset_service.py:168 groups variants by
+  * content identity) generalized to the incremental corpus shape.
+  *
+  * ## Layout (all parquet, under `path/`)
+  *
+  *  - `members/` — one row per registered doc: (doc_id, root), where
+  *    `root` is the cluster root AS OF the doc's insertion batch.
+  *    Partitioned `batch_id=<b>/part=<doc_id mod nDocParts>`: the
+  *    batch level makes a replayed update a byte-identical dynamic
+  *    overwrite of its own partitions (the quarantine-trail recipe),
+  *    the part level lets a batch update resolve its matched corpus
+  *    ids with a PRUNED scan (static in-list over the cids' own
+  *    partitions — the decon confirm-join trick) instead of reading
+  *    the corpus-sized table.
+  *  - `remaps/` — the merge LOG: (old_root, new_root) slices,
+  *    partitioned by batch_id. A merge never rewrites resident member
+  *    rows (at 100 TB that would be a full-table rewrite per batch);
+  *    it appends a remap edge, and readers fold the log.
+  *  - `meta/` — one row pinning `n_doc_parts` (partition arithmetic
+  *    must never drift across updates).
+  *
+  * ## Read-time resolution
+  *
+  * `cluster(doc) = follow remaps from member.root to fixpoint`. The
+  * remap log is merges-sized (tiny next to members), so
+  * [[resolvedClusters]] collapses it first — path-doubling self-joins,
+  * O(log chain-depth) rounds over the small table — then applies it to
+  * members with ONE broadcast join: the big table is scanned once, no
+  * iteration touches it. Remap chains only grow merge-generation deep;
+  * [[compactRegistry]] folds the log into members (TableSwap-crash-safe)
+  * and truncates it, restoring zero-join reads.
+  *
+  * Chains cannot cycle: a remap's `new_root` is the min id of the
+  * merged component, strictly below `old_root`.
+  *
+  * ## Crash/replay contract
+  *
+  * [[updateRegistry]] is deterministic in (registry-before, newDocs,
+  * pairs) and EXCLUDES its own batch_id when reading the registry, so
+  * a replay recomputes identical rows and dynamic overwrite lands them
+  * on the same partitions — idempotent under the curation sink's
+  * at-least-once replays, no markers needed. A crash between the
+  * members write and the remaps write leaves the batch's merges
+  * unapplied until the replay (readers see pre-merge clusters — stale,
+  * never mixed). [[compactRegistry]] folds members FIRST: re-applying
+  * a remap log to already-folded members is a no-op (the old roots no
+  * longer occur), so every partial-truncate crash state resolves
+  * identically. Like the index families, maintenance is
+  * single-maintainer and should not run concurrently with readers
+  * (schedule [[compactRegistry]] from the sink's own cadence). */
+object Clusters {
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def hasBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Boolean =
+    fs.exists(hp(dir)) && fs.listStatus(hp(dir))
+      .exists(_.getPath.getName.startsWith("batch_id="))
+
+  /** members/ as a frame, or None before the first update. Runs the
+    * staged-swap recovery first so a compaction that crashed between
+    * its two renames (members momentarily absent) can never read as an
+    * EMPTY registry — silent total forgetting. */
+  private def readMembers(spark: SparkSession,
+                          path: String): Option[DataFrame] = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    graft.sources.TableSwap.recover(fs, path, "members")
+    if (!hasBatchDirs(fs, s"$path/members")) None
+    else Some(spark.read.parquet(s"$path/members"))
+  }
+
+  private def readRemaps(spark: SparkSession,
+                         path: String): Option[DataFrame] = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    if (!hasBatchDirs(fs, s"$path/remaps")) None
+    else Some(spark.read.parquet(s"$path/remaps"))
+  }
+
+  /** Collapse the merge log to one-hop form: old_root → final root.
+    * Path doubling (each round follows 2^i hops), so generations of
+    * merges converge in log rounds; the fixpoint check is the HashMin
+    * potential trick — roots only decrease, Σ unchanged ⇔ done. The
+    * log is merges-sized, so every join here is broadcast-cheap. */
+  private def collapsedRemaps(remaps: DataFrame): DataFrame = {
+    var r = remaps.select(col("old_root"), col("new_root")).localCheckpoint()
+    def potential(df: DataFrame): java.math.BigDecimal = {
+      // decimal partials: roots may be 64-bit fingerprints, ANSI sum
+      // of LongType would throw on overflow
+      val d = df.agg(sum(col("new_root").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prev = potential(r)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 64) { // 2^64 chain depth ⇒ structural bug
+      val b = r.select(col("old_root").as("b_old"), col("new_root").as("b_new"))
+      val next = r.join(broadcast(b), col("new_root") === col("b_old"),
+          "left_outer")
+        .select(col("old_root"),
+          coalesce(col("b_new"), col("new_root")).as("new_root"))
+        .localCheckpoint()
+      val s = potential(next)
+      converged = s.compareTo(prev) == 0
+      prev = s
+      r = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      "remap log did not collapse — a cycle, which the min-root rule " +
+        "makes structurally impossible; the log is corrupt")
+    r
+  }
+
+  private def applyRemaps(members: DataFrame,
+                          collapsed: Option[DataFrame]): DataFrame =
+    collapsed match {
+      case Some(r) =>
+        members.join(broadcast(r), members("root") === r("old_root"),
+            "left_outer")
+          .select(members("doc_id"),
+            coalesce(col("new_root"), members("root")).as("root"))
+      case None => members.select(col("doc_id"), col("root"))
+    }
+
+  /** Register one arriving batch. `newDocs` carries `doc_id` (every
+    * doc of the batch — survivors AND duplicates both get a cluster);
+    * `pairs` carries (`bid`, `cid`): verified matches of batch docs
+    * against ALREADY-REGISTERED docs (the incremental probe's output
+    * shape — batch-vs-corpus only, like d14/c6; an unregistered `cid`
+    * throws rather than silently founding a wrong cluster).
+    *
+    * Merge rule: the batch's (bid ↔ current-root-of-cid) bipartite
+    * graph is closed transitively ([[Dedup.connectedComponents]] on a
+    * batch-sized relation — two docs of one batch matching the same
+    * cluster, or one doc bridging two clusters, land in one component);
+    * each component's label is its min id, new member rows point at
+    * it, and every pre-existing root it absorbs gets a remap edge.
+    *
+    * `nDocParts` is CREATION-time only (pinned in meta; later updates
+    * read the pinned value and ignore the argument). */
+  def updateRegistry(spark: SparkSession, path: String, batchId: Long,
+                     newDocs: DataFrame, pairs: DataFrame,
+                     nDocParts: Int = 64): Unit = {
+    import spark.implicits._
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    graft.sources.TableSwap.recover(fs, path, "members")
+    val parts =
+      if (fs.exists(hp(s"$path/meta")))
+        spark.read.parquet(s"$path/meta").head().getInt(0)
+      else {
+        require(nDocParts >= 1, s"nDocParts must be >= 1, got $nDocParts")
+        Seq(Tuple1(nDocParts)).toDF("n_doc_parts").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/meta")
+        nDocParts
+      }
+    // tiny frames consumed several times (validation, edges, labels,
+    // writes) — pin once; batch-sized by contract
+    val ids = newDocs.select(col("doc_id").cast("long").as("doc_id"))
+      .dropDuplicates("doc_id").localCheckpoint()
+    val prs = pairs.select(col("bid").cast("long").as("bid"),
+        col("cid").cast("long").as("cid"))
+      .dropDuplicates("bid", "cid").localCheckpoint()
+    // replay purity: a half-written prior attempt of THIS batch must
+    // not feed its own recomputation — read the registry as of every
+    // OTHER batch (partition pruning makes the exclusion free)
+    def excludeSelf(df: DataFrame) = df.where(col("batch_id") =!= lit(batchId))
+    val hasPairs = !prs.isEmpty
+    val rooted =
+      if (!hasPairs) prs.select(col("bid"), col("cid"), col("cid").as("root"))
+      else readMembers(spark, path) match {
+        case None => throw new IllegalArgumentException(
+          s"registry at $path has no members yet but the batch carries " +
+            "pairs — every cid must already be registered")
+        case Some(m) =>
+          val collapsed = readRemaps(spark, path).map(excludeSelf)
+            .filterNot(_.isEmpty).map(collapsedRemaps)
+          // pruned cid→root lookup: the cids' own partitions only
+          // (bounded driver aggregate, ≤ nDocParts values)
+          val cidParts = prs.select(pmod(col("cid"), lit(parts.toLong))
+              .cast("int").as("part"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val pruned = excludeSelf(m).where(col("part").isin(cidParts: _*))
+            .select(col("doc_id"), col("root"))
+          val current = applyRemaps(pruned, collapsed)
+            .withColumnRenamed("doc_id", "cid")
+          prs.join(current, Seq("cid"), "left_outer")
+            .select(col("bid"), col("cid"), col("root"))
+      }
+    val checked = rooted.localCheckpoint()
+    val missing = checked.where(col("root").isNull).count()
+    if (missing > 0) throw new IllegalArgumentException(
+      s"$missing pair cid(s) are not registered at $path — the registry " +
+        "only links new docs to docs it already knows (register corpora " +
+        "batch-first, pairs after)")
+    // batch-local transitive closure over (bid ↔ current root):
+    // labels = min id per component — batch-sized graph, converges in
+    // 2-3 HashMin rounds
+    val labels =
+      if (!hasPairs) ids.limit(0).select(col("doc_id").as("id"),
+        col("doc_id").as("comp"))
+      else Dedup.connectedComponents(
+        checked.select(col("bid").as("id1"), col("root").as("id2")).distinct(),
+        assumeDistinctPairs = true)
+    val members = ids
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("root"))
+      .withColumn("part", pmod(col("doc_id"), lit(parts.toLong)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+    members.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "part").parquet(s"$path/members")
+    // merge edges: every absorbed pre-existing root points at the
+    // component label (strictly smaller — the acyclicity invariant)
+    val remapRows = checked.select(col("root")).distinct()
+      .join(labels, col("root") === col("id"))
+      .where(col("comp") =!= col("root"))
+      .select(col("root").as("old_root"), col("comp").as("new_root"))
+      .withColumn("batch_id", lit(batchId))
+    remapRows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/remaps")
+  }
+
+  /** The registry's answer: (doc_id, cluster_id) for every registered
+    * doc, merges folded. One scan of members + one broadcast join
+    * against the collapsed merge log (none at all right after a
+    * [[compactRegistry]]). */
+  def resolvedClusters(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    readMembers(spark, path) match {
+      case None =>
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+      case Some(m) =>
+        val collapsed = readRemaps(spark, path)
+          .filterNot(_.isEmpty).map(collapsedRemaps)
+        applyRemaps(m.select(col("doc_id"), col("root")), collapsed)
+          .withColumnRenamed("root", "cluster_id")
+    }
+  }
+
+  /** Fold the merge log into members and truncate it. Members rewrite
+    * rides [[graft.sources.TableSwap]] (staged swap, crash-recoverable);
+    * the log truncation is per-batch-dir deletes AFTER the fold lands,
+    * so every crash state — fold staged, fold landed + log intact, log
+    * half-deleted — resolves identically: re-applying remaps to folded
+    * members is a no-op because the old roots no longer occur.
+    * Single-maintainer, like the index compactions. */
+  def compactRegistry(spark: SparkSession, path: String): Unit = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    graft.sources.TableSwap.recover(fs, path, "members")
+    val remaps = readRemaps(spark, path).filterNot(_.isEmpty)
+    if (remaps.isEmpty) return
+    val m = readMembers(spark, path).getOrElse(return)
+    val collapsed = collapsedRemaps(remaps.get)
+    val folded = m.join(broadcast(collapsed),
+        m("root") === collapsed("old_root"), "left_outer")
+      .select(m("doc_id"),
+        coalesce(col("new_root"), m("root")).as("root"),
+        m("part"), m("batch_id"))
+    graft.sources.TableSwap.rewrite(spark, fs, path, "members") { tmp =>
+      folded.write.partitionBy("batch_id", "part").parquet(tmp)
+    }
+    fs.listStatus(hp(s"$path/remaps")).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+      .foreach { d =>
+        if (!fs.delete(d, true)) throw new java.io.IOException(
+          s"could not truncate merge-log slice $d after folding — " +
+            "harmless to correctness (re-application is a no-op) but " +
+            "the next compaction must retry it")
+      }
+    spark.catalog.refreshByPath(s"$path/remaps")
+  }
+}

@@ -99,6 +99,35 @@ object Dedup {
        |ORDER BY jaccard DESC, id1, id2 LIMIT $topN""".stripMargin
   }
 
+  /** Exact cross-frame n-gram Jaccard pairs — the batch-vs-corpus twin
+    * of [[ngramJaccardTopN]]: every (batch doc, corpus doc) pair whose
+    * shingle-set Jaccard clears `threshold`, as (`bid`, `cid`,
+    * `jaccard`). The incremental registry's ground-truth pair source
+    * (d17): same shingle rule, same join shape (8-byte hash equi-join,
+    * shuffle-hash — the batch side is small by contract), same exact
+    * division as the d2 oracle, so the SQL twin replays it verbatim. */
+  def crossJaccardPairs(batch: DataFrame, corpus: DataFrame, k: Int,
+                        threshold: Double): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(Registry.shingleHashes(
+        TextFunctions.wsTokens(lower(col("text"))), k)).as("s_h"))
+    val a = sh(batch)
+    val b = sh(corpus)
+    val szA = a.groupBy(col("doc_id")).agg(count(lit(1)).as("sz1"))
+      .withColumnRenamed("doc_id", "bid")
+    val szB = b.groupBy(col("doc_id")).agg(count(lit(1)).as("sz2"))
+      .withColumnRenamed("doc_id", "cid")
+    a.as("a").join(b.as("b").hint("SHUFFLE_HASH"),
+        col("a.s_h") === col("b.s_h"))
+      .groupBy(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szA, "bid").join(szB, "cid")
+      .select(col("bid"), col("cid"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------ MinHash+LSH
 
   /** FNV-1a 64 over a VARCHAR column's bytes as DuckDB SQL — the exact

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Dedup
+import graft.operators.{Clusters, Dedup}
 
 /** Deduplication extension queries over `documents`. The exact-Jaccard
   * query is the oracle-checked ground truth; MinHash-LSH and SimHash are
@@ -184,6 +184,42 @@ object DedupQueries {
         maxBucket = Some(3))
     }),
 
+    // Persisted incremental CLUSTER REGISTRY — the operational tail of
+    // the dedup lifecycle: three growing batches register against an
+    // on-disk registry (exact cross-batch jaccard pairs as the match
+    // source, so the oracle replays the pair rule verbatim), merges
+    // land as remap-log edges rather than member rewrites, the log is
+    // folded mid-sequence (compaction must be invisible), and the
+    // declared result is the resolved (doc, cluster) table. The oracle
+    // recomputes the same pairs in SQL and closes them with a
+    // recursive CTE — the incremental protocol must equal the one-shot
+    // reachability fixpoint. Cohort = every even doc, slices by
+    // doc_id % 6, so the union of batch-vs-earlier pairs is exactly
+    // "bid % 6 > cid % 6" — one inequality the SQL twin states
+    // directly.
+    "d17_cluster_registry" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val cohort = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      def slice(b: Int) = cohort.where(pmod(col("doc_id"), lit(6)) === b * 2)
+      def earlier(b: Int) = cohort.where(pmod(col("doc_id"), lit(6)) < b * 2)
+      withIndexScratch(s, "d17_registry") { reg =>
+        Clusters.updateRegistry(s, reg, 0L, slice(0).select(col("doc_id")),
+          s.range(0).select(col("id").as("bid"), col("id").as("cid")),
+          nDocParts = 16)
+        (1 to 2).foreach { b =>
+          Clusters.updateRegistry(s, reg, b.toLong,
+            slice(b).select(col("doc_id")),
+            Dedup.crossJaccardPairs(slice(b), earlier(b), k = 3,
+              threshold = 0.05).select(col("bid"), col("cid")))
+          // fold the merge log mid-sequence: resolution must be
+          // invariant and the next update must run against the folded
+          // form (both directions of the compaction contract)
+          if (b == 1) Clusters.compactRegistry(s, reg)
+        }
+        Clusters.resolvedClusters(s, reg).orderBy(col("doc_id"))
+      }
+    }),
+
     // The composed daily-increment LIFECYCLE the d14 pieces exist for,
     // run end-to-end ON DISK: save the slice-0 corpus index, then for
     // three successive batches probe (save-time bucket stats, DPP),
@@ -320,6 +356,45 @@ object DedupQueries {
     "c6_incremental_lifecycle" ->
       Dedup.incrementalLifecycleSql(k = 3, bands = 8, rowsPerBand = 4,
         threshold = 0.05, mod = 12, nBatches = 3, maxBucket = 3),
+
+    // incremental registry ≡ one-shot reachability: the same exact
+    // jaccard pair rule (cross-batch only — bid % 6 > cid % 6), closed
+    // by the d7-style recursive CTE, min id per component, singletons
+    // as their own cluster
+    "d17_cluster_registry" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, ${graft.functions.TextFunctions
+               .wsTokensSql("lower(text)")} AS t
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |p AS (
+         |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+         |  FROM toks),
+         |sh AS (
+         |  SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS s
+         |  FROM p t0
+         |  JOIN p t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+         |  JOIN p t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS bid, b.doc_id AS cid, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND (a.doc_id % 6) > (b.doc_id % 6)
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT bid, cid FROM inter
+         |  JOIN sz s1 ON s1.doc_id = bid
+         |  JOIN sz s2 ON s2.doc_id = cid
+         |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.05),
+         |edges AS (SELECT bid AS src, cid AS dst FROM pr
+         |          UNION SELECT cid, bid FROM pr),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+         |SELECT d.doc_id, CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+         |LEFT JOIN comps c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the bloom + persisted layout are invisible: exact containment of
     // the arriving batch against the benchmark cohort

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The persisted incremental cluster registry ([[Clusters]]) vs the
+  * one-shot components ground truth: cross-batch merges, multi-
+  * generation remap chains, replay idempotence under the documented
+  * crash windows, and log compaction invariance.
+  */
+class ClusterRegistrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString + "/reg"
+
+  private def fsOf(path: String) = org.apache.hadoop.fs.FileSystem.get(
+    new org.apache.hadoop.fs.Path(path).toUri,
+    spark.sessionState.newHadoopConf())
+
+  private def docsDf(ids: Long*) = ids.toDF("doc_id")
+  private def pairsDf(ps: (Long, Long)*) = ps.toDF("bid", "cid")
+  private val noPairs = Seq.empty[(Long, Long)].toDF("bid", "cid")
+
+  private def resolved(path: String): Map[Long, Long] =
+    Clusters.resolvedClusters(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bridging doc merges two clusters; multi-generation chains resolve; compaction is invariant") {
+    val path = tmp("reg1")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10, 20, 30), noPairs,
+      nDocParts = 4)
+    assert(resolved(path) === Map(10L -> 10L, 20L -> 20L, 30L -> 30L))
+    // two independent merges, each minting a remap generation
+    Clusters.updateRegistry(spark, path, 1L, docsDf(8), pairsDf(8L -> 10L))
+    Clusters.updateRegistry(spark, path, 2L, docsDf(6), pairsDf(6L -> 20L))
+    assert(resolved(path) ===
+      Map(10L -> 8L, 8L -> 8L, 20L -> 6L, 6L -> 6L, 30L -> 30L))
+    // the hard case: doc 5 matches docs 10 AND 20 — whose member roots
+    // (10, 20) are already one remap generation stale — so clusters
+    // {8,10} and {6,20} must merge under 5, chaining 10→8→5 and 20→6→5
+    Clusters.updateRegistry(spark, path, 3L, docsDf(5),
+      pairsDf(5L -> 10L, 5L -> 20L))
+    val after = resolved(path)
+    assert(after === Map(5L -> 5L, 6L -> 5L, 8L -> 5L, 10L -> 5L,
+      20L -> 5L, 30L -> 30L))
+    // one-shot ground truth over the union of every pair ever fed
+    val oneShot = Dedup.connectedComponents(
+      pairsDf(8L -> 10L, 6L -> 20L, 5L -> 10L, 5L -> 20L)
+        .select(col("bid").as("id1"), col("cid").as("id2")),
+      assumeDistinctPairs = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.filterNot { case (id, c) => id == c && !oneShot.contains(id) }
+      === oneShot)
+    // compaction folds the log without changing a single answer, and a
+    // resurrected stale log re-applies as a no-op (the crash-ordering
+    // guarantee: folded members carry no old roots)
+    val staleLog = spark.read.parquet(s"$path/remaps")
+      .select(col("old_root"), col("new_root"),
+        col("batch_id").cast("long").as("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Clusters.compactRegistry(spark, path)
+    assert(resolved(path) === after)
+    val fs = fsOf(path)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/remaps"))
+      .exists(_.getPath.getName.startsWith("batch_id=")),
+      "compaction must truncate the merge log")
+    staleLog.toDF("old_root", "new_root", "batch_id")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/remaps")
+    assert(resolved(path) === after,
+      "re-applying a folded log must be a no-op")
+    Clusters.compactRegistry(spark, path)
+    assert(resolved(path) === after)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
+  test("same-batch docs matching one cluster, and a new-min bid, label correctly") {
+    val path = tmp("reg2")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(50, 60), noPairs,
+      nDocParts = 4)
+    // docs 40 and 45 both match 50 in ONE batch; 40 < 50 so the merged
+    // cluster's canonical id is the NEW doc — 50 gets a remap to 40
+    Clusters.updateRegistry(spark, path, 1L, docsDf(40, 45),
+      pairsDf(40L -> 50L, 45L -> 50L))
+    assert(resolved(path) ===
+      Map(40L -> 40L, 45L -> 40L, 50L -> 40L, 60L -> 60L))
+  }
+
+  test("replay overwrites its own partitions; a torn update (members landed, remaps lost) heals on replay") {
+    val path = tmp("reg3")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10, 20), noPairs,
+      nDocParts = 4)
+    Clusters.updateRegistry(spark, path, 1L, docsDf(5),
+      pairsDf(5L -> 10L, 5L -> 20L))
+    val want = resolved(path)
+    assert(want === Map(5L -> 5L, 10L -> 5L, 20L -> 5L))
+    // straight replay: byte-identical dynamic overwrite
+    Clusters.updateRegistry(spark, path, 1L, docsDf(5),
+      pairsDf(5L -> 10L, 5L -> 20L))
+    assert(resolved(path) === want)
+    // torn crash window: batch 1's remap slice lost after its members
+    // landed — readers see stale-but-consistent pre-merge clusters,
+    // never a mix
+    val fs = fsOf(path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/remaps/batch_id=1"), true)
+    spark.catalog.refreshByPath(s"$path/remaps")
+    assert(resolved(path) === Map(5L -> 5L, 10L -> 10L, 20L -> 20L))
+    // the at-least-once replay recomputes the batch from the registry
+    // EXCLUDING its own partitions, so it heals exactly
+    Clusters.updateRegistry(spark, path, 1L, docsDf(5),
+      pairsDf(5L -> 10L, 5L -> 20L))
+    assert(resolved(path) === want)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
+  test("an unregistered pair cid refuses loudly") {
+    val path = tmp("reg4")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10), noPairs,
+      nDocParts = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Clusters.updateRegistry(spark, path, 1L, docsDf(5),
+        pairsDf(5L -> 99L))
+    }
+    assert(ex.getMessage.contains("not registered"), ex.getMessage)
+  }
+
+  test("fixture slices: incremental registry ≡ one-shot components over the union of cross-batch pairs") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val cohort = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    def slice(b: Int) = cohort.where(pmod(col("doc_id"), lit(6)) === b * 2)
+    def earlier(b: Int) = cohort.where(pmod(col("doc_id"), lit(6)) < b * 2)
+    val path = tmp("reg5")
+    Clusters.updateRegistry(spark, path, 0L,
+      slice(0).select(col("doc_id")), noPairs, nDocParts = 8)
+    val allPairs = (1 to 2).map { b =>
+      val p = Dedup.crossJaccardPairs(slice(b), earlier(b), k = 3,
+          threshold = 0.05)
+        .select(col("bid"), col("cid")).localCheckpoint()
+      Clusters.updateRegistry(spark, path, b.toLong,
+        slice(b).select(col("doc_id")), p)
+      p
+    }.reduce(_ unionByName _)
+    val got = resolved(path)
+    val comps = Dedup.connectedComponents(
+        allPairs.select(col("bid").as("id1"), col("cid").as("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = cohort.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => id -> comps.getOrElse(id, id)).toMap
+    assert(got.size === want.size)
+    assert(got === want)
+    assert(comps.nonEmpty, "fixture must actually produce near-dup pairs")
+    fsOf(path).delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+}
