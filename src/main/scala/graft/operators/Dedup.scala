@@ -381,6 +381,17 @@ object Dedup {
                                 rowsPerBand: Int, threshold: Double,
                                 maxBucket: Option[Int],
                                 nBucketParts: Int,
+                                bucketSizes: Option[DataFrame] = None): DataFrame =
+    verdictsFromPairs(batchSig.select(col("doc_id")),
+      verifiedPairsAgainstBands(corpusBands, corpusDocs, batchSig, bands,
+        rowsPerBand, threshold, maxBucket, nBucketParts, bucketSizes))
+
+  private def verifiedPairsAgainstBands(corpusBands: DataFrame,
+                                corpusDocs: DataFrame,
+                                batchSig: DataFrame, bands: Int,
+                                rowsPerBand: Int, threshold: Double,
+                                maxBucket: Option[Int],
+                                nBucketParts: Int,
                                 bucketSizes: Option[DataFrame] = None): DataFrame = {
     val bBands = bandedFrame(batchSig, bands, rowsPerBand)
       .withColumn("part", pmod(col("bucket"), lit(nBucketParts)))
@@ -438,8 +449,20 @@ object Dedup {
       // are already unique) so replayed appends can never move
       // verdicts (the [[graft.streaming.DocStreams]] sink's contract)
       .dropDuplicates("bid", "cid")
-    batchSig.select(col("doc_id"))
-      .join(verified.groupBy(col("bid"))
+    verified.select(col("bid"), col("cid"), col("jaccard"))
+  }
+
+  /** The per-doc verdict rollup over verified pairs — the shared tail
+    * of every incremental probe. `batchDocs` fixes the verdict
+    * POPULATION (one row per probing doc, matched or not); pass the
+    * signature frame's doc ids ([[minhashSignatures]] drops docs with
+    * no shingles) to reproduce [[dedupAgainstLshIndex]]'s rows exactly
+    * — [[shingledDocIds]] computes that population without paying for
+    * signatures, for callers deriving verdicts from PERSISTED pairs. */
+  private[graft] def verdictsFromPairs(batchDocs: DataFrame,
+                                       pairs: DataFrame): DataFrame =
+    batchDocs.select(col("doc_id"))
+      .join(pairs.groupBy(col("bid"))
           .agg(count(lit(1)).as("m"), min(col("cid")).as("match_id")),
         col("doc_id") === col("bid"), "left_outer")
       .select(col("doc_id"),
@@ -447,7 +470,16 @@ object Dedup {
         col("match_id"),
         col("match_id").isNotNull.as("is_dup"))
       .orderBy(col("doc_id"))
-  }
+
+  /** The probe population rule, standalone: doc ids with at least one
+    * k-shingle — exactly [[minhashSignatures]]'s filter, minus the
+    * signature cost. */
+  def shingledDocIds(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        Registry.shingleHashes(
+          TextFunctions.wsTokens(lower(col("text"))), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"))
 
   /** Persist a corpus LSH index: band rows bucket-partitioned (the
     * probe-pruning layout) plus a doc-keyed shingle-set store for
@@ -744,7 +776,29 @@ object Dedup {
     * before commit, fall back to counting within the pruned band
     * scan. */
   def dedupAgainstLshIndex(batch: DataFrame, path: String, threshold: Double,
-                           maxBucket: Option[Int] = None): DataFrame = {
+                           maxBucket: Option[Int] = None): DataFrame =
+    indexProbe(batch, path, threshold, maxBucket)(dedupAgainstBands)
+
+  /** [[dedupAgainstLshIndex]]'s probe, returning the verified PAIRS
+    * (`bid`, `cid`, `jaccard`) instead of the per-doc verdict rollup —
+    * the cluster-registry feed ([[Clusters.updateRegistry]] needs
+    * every match, not just the min one) and the general "which
+    * resident docs does each arrival match" surface. Same band scan,
+    * same cap, same exact-Jaccard verification;
+    * [[verdictsFromPairs]] over these pairs (population
+    * [[shingledDocIds]]) reproduces the verdict form bit for bit
+    * (spec-pinned). */
+  def dedupPairsAgainstLshIndex(batch: DataFrame, path: String,
+                                threshold: Double,
+                                maxBucket: Option[Int] = None): DataFrame =
+    indexProbe(batch, path, threshold, maxBucket)(verifiedPairsAgainstBands)
+
+  /** Shared probe plumbing: rebuild guard, meta read, operand scans,
+    * stats fast-path election. */
+  private def indexProbe(batch: DataFrame, path: String, threshold: Double,
+      maxBucket: Option[Int])(
+      f: (DataFrame, DataFrame, DataFrame, Int, Int, Double, Option[Int],
+          Int, Option[DataFrame]) => DataFrame): DataFrame = {
     val spark = batch.sparkSession
     // mid-rebuild tables may disagree with meta's partitioning — a
     // probe would silently join on the wrong `part` keys and MISS
@@ -757,8 +811,7 @@ object Dedup {
       if (maxBucket.isDefined && lshStatsCommitted(spark, path))
         Some(spark.read.parquet(s"$path/stats"))
       else None
-    dedupAgainstBands(
-      spark.read.parquet(s"$path/bands"),
+    f(spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/docs"),
       minhashSignatures(batch, k, bands * rpb),
       bands, rpb, threshold, maxBucket, parts, stats)

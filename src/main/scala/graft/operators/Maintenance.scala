@@ -15,6 +15,11 @@ import org.apache.spark.sql.SparkSession
   *    check (band rows per bucket partition against a bound) →
   *    [[Dedup.rebuildLshIndex]] under scaled partitioning if
   *    outgrown, else band/stats compaction when fragmented.
+  *  - Decontamination ([[Dedup.saveDeconIndex]] layout): hash-store
+  *    compaction under the reader bracket → bloom sidecar
+  *    verification/rebuild → legacy meta migration.
+  *  - Cluster registry ([[Clusters]] layout): staged-fold recovery →
+  *    merge-log fold when slices exist.
   *
   * Each pass returns a [[NightlyReport]] of what it did and why; a
   * healthy, compacted, in-bounds index reports no actions (the cron
@@ -108,12 +113,18 @@ object Maintenance {
     val isLsh = !isPq &&
       (exists("bands") || snapParams.exists(_.contains("n_bucket_parts")))
     val isDecon = !isPq && !isLsh && exists("bloom") && exists("hashes")
-    require(isPq || isLsh || isDecon,
+    val isRegistry = !isPq && !isLsh && !isDecon && exists("members")
+    require(isPq || isLsh || isDecon || isRegistry,
       s"$path has neither cells/ (PQ-IVF) nor bands/ (LSH) nor " +
-        "bloom/+hashes/ (decon) nor a rebuild snapshot identifying " +
-        "the family")
+        "bloom/+hashes/ (decon) nor members/ (cluster registry) nor a " +
+        "rebuild snapshot identifying the family")
     if (isDecon) {
       val r = nightlyDecon(spark, path, maxFilesPerPart)
+      return r.copy(actions =
+        (if (rootStaged) Seq("heal-swap") else Nil) ++ r.actions)
+    }
+    if (isRegistry) {
+      val r = nightlyRegistry(spark, path)
       return r.copy(actions =
         (if (rootStaged) Seq("heal-swap") else Nil) ++ r.actions)
     }
@@ -131,6 +142,32 @@ object Maintenance {
       if (isPq) nightlyPq(spark, path, maxFilesPerPart, pq, repair)
       else nightlyLsh(spark, path, maxFilesPerPart, lsh, repair)
     report.copy(actions = healed ++ report.actions)
+  }
+
+  /** Nightly pass for the cluster-registry family
+    * ([[Clusters]] layout — `members/` + `remaps/` + `meta`): recover
+    * a crashed fold's staged members table, then fold the merge log
+    * into members when any slices exist ([[Clusters.compactRegistry]]
+    * — itself crash-safe in every partial state) so steady-state reads
+    * stay one scan + zero remap joins. Single-maintainer like the
+    * index families: schedule when no sink batch is mid-update (or
+    * from the sink's own compactEvery cadence, which is serialized by
+    * construction). */
+  private def nightlyRegistry(spark: SparkSession,
+                              path: String): NightlyReport = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    graft.sources.TableSwap.recover(fs, path, "members")
+    val remapsDir = new org.apache.hadoop.fs.Path(s"$path/remaps")
+    val slices =
+      if (fs.exists(remapsDir))
+        fs.listStatus(remapsDir).count(_.getPath.getName.startsWith("batch_id="))
+      else 0
+    val actions =
+      if (slices > 0) {
+        Clusters.compactRegistry(spark, path)
+        Seq(s"fold-log:$slices")
+      } else Nil
+    NightlyReport(path, "registry", actions, None, None)
   }
 
   /** Nightly pass for the decontamination family

@@ -18,9 +18,15 @@ object DocStreams {
   case class BucketState(members: Vector[(Long, Seq[Long])], closed: Boolean)
   case class NearDupMatch(doc_id: Long, match_id: Long, jaccard: Double)
   /** Internal emission: a match plus the emitting arrival's event time,
-    * so the cross-band collapse downstream can re-watermark. */
-  private case class MatchEmit(doc_id: Long, match_id: Long, jaccard: Double,
-                               ts: java.sql.Timestamp)
+    * so the cross-band collapse downstream can re-watermark.
+    * `private[streaming]`, not `private`: Janino-generated serializer
+    * code cannot reference an object-private class, so every
+    * SerializeFromObject over this type was silently falling back to
+    * interpreted projection — in the per-arrival emission path of the
+    * stateful dedup streams, the one place codegen matters most. */
+  private[streaming] case class MatchEmit(doc_id: Long, match_id: Long,
+                                          jaccard: Double,
+                                          ts: java.sql.Timestamp)
 
   /** State horizon for the evicting dedup variants: a (band, bucket)
     * key with no arrival for `horizonMs` of EVENT time is retired
@@ -219,16 +225,32 @@ object DocStreams {
     * bucket sizes do inflate until [[Dedup.repairLshIndex]] restores
     * row-level hygiene. Run repair on the operational cadence, like
     * compaction. */
+  /** @param registryPath maintain a persisted cluster registry
+    *   ([[graft.operators.Clusters]]) alongside the index: each batch's
+    *   probe runs in PAIRS form, the pairs are persisted under
+    *   `verdictsPath/_pairs/batch_id=<id>` (the replay artifact —
+    *   sealed together with the verdicts they imply), verdicts are
+    *   derived from them (bit-identical to the pairless mode,
+    *   spec-pinned), and the registry is updated after the survivor
+    *   append — every batch doc registered, merges applied. Enable
+    *   from the stream's FIRST batch, with the index's save-time
+    *   corpus pre-registered (one `updateRegistry` with a reserved
+    *   batch id, e.g. -1): a cid the registry does not know fails the
+    *   batch loudly. Registry updates are replay-pure, so the sink's
+    *   at-least-once crash windows leave it exactly-once like the
+    *   verdicts; [[gcSinkMarkers]] prunes pairs dirs at or below the
+    *   marker floor on the same cadence. */
   def indexedDedupSink(docs: DataFrame, indexPath: String,
                        verdictsPath: String, threshold: Double,
                        maxBucket: Option[Int] = None,
                        compactEvery: Int = 0,
-                       maxFilesPerPart: Int = 8)
+                       maxFilesPerPart: Int = 8,
+                       registryPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         processIndexedBatch(batch.toDF(), id, indexPath, verdictsPath,
-          threshold, maxBucket, compactEvery, maxFilesPerPart)
+          threshold, maxBucket, compactEvery, maxFilesPerPart, registryPath)
     }
 
   /** One micro-batch of [[indexedDedupSink]] — exposed so the replay
@@ -236,7 +258,8 @@ object DocStreams {
   private[graft] def processIndexedBatch(batch: DataFrame, id: Long,
       indexPath: String, verdictsPath: String, threshold: Double,
       maxBucket: Option[Int], compactEvery: Int,
-      maxFilesPerPart: Int): Unit = {
+      maxFilesPerPart: Int,
+      registryPath: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = batch.sparkSession
     val fs = graft.sources.Hdfs.forPath(spark, verdictsPath)
@@ -252,12 +275,40 @@ object DocStreams {
         // can never recompute them against an index that already
         // holds this batch's survivors
         val verdictSeal = new HPath(s"$verdictsPath/_verdicts/batch_$id")
+        def pairsDir = new HPath(s"$verdictsPath/_pairs/batch_id=$id")
+        def storedPairs = if (fs.exists(pairsDir))
+          spark.read.parquet(pairsDir.toString).select(col("bid"), col("cid"))
+        else spark.range(0).select(col("id").as("bid"), col("id").as("cid"))
         if (!fs.exists(verdictSeal)) {
-          Dedup.dedupAgainstLshIndex(cached, indexPath, threshold, maxBucket)
-            .withColumn("batch_id", lit(id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(verdictsPath)
+          registryPath match {
+            case None =>
+              Dedup.dedupAgainstLshIndex(cached, indexPath, threshold,
+                  maxBucket)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(verdictsPath)
+            case Some(_) =>
+              // registry mode: the PAIRS are the primary probe
+              // artifact (the registry needs every match, not the min
+              // rollup) — persist them first, derive the verdicts from
+              // the persisted form (one band-scan probe total; the
+              // read-back is the same materialization barrier as the
+              // verdict reuse on replay), seal both under one marker
+              Dedup.dedupPairsAgainstLshIndex(cached, indexPath, threshold,
+                  maxBucket)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(s"$verdictsPath/_pairs")
+              val k = spark.read.parquet(s"$indexPath/meta").head().getInt(0)
+              Dedup.verdictsFromPairs(Dedup.shingledDocIds(cached, k),
+                  storedPairs)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(verdictsPath)
+          }
           seal(verdictSeal)
         }
         // phase 2 — survivors come off the SEALED verdicts (the same
@@ -278,6 +329,16 @@ object DocStreams {
         }
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           Dedup.compactLshBands(spark, indexPath, maxFilesPerPart)
+        // phase 3 — cluster registry, off the SEALED pairs (never a
+        // re-probe: the index already holds this batch's survivors on
+        // a replay). updateRegistry is replay-pure, so any crash
+        // between here and the final marker re-lands identical rows.
+        registryPath.foreach { reg =>
+          graft.operators.Clusters.updateRegistry(spark, reg, id,
+            cached.select(col("doc_id")), storedPairs)
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            graft.operators.Clusters.compactRegistry(spark, reg)
+        }
       }
       seal(marker)
     } finally cached.unpersist(blocking = false)
@@ -292,11 +353,18 @@ object DocStreams {
     * pruned id is STILL a no-op (the exactly-once contract survives
     * GC — spec-pinned). Run it on the operational cadence with an
     * `upTo` at or below the stream checkpoint's committed offset; the
-    * verdict DATA partitions are never touched. Returns the floor now
-    * in effect. */
+    * verdict DATA partitions are never touched — EXCEPT the per-batch
+    * probe-pair partitions a registry-mode stream persists
+    * (`_pairs/batch_id=<id>`), which exist only to make replays
+    * re-derive identical verdicts and registry rows: at or below the
+    * floor a replay no-ops before ever reading them, so they are
+    * pruned on the same cadence. Returns the floor now in effect. */
   def gcSinkMarkers(spark: org.apache.spark.sql.SparkSession,
-                    verdictsPath: String, upTo: Long): Long =
-    SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts"))
+                    verdictsPath: String, upTo: Long): Long = {
+    val floor = SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts"))
+    gcPairSlices(spark, verdictsPath, floor)
+    floor
+  }
 
   /** [[gcSinkMarkers]] for [[curationSink]] streams: additionally
     * prunes the per-batch decon-fingerprint markers (`_decon/
@@ -304,8 +372,24 @@ object DocStreams {
     * below the floor replays as a no-op before the fingerprint is
     * ever consulted, so its marker is dead weight. */
   def gcCurationMarkers(spark: org.apache.spark.sql.SparkSession,
-                        verdictsPath: String, upTo: Long): Long =
-    SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts", "_decon"))
+                        verdictsPath: String, upTo: Long): Long = {
+    val floor = SinkMarkers.gc(spark, verdictsPath, upTo,
+      Seq("_verdicts", "_decon"))
+    gcPairSlices(spark, verdictsPath, floor)
+    floor
+  }
+
+  private def gcPairSlices(spark: org.apache.spark.sql.SparkSession,
+                           verdictsPath: String, floor: Long): Unit = {
+    val fs = graft.sources.Hdfs.forPath(spark, verdictsPath)
+    val root = new org.apache.hadoop.fs.Path(s"$verdictsPath/_pairs")
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+      .filter(_.getName.stripPrefix("batch_id=").toLongOption
+        .exists(_ <= floor))
+      .foreach(fs.delete(_, true))
+  }
 
   /** Gate threshold for [[curationSink]]'s repetition stage: a doc
     * whose positional duplicate-`dupN`-gram character coverage
@@ -360,13 +444,14 @@ object DocStreams {
                    quarantinePath: Option[String] = None,
                    maxBucket: Option[Int] = None,
                    compactEvery: Int = 0,
-                   maxFilesPerPart: Int = 8)
+                   maxFilesPerPart: Int = 8,
+                   registryPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         processCurationBatch(batch.toDF(), id, indexPath, deconPath,
           verdictsPath, threshold, maxContainment, gate, quarantinePath,
-          maxBucket, compactEvery, maxFilesPerPart)
+          maxBucket, compactEvery, maxFilesPerPart, registryPath)
     }
 
   /** One micro-batch of [[curationSink]] — exposed so the replay and
@@ -376,7 +461,8 @@ object DocStreams {
       threshold: Double, maxContainment: Double,
       gate: Option[RepetitionGate], quarantinePath: Option[String],
       maxBucket: Option[Int], compactEvery: Int,
-      maxFilesPerPart: Int): Unit = {
+      maxFilesPerPart: Int,
+      registryPath: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.lit
     val spark = batch.sparkSession
     val fs = graft.sources.Hdfs.forPath(spark, verdictsPath)
@@ -389,7 +475,8 @@ object DocStreams {
       if (cached.isEmpty) {
         // nothing arrived: let the dedup stage seal the commit marker
         processIndexedBatch(cached, id, indexPath, verdictsPath,
-          threshold, maxBucket, compactEvery, maxFilesPerPart)
+          threshold, maxBucket, compactEvery, maxFilesPerPart,
+          registryPath)
         return
       }
       // Decon-staleness tripwire. The crash contract requires the decon
@@ -527,7 +614,8 @@ object DocStreams {
       }
       // stage 3 — the exactly-once dedup lifecycle, unchanged
       processIndexedBatch(curated, id, indexPath, verdictsPath,
-        threshold, maxBucket, compactEvery, maxFilesPerPart)
+        threshold, maxBucket, compactEvery, maxFilesPerPart,
+        registryPath)
     } finally cached.unpersist(blocking = false)
   }
 

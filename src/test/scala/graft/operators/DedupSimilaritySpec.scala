@@ -472,6 +472,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(migrated.collect().map(_.toSeq).toSeq === viaStats)
   }
 
+  test("pairs probe: verdictsFromPairs over dedupPairsAgainstLshIndex reproduces the verdict probe bit for bit") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+    val path = java.nio.file.Files.createTempDirectory("lsh_pairs").toString
+    Dedup.saveLshIndex(corpus, k = 3, bands = 8, rowsPerBand = 4, path)
+    Seq(None, Some(3): Option[Int]).foreach { cap =>
+      val verdicts = Dedup.dedupAgainstLshIndex(batch, path,
+        threshold = 0.05, maxBucket = cap).collect().map(_.toSeq).toSeq
+      val pairs = Dedup.dedupPairsAgainstLshIndex(batch, path,
+        threshold = 0.05, maxBucket = cap).localCheckpoint()
+      val derived = Dedup.verdictsFromPairs(
+          Dedup.shingledDocIds(batch, k = 3),
+          pairs.select(col("bid"), col("cid")))
+        .collect().map(_.toSeq).toSeq
+      assert(derived === verdicts, s"cap=$cap")
+      // the pairs really are the verdicts' evidence: per-doc count and
+      // min match id agree row for row
+      val byBid = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1)
+      verdicts.foreach { v =>
+        val (id, n, m) = (v(0).asInstanceOf[Long], v(1).asInstanceOf[Long],
+          Option(v(2)).map(_.asInstanceOf[Long]))
+        assert(byBid.get(id).map(_.length.toLong).getOrElse(0L) === n)
+        assert(byBid.get(id).map(_.map(_._2).min) === m)
+      }
+      assert(verdicts.exists(_(3) === true), "fixture must contain dups")
+    }
+    org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
   test("incremental dedup: a torn append (bands written, stats slice lost) keeps the new buckets probeable under a cap") {
     val template = "the quick brown fox jumps over the lazy dog again and again"
     val path = java.nio.file.Files.createTempDirectory("lsh_torn").toString

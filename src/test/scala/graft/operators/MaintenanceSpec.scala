@@ -154,6 +154,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Dedup.deconMetaToken(spark, path) === tok1)
   }
 
+  test("registry: the nightly tick folds the merge log and then no-ops; resolution never moves") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("mnt_reg").toString + "/reg"
+    val noPairs = Seq.empty[(Long, Long)].toDF("bid", "cid")
+    Clusters.updateRegistry(spark, path, 0L, Seq(10L, 20L).toDF("doc_id"),
+      noPairs, nDocParts = 4)
+    Clusters.updateRegistry(spark, path, 1L, Seq(5L).toDF("doc_id"),
+      Seq(5L -> 10L, 5L -> 20L).toDF("bid", "cid"))
+    def resolved() = Clusters.resolvedClusters(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = resolved()
+    assert(before === Map(5L -> 5L, 10L -> 5L, 20L -> 5L))
+    val night1 = Maintenance.nightly(spark, path)
+    assert(night1.family === "registry")
+    assert(night1.actions === Seq("fold-log:1"), s"$night1")
+    assert(resolved() === before)
+    val night2 = Maintenance.nightly(spark, path)
+    assert(night2.noOp, s"folded registry must no-op: $night2")
+    assert(resolved() === before)
+  }
+
   test("decon: a healthy legacy pre-digest index migrates its meta on the nightly tick") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))

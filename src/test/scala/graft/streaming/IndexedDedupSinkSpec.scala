@@ -243,4 +243,81 @@ class IndexedDedupSinkSpec extends AnyFunSuite {
     Dedup.repairLshIndex(spark, clean)
     assert(probe(dup, Some(3)) === probe(clean, Some(3)))
   }
+
+  test("registry mode: verdicts bit-identical to pairless mode; registry = one-shot components; replays and GC exactly-once") {
+    import graft.operators.Clusters
+    val idxA = java.nio.file.Files.createTempDirectory("reg_idxA").toString
+    val idxB = java.nio.file.Files.createTempDirectory("reg_idxB").toString
+    val verdA = java.nio.file.Files.createTempDirectory("reg_verdA").toString
+    val verdB = java.nio.file.Files.createTempDirectory("reg_verdB").toString
+    val reg = java.nio.file.Files.createTempDirectory("reg_reg").toString + "/reg"
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idxA,
+      nBucketParts = 8)
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idxB,
+      nBucketParts = 8)
+    // the index's save-time corpus must be registered before the
+    // stream's first batch (reserved id below the stream's own)
+    Clusters.updateRegistry(spark, reg, -1L, role(0).select(col("doc_id")),
+      Seq.empty[(Long, Long)].toDF("bid", "cid"), nDocParts = 8)
+    (1 to 3).foreach { b =>
+      DocStreams.processIndexedBatch(role(b), (b - 1).toLong, idxA, verdA,
+        threshold = 0.05, maxBucket = Some(3), compactEvery = 2,
+        maxFilesPerPart = 8, registryPath = Some(reg))
+      DocStreams.processIndexedBatch(role(b), (b - 1).toLong, idxB, verdB,
+        threshold = 0.05, maxBucket = Some(3), compactEvery = 2,
+        maxFilesPerPart = 8)
+    }
+    // 1) the derived-from-pairs verdicts are bit-identical to the
+    //    pairless mode's, batch by batch
+    def verdicts(p: String) = spark.read.parquet(p)
+      .select(col("batch_id"), col("doc_id"), col("n_matches"),
+        col("match_id"), col("is_dup"))
+      .orderBy(col("batch_id"), col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(verdicts(verdA) === verdicts(verdB))
+    assert(verdicts(verdA).nonEmpty)
+    // 2) registry = one-shot components over every persisted pair,
+    //    singletons included
+    val pairs = spark.read.parquet(s"$verdA/_pairs")
+      .select(col("bid"), col("cid")).localCheckpoint()
+    assert(!pairs.isEmpty, "fixture must produce cross-batch matches")
+    val comps = Dedup.connectedComponents(
+        pairs.select(col("bid").as("id1"), col("cid").as("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allDocs = (0 to 3).map(role(_)).reduce(_ unionByName _)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val want = allDocs.map(id => id -> comps.getOrElse(id, id)).toMap
+    def got() = Clusters.resolvedClusters(spark, reg).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got() === want)
+    // 3) a fully-committed batch replays as a registry no-op, and a
+    //    mid-crash replay (final marker lost) re-lands identical rows
+    DocStreams.processIndexedBatch(role(3), 2L, idxA, verdA,
+      threshold = 0.05, maxBucket = Some(3), compactEvery = 2,
+      maxFilesPerPart = 8, registryPath = Some(reg))
+    assert(got() === want, "committed replay must not move the registry")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdA).toUri,
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verdA/_committed/batch_2"),
+      false)
+    DocStreams.processIndexedBatch(role(3), 2L, idxA, verdA,
+      threshold = 0.05, maxBucket = Some(3), compactEvery = 2,
+      maxFilesPerPart = 8, registryPath = Some(reg))
+    assert(got() === want, "crash replay must re-land identical rows")
+    assert(verdicts(verdA) === verdicts(verdB))
+    // 4) marker GC prunes the pair slices at or below the floor, and a
+    //    pruned batch still replays as a no-op
+    assert(DocStreams.gcSinkMarkers(spark, verdA, upTo = 1L) === 1L)
+    def pairDirs() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$verdA/_pairs"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(pairDirs() === Seq("batch_id=2"),
+      "pair slices at or below the floor must be pruned")
+    DocStreams.processIndexedBatch(role(1), 0L, idxA, verdA,
+      threshold = 0.05, maxBucket = Some(3), compactEvery = 2,
+      maxFilesPerPart = 8, registryPath = Some(reg))
+    assert(got() === want, "a GC'd committed batch must replay as a no-op")
+    Seq(idxA, idxB, verdA, verdB, reg).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
 }
