@@ -164,15 +164,11 @@ object Clusters {
     import spark.implicits._
     val fs = graft.sources.Hdfs.forPath(spark, path)
     graft.sources.TableSwap.recover(fs, path, "members")
+    val metaExists = fs.exists(hp(s"$path/meta"))
     val parts =
-      if (fs.exists(hp(s"$path/meta")))
-        spark.read.parquet(s"$path/meta").head().getInt(0)
-      else {
-        require(nDocParts >= 1, s"nDocParts must be >= 1, got $nDocParts")
-        Seq(Tuple1(nDocParts)).toDF("n_doc_parts").coalesce(1)
-          .write.mode("overwrite").parquet(s"$path/meta")
-        nDocParts
-      }
+      if (metaExists) spark.read.parquet(s"$path/meta").head().getInt(0)
+      else { require(nDocParts >= 1,
+        s"nDocParts must be >= 1, got $nDocParts"); nDocParts }
     // tiny frames consumed several times (validation, edges, labels,
     // writes) — pin once; batch-sized by contract
     val ids = newDocs.select(col("doc_id").cast("long").as("doc_id"))
@@ -184,10 +180,37 @@ object Clusters {
     // not feed its own recomputation — read the registry as of every
     // OTHER batch (partition pruning makes the exclusion free)
     def excludeSelf(df: DataFrame) = df.where(col("batch_id") =!= lit(batchId))
+    // every pair bid must be a doc THIS batch registers: a foreign bid
+    // would mint a component label with no member row — a cluster
+    // canonical that resolvedClusters never returns, silently
+    val foreignBids = prs.join(ids, prs("bid") === ids("doc_id"),
+      "left_anti").count()
+    if (foreignBids > 0) throw new IllegalArgumentException(
+      s"$foreignBids pair bid(s) are not in this batch's newDocs — " +
+        "pairs must link THIS batch's docs (bid) to already-registered " +
+        s"docs (cid); a foreign bid would corrupt the registry at $path")
+    // the pruned members scan serving the cid→root lookup also guards
+    // the one-row-per-doc contract: a doc_id re-registered by a LATER
+    // batch would give resolvedClusters two rows (possibly different
+    // clusters), silently — prune to the union of both sides' parts so
+    // one in-list covers both checks
+    val existing = readMembers(spark, path)
+    existing.foreach { m =>
+      val idParts = ids.select(pmod(col("doc_id"), lit(parts.toLong))
+          .cast("int").as("part"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val dupReg = excludeSelf(m).where(col("part").isin(idParts: _*))
+        .join(ids, "doc_id").count()
+      if (dupReg > 0) throw new IllegalArgumentException(
+        s"$dupReg doc(s) in this batch are already registered at $path " +
+          "under another batch id — re-registering would break the " +
+          "one-row-per-doc contract (replays must reuse their ORIGINAL " +
+          "batch id; new batches must carry genuinely new docs)")
+    }
     val hasPairs = !prs.isEmpty
     val rooted =
       if (!hasPairs) prs.select(col("bid"), col("cid"), col("cid").as("root"))
-      else readMembers(spark, path) match {
+      else existing match {
         case None => throw new IllegalArgumentException(
           s"registry at $path has no members yet but the batch carries " +
             "pairs — every cid must already be registered")
@@ -212,6 +235,12 @@ object Clusters {
       s"$missing pair cid(s) are not registered at $path — the registry " +
         "only links new docs to docs it already knows (register corpora " +
         "batch-first, pairs after)")
+    // meta pins the partition arithmetic FOREVER — create it only once
+    // every validation above has passed, so a rejected first call can
+    // never pin the layout its retry meant to change
+    if (!metaExists)
+      Seq(Tuple1(parts)).toDF("n_doc_parts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
     // batch-local transitive closure over (bid ↔ current root):
     // labels = min id per component — batch-sized graph, converges in
     // 2-3 HashMin rounds

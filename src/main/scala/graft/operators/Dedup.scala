@@ -1550,10 +1550,15 @@ object Dedup {
                                      path: String): DataFrame = {
     val spark = batch.sparkSession
     // the hash store may be mid-compaction (partitions absent between
-    // the compactor's two renames) — refuse rather than score torn;
-    // unbracketed batch callers get the entry check, the curation
-    // sink's stamp/token bracket additionally covers a compaction
-    // STARTING after this line (see assertDeconNotCompacting)
+    // the compactor's two renames) — refuse rather than score torn.
+    // PLAN-TIME check only: this operator returns a LAZY frame (its
+    // plan is part of the contract — the partition-prune pin), so a
+    // compaction STARTING after this line and before the caller
+    // materializes can still tear the store scan. The curation sink
+    // closes that with its stamp/token bracket around its own
+    // materialization; unbracketed batch callers who may run
+    // concurrently with Maintenance.nightly should use
+    // [[decontaminateAgainstDeconIndexBracketed]] instead.
     assertDeconNotCompacting(graft.sources.Hdfs.forPath(spark, path), path)
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, parts) = (m.getInt(0), m.getInt(3))
@@ -1604,6 +1609,33 @@ object Dedup {
     val hits = candidates.join(store, Seq("part", "h"), "left_semi")
       .select(col("h"))
     containmentScores(withSh, hits)
+  }
+
+  /** [[decontaminateAgainstDeconIndex]] under the FULL compaction
+    * bracket, for batch callers that may run concurrently with
+    * [[Maintenance.nightly]]: takes the meta token (which refuses on
+    * the `_compacting` marker), MATERIALIZES the probe — its last
+    * store read — and re-checks the token across it, so a compaction
+    * overlapping the window at any point either trips the marker
+    * assert or the closing token compare (the fingerprint-stable meta
+    * bump makes even a whole-window-spanning overlap visible). This is
+    * the curation sink's bracket packaged for standalone use; the
+    * price is eagerness — the returned frame is checkpointed, its scan
+    * plan already executed (callers pinning the pruned-scan plan use
+    * the lazy form). */
+  def decontaminateAgainstDeconIndexBracketed(batch: DataFrame,
+                                              path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val tok0 = deconMetaToken(spark, path)
+    val scored = decontaminateAgainstDeconIndex(batch, path)
+      .localCheckpoint()
+    if (deconMetaToken(spark, path) != tok0)
+      throw new IllegalStateException(
+        s"decon index at $path had its meta rewritten (compaction bump, " +
+          "re-save, bloom heal, or migration) while this probe was in " +
+          "flight — the scores may be torn; retry against the settled " +
+          "index")
+    scored
   }
 
   /** The daily-loop composition: drop arriving docs whose containment

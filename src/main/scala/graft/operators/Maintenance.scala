@@ -198,9 +198,14 @@ object Maintenance {
     * swapped — tonight or by an orphaned prior crash — meta is
     * rewritten fingerprint-stably ([[Dedup.bumpDeconMeta]]) so a probe
     * spanning the whole window still fails its closing token check.
-    * Cost: probes abort-and-retry during the compaction slice of the
-    * nightly window, plus at most one aborted trigger for the token
-    * bump — loud and replayable, never a silent clean score. */
+    * The bracket is taken ONLY when the needs-work probe
+    * ([[graft.sources.Compaction.compactionWork]]) finds something to
+    * move (fragmented partitions, staged crash leftovers, or an
+    * orphaned marker) — a healthy night neither seals the marker nor
+    * bumps meta, so live probes see no abort window at all. When work
+    * exists: probes abort-and-retry during the swap slice, plus at
+    * most one aborted trigger for the token bump — loud and
+    * replayable, never a silent clean score. */
   private def nightlyDecon(spark: SparkSession, path: String,
                            maxFilesPerPart: Int): NightlyReport = {
     import org.apache.spark.sql.functions.col
@@ -215,18 +220,27 @@ object Maintenance {
     // bump even if nothing is left to compact (a probe could have
     // spanned the crashed run's window and still be in flight)
     val orphaned = fs.exists(marker)
-    fs.create(marker, true).close()
-    val compacted = graft.sources.Compaction.compactPartitions(spark,
+    // needs-work probe FIRST (read-only): a healthy night takes no
+    // marker at all, so live probes see zero abort windows unless
+    // partitions will actually move — the bracket's cost is paid only
+    // when its protection is needed
+    val (staged, fragmented) = graft.sources.Compaction.compactionWork(fs,
       s"$path/hashes", "part=", maxFilesPerPart)
-    if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
-    if (orphaned || compacted.nonEmpty) {
+    if (orphaned || staged || fragmented > 0) {
+      fs.create(marker, true).close()
+      val compacted = graft.sources.Compaction.compactPartitions(spark,
+        s"$path/hashes", "part=", maxFilesPerPart)
+      if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
+      // anything that moved partitions tonight — a compaction, a
+      // staged-dir restore, or an orphaned crash's completed swaps —
+      // gets the fingerprint-stable token bump
       Dedup.bumpDeconMeta(spark, path)
       if (orphaned) actions += "heal-compaction-bracket"
+      if (!fs.delete(marker, false) && fs.exists(marker))
+        throw new java.io.IOException(
+          s"could not clear the _compacting marker at $marker — probes " +
+            "will keep refusing; clear it by re-running the nightly pass")
     }
-    if (!fs.delete(marker, false) && fs.exists(marker))
-      throw new java.io.IOException(
-        s"could not clear the _compacting marker at $marker — probes " +
-          "will keep refusing; clear it by re-running the nightly pass")
     val m = spark.read.parquet(s"$path/meta").head()
     val hashes = spark.read.schema("h BIGINT, part BIGINT")
       .parquet(s"$path/hashes")

@@ -154,6 +154,33 @@ object TableSwap {
 
 object Compaction {
 
+  /** Read-only needs-work probe for [[compactPartitions]]: whether a
+    * crashed prior compaction left staged/tmp dirs for the entry sweep
+    * (`recovery`) and how many partitions exceed `maxFilesPerPart`
+    * (`fragmented`). Callers that must take a reader-visible bracket
+    * around the compaction (the decon nightly's `_compacting` marker)
+    * use this to skip the bracket — and its probe-abort window —
+    * entirely on healthy nights. Same listing rule as the compactor;
+    * racing writers are out of scope (single-maintainer protocol). */
+  def compactionWork(fs: org.apache.hadoop.fs.FileSystem,
+                     tableRoot: String, prefix: String,
+                     maxFilesPerPart: Int): (Boolean, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(tableRoot)
+    require(fs.exists(root), s"no partitioned table at $tableRoot")
+    val recovery = fs.listStatus(root.getParent).map(_.getPath.getName)
+      .exists(n => n.startsWith("_compact_old_") ||
+        n.startsWith("_compact_tmp_"))
+    val fragmented = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+      .count { dir =>
+        fs.listStatus(dir)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
+          maxFilesPerPart
+      }
+    (recovery, fragmented)
+  }
+
   /** Compact partitions of `tableRoot` (dirs named `<prefix><value>`)
     * whose parquet-file count exceeds `maxFilesPerPart` down to
     * `targetFiles` files. Tmp/stage dirs live in `tableRoot`'s parent

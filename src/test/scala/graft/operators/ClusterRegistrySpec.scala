@@ -127,6 +127,51 @@ class ClusterRegistrySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not registered"), ex.getMessage)
   }
 
+  test("a pair bid outside the batch's newDocs refuses loudly (no memberless cluster roots)") {
+    val path = tmp("reg6")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10), noPairs,
+      nDocParts = 4)
+    // bid 5 is not in newDocs ([7]) — accepting it would mint a
+    // component label (5) with no member row, a canonical id that
+    // resolvedClusters never returns
+    val ex = intercept[IllegalArgumentException] {
+      Clusters.updateRegistry(spark, path, 1L, docsDf(7),
+        pairsDf(5L -> 10L))
+    }
+    assert(ex.getMessage.contains("not in this batch"), ex.getMessage)
+  }
+
+  test("re-registering a doc under a NEW batch id refuses loudly (one row per doc); same-id replay stays legal") {
+    val path = tmp("reg7")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10, 20), noPairs,
+      nDocParts = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Clusters.updateRegistry(spark, path, 1L, docsDf(20, 30), noPairs)
+    }
+    assert(ex.getMessage.contains("already registered"), ex.getMessage)
+    // the refused batch wrote nothing
+    assert(resolved(path) === Map(10L -> 10L, 20L -> 20L))
+    // a genuine replay (same batch id) is still the documented no-op
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10, 20), noPairs)
+    assert(resolved(path) === Map(10L -> 10L, 20L -> 20L))
+  }
+
+  test("a rejected FIRST update pins nothing: the retry's nDocParts wins") {
+    val path = tmp("reg8")
+    // first-ever call carries pairs against an empty registry — it
+    // must throw BEFORE meta is created, or the failed call's
+    // partition arithmetic would silently outlive it
+    intercept[IllegalArgumentException] {
+      Clusters.updateRegistry(spark, path, 0L, docsDf(5),
+        pairsDf(5L -> 10L), nDocParts = 16)
+    }
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10), noPairs,
+      nDocParts = 4)
+    assert(spark.read.parquet(s"$path/meta").head().getInt(0) === 4,
+      "the successful creation call's layout must be the pinned one")
+    assert(resolved(path) === Map(10L -> 10L))
+  }
+
   test("fixture slices: incremental registry ≡ one-shot components over the union of cross-batch pairs") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))

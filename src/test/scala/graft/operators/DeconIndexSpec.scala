@@ -59,6 +59,29 @@ class DeconIndexSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("bracketed probe equals the lazy form; the compaction marker refuses it at entry") {
+    val path = java.nio.file.Files.createTempDirectory("decon_brk").toString
+    Dedup.saveDeconIndex(bench, k = 4, path, nHashParts = 8)
+    val lazyRows = Dedup.decontaminateAgainstDeconIndex(batch, path)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val bracketed = Dedup.decontaminateAgainstDeconIndexBracketed(batch, path)
+    assert(bracketed.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      === lazyRows)
+    // under a live compaction the bracketed form refuses up front (the
+    // closing token compare covers the mid-flight shapes — the sink's
+    // spec'd bracket, packaged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_compacting")
+    fs.create(marker, true).close()
+    intercept[IllegalStateException] {
+      Dedup.decontaminateAgainstDeconIndexBracketed(batch, path)
+    }
+    fs.delete(marker, false)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
   test("exactness never depends on the bloom: fpp = 0.5 probes bit-identically") {
     val path = java.nio.file.Files.createTempDirectory("decon_fpp").toString
     Dedup.saveDeconIndex(bench, k = 4, path, fpp = 0.5, nHashParts = 8)
