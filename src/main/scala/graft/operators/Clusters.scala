@@ -294,30 +294,64 @@ object Clusters {
     * so every crash state — fold staged, fold landed + log intact, log
     * half-deleted — resolves identically: re-applying remaps to folded
     * members is a no-op because the old roots no longer occur.
-    * Single-maintainer, like the index compactions. */
-  def compactRegistry(spark: SparkSession, path: String): Unit = {
+    * Single-maintainer, like the index compactions.
+    *
+    * `consolidateUpTo`: additionally rewrite member rows with
+    * `batch_id <= upTo` under the single partition `batch_id = upTo` —
+    * the small-files answer for long-running sinks, where a year of
+    * one-minute triggers is ~5·10⁵ batch_id dirs × parts of pure
+    * directory metadata. Pass ONLY ids the stream can no longer replay
+    * (at or below the sink's marker-GC floor, the same rule as the
+    * pair-slice GC): a replay of a consolidated id no-ops at its
+    * commit marker/floor before ever reading members, and
+    * [[updateRegistry]]'s self-exclusion only concerns the LIVE batch
+    * being written, which is above the floor by definition. Resolution
+    * is invariant — batch_id never participates in it. */
+  def compactRegistry(spark: SparkSession, path: String,
+                      consolidateUpTo: Option[Long] = None): Unit = {
     val fs = graft.sources.Hdfs.forPath(spark, path)
     graft.sources.TableSwap.recover(fs, path, "members")
     val remaps = readRemaps(spark, path).filterNot(_.isEmpty)
-    if (remaps.isEmpty) return
-    val m = readMembers(spark, path).getOrElse(return)
-    val collapsed = collapsedRemaps(remaps.get)
-    val folded = m.join(broadcast(collapsed),
-        m("root") === collapsed("old_root"), "left_outer")
-      .select(m("doc_id"),
-        coalesce(col("new_root"), m("root")).as("root"),
-        m("part"), m("batch_id"))
-    graft.sources.TableSwap.rewrite(spark, fs, path, "members") { tmp =>
-      folded.write.partitionBy("batch_id", "part").parquet(tmp)
+    val archiveWanted = consolidateUpTo.exists { upTo =>
+      // a members rewrite is warranted only if >1 batch dir would
+      // collapse (listing is metadata-cheap; the rewrite is not)
+      fs.exists(hp(s"$path/members")) &&
+        fs.listStatus(hp(s"$path/members"))
+          .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+          .flatMap(_.stripPrefix("batch_id=").toLongOption)
+          .count(_ <= upTo) > 1
     }
-    fs.listStatus(hp(s"$path/remaps")).map(_.getPath)
-      .filter(_.getName.startsWith("batch_id="))
-      .foreach { d =>
-        if (!fs.delete(d, true)) throw new java.io.IOException(
-          s"could not truncate merge-log slice $d after folding — " +
-            "harmless to correctness (re-application is a no-op) but " +
-            "the next compaction must retry it")
-      }
-    spark.catalog.refreshByPath(s"$path/remaps")
+    if (remaps.isEmpty && !archiveWanted) return
+    val m = readMembers(spark, path).getOrElse(return)
+    val folded = remaps.map(collapsedRemaps) match {
+      case Some(collapsed) =>
+        m.join(broadcast(collapsed),
+            m("root") === collapsed("old_root"), "left_outer")
+          .select(m("doc_id"),
+            coalesce(col("new_root"), m("root")).as("root"),
+            m("part"), m("batch_id"))
+      case None => m.select(col("doc_id"), col("root"), col("part"),
+        col("batch_id"))
+    }
+    val archived = consolidateUpTo match {
+      case Some(upTo) => folded.withColumn("batch_id",
+        when(col("batch_id") <= upTo, lit(upTo))
+          .otherwise(col("batch_id")))
+      case None => folded
+    }
+    graft.sources.TableSwap.rewrite(spark, fs, path, "members") { tmp =>
+      archived.write.partitionBy("batch_id", "part").parquet(tmp)
+    }
+    if (remaps.nonEmpty) {
+      fs.listStatus(hp(s"$path/remaps")).map(_.getPath)
+        .filter(_.getName.startsWith("batch_id="))
+        .foreach { d =>
+          if (!fs.delete(d, true)) throw new java.io.IOException(
+            s"could not truncate merge-log slice $d after folding — " +
+              "harmless to correctness (re-application is a no-op) but " +
+              "the next compaction must retry it")
+        }
+      spark.catalog.refreshByPath(s"$path/remaps")
+    }
   }
 }

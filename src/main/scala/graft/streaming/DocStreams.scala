@@ -358,7 +358,12 @@ object DocStreams {
     * (`_pairs/batch_id=<id>`), which exist only to make replays
     * re-derive identical verdicts and registry rows: at or below the
     * floor a replay no-ops before ever reading them, so they are
-    * pruned on the same cadence. Returns the floor now in effect. */
+    * pruned on the same cadence. Registry-mode streams should also
+    * pass the returned floor to
+    * `Clusters.compactRegistry(spark, reg, consolidateUpTo = Some(floor))`
+    * on this cadence — it folds the GC'd batches' member partitions
+    * into one archive dir (the registry-side answer to the same
+    * small-files pressure). Returns the floor now in effect. */
   def gcSinkMarkers(spark: org.apache.spark.sql.SparkSession,
                     verdictsPath: String, upTo: Long): Long = {
     val floor = SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts"))

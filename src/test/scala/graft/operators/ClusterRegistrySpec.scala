@@ -172,6 +172,39 @@ class ClusterRegistrySpec extends AnyFunSuite {
     assert(resolved(path) === Map(10L -> 10L))
   }
 
+  test("consolidation folds GC'd batch partitions into one archive dir; resolution and live batches unaffected") {
+    val path = tmp("reg9")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10, 20, 30), noPairs,
+      nDocParts = 4)
+    Clusters.updateRegistry(spark, path, 1L, docsDf(8), pairsDf(8L -> 10L))
+    Clusters.updateRegistry(spark, path, 2L, docsDf(6), pairsDf(6L -> 20L))
+    Clusters.updateRegistry(spark, path, 3L, docsDf(40), pairsDf(40L -> 30L))
+    val want = resolved(path)
+    assert(want === Map(8L -> 8L, 10L -> 8L, 6L -> 6L, 20L -> 6L,
+      30L -> 30L, 40L -> 30L))
+    // batches 0..2 are at or below the (simulated) marker floor — fold
+    // their member partitions into batch_id=2 and the log into members
+    Clusters.compactRegistry(spark, path, consolidateUpTo = Some(2L))
+    val fs = fsOf(path)
+    def batchDirs() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/members"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(batchDirs() === Seq("batch_id=2", "batch_id=3"), batchDirs())
+    assert(resolved(path) === want, "consolidation must not move answers")
+    // the LIVE batch above the floor still replays in place...
+    Clusters.updateRegistry(spark, path, 3L, docsDf(40), pairsDf(40L -> 30L))
+    assert(resolved(path) === want)
+    // ...and new batches merge against consolidated rows as before
+    Clusters.updateRegistry(spark, path, 4L, docsDf(5),
+      pairsDf(5L -> 10L, 5L -> 20L))
+    assert(resolved(path) === Map(5L -> 5L, 6L -> 5L, 8L -> 5L, 10L -> 5L,
+      20L -> 5L, 30L -> 30L, 40L -> 30L))
+    // idempotent: re-consolidating at the same floor is a no-op
+    Clusters.compactRegistry(spark, path, consolidateUpTo = Some(2L))
+    assert(batchDirs().size === 3) // 2, 3, 4
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
   test("fixture slices: incremental registry ≡ one-shot components over the union of cross-batch pairs") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
