@@ -69,6 +69,36 @@ import org.apache.spark.sql.functions._
   * (schedule [[compactRegistry]] from the sink's own cadence). */
 object Clusters {
 
+  /** Reserved batch id for [[compactRegistry]]'s consolidated archive
+    * partition. Never a legal [[updateRegistry]] batch id: archived
+    * rows must be invisible to replay self-exclusion and impossible to
+    * dynamically overwrite — consolidating into a REAL id would let a
+    * replay of exactly that id silently replace archive partitions
+    * with its own rows (ids below it throw via the re-registration
+    * guard; the floor id itself was the one silent hole). */
+  val ArchiveBatchId: Long = Long.MinValue
+
+  /** What [[updateRegistry]] does when a batch doc_id is ALREADY
+    * registered under another batch id. [[Refuse]] and [[Skip]] pay a
+    * members scan pruned to the batch's `part` residues — a batch
+    * covering all residues degrades that to a full membership scan, so
+    * feeds that guarantee globally-new ids at high cadence use
+    * [[Trust]] and skip the scan entirely. */
+  sealed trait OnRegistered
+  /** Throw: a re-registration is a caller bug or an illegal replay
+    * (the default — silent duplicate member rows would give
+    * [[resolvedClusters]] two rows per doc). */
+  case object Refuse extends OnRegistered
+  /** First-writer-wins: drop already-registered docs AND their pairs
+    * from the batch — the at-least-once upstream-feed setting, where
+    * refusing would wedge a stream on every redelivered doc. */
+  case object Skip extends OnRegistered
+  /** No membership scan: the caller guarantees the batch's doc_ids
+    * are globally new. A broken guarantee corrupts silently — use
+    * only where uniqueness is structural (e.g. ids minted from an
+    * append-only sequence). */
+  case object Trust extends OnRegistered
+
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
   private def hasBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
@@ -157,56 +187,83 @@ object Clusters {
     * it, and every pre-existing root it absorbs gets a remap edge.
     *
     * `nDocParts` is CREATION-time only (pinned in meta; later updates
-    * read the pinned value and ignore the argument). */
+    * read the pinned value and ignore the argument). `onRegistered`
+    * decides what happens to batch docs the registry already knows —
+    * see [[OnRegistered]]. */
   def updateRegistry(spark: SparkSession, path: String, batchId: Long,
                      newDocs: DataFrame, pairs: DataFrame,
-                     nDocParts: Int = 64): Unit = {
+                     nDocParts: Int = 64,
+                     onRegistered: OnRegistered = Refuse): Unit = {
     import spark.implicits._
+    require(batchId != ArchiveBatchId,
+      s"batch id $ArchiveBatchId is reserved for the consolidation archive")
     val fs = graft.sources.Hdfs.forPath(spark, path)
     graft.sources.TableSwap.recover(fs, path, "members")
-    val metaExists = fs.exists(hp(s"$path/meta"))
+    // _SUCCESS, not dir existence: a first call that crashed mid
+    // meta-write leaves an existing-but-unreadable dir, and an
+    // existence check would wedge every retry on a schema-inference
+    // error; an uncommitted meta re-creates cleanly (overwrite mode)
+    val metaExists = fs.exists(hp(s"$path/meta/_SUCCESS"))
     val parts =
       if (metaExists) spark.read.parquet(s"$path/meta").head().getInt(0)
       else { require(nDocParts >= 1,
         s"nDocParts must be >= 1, got $nDocParts"); nDocParts }
     // tiny frames consumed several times (validation, edges, labels,
     // writes) — pin once; batch-sized by contract
-    val ids = newDocs.select(col("doc_id").cast("long").as("doc_id"))
+    val allIds = newDocs.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates("doc_id").localCheckpoint()
-    val prs = pairs.select(col("bid").cast("long").as("bid"),
+    val allPrs = pairs.select(col("bid").cast("long").as("bid"),
         col("cid").cast("long").as("cid"))
       .dropDuplicates("bid", "cid").localCheckpoint()
     // replay purity: a half-written prior attempt of THIS batch must
     // not feed its own recomputation — read the registry as of every
-    // OTHER batch (partition pruning makes the exclusion free)
+    // OTHER batch (partition pruning makes the exclusion free). The
+    // archive partition carries the reserved id, so it can never be
+    // excluded here.
     def excludeSelf(df: DataFrame) = df.where(col("batch_id") =!= lit(batchId))
-    // every pair bid must be a doc THIS batch registers: a foreign bid
-    // would mint a component label with no member row — a cluster
-    // canonical that resolvedClusters never returns, silently
+    val existing = readMembers(spark, path)
+    // one-row-per-doc contract: a doc_id re-registered under a LATER
+    // batch id would give resolvedClusters two rows (possibly
+    // different clusters), silently. Refuse/Skip pay a members scan
+    // pruned to the batch's own part residues (vacuous for a batch
+    // covering all residues — Trust is the documented out for feeds
+    // with structural uniqueness).
+    val (ids, prs) = (onRegistered, existing) match {
+      case (Trust, _) | (_, None) => (allIds, allPrs)
+      case (mode, Some(m)) =>
+        val idParts = allIds.select(pmod(col("doc_id"), lit(parts.toLong))
+            .cast("int").as("part"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val already = excludeSelf(m).where(col("part").isin(idParts: _*))
+          .join(allIds, "doc_id").select(col("doc_id")).localCheckpoint()
+        if (already.isEmpty) (allIds, allPrs)
+        else mode match {
+          case Refuse => throw new IllegalArgumentException(
+            s"${already.count()} doc(s) in this batch are already " +
+              s"registered at $path under another batch id — " +
+              "re-registering would break the one-row-per-doc contract " +
+              "(replays must reuse their ORIGINAL batch id; pass " +
+              "onRegistered = Skip for first-writer-wins feeds)")
+          case _ =>
+            // Skip: first-writer-wins — drop the redelivered docs AND
+            // their pairs (their matches were recorded, or not, by
+            // their original batch; deterministic in registry-before,
+            // so replays of THIS batch recompute the same drop)
+            (allIds.join(already, Seq("doc_id"), "left_anti")
+               .localCheckpoint(),
+             allPrs.join(already.withColumnRenamed("doc_id", "bid"),
+               Seq("bid"), "left_anti").localCheckpoint())
+        }
+    }
+    // every remaining pair bid must be a doc THIS batch registers: a
+    // foreign bid would mint a component label with no member row — a
+    // cluster canonical that resolvedClusters never returns, silently
     val foreignBids = prs.join(ids, prs("bid") === ids("doc_id"),
       "left_anti").count()
     if (foreignBids > 0) throw new IllegalArgumentException(
       s"$foreignBids pair bid(s) are not in this batch's newDocs — " +
         "pairs must link THIS batch's docs (bid) to already-registered " +
         s"docs (cid); a foreign bid would corrupt the registry at $path")
-    // the pruned members scan serving the cid→root lookup also guards
-    // the one-row-per-doc contract: a doc_id re-registered by a LATER
-    // batch would give resolvedClusters two rows (possibly different
-    // clusters), silently — prune to the union of both sides' parts so
-    // one in-list covers both checks
-    val existing = readMembers(spark, path)
-    existing.foreach { m =>
-      val idParts = ids.select(pmod(col("doc_id"), lit(parts.toLong))
-          .cast("int").as("part"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val dupReg = excludeSelf(m).where(col("part").isin(idParts: _*))
-        .join(ids, "doc_id").count()
-      if (dupReg > 0) throw new IllegalArgumentException(
-        s"$dupReg doc(s) in this batch are already registered at $path " +
-          "under another batch id — re-registering would break the " +
-          "one-row-per-doc contract (replays must reuse their ORIGINAL " +
-          "batch id; new batches must carry genuinely new docs)")
-    }
     val hasPairs = !prs.isEmpty
     val rooted =
       if (!hasPairs) prs.select(col("bid"), col("cid"), col("cid").as("root"))
@@ -297,16 +354,18 @@ object Clusters {
     * Single-maintainer, like the index compactions.
     *
     * `consolidateUpTo`: additionally rewrite member rows with
-    * `batch_id <= upTo` under the single partition `batch_id = upTo` —
-    * the small-files answer for long-running sinks, where a year of
-    * one-minute triggers is ~5·10⁵ batch_id dirs × parts of pure
-    * directory metadata. Pass ONLY ids the stream can no longer replay
-    * (at or below the sink's marker-GC floor, the same rule as the
-    * pair-slice GC): a replay of a consolidated id no-ops at its
-    * commit marker/floor before ever reading members, and
-    * [[updateRegistry]]'s self-exclusion only concerns the LIVE batch
-    * being written, which is above the floor by definition. Resolution
-    * is invariant — batch_id never participates in it. */
+    * `batch_id <= upTo` under the single RESERVED partition
+    * `batch_id = `[[ArchiveBatchId]] — the small-files answer for
+    * long-running sinks, where a year of one-minute triggers is
+    * ~5·10⁵ batch_id dirs × parts of pure directory metadata. Pass
+    * ONLY ids the stream can no longer replay (at or below the sink's
+    * marker-GC floor, the same rule as the pair-slice GC): a replay of
+    * a consolidated id no-ops at its commit marker/floor before ever
+    * reading members — and if one is driven anyway, the reserved
+    * archive id means [[updateRegistry]]'s re-registration guard
+    * throws loudly instead of a real-id archive being silently
+    * dynamic-overwritten by its own floor batch. Resolution is
+    * invariant — batch_id never participates in it. */
   def compactRegistry(spark: SparkSession, path: String,
                       consolidateUpTo: Option[Long] = None): Unit = {
     val fs = graft.sources.Hdfs.forPath(spark, path)
@@ -335,7 +394,7 @@ object Clusters {
     }
     val archived = consolidateUpTo match {
       case Some(upTo) => folded.withColumn("batch_id",
-        when(col("batch_id") <= upTo, lit(upTo))
+        when(col("batch_id") <= upTo, lit(ArchiveBatchId))
           .otherwise(col("batch_id")))
       case None => folded
     }

@@ -218,10 +218,12 @@ object PipelineScaleBench {
       val idxPath = s"/tmp/graft_psb/lshidx_x$c"
       val regPath = s"/tmp/graft_psb/reg_x$c"
       val corpusSuccess = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
-      // meta is written LAST on the first update, so its _SUCCESS
-      // means the base registration completed; older than the corpus
+      // cache key = the MEMBERS table's commit marker (written after
+      // meta — a run killed mid base registration leaves meta committed
+      // but no members, and keying on meta would wedge every later run
+      // on 'registry has no members yet'); older than the corpus
       // artifact means a regenerated corpus — rebuild, never reuse
-      val regSuccess = new java.io.File(s"$regPath/meta/_SUCCESS")
+      val regSuccess = new java.io.File(s"$regPath/members/_SUCCESS")
       val noPairs = spark.range(0)
         .select(col("id").as("bid"), col("id").as("cid"))
       val (_, regBuildSec) =

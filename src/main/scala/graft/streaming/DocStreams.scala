@@ -236,10 +236,12 @@ object DocStreams {
     *   from the stream's FIRST batch, with the index's save-time
     *   corpus pre-registered (one `updateRegistry` with a reserved
     *   batch id, e.g. -1): a cid the registry does not know fails the
-    *   batch loudly. Registry updates are replay-pure, so the sink's
-    *   at-least-once crash windows leave it exactly-once like the
-    *   verdicts; [[gcSinkMarkers]] prunes pairs dirs at or below the
-    *   marker floor on the same cadence. */
+    *   batch loudly. A doc REDELIVERED by the upstream in a new batch
+    *   is skipped first-writer-wins (its original registration stands;
+    *   its pairs drop with it — `Clusters.Skip`). Registry updates are
+    *   replay-pure, so the sink's at-least-once crash windows leave it
+    *   exactly-once like the verdicts; [[gcSinkMarkers]] prunes pairs
+    *   dirs at or below the marker floor on the same cadence. */
   def indexedDedupSink(docs: DataFrame, indexPath: String,
                        verdictsPath: String, threshold: Double,
                        maxBucket: Option[Int] = None,
@@ -334,8 +336,14 @@ object DocStreams {
         // a replay). updateRegistry is replay-pure, so any crash
         // between here and the final marker re-lands identical rows.
         registryPath.foreach { reg =>
+          // Skip = first-writer-wins (the engine's S2 semantics): an
+          // at-least-once upstream redelivering an old doc in a NEW
+          // batch must neither wedge the stream (Refuse) nor mint a
+          // duplicate member row (Trust) — its original registration
+          // stands and its pairs are dropped with it, deterministically
           graft.operators.Clusters.updateRegistry(spark, reg, id,
-            cached.select(col("doc_id")), storedPairs)
+            cached.select(col("doc_id")), storedPairs,
+            onRegistered = graft.operators.Clusters.Skip)
           if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
             graft.operators.Clusters.compactRegistry(spark, reg)
         }
@@ -361,9 +369,13 @@ object DocStreams {
     * pruned on the same cadence. Registry-mode streams should also
     * pass the returned floor to
     * `Clusters.compactRegistry(spark, reg, consolidateUpTo = Some(floor))`
-    * on this cadence — it folds the GC'd batches' member partitions
-    * into one archive dir (the registry-side answer to the same
-    * small-files pressure). Returns the floor now in effect. */
+    * — it folds the GC'd batches' member partitions into one archive
+    * dir (the registry-side answer to the same small-files pressure).
+    * Unlike this marker GC (which only touches dead marker files), the
+    * consolidation REWRITES the members table: run it from the sink's
+    * own serialized cadence (compactEvery) or with the stream stopped,
+    * never concurrently with a live batch — the TableSwap
+    * single-maintainer rule. Returns the floor now in effect. */
   def gcSinkMarkers(spark: org.apache.spark.sql.SparkSession,
                     verdictsPath: String, upTo: Long): Long = {
     val floor = SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts"))

@@ -183,13 +183,15 @@ class ClusterRegistrySpec extends AnyFunSuite {
     assert(want === Map(8L -> 8L, 10L -> 8L, 6L -> 6L, 20L -> 6L,
       30L -> 30L, 40L -> 30L))
     // batches 0..2 are at or below the (simulated) marker floor — fold
-    // their member partitions into batch_id=2 and the log into members
+    // their member partitions into the RESERVED archive partition and
+    // the log into members
     Clusters.compactRegistry(spark, path, consolidateUpTo = Some(2L))
     val fs = fsOf(path)
+    val archiveDir = s"batch_id=${Clusters.ArchiveBatchId}"
     def batchDirs() = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$path/members"))
       .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
-    assert(batchDirs() === Seq("batch_id=2", "batch_id=3"), batchDirs())
+    assert(batchDirs() === Seq(archiveDir, "batch_id=3"), batchDirs())
     assert(resolved(path) === want, "consolidation must not move answers")
     // the LIVE batch above the floor still replays in place...
     Clusters.updateRegistry(spark, path, 3L, docsDf(40), pairsDf(40L -> 30L))
@@ -201,8 +203,44 @@ class ClusterRegistrySpec extends AnyFunSuite {
       20L -> 5L, 30L -> 30L, 40L -> 30L))
     // idempotent: re-consolidating at the same floor is a no-op
     Clusters.compactRegistry(spark, path, consolidateUpTo = Some(2L))
-    assert(batchDirs().size === 3) // 2, 3, 4
+    assert(batchDirs().size === 3) // archive, 3, 4
+    // an ILLEGAL replay of a consolidated id (a caller passing an upTo
+    // above a still-replayable batch, or manual driving) must throw on
+    // the re-registration guard — never silently dynamic-overwrite the
+    // archive (the reserved id is what keeps the archive out of the
+    // replay's self-exclusion)
+    intercept[IllegalArgumentException] {
+      Clusters.updateRegistry(spark, path, 1L, docsDf(8), pairsDf(8L -> 10L))
+    }
+    assert(resolved(path).size === 7, "the refused replay wrote nothing")
+    // the reserved id itself is not a legal batch id
+    intercept[IllegalArgumentException] {
+      Clusters.updateRegistry(spark, path, Clusters.ArchiveBatchId,
+        docsDf(99), noPairs)
+    }
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
+  test("Skip drops redelivered docs and their pairs first-writer-wins; Trust skips the membership scan") {
+    val path = tmp("reg10")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10, 20), noPairs,
+      nDocParts = 4)
+    // doc 10 redelivered in batch 1 alongside genuinely new docs: Skip
+    // keeps its ORIGINAL registration (and drops its pairs with it) —
+    // doc 7's pair still lands
+    Clusters.updateRegistry(spark, path, 1L, docsDf(10, 7),
+      pairsDf(10L -> 20L, 7L -> 20L), onRegistered = Clusters.Skip)
+    assert(resolved(path) === Map(10L -> 10L, 20L -> 7L, 7L -> 7L),
+      "the redelivered doc's pair must not have merged 10 and 20")
+    // an all-redelivered batch under Skip is a clean no-op
+    Clusters.updateRegistry(spark, path, 2L, docsDf(10, 20), noPairs,
+      onRegistered = Clusters.Skip)
+    assert(resolved(path) === Map(10L -> 10L, 20L -> 7L, 7L -> 7L))
+    // Trust writes without scanning — correct when ids really are new
+    Clusters.updateRegistry(spark, path, 3L, docsDf(30), noPairs,
+      onRegistered = Clusters.Trust)
+    assert(resolved(path) === Map(10L -> 10L, 20L -> 7L, 7L -> 7L,
+      30L -> 30L))
   }
 
   test("fixture slices: incremental registry ≡ one-shot components over the union of cross-batch pairs") {
