@@ -564,6 +564,26 @@ object DocStreams {
                 s"$stale; sealing a second marker for batch $id would " +
                 "make the replay tripwire nondeterministic — aborting " +
                 "this trigger (the replay re-enters cleanly)")
+          // the crashed attempt may have written verdict (and, in
+          // registry mode, probe-pair) partitions against the OLD
+          // index before dying unsealed. The recomputation under the
+          // new index rewrites them via dynamic overwrite — EXCEPT
+          // when it produces zero rows, which overwrites nothing: the
+          // stale partitions would then survive into a committed batch
+          // (phantom verdicts; in registry mode, verdictsFromPairs and
+          // updateRegistry would consume the stale pairs outright).
+          // Nothing is sealed yet, so deleting them here is always
+          // safe — the recomputation is the only legitimate source of
+          // this batch's rows.
+          Seq(s"$verdictsPath/batch_id=$id",
+              s"$verdictsPath/_pairs/batch_id=$id").foreach { p =>
+            val dir = new org.apache.hadoop.fs.Path(p)
+            if (fs.exists(dir) && !fs.delete(dir, true))
+              throw new IllegalStateException(
+                s"could not delete the stale attempt's partition $dir " +
+                  "written against the superseded decon index — " +
+                  "aborting before it could leak into a committed batch")
+          }
           SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(deconDir,
             s"batch_${id}_$fp"))
         case Some(_) => // same index — the idempotent-replay case
@@ -685,28 +705,37 @@ object DocStreams {
         if (r.ts != null && r.ts.getTime > maxTs) maxTs = r.ts.getTime
         r
       }
-      // tiny caps → O(cap) bottom-k insertion; effectively-unbounded
-      // caps → plain sort (insertion would go quadratic, and with no
-      // cap the whole trigger is processed anyway)
+      // bounded bottom-k by doc_id at ANY cap: a max-heap of size
+      // <= admit plus an id set for in-trigger dup rejection —
+      // O(rows · log admit) time, O(admit) memory. (An earlier
+      // formulation used a Vector-splice insertion for small caps and
+      // fell back to materializing the WHOLE trigger above a
+      // 4096-admit cliff — the exact O(arrivals) shingle-set blowup
+      // this bound exists to prevent.)
       val buf: Seq[BandRow] =
         if (admit <= 0) { rows.foreach(noteTs); Vector.empty }
-        else if (admit > 4096)
-          rows.map(noteTs).filterNot(r => resident(r.doc_id)).toSeq
-            .distinctBy(_.doc_id).sortBy(_.doc_id)
         else {
-          var b = Vector.empty[BandRow] // sorted by doc_id, size <= admit
+          val cap = math.min(admit, Int.MaxValue.toLong).toInt
+          val heap = new java.util.PriorityQueue[BandRow](
+            math.max(math.min(cap, 1024), 1),
+            (a: BandRow, b: BandRow) =>
+              java.lang.Long.compare(b.doc_id, a.doc_id)) // max at head
+          val inHeap = scala.collection.mutable.HashSet.empty[Long]
           rows.foreach { r =>
             noteTs(r)
-            if (!resident(r.doc_id) &&
-                (b.size < admit || r.doc_id < b.last.doc_id)) {
-              val (lo, hi) = b.span(_.doc_id < r.doc_id)
-              if (!(hi.nonEmpty && hi.head.doc_id == r.doc_id)) { // in-trigger dup
-                val m = (lo :+ r) ++ hi
-                b = if (m.size > admit) m.take(admit.toInt) else m
+            if (!resident(r.doc_id) && !inHeap.contains(r.doc_id)) {
+              if (heap.size < cap) { heap.add(r); inHeap += r.doc_id }
+              else if (r.doc_id < heap.peek().doc_id) {
+                inHeap -= heap.poll().doc_id
+                heap.add(r); inHeap += r.doc_id
               }
             }
           }
-          b
+          // drain max-first into the tail → ascending doc_id order
+          val arr = new Array[BandRow](heap.size)
+          var i = heap.size - 1
+          while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
         }
       buf.foreach { r =>
         if (!st.closed) {

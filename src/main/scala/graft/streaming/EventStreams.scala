@@ -69,51 +69,74 @@ object EventStreams {
                          session_end: java.sql.Timestamp, n_events: Int,
                          total_value: Double)
 
+  case class SessionFragments(frags: List[SessionState])
+
   /** Gap-based sessionization: a session closes after `gapMinutes` of
-    * inactivity (event-time timeout). Custom state via
-    * flatMapGroupsWithState — the Spark-native replacement for a
-    * hand-rolled stateful operator. */
+    * inactivity. Custom state via flatMapGroupsWithState.
+    *
+    * Exactness under out-of-order arrival (the [[funnelStream]] rule):
+    * a session is emitted only once NO admissible event can still
+    * extend or bridge it — `end + gap < watermark` (every future
+    * arrival has `t >= watermark`, and bridging needs
+    * `t <= end + gap`). Until then the user's activity is held as
+    * SORTED DISJOINT session fragments; each arrival merges into (and
+    * can JOIN two of) them by standard interval merging, so a late
+    * event within the watermark delay lands exactly where the batch
+    * oracle would put it — including the bridge case, where two
+    * fragments an eager emitter would have closed separately collapse
+    * into the one session [[sessionizeBatch]] reports. An earlier
+    * formulation emitted on the first in-trigger gap and moved a
+    * session's `end` BACKWARD on a late arrival (end < start was
+    * reachable within the operator's own 10-minute tolerance); the
+    * fragment fold makes both shapes structurally impossible. State is
+    * O(fragments), never O(events) — consecutive in-gap events
+    * collapse into one fragment on arrival.
+    *
+    * Batch execution (tests, backfill) has no watermark, so everything
+    * is final (`horizon = MaxValue`): the SAME code emits every
+    * session and equals [[sessionizeBatch]] exactly — open sessions
+    * are no longer silently parked in never-fired timeout state. */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
 
+    // interval-merge one event into the sorted disjoint fragment list:
+    // `before` can no longer absorb t, the `overlap` prefix (0, 1 or 2
+    // fragments) is within gap of t on either side and fuses with it
+    def insert(frags: List[SessionState], t: Long,
+               v: Double): List[SessionState] = {
+      val (before, rest) = frags.span(f => f.end + gapMs < t)
+      val (overlap, after) = rest.span(f => f.start - gapMs <= t)
+      val merged =
+        if (overlap.isEmpty) SessionState(t, t, 1, v)
+        else SessionState(math.min(overlap.head.start, t),
+          math.max(overlap.last.end, t),
+          overlap.map(_.n).sum + 1, overlap.map(_.totalValue).sum + v)
+      before ++ (merged :: after)
+    }
+
     def fn(userId: Long, rows: Iterator[Event],
-           state: GroupState[SessionState]): Iterator[UserSession] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        return Iterator(UserSession(userId, new java.sql.Timestamp(s.start),
-          new java.sql.Timestamp(s.end), s.n, s.totalValue))
+           state: GroupState[SessionFragments]): Iterator[UserSession] = {
+      // batch execution has no watermark (the Try): everything is final
+      val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
+      val horizon = if (wm < 0) Long.MaxValue else wm
+      var frags = state.getOption.map(_.frags).getOrElse(Nil)
+      // timeout invocations deliver no rows; the same fold covers both
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .foreach(e => frags = insert(frags, e.ts.getTime, e.value))
+      val (ripe, open) = frags.partition(_.end + gapMs < horizon)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionFragments(open))
+        // wake when the watermark passes the oldest fragment's close
+        // point; clamp past the watermark (a timeout at or below it is
+        // an IllegalArgumentException)
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.end + gapMs).min, wm + 1))
       }
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[UserSession]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            cur = Some(s.copy(end = t, n = s.n + 1, totalValue = s.totalValue + e.value))
-          case Some(s) =>
-            closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n, s.totalValue)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        // A timeout timestamp at or below the current watermark is an
-        // IllegalArgumentException at runtime. A user whose newest event
-        // is already older than watermark - gap would produce one, so
-        // clamp to just past the watermark — the session then times out
-        // on the next trigger, which is the earliest legal moment.
-        // (batch execution plans this without a watermark — there
-        // getCurrentWatermarkMs throws and timeouts never fire anyway)
-        val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
-        state.setTimeoutTimestamp(math.max(s.end + gapMs, wm + 1))
-      }
-      closed.reverseIterator
+      ripe.sortBy(_.start).map(s =>
+        UserSession(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end), s.n, s.totalValue)).iterator
     }
 
     events
@@ -227,8 +250,31 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 
+  /** A DERIVED session carrying the RocksDB state-store confs — the
+    * race-free form for a SparkSession shared across threads. SQL
+    * confs are session-global, so [[withRocksDbStateStore]]'s
+    * set-then-restore around a body opens exactly the toggle window
+    * [[DocStreams.evictionSession]] exists to avoid: an UNRELATED
+    * streaming query another thread starts mid-window silently begins
+    * on the RocksDB provider (fixed at its own query start), and one
+    * started just after the restore silently loses it. Build sources
+    * and start queries from the returned session (same SparkContext
+    * and cached data; its OWN conf, temp views, and function registry
+    * — native functions re-registered here for that reason). */
+  def rocksDbSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    RocksDbStateStoreConfigs.foreach { case (k, v) => s.conf.set(k, v) }
+    graft.functions.Registry.registerAll(s)
+    s
+  }
+
   /** Run `body` (start streaming queries inside it) with the RocksDB
-    * state store, restoring the previous provider after. */
+    * state store, restoring the previous provider after.
+    * SINGLE-THREADED scope only (tests, driver scripts): the toggle
+    * mutates session-global confs, so any query a concurrent thread
+    * starts from the same session during `body` nondeterministically
+    * picks up — or misses — the provider. Processes with concurrent
+    * query starts use [[rocksDbSession]] instead. */
   def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
     val prev = RocksDbStateStoreConfigs.keys
       .map(k => k -> spark.conf.getOption(k)).toMap

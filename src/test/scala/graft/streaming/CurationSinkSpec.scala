@@ -330,6 +330,48 @@ class CurationSinkSpec extends AnyFunSuite {
       "batch_0_" + Dedup.deconIndexFingerprint(spark, decon)))
   }
 
+  test("fingerprint re-record purges the superseded attempt's stale verdict/pairs partitions (empty recompute cannot commit around them)") {
+    val idx = tmp("cur_idx9")
+    val verdicts = tmp("cur_verd9")
+    val decon = mkDecon()
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verdicts).toUri,
+      spark.sessionState.newHadoopConf())
+    // attempt 1 under a SUPERSEDED decon index: verdict + pairs
+    // partitions written, fp marker recorded, crash BEFORE the verdict
+    // seal — the one state where a fingerprint change legally proceeds
+    Seq((999L, 1L, 5L, true)).toDF("doc_id", "n_matches", "match_id", "is_dup")
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(verdicts)
+    Seq((999L, 5L)).toDF("bid", "cid").withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$verdicts/_pairs")
+    SinkMarkers.seal(fs,
+      new org.apache.hadoop.fs.Path(s"$verdicts/_decon/batch_0_deadbeef"))
+    // the replay's cohort curates to EMPTY (everything repetition-gated
+    // at threshold 0.0): the recomputation writes NO verdict partition,
+    // so without the purge the stale rows above would survive into a
+    // committed batch — phantom verdicts under an unknowable index
+    DocStreams.processCurationBatch(role(1), 0L, idx, decon, verdicts,
+      threshold = 0.05, maxContainment = 0.5,
+      gate = Some(DocStreams.RepetitionGate(maxCharFrac = 0.0)),
+      quarantinePath = None, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$verdicts/_committed/batch_0")), "the empty batch must commit")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$verdicts/batch_id=0")),
+      "the superseded attempt's verdict partition must be purged")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$verdicts/_pairs/batch_id=0")),
+      "the superseded attempt's pairs partition must be purged")
+    // and the fp marker now records the LIVE index
+    assert(SinkMarkers.suffixOf(fs,
+      new org.apache.hadoop.fs.Path(s"$verdicts/_decon"), 0L)
+      === Some(Dedup.deconIndexFingerprint(spark, decon)))
+  }
+
   test("two coexisting fingerprint markers for one batch fail loudly (ambiguous record)") {
     val verdicts = tmp("cur_verd7b")
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -66,12 +66,55 @@ class EventStreamsSpec extends AnyFunSuite {
         r.getTimestamp(2).getTime, r.getInt(3)))
       .toSet
 
-    // batch flatMapGroupsWithState never times out → only closed sessions
-    // are emitted; every emitted session must be in the oracle
-    assert(got.subsetOf(oracle))
-    // and the oracle minus the final (open) session per user is exactly `got`
-    val finalPerUser = oracle.groupBy(_._1).view.mapValues(_.maxBy(_._3)).values.toSet
-    assert(oracle -- finalPerUser === got)
+    // batch execution has no watermark, so every session is final and
+    // the stateful operator must equal the oracle EXACTLY — including
+    // each user's last session, which the pre-fragment formulation
+    // parked in never-fired timeout state
+    assert(got === oracle)
+    assert(got.nonEmpty)
+  }
+
+  test("sessionize is watermark-exact under cross-trigger disorder: late extend and late bridge match the batch oracle") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1720000000000L
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000)
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_disorder_out")
+      .outputMode("append").start()
+    try {
+      // user 2: two fragments [0,0] and [31,31] (gap 31 > 30) that an
+      // eager emitter closes separately IN-trigger — then a late
+      // BRIDGE at 25 (admissible: watermark is ts(21)) that the batch
+      // semantics merge into ONE session [0,31]
+      input.addData(
+        EventStreams.Event(3, ts(0), 2, "view", 1.0),
+        EventStreams.Event(4, ts(31), 2, "view", 2.0))
+      q.processAllAvailable() // watermark now ts(21)
+      assert(spark.table("sess_disorder_out").isEmpty,
+        "nothing may close while a bridging arrival is still admissible")
+      // user 1: a session [100, 110]; the bridge rides the same trigger
+      input.addData(
+        EventStreams.Event(6, ts(25), 2, "view", 4.0),    // late bridge
+        EventStreams.Event(1, ts(100), 1, "click", 1.0),
+        EventStreams.Event(2, ts(110), 1, "click", 2.0))
+      q.processAllAvailable() // watermark now ts(100)
+      // late INTERIOR event at 105 (admissible, >= ts(100)) — the
+      // broken formulation moved the session end BACKWARD to 105
+      input.addData(EventStreams.Event(5, ts(105), 1, "click", 4.0))
+      q.processAllAvailable()
+      // push the watermark far past every close point → timeouts fire
+      input.addData(EventStreams.Event(7, ts(500), 3, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_disorder_out")
+        .as[EventStreams.UserSession].collect()
+        .map(s => (s.user_id, s.session_start.getTime,
+          s.session_end.getTime, s.n_events, s.total_value)).toSet
+      assert(got === Set(
+        (1L, ts(100).getTime, ts(110).getTime, 3, 7.0),
+        (2L, ts(0).getTime, ts(31).getTime, 3, 7.0)), got)
+    } finally q.stop()
   }
 
   test("incremental sink: checkpoint resume neither drops nor duplicates (P7)") {
@@ -358,6 +401,23 @@ class EventStreamsSpec extends AnyFunSuite {
         .select("event_id").as[Long].collect().sorted.toSeq
       assert(ids === Seq(1L, 2L, 3L))
     } finally q.stop()
+  }
+
+  test("rocksDbSession isolates the provider confs from the parent session (no toggle window)") {
+    val s = EventStreams.rocksDbSession(spark)
+    EventStreams.RocksDbStateStoreConfigs.foreach { case (k, v) =>
+      assert(s.conf.get(k) === v, k)
+    }
+    // the parent's provider conf is NOT mutated by deriving the session
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").forall(
+      !_.contains("RocksDB")),
+      "deriving a RocksDB session must not flip the parent's provider")
+    // native functions are registered in the derived session (its
+    // registry is isolated — the evictionSession rule)
+    import s.implicits._
+    assert(s.sql("SELECT size(shingle_hashes(array('a','b','c'), 2))")
+      .as[Int].head() === 2)
   }
 
   test("state scale: 120k events over 6 triggers on RocksDB — watermark keeps state bounded") {
