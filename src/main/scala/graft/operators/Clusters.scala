@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * hard case: a new document matching TWO previously-separate
   * clusters merges them (cross-batch union-find).
   *
-  * Reference semantics: the dedup grouping of
-  * lexam_data_pipeline's variant/question de-duplication
-  * (backend/services/dataset_service.py:168 groups variants by
-  * content identity) generalized to the incremental corpus shape.
+  * Reference semantics: lexam_data_pipeline's first-writer-wins
+  * identity grouping (backend/app/seed.py:87-109 — the first config
+  * to see a question id creates the canonical row; later sightings
+  * attach to it) generalized to the incremental corpus shape, where
+  * "same identity" is a near-dup verdict instead of an id equality.
   *
   * ## Layout (all parquet, under `path/`)
   *

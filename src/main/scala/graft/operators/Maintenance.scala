@@ -99,6 +99,15 @@ object Maintenance {
       graft.sources.TableSwap.recover(fs, path, "bloom")
       graft.sources.TableSwap.recover(fs, path, "meta")
     }
+    // registry analogue: a [[Clusters.compactRegistry]] fold that died
+    // between TableSwap's two renames leaves members/ absent with the
+    // full table staged at _repair_old_members — recover it BEFORE the
+    // family detection below, or the require throws on exactly the
+    // crash state this nightly exists to heal. remaps/ and the staged
+    // members dir are registry-specific layout (no other family has
+    // either), so this touches nothing on the index families' roots.
+    if (exists("remaps") || exists("_repair_old_members"))
+      graft.sources.TableSwap.recover(fs, path, "members")
     val inflight = graft.sources.Rebuild.isInflight(spark, path)
     require(exists("meta") || inflight,
       s"$path is not a saved index (no meta/ table)")

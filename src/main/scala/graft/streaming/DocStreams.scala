@@ -278,6 +278,13 @@ object DocStreams {
         // holds this batch's survivors
         val verdictSeal = new HPath(s"$verdictsPath/_verdicts/batch_$id")
         def pairsDir = new HPath(s"$verdictsPath/_pairs/batch_id=$id")
+        // the pairs slice's own commit marker: a zero-pair batch
+        // writes NOTHING under _pairs (dynamic overwrite of an empty
+        // frame creates no dir), so dir-absence alone cannot
+        // distinguish "legitimately no matches" from "slice lost /
+        // stream predates registry mode" — the seal makes the
+        // artifact unambiguous
+        val pairsSeal = new HPath(s"$verdictsPath/_pairs_sealed/batch_$id")
         def storedPairs = if (fs.exists(pairsDir))
           spark.read.parquet(pairsDir.toString).select(col("bid"), col("cid"))
         else spark.range(0).select(col("id").as("bid"), col("id").as("cid"))
@@ -303,6 +310,7 @@ object DocStreams {
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id").parquet(s"$verdictsPath/_pairs")
+              seal(pairsSeal)
               val k = spark.read.parquet(s"$indexPath/meta").head().getInt(0)
               Dedup.verdictsFromPairs(Dedup.shingledDocIds(cached, k),
                   storedPairs)
@@ -336,6 +344,24 @@ object DocStreams {
         // a replay). updateRegistry is replay-pure, so any crash
         // between here and the final marker re-lands identical rows.
         registryPath.foreach { reg =>
+          // the registry consumes the sealed pairs verbatim — a batch
+          // whose verdicts are sealed but whose pairs artifact is
+          // unaccounted for (no seal, no dir: the stream ran its
+          // earlier batches without registryPath, or the slice was
+          // lost/GC'd prematurely) must NOT register as all-singletons
+          // behind sealed match verdicts. The dir-presence disjunct
+          // grandfathers registry-mode batches sealed before the
+          // pairs seal existed.
+          if (!fs.exists(pairsSeal) && !fs.exists(pairsDir))
+            throw new IllegalStateException(
+              s"registry mode: batch $id has sealed verdicts but no " +
+                s"pairs artifact ($pairsDir absent and no $pairsSeal) — " +
+                "its match pairs are unknowable, so updating the " +
+                "registry would register the whole batch as singletons. " +
+                "Re-run the batch's probe (discard its _verdicts marker " +
+                "and verdict partition, then replay), or register this " +
+                "history with a one-shot backfill, before enabling " +
+                "registry mode over it.")
           // Skip = first-writer-wins (the engine's S2 semantics): an
           // at-least-once upstream redelivering an old doc in a NEW
           // batch must neither wedge the stream (Refuse) nor mint a
@@ -378,7 +404,8 @@ object DocStreams {
     * single-maintainer rule. Returns the floor now in effect. */
   def gcSinkMarkers(spark: org.apache.spark.sql.SparkSession,
                     verdictsPath: String, upTo: Long): Long = {
-    val floor = SinkMarkers.gc(spark, verdictsPath, upTo, Seq("_verdicts"))
+    val floor = SinkMarkers.gc(spark, verdictsPath, upTo,
+      Seq("_verdicts", "_pairs_sealed"))
     gcPairSlices(spark, verdictsPath, floor)
     floor
   }
@@ -391,7 +418,7 @@ object DocStreams {
   def gcCurationMarkers(spark: org.apache.spark.sql.SparkSession,
                         verdictsPath: String, upTo: Long): Long = {
     val floor = SinkMarkers.gc(spark, verdictsPath, upTo,
-      Seq("_verdicts", "_decon"))
+      Seq("_verdicts", "_decon", "_pairs_sealed"))
     gcPairSlices(spark, verdictsPath, floor)
     floor
   }
@@ -405,8 +432,37 @@ object DocStreams {
       .filter(_.getName.startsWith("batch_id="))
       .filter(_.getName.stripPrefix("batch_id=").toLongOption
         .exists(_ <= floor))
-      .foreach(fs.delete(_, true))
+      .foreach { p =>
+        // checked like compactRegistry's remap-slice truncation: a
+        // persistently undeletable slice must surface, not be silently
+        // re-attempted forever (harmless to replays — the id is under
+        // the marker floor — but an operator needs to see a stuck GC)
+        if (!fs.delete(p, true) && fs.exists(p))
+          throw new java.io.IOException(
+            s"pairs-slice GC could not delete $p (batch is at or below " +
+              s"the committed floor $floor) — check filesystem " +
+              "permissions; replays are unaffected but the slice will " +
+              "be retried every GC until removed")
+      }
   }
+
+  /** Delete an UNSEALED attempt's verdict + pairs partitions (and the
+    * pairs seal — seal first, so no crash state leaves a seal vouching
+    * for a purged slice). Only callable before anything for the batch
+    * is sealed; the recomputation is the only legitimate source of the
+    * batch's rows from that point. */
+  private def purgeUnsealedAttempt(fs: org.apache.hadoop.fs.FileSystem,
+                                   verdictsPath: String, id: Long): Unit =
+    Seq(s"$verdictsPath/_pairs_sealed/batch_$id",
+        s"$verdictsPath/batch_id=$id",
+        s"$verdictsPath/_pairs/batch_id=$id").foreach { p =>
+      val dir = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(dir) && !fs.delete(dir, true))
+        throw new IllegalStateException(
+          s"could not delete the stale attempt's partition $dir " +
+            "written against the superseded decon index — " +
+            "aborting before it could leak into a committed batch")
+    }
 
   /** Gate threshold for [[curationSink]]'s repetition stage: a doc
     * whose positional duplicate-`dupN`-gram character coverage
@@ -575,15 +631,7 @@ object DocStreams {
           // Nothing is sealed yet, so deleting them here is always
           // safe — the recomputation is the only legitimate source of
           // this batch's rows.
-          Seq(s"$verdictsPath/batch_id=$id",
-              s"$verdictsPath/_pairs/batch_id=$id").foreach { p =>
-            val dir = new org.apache.hadoop.fs.Path(p)
-            if (fs.exists(dir) && !fs.delete(dir, true))
-              throw new IllegalStateException(
-                s"could not delete the stale attempt's partition $dir " +
-                  "written against the superseded decon index — " +
-                  "aborting before it could leak into a committed batch")
-          }
+          purgeUnsealedAttempt(fs, verdictsPath, id)
           SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(deconDir,
             s"batch_${id}_$fp"))
         case Some(_) => // same index — the idempotent-replay case
@@ -593,6 +641,13 @@ object DocStreams {
           // live one would be exactly the silent wrong-survivor append
           // this tripwire exists to stop
           if (verdictsSealed) refuse("absent")
+          // unsealed leftovers can sit here too: a first attempt that
+          // died mid-write, or a changed-index purge that crashed
+          // after deleting its stale fingerprint marker but before
+          // purging — both replay as None with partitions whose index
+          // provenance is unknowable, and a zero-row recomputation
+          // would commit around them exactly like the Some(old) case
+          purgeUnsealedAttempt(fs, verdictsPath, id)
           SinkMarkers.seal(fs, new org.apache.hadoop.fs.Path(deconDir,
             s"batch_${id}_$fp"))
       }

@@ -95,7 +95,14 @@ object EventStreams {
     * Batch execution (tests, backfill) has no watermark, so everything
     * is final (`horizon = MaxValue`): the SAME code emits every
     * session and equals [[sessionizeBatch]] exactly — open sessions
-    * are no longer silently parked in never-fired timeout state. */
+    * are no longer silently parked in never-fired timeout state.
+    *
+    * CHECKPOINT COMPATIBILITY: the fragment fold changed the GroupState
+    * encoding from one `SessionState` to `SessionFragments(List[...])`.
+    * A streaming query restarted from a checkpoint written by the
+    * single-state version will fail to decode (or misdecode) its state
+    * store rows — restart such deployments with a FRESH checkpoint
+    * (and a replayable source offset) rather than in place. */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L

@@ -176,6 +176,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(resolved() === before)
   }
 
+  test("registry: the nightly heals a fold crash between TableSwap's two renames (members absent, staged aside)") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("mnt_reg_crash").toString + "/reg"
+    Clusters.updateRegistry(spark, path, 0L, Seq(10L, 20L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("bid", "cid"), nDocParts = 4)
+    Clusters.updateRegistry(spark, path, 1L, Seq(5L).toDF("doc_id"),
+      Seq(5L -> 10L, 5L -> 20L).toDF("bid", "cid"))
+    def resolved() = Clusters.resolvedClusters(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = resolved()
+    // simulate compactRegistry dying between the stage-aside and the
+    // install: members/ is ABSENT, the full table staged aside, and
+    // the half-written replacement sits at the tmp name — exactly the
+    // state TableSwap.rewrite's crash window leaves
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    def p(t: String) = new org.apache.hadoop.fs.Path(s"$path/$t")
+    assert(fs.rename(p("members"), p("_repair_old_members")))
+    fs.mkdirs(p("_repair_tmp_members"))
+    // without the pre-detection recovery this threw "neither cells/
+    // nor bands/..." — the nightly could not heal the one crash state
+    // its registry branch exists to recover
+    val night = Maintenance.nightly(spark, path)
+    assert(night.family === "registry", s"$night")
+    assert(fs.exists(p("members")) && !fs.exists(p("_repair_old_members")) &&
+      !fs.exists(p("_repair_tmp_members")), "recovery must restore the " +
+      "staged members table and drop the orphaned tmp")
+    assert(resolved() === before)
+  }
+
   test("decon: a healthy legacy pre-digest index migrates its meta on the nightly tick") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))

@@ -313,11 +313,75 @@ class IndexedDedupSinkSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
     assert(pairDirs() === Seq("batch_id=2"),
       "pair slices at or below the floor must be pruned")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$verdA/_pairs_sealed"))
+        .map(_.getPath.getName).filter(_.startsWith("batch_")).sorted.toSeq
+        === Seq("batch_2"),
+      "pairs seals at or below the floor must be pruned with their slices")
     DocStreams.processIndexedBatch(role(1), 0L, idxA, verdA,
       threshold = 0.05, maxBucket = Some(3), compactEvery = 2,
       maxFilesPerPart = 8, registryPath = Some(reg))
     assert(got() === want, "a GC'd committed batch must replay as a no-op")
     Seq(idxA, idxB, verdA, verdB, reg).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
+  test("registry mode: the pairs artifact is unambiguous — sealed verdicts without a pairs seal refuse; a sealed zero-pair batch replays clean") {
+    import graft.operators.Clusters
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("regamb_idx").toString
+    val verd = java.nio.file.Files.createTempDirectory("regamb_verd").toString
+    val reg = java.nio.file.Files.createTempDirectory("regamb_reg")
+      .toString + "/reg"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(verd).toUri,
+      spark.sessionState.newHadoopConf())
+    Dedup.saveLshIndex(role(0), k = 3, bands = 8, rowsPerBand = 4, idx,
+      nBucketParts = 8)
+    Clusters.updateRegistry(spark, reg, -1L, role(0).select(col("doc_id")),
+      Seq.empty[(Long, Long)].toDF("bid", "cid"), nDocParts = 8)
+    // batch 0 ran BEFORE registry mode was enabled (pairless), died
+    // after sealing verdicts but before the final marker; the restart
+    // comes up with registryPath set. Its match pairs are unknowable —
+    // registering the whole batch as singletons behind sealed match
+    // verdicts is the silent corruption the tripwire exists to stop
+    DocStreams.processIndexedBatch(role(1), 0L, idx, verd,
+      threshold = 0.05, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verd/_committed/batch_0"),
+      false)
+    val e = intercept[IllegalStateException] {
+      DocStreams.processIndexedBatch(role(1), 0L, idx, verd,
+        threshold = 0.05, maxBucket = Some(3), compactEvery = 0,
+        maxFilesPerPart = 8, registryPath = Some(reg))
+    }
+    assert(e.getMessage.contains("no pairs artifact"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$verd/_committed/batch_0")),
+      "the refused batch must stay uncommitted")
+    // a registry-mode batch whose probe legitimately finds ZERO pairs
+    // writes no _pairs dir (dynamic overwrite of an empty frame), but
+    // the pairs seal records the fact — a crash-window replay commits
+    // instead of tripping the ambiguity check
+    val verd2 = java.nio.file.Files.createTempDirectory("regamb_v2").toString
+    DocStreams.processIndexedBatch(role(2), 0L, idx, verd2,
+      threshold = 0.99, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8, registryPath = Some(reg))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$verd2/_pairs_sealed/batch_0")),
+      "a zero-pair registry batch must still seal its pairs artifact")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$verd2/_pairs/batch_id=0")),
+      "fixture must exercise the zero-pair (no dir) shape")
+    def regged() = Clusters.resolvedClusters(spark, reg).count()
+    val n = regged()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$verd2/_committed/batch_0"),
+      false)
+    DocStreams.processIndexedBatch(role(2), 0L, idx, verd2,
+      threshold = 0.99, maxBucket = Some(3), compactEvery = 0,
+      maxFilesPerPart = 8, registryPath = Some(reg))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$verd2/_committed/batch_0")), "the zero-pair replay must commit")
+    assert(regged() === n, "the replay must re-land identical registry rows")
+    Seq(idx, verd, verd2, reg).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
 }
