@@ -35,6 +35,77 @@ object Dedup {
       .where(col("rn") === 1).drop("rn")
   }
 
+  // -------------------------------------------- URL-canonical dedup
+
+  /** d18 — canonical form of a URL for stage-1 web-curation exact
+    * dedup (the RefinedWeb/CCNet rule: normalize, then first-seen
+    * wins). Rules, applied in order and replayed 1:1 by
+    * [[normalizeUrlSql]]:
+    *
+    *  1. drop the fragment (`#...` — client-side only)
+    *  2. lowercase (dedup-key stance: a scheme/host/path differing
+    *     only by case is the same fetch target in practice)
+    *  3. drop the scheme (`http://` ≡ `https://`) and a leading `www.`
+    *  4. drop a trailing `/` on the path
+    *  5. drop tracking query parameters (`utm_*`, `fbclid`, `gclid`)
+    *     and SORT the survivors (`?b=2&a=1` ≡ `?a=1&b=2`)
+    *
+    * Pure per-row Column arithmetic — map-side, codegen'd, no UDF. */
+  def normalizeUrl(url: Column): Column = {
+    val lowered = lower(split_part(url, lit("#"), lit(1)))
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val path = regexp_replace(split_part(noWww, lit("?"), lit(1)), "/$", "")
+    val qparts = split(noWww, "\\?", 2)
+    val query = when(size(qparts) === 2, element_at(qparts, 2))
+      .otherwise(lit(""))
+    val params = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p === ""))
+    val canonQ = array_join(array_sort(params), "&")
+    when(length(canonQ) > 0, concat(path, lit("?"), canonQ)).otherwise(path)
+  }
+
+  /** DuckDB twin of [[normalizeUrl]] over SQL expression `u`. */
+  def normalizeUrlSql(u: String): String = {
+    val noWww = s"regexp_replace(regexp_replace(lower(split_part($u, '#', 1)), " +
+      "'^https?://', ''), '^www\\.', '')"
+    s"""(SELECT CASE WHEN length(cq) > 0 THEN p || '?' || cq ELSE p END
+       | FROM (SELECT
+       |   regexp_replace(split_part(nw, '?', 1), '/$$', '') AS p,
+       |   array_to_string(list_sort(list_filter(
+       |     string_split(CASE WHEN position('?' IN nw) > 0
+       |                  THEN substr(nw, position('?' IN nw) + 1)
+       |                  ELSE '' END, '&'),
+       |     x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+       |               OR starts_with(x, 'gclid=') OR x = ''))), '&') AS cq
+       |  FROM (SELECT $noWww AS nw)))""".stripMargin.replace("\n", " ")
+  }
+
+  /** d18 — URL-canonical exact dedup groups: one row per canonical
+    * URL with the first-seen keeper (min id — the engine's S2
+    * first-writer-wins semantics, reference
+    * backend/app/seed.py:87-109) and the group size. ONE shuffle on
+    * the canonical string with map-side partial aggregation; at
+    * 100 TB this is the cheapest dedup stage there is, which is
+    * exactly why web pipelines run it before any near-dup pass. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame =
+    docs.select(normalizeUrl(col(urlCol)).as("canon_url"), col(idCol))
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** [[urlDedup]]'s survivor form: the full first-seen row per
+    * canonical URL — the frame a curation pipeline feeds forward.
+    * Keeper ids are derived by the same single-shuffle rollup, then
+    * survivors come back via one id-keyed semi join (no wide-struct
+    * min_by shuffle, no window over the corpus). */
+  def urlDedupSurvivors(docs: DataFrame, urlCol: String = "url",
+                        idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      urlDedup(docs, urlCol, idCol).select(col("keeper").as(idCol)),
+      Seq(idCol), "left_semi")
+
   // --------------------------------------------- exact n-gram Jaccard
 
   /** Top-N near-duplicate pairs by exact k-shingle Jaccard similarity.

@@ -386,4 +386,87 @@ object TextAnalysis {
        |              CAST(len(list_filter($t, x -> x IN ($ws))) AS DOUBLE) AS eh,
        |              CAST(len(list_distinct($t)) AS DOUBLE) AS dn))""".stripMargin
   }
+
+  // -------------------------------- line-level language segmentation
+
+  /** t15, stage 1 — per-LINE language verdicts. [[langId]] is a
+    * document-level call; web-crawl documents are routinely
+    * mixed-language (boilerplate navigation in one language, body in
+    * another), and a curation pipeline filtering on document langID
+    * alone either drops the whole doc or keeps the foreign lines. One
+    * row per newline-delimited line: (doc_id, line_no 1-based, line,
+    * n_chars, line_lang), blank lines included (verdict "und") so
+    * `line_no` stays addressable against the original text.
+    *
+    * Scale shape: posexplode + per-row Column arithmetic — map-side
+    * only, no shuffle; the [[graft.functions.StopwordHits]] native
+    * expression makes the per-line verdict one pass over the line's
+    * tokens. */
+  def lineLang(docs: org.apache.spark.sql.DataFrame,
+               textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("i0", "line")))
+      .select(col("doc_id"), (col("i0") + 1).as("line_no"), col("line"),
+        length(col("line")).cast("long").as("n_chars"),
+        langId(col("line")).as("line_lang"))
+
+  /** t15, stage 2 — per-document language-mix summary over
+    * [[lineLang]]'s verdicts, blank lines excluded: line count,
+    * distinct verdicts, the DOMINANT language by character mass
+    * (tiebreak: larger language code — deterministic on both engines),
+    * and the dominant language's character share. `n_langs > 1` (or a
+    * low `dominant_frac`) is the mixed-document signal a line-level
+    * filter keys on. One shuffle on (doc_id, lang) with map-side
+    * partial aggregation, then a doc-keyed rollup — no windows. */
+  def langSegmentSummary(docs: org.apache.spark.sql.DataFrame,
+                         textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val lines = lineLang(docs, textCol)
+      .where(length(trim(col("line"))) > 0)
+    val mass = lines.groupBy(col("doc_id"), col("line_lang"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("n_chars")).as("chars"))
+    mass.groupBy(col("doc_id"))
+      .agg(sum(col("n_lines")).cast("long").as("n_lines"),
+        countDistinct(col("line_lang")).as("n_langs"),
+        max(struct(col("chars"), col("line_lang"))).as("dom"),
+        sum(col("chars")).cast("long").as("total_chars"))
+      .select(col("doc_id"), col("n_lines"), col("n_langs"),
+        col("dom").getField("line_lang").as("dominant_lang"),
+        round(col("dom").getField("chars") / col("total_chars"), 4)
+          .as("dominant_frac"))
+  }
+
+  /** DuckDB twin of [[langSegmentSummary]] over `from`(doc_id, text
+    * via `textExpr`): same line split, blank-line rule, per-line
+    * verdict and (chars DESC, lang DESC) dominance tiebreak. */
+  def langSegmentSummarySql(textExpr: String,
+                            from: String = "documents"): String =
+    s"""WITH ls AS (
+       |  SELECT doc_id, string_split($textExpr, chr(10)) AS ls FROM $from),
+       |lines AS (
+       |  SELECT ls.doc_id, ls.ls[s.i] AS line
+       |  FROM ls, LATERAL (
+       |    SELECT unnest(range(1, len(ls.ls) + 1)) AS i) s),
+       |nb AS (
+       |  SELECT doc_id, CAST(length(line) AS BIGINT) AS n_chars,
+       |         ${langIdSql("line")} AS line_lang
+       |  FROM lines WHERE trim(line) <> ''),
+       |mass AS (
+       |  SELECT doc_id, line_lang, COUNT(*) AS n_lines,
+       |         CAST(SUM(n_chars) AS BIGINT) AS chars
+       |  FROM nb GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT doc_id, CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       |         COUNT(DISTINCT line_lang) AS n_langs,
+       |         CAST(SUM(chars) AS BIGINT) AS total_chars
+       |  FROM mass GROUP BY 1),
+       |dom AS (
+       |  SELECT doc_id, line_lang, chars, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY chars DESC, line_lang DESC) AS rn
+       |  FROM mass)
+       |SELECT t.doc_id, t.n_lines, t.n_langs,
+       |       d.line_lang AS dominant_lang,
+       |       round(d.chars / t.total_chars, 4) AS dominant_frac
+       |FROM tot t JOIN dom d ON t.doc_id = d.doc_id AND d.rn = 1
+       |ORDER BY t.doc_id""".stripMargin
 }

@@ -220,6 +220,30 @@ object DedupQueries {
       }
     }),
 
+    // d18 — URL-canonical exact dedup (the RefinedWeb/CCNet stage-1
+    // rule: normalize URL, first-seen wins). The corpus carries no URL
+    // column, so one is synthesized deterministically (the oracle
+    // mirrors the construction 1:1) with every normalization rule
+    // exercised: scheme/case/www variance by doc_id%4, a trailing
+    // slash every 5th doc, tracking params vs pre-sorted params vs a
+    // fragment by doc_id%3.
+    "d18_url_dedup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val scheme = when(pmod(d, lit(4)) === 0, lit("http://"))
+        .when(pmod(d, lit(4)) === 1, lit("https://www."))
+        .when(pmod(d, lit(4)) === 2, lit("HTTPS://"))
+        .otherwise(lit("https://WWW."))
+      val url = concat(scheme, lit("ex"), pmod(d, lit(2)).cast("string"),
+        lit(".COM/p/"), pmod(d, lit(10)).cast("string"),
+        when(pmod(d, lit(5)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(d, lit(3)) === 0, lit("?utm_source=x&b=2&a=1"))
+          .when(pmod(d, lit(3)) === 1, lit("?b=2&a=1"))
+          .otherwise(lit("#frag")))
+      Dedup.urlDedup(
+          Tables.documents(s, dir).select(col("doc_id"), url.as("url")))
+        .orderBy(col("canon_url"))
+    }),
+
     // The composed daily-increment LIFECYCLE the d14 pieces exist for,
     // run end-to-end ON DISK: save the slice-0 corpus index, then for
     // three successive batches probe (save-time bucket stats, DPP),
@@ -356,6 +380,26 @@ object DedupQueries {
     "c6_incremental_lifecycle" ->
       Dedup.incrementalLifecycleSql(k = 3, bands = 8, rowsPerBand = 4,
         threshold = 0.05, mod = 12, nBatches = 3, maxBucket = 3),
+
+    // identical synthesized URL, identical normalization rules
+    // (Dedup.normalizeUrlSql), first-seen = MIN(doc_id)
+    "d18_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 0 THEN 'http://' WHEN 1 THEN 'https://www.'
+         |      WHEN 2 THEN 'HTTPS://' ELSE 'https://WWW.' END)
+         |    || 'ex' || CAST(doc_id % 2 AS VARCHAR)
+         |    || '.COM/p/' || CAST(doc_id % 10 AS VARCHAR)
+         |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         |    || (CASE CAST(doc_id % 3 AS INT)
+         |         WHEN 0 THEN '?utm_source=x&b=2&a=1'
+         |         WHEN 1 THEN '?b=2&a=1' ELSE '#frag' END) AS url
+         |  FROM documents)
+         |SELECT ${Dedup.normalizeUrlSql("url")} AS canon_url,
+         |       MIN(doc_id) AS keeper,
+         |       CAST(COUNT(*) AS BIGINT) AS n_dups
+         |FROM u GROUP BY 1 ORDER BY canon_url""".stripMargin,
 
     // incremental registry ≡ one-shot reachability: the same exact
     // jaccard pair rule (cross-batch only — bid % 6 > cid % 6), closed

@@ -96,6 +96,25 @@ object TextQueries {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // Extension: line-level language segmentation — per-line langID
+    // verdicts rolled into a per-doc language-mix summary. The corpus
+    // is single-line, so mixed documents are synthesized (the oracle
+    // mirrors the synthesis 1:1): every 3rd doc gains a German and a
+    // French line, every 3rd+1 doc a blank line (filter must drop it)
+    // plus a Spanish line.
+    "t15_line_langid" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3))
+      val synth = when(m === 0, concat(col("text"),
+          lit("\nder und die das ist nicht mit zu den ein"),
+          lit("\nle la les et est pas pour que une dans")))
+        .when(m === 1, concat(col("text"),
+          lit("\n\nel los las es no por para una como pero")))
+        .otherwise(col("text"))
+      TextAnalysis.langSegmentSummary(
+          Tables.documents(s, dir).select(col("doc_id"), synth.as("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Extension: quality scoring — per-row sample (exact doubles)
     "t2_quality_sample" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -335,6 +354,14 @@ object TextQueries {
     "t1_langid_confusion" ->
       s"""SELECT lang, ${TextAnalysis.langIdSql("text")} AS predicted, COUNT(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t15_line_langid" -> TextAnalysis.langSegmentSummarySql(
+      """(CASE CAST(doc_id % 3 AS INT)
+        | WHEN 0 THEN text || chr(10) || 'der und die das ist nicht mit zu den ein'
+        |               || chr(10) || 'le la les et est pas pour que une dans'
+        | WHEN 1 THEN text || chr(10) || chr(10)
+        |               || 'el los las es no por para una como pero'
+        | ELSE text END)""".stripMargin.replace("\n", " ")),
 
     "t2_quality_sample" ->
       s"""SELECT doc_id, ${TextAnalysis.qualitySql("text")} AS quality
