@@ -102,6 +102,26 @@ object Clusters {
 
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** Refuse to resolve (or update) a registry whose members table is
+    * being folded: [[compactRegistry]] rewrites members via
+    * [[graft.sources.TableSwap]], and inside the stage-aside window
+    * the members dir is ABSENT — a racing [[resolvedClusters]] would
+    * read an empty registry and return zero rows, silently. Same
+    * pattern as the decon family's `_compacting` bracket
+    * ([[Dedup.assertDeconNotCompacting]]): the marker seals before the
+    * swap, clears after, and an orphaned marker (fold crashed) keeps
+    * refusing until the nightly maintenance heals it — loud until
+    * proven whole. */
+  private[graft] def assertNotCompacting(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    if (fs.exists(hp(s"$path/_compacting")))
+      throw new IllegalStateException(
+        s"cluster registry at $path is being compacted (_compacting " +
+          "marker present): its members table may be mid-swap and a " +
+          "resolver could read it as empty — retry after the compaction " +
+          "completes (an orphaned marker means it crashed; re-run " +
+          "Maintenance.nightly to heal)")
+
   private def hasBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
                            dir: String): Boolean =
     fs.exists(hp(dir)) && fs.listStatus(hp(dir))
@@ -199,6 +219,11 @@ object Clusters {
     require(batchId != ArchiveBatchId,
       s"batch id $ArchiveBatchId is reserved for the consolidation archive")
     val fs = graft.sources.Hdfs.forPath(spark, path)
+    // refuse BEFORE the entry recovery: an orphaned _compacting marker
+    // means a fold crashed mid-swap — the nightly owns that heal, and
+    // an update that recovered-and-proceeded would leave the marker
+    // refusing every reader while the registry silently moves on
+    assertNotCompacting(fs, path)
     graft.sources.TableSwap.recover(fs, path, "members")
     // _SUCCESS, not dir existence: a first call that crashed mid
     // meta-write leaves an existing-but-unreadable dir, and an
@@ -335,6 +360,7 @@ object Clusters {
     * [[compactRegistry]]). */
   def resolvedClusters(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    assertNotCompacting(graft.sources.Hdfs.forPath(spark, path), path)
     readMembers(spark, path) match {
       case None =>
         Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
@@ -343,6 +369,41 @@ object Clusters {
           .filterNot(_.isEmpty).map(collapsedRemaps)
         applyRemaps(m.select(col("doc_id"), col("root")), collapsed)
           .withColumnRenamed("root", "cluster_id")
+    }
+  }
+
+  /** Point lookup: (doc_id, cluster_id) for the given ids only — the
+    * "which canonical doc for doc X" read path. [[resolvedClusters]]
+    * scans the whole members table; this reads ONLY the ids' own
+    * `part = doc_id mod n` partitions (a static in-list over at most
+    * `docIds.size` of the `n_doc_parts` partition values — the same
+    * pruned-member-read trick [[updateRegistry]] uses to resolve its
+    * matched cids), then folds the merges-sized remap log with one
+    * broadcast join. At 100 TB the members scan this avoids is the
+    * whole table; what remains is O(ids + merge log). Unregistered
+    * ids are absent from the result (no row, not a null).
+    *
+    * Bounded by construction: `docIds` is a driver-side argument (an
+    * API lookup batch, not a corpus) — for corpus-sized resolution use
+    * [[resolvedClusters]]. */
+  def lookupClusters(spark: SparkSession, path: String,
+                     docIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "lookupClusters needs at least one doc id")
+    assertNotCompacting(graft.sources.Hdfs.forPath(spark, path), path)
+    readMembers(spark, path) match {
+      case None => Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+      case Some(m) =>
+        val parts = spark.read.parquet(s"$path/meta").head().getInt(0)
+        // pmod, matching the write-side partition arithmetic
+        val idParts = docIds.map(id => (((id % parts) + parts) % parts).toInt)
+          .distinct
+        val pruned = m.where(col("part").isin(idParts: _*))
+          .where(col("doc_id").isin(docIds: _*))
+          .select(col("doc_id"), col("root"))
+        val collapsed = readRemaps(spark, path)
+          .filterNot(_.isEmpty).map(collapsedRemaps)
+        applyRemaps(pruned, collapsed).withColumnRenamed("root", "cluster_id")
     }
   }
 
@@ -370,6 +431,20 @@ object Clusters {
   def compactRegistry(spark: SparkSession, path: String,
                       consolidateUpTo: Option[Long] = None): Unit = {
     val fs = graft.sources.Hdfs.forPath(spark, path)
+    // the reader bracket (see [[assertNotCompacting]]): sealed before
+    // the members swap, cleared after — a resolver racing the fold
+    // refuses instead of reading a mid-swap (absent) members table as
+    // an empty registry. An orphaned marker is OURS to heal: the
+    // single-maintainer protocol means no other fold can be live, so
+    // recover, refold whatever is left, and clear.
+    val marker = hp(s"$path/_compacting")
+    val orphaned = fs.exists(marker)
+    def clearMarker(): Unit =
+      if (!fs.delete(marker, false) && fs.exists(marker))
+        throw new java.io.IOException(
+          s"could not clear the _compacting marker at $marker — " +
+            "resolvers will keep refusing; clear it by re-running the " +
+            "compaction or the nightly pass")
     graft.sources.TableSwap.recover(fs, path, "members")
     val remaps = readRemaps(spark, path).filterNot(_.isEmpty)
     val archiveWanted = consolidateUpTo.exists { upTo =>
@@ -381,8 +456,9 @@ object Clusters {
           .flatMap(_.stripPrefix("batch_id=").toLongOption)
           .count(_ <= upTo) > 1
     }
-    if (remaps.isEmpty && !archiveWanted) return
-    val m = readMembers(spark, path).getOrElse(return)
+    if (remaps.isEmpty && !archiveWanted) { if (orphaned) clearMarker(); return }
+    val m = readMembers(spark, path)
+      .getOrElse { if (orphaned) clearMarker(); return }
     val folded = remaps.map(collapsedRemaps) match {
       case Some(collapsed) =>
         m.join(broadcast(collapsed),
@@ -399,9 +475,14 @@ object Clusters {
           .otherwise(col("batch_id")))
       case None => folded
     }
+    fs.create(marker, true).close()
     graft.sources.TableSwap.rewrite(spark, fs, path, "members") { tmp =>
       archived.write.partitionBy("batch_id", "part").parquet(tmp)
     }
+    // clear BEFORE the log truncation: re-applying remaps to folded
+    // members is a no-op (old roots no longer occur), so readers
+    // racing the truncation are already safe
+    clearMarker()
     if (remaps.nonEmpty) {
       fs.listStatus(hp(s"$path/remaps")).map(_.getPath)
         .filter(_.getName.startsWith("batch_id="))

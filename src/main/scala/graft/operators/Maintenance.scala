@@ -171,10 +171,17 @@ object Maintenance {
       if (fs.exists(remapsDir))
         fs.listStatus(remapsDir).count(_.getPath.getName.startsWith("batch_id="))
       else 0
+    // an orphaned _compacting marker = a fold crashed mid-run and every
+    // resolver/update is refusing on it; the compaction owns the heal
+    // (recover + refold + clear) — run it even with zero slices left,
+    // so the marker always comes down
+    val orphaned = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_compacting"))
     val actions =
-      if (slices > 0) {
+      if (slices > 0 || orphaned) {
         Clusters.compactRegistry(spark, path)
-        Seq(s"fold-log:$slices")
+        (if (slices > 0) Seq(s"fold-log:$slices") else Nil) ++
+          (if (orphaned) Seq("heal-compaction-bracket") else Nil)
       } else Nil
     NightlyReport(path, "registry", actions, None, None)
   }

@@ -173,6 +173,33 @@ class ApiSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("dashboard aggregates share ONE cached cohort: every per-section job reads the InMemoryTableScan, not the source") {
+    // the §3.3 design note: the dashboard's sections (courses, years,
+    // splits, areas, jurisdictions, area×jurisdiction, lang×area,
+    // total count) are small driver round-trips, but each must derive
+    // from the SAME cached filtered-cohort scan — six re-reads of the
+    // source at 100× would be the reference's N+1 re-filtering shape
+    val cohort = DatasetAnalytics.dashboardQuestions(qs, vs, Nil, Nil).cache()
+    try {
+      cohort.count() // materialize the cache
+      def readsCache(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.executedPlan.toString.contains("InMemoryTableScan")
+      import org.apache.spark.sql.functions.col
+      val sections = Seq(
+        DatasetAnalytics.dashboardCourses(cohort),
+        DatasetAnalytics.dashboardYears(cohort),
+        DatasetAnalytics.dashboardSplits(vs, cohort, Nil),
+        cohort.groupBy(col("area")).count(),
+        cohort.groupBy(col("jurisdiction")).count(),
+        DatasetAnalytics.dashboardAreaJurisdiction(cohort),
+        DatasetAnalytics.dashboardLangArea(cohort))
+      sections.zipWithIndex.foreach { case (df, i) =>
+        assert(readsCache(df), s"dashboard section $i re-reads the source " +
+          s"instead of the cached cohort:\n${df.queryExecution.executedPlan}")
+      }
+    } finally cohort.unpersist()
+  }
+
   test("dashboard JSON respects config + language filters (main.py:320-337)") {
     // only q1 (en) and q2 (de) have an mcq_4 variant — full golden
     val expected =

@@ -243,6 +243,38 @@ class ClusterRegistrySpec extends AnyFunSuite {
       30L -> 30L))
   }
 
+  test("lookupClusters: point lookups equal the full resolution, off a part-pruned members scan") {
+    val path = tmp("reg_lookup")
+    Clusters.updateRegistry(spark, path, 0L, docsDf(10, 20, 30, 41), noPairs,
+      nDocParts = 4)
+    Clusters.updateRegistry(spark, path, 1L, docsDf(5),
+      pairsDf(5L -> 10L, 5L -> 20L))
+    val want = resolved(path)
+    val ids = Seq(10L, 41L, 999L) // two registered (one remapped), one not
+    val got = Clusters.lookupClusters(spark, path, ids)
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === want.filter(kv => ids.contains(kv._1)),
+      "lookups must equal resolvedClusters filtered to the ids " +
+        "(unregistered ids absent)")
+    // the whole point of the API: the members read is pruned to the
+    // ids' own `part` partitions — never a full members scan
+    val scans = got.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString
+            .contains("members")) => s
+    }
+    assert(scans.nonEmpty)
+    // ids 10, 41, 999 hit parts {2, 1, 3} of 4 — partition filters
+    // must be present and prune part 0 out of the scan
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      scans.map(_.toString).mkString("\n"))
+    val scannedFiles = scans.flatMap(s =>
+      s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString)))
+    assert(scannedFiles.nonEmpty && scannedFiles.forall(!_.contains("part=0")),
+      s"part 0 must be pruned out, scanned: $scannedFiles")
+  }
+
   test("fixture slices: incremental registry ≡ one-shot components over the union of cross-batch pairs") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))

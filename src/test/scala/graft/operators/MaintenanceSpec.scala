@@ -188,21 +188,33 @@ class MaintenanceSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val before = resolved()
     // simulate compactRegistry dying between the stage-aside and the
-    // install: members/ is ABSENT, the full table staged aside, and
-    // the half-written replacement sits at the tmp name — exactly the
-    // state TableSwap.rewrite's crash window leaves
+    // install: the reader bracket is SEALED, members/ is ABSENT, the
+    // full table staged aside, and the half-written replacement sits
+    // at the tmp name — exactly the state TableSwap.rewrite's crash
+    // window leaves
     val fs = graft.sources.Hdfs.forPath(spark, path)
     def p(t: String) = new org.apache.hadoop.fs.Path(s"$path/$t")
+    fs.create(p("_compacting"), true).close()
     assert(fs.rename(p("members"), p("_repair_old_members")))
     fs.mkdirs(p("_repair_tmp_members"))
+    // every resolver/update refuses on the orphaned bracket (instead
+    // of reading the absent members table as an empty registry)
+    intercept[IllegalStateException] { resolved() }
+    intercept[IllegalStateException] {
+      Clusters.lookupClusters(spark, path, Seq(5L)) }
+    intercept[IllegalStateException] {
+      Clusters.updateRegistry(spark, path, 2L, Seq(7L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("bid", "cid")) }
     // without the pre-detection recovery this threw "neither cells/
     // nor bands/..." — the nightly could not heal the one crash state
     // its registry branch exists to recover
     val night = Maintenance.nightly(spark, path)
     assert(night.family === "registry", s"$night")
+    assert(night.actions.contains("heal-compaction-bracket"), s"$night")
     assert(fs.exists(p("members")) && !fs.exists(p("_repair_old_members")) &&
-      !fs.exists(p("_repair_tmp_members")), "recovery must restore the " +
-      "staged members table and drop the orphaned tmp")
+      !fs.exists(p("_repair_tmp_members")) && !fs.exists(p("_compacting")),
+      "recovery must restore the staged members table, drop the orphaned " +
+        "tmp, and clear the reader bracket")
     assert(resolved() === before)
   }
 
