@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.LmQueries.queries
 
   def oracleSql: Map[String, String] =
     relationalOracles ++
@@ -35,7 +36,8 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.LmQueries.oracles
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

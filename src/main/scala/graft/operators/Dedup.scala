@@ -1006,13 +1006,17 @@ object Dedup {
     *
     * Input columns (`id1`,`id2`); output (`id`,`comp`) with comp = min
     * node id in the component, covering only ids that appear in pairs. */
-  /** @param pointerJumping add a path-doubling round after each edge
-    *   propagation: labels chase their own label's label
+  /** @param pointerJumping add a path-doubling round after EVERY edge
+    *   propagation from round 0: labels chase their own label's label
     *   (comp ← min(comp, comp(comp))), so convergence needs
     *   O(log diameter) rounds instead of O(diameter) — the standard
     *   escape hatch for DEEP pair graphs (long chains), at the price of
     *   one extra label-size join per round. Near-dup graphs are shallow
-    *   cliques, so the default keeps the cheaper pure-HashMin loop. */
+    *   cliques, so the default keeps the cheaper pure-HashMin loop for
+    *   the first max(4, maxIter/3) rounds and switches the jump on
+    *   adaptively only if those didn't converge — deep graphs still
+    *   finish inside maxIter (doubling reach covers diameter 2^remaining)
+    *   without shallow callers ever paying for it. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           broadcastNodeLimit: Long = 4000000L,
                           assumeDistinctPairs: Boolean = false,
@@ -1050,13 +1054,13 @@ object Dedup {
       .groupBy(col("id")).agg(min(col("comp")).as("comp"))
       .localCheckpoint()
     e.unpersist() // edges is materialized now; the pair subtree ran once
-    def propagate(small: Boolean)(l: DataFrame): DataFrame = {
+    def propagate(small: Boolean)(l: DataFrame, jump: Boolean): DataFrame = {
       val edgeMin = l.union(edges
           .join(if (small) broadcast(l.withColumnRenamed("id", "dst"))
                 else l.withColumnRenamed("id", "dst"), Seq("dst"))
           .select(col("src").as("id"), col("comp")))
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-      if (!pointerJumping) edgeMin
+      if (!jump) edgeMin
       else {
         // comp ← min(comp, comp's own comp): reach doubles per round
         val parents = edgeMin.select(col("id").as("pid"), col("comp").as("pcomp"))
@@ -1090,12 +1094,23 @@ object Dedup {
     val prop = propagate(nNodes <= broadcastNodeLimit) _
     var iter = 0
     var converged = false
+    // Adaptive depth escape: pure HashMin moves labels ONE hop per
+    // round, so a legitimately deep pair graph (chained near-dups — at
+    // corpus scale a 10% mutate-a-previous-doc rate builds chains
+    // hundreds long) would hit maxIter. Rather than force every shallow
+    // clique graph to pay pointer jumping's extra label join, switch
+    // the jump on mid-loop once the cheap mode has demonstrably not
+    // finished: the remaining rounds then double reach (comp chases
+    // comp(comp)), so maxIter=20 covers diameters past 2^12 instead
+    // of 20. Shallow graphs (the overwhelming case) converge in 2-3
+    // rounds and never reach the switch.
+    val jumpAfter = if (pointerJumping) 0 else math.max(4, maxIter / 3)
     while (!converged && iter < maxIter) {
       // one propagation round per convergence check: near-dup graphs
       // are shallow (diameter 2-3), so the check converges after ~3
       // rounds — batching rounds between checks was measured slower
       // (extra propagations cost more than the checks they save)
-      val next = prop(labels).localCheckpoint()
+      val next = prop(labels, iter >= jumpAfter).localCheckpoint()
       val (s, _) = compSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -1105,12 +1120,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    // HashMin needs O(component diameter) rounds — a silent stop on a
-    // deep chain would return half-propagated labels that diverge from
-    // the d7 recursive-CTE oracle fixpoint
+    // a silent stop would return half-propagated labels that diverge
+    // from the d7 recursive-CTE oracle fixpoint; with the adaptive jump
+    // this now needs a component deeper than ~2^(maxIter - jumpAfter)
     if (!converged) throw new IllegalStateException(
-      s"connected components did not converge in $maxIter rounds; " +
-        "the pair graph has a component deeper than maxIter — raise it")
+      s"connected components did not converge in $maxIter rounds " +
+        "even with path doubling engaged; raise maxIter")
     labels
   }
 

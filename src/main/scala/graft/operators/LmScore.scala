@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{PolyHash64, TextFunctions => TF}
+
+/** N-gram language-model quality scoring — the CCNet/KenLM stage the
+  * reference pipeline lacks (its quality gates are rule-based; see
+  * SURVEY §2.10): train a bigram LM on a reference slice, score every
+  * document by average per-token surprisal, and bucket each language's
+  * documents into head/middle/tail thirds (CCNet's split) for curation.
+  * Also implements DSIR-style hashed-n-gram importance weights (target
+  * vs raw log-likelihood ratio) for importance resampling.
+  *
+  * Relation to t9/t11 (TextQueries): those likelihood scores stay in
+  * LINEAR fixed-point space precisely to dodge ln()'s cross-engine ulp
+  * drift, at the cost of not being the actual LM quantity (a product of
+  * probabilities collapses to its largest terms in linear space). This
+  * operator pays the log-domain piper once, with quantization:
+  *
+  * Engine-exactness design (the part that makes these oracle-gateable):
+  * `ln` is the one operation here with no cross-engine bit guarantee
+  * (libm vs JVM intrinsics may differ in the last ulp), so every
+  * log-probability is quantized ONCE to integer micro-nats —
+  * `floor(ln(num/den)*1e6 + 0.5)` — and all downstream aggregation is
+  * BIGINT sums (associative, order-independent; a float sum over an
+  * arbitrary shuffle order would not hash-match any single-node oracle).
+  * An ulp disagreement changes the quantized value only when
+  * ln(p)*1e6 lands within ~1e-10 of a rounding boundary; the division
+  * num/den itself is IEEE-exact in both engines.
+  *
+  * Scale shape (100 TB): bigram extraction is map-side (slice+zip, no
+  * join); counting is one hash-agg shuffle on (w1,w2) with map-side
+  * combine; the unigram totals re-aggregate the (much smaller) bigram
+  * COUNT table, not the corpus. Scoring is two shuffle joins (bigram
+  * table, then unigram backoff) that AQE turns into broadcasts whenever
+  * the vocabulary fits — no collected LM, no driver loop. Bucketing
+  * reuses [[Ranking.globalRank]] with `lang` as the leading sort key, so
+  * per-language ranks come out of ONE global range-partitioned rank
+  * (rank − per-lang offset) with no per-language single partition.
+  */
+object LmScore {
+
+  /** Stream of adjacent token pairs per document: map-side only.
+    * Documents with <2 tokens contribute nothing (a bigram model has no
+    * estimate for them; callers LEFT-join scores back when needed). */
+  def bigrams(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.toks(col(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** DuckDB twin of [[bigrams]] as a CTE body over `from`. */
+  def bigramsSql(from: String, textExpr: String = "text"): String = {
+    val toks = TF.wsTokensSql(s"lower($textExpr)")
+    s"""SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |FROM (SELECT doc_id, $toks AS t FROM $from) d,
+       |     LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+       |WHERE len(t) >= 2""".stripMargin.replace("\n", " ")
+  }
+
+  /** log((num)/(den)) in integer micro-nats. floor(x+0.5) rather than
+    * round(): floor is exact on doubles in both engines, while ROUND's
+    * half-away-from-zero vs half-up convention differs for negatives. */
+  def lpMicro(num: Column, den: Column): Column =
+    floor(log(num / den) * lit(1e6) + lit(0.5)).cast("long")
+
+  def lpMicroSql(num: String, den: String): String =
+    s"CAST(floor(ln(($num)/($den)) * 1000000 + 0.5) AS BIGINT)"
+
+  /** Add-1/2-smoothed bigram model of `train`:
+    * (bigram logp table, unigram-backoff table, vocab-size scalar frame).
+    * P(w2|w1) = (c12 + ½) / (c1 + ½·V); unseen w2 under a seen w1 gets
+    * the same formula with c12 = 0; V = distinct continuations + 1 (UNK).
+    */
+  def trainBigram(train: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val c12 = bigrams(train, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // unigram totals from the count table (vocab-sized, not corpus-sized)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.agg((countDistinct(col("w2")) + 1).cast("double").as("v"))
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        lpMicro(col("c12") + lit(0.5), col("c1") + lit(0.5) * col("v")).as("lp"))
+    val unk = c1.crossJoin(broadcast(v))
+      .select(col("w1"),
+        lpMicro(lit(0.5), col("c1") + lit(0.5) * col("v")).as("lp_unk"))
+    (lm, unk, v)
+  }
+
+  /** Per-document total log-probability of `docs` under the model of
+    * `train`: (doc_id, n_bigrams, logp_micro BIGINT, surprisal DOUBLE =
+    * −logp_micro/n_bigrams, i.e. mean micro-nats per transition; lower
+    * is more fluent). Out-of-vocabulary transitions back off to the
+    * per-w1 UNK mass; a fully unseen w1 gets the uniform 1/V. */
+  def surprisal(train: DataFrame, docs: DataFrame,
+                textCol: String = "text"): DataFrame = {
+    val (lm, unk, v) = trainBigram(train, textCol)
+    bigrams(docs, textCol)
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(unk, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        coalesce(col("lp"), col("lp_unk"),
+          lpMicro(lit(1.0), col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_bigrams"))
+  }
+
+  /** DuckDB twin of [[surprisal]] (train = score = `from`), as a CTE
+    * chain ending in relation `scored`. */
+  def surprisalSql(from: String, textExpr: String = "text"): String =
+    s"""bg AS (${bigramsSql(from, textExpr)}),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT w2) + 1 AS DOUBLE) AS v FROM c12),
+       |lm AS (SELECT w1, w2,
+       |         ${lpMicroSql("c12 + 0.5", "c1 + 0.5*v")} AS lp
+       |       FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
+       |unk AS (SELECT w1, ${lpMicroSql("0.5", "c1 + 0.5*v")} AS lp_unk
+       |        FROM c1 CROSS JOIN vv),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(lp2) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp2) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT bg.doc_id,
+       |          COALESCE(lm.lp, unk.lp_unk,
+       |                   ${lpMicroSql("1.0", "v")}) AS lp2
+       |        FROM bg LEFT JOIN lm USING (w1, w2)
+       |                LEFT JOIN unk USING (w1) CROSS JOIN vv) s
+       |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
+  /** CCNet-style per-language head/middle/tail thirds by surprisal.
+    * Input must carry (doc_id, lang, surprisal). Per-language rank =
+    * ONE global exact rank under (lang, surprisal, doc_id) minus the
+    * language's offset (a #langs-row broadcast) — no per-language
+    * single-partition window. Boundaries use integer arithmetic
+    * (rank·3 vs n, 2n) so the cut is engine-exact. */
+  def ccnetBuckets(scored: DataFrame): DataFrame = {
+    val ranked = Ranking.globalRank(scored,
+      Seq(col("lang"), col("surprisal"), col("doc_id")), "_gr")
+    val offs = ranked.groupBy(col("lang"))
+      .agg((min(col("_gr")) - 1).as("_off"), count(lit(1)).as("_n"))
+    ranked.join(broadcast(offs), "lang")
+      .withColumn("_r", col("_gr") - col("_off"))
+      .withColumn("bucket",
+        when(col("_r") * 3 <= col("_n"), lit("head"))
+          .when(col("_r") * 3 <= col("_n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_gr", "_off", "_r", "_n")
+  }
+
+  /** DuckDB twin of [[ccnetBuckets]] over relation `scored_lang`
+    * (doc_id, lang, surprisal), as one SELECT. */
+  def ccnetBucketsSql(rel: String = "scored_lang"): String =
+    s"""SELECT * EXCLUDE (_r, _n),
+       |  CASE WHEN _r * 3 <= _n THEN 'head'
+       |       WHEN _r * 3 <= _n * 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM (SELECT *,
+       |        row_number() OVER (PARTITION BY lang
+       |                           ORDER BY surprisal, doc_id) AS _r,
+       |        count(*) OVER (PARTITION BY lang) AS _n
+       |      FROM $rel) t""".stripMargin.replace("\n", " ")
+
+  /** DSIR hashed-bigram importance weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): per-document
+    * Σ_features [log P_target(f) − log P_raw(f)] over hashed bigram
+    * features, in micro-nats. Positive weight ⇒ the document looks more
+    * like `target` than like the raw background. Both feature
+    * distributions are add-½-smoothed over `buckets` hash buckets.
+    * Returns (doc_id, n_feats, weight_micro) for every raw doc with ≥1
+    * bigram. One hash-agg per distribution (bucket-count tables are
+    * `buckets`-sized ⇒ broadcast), one join back to the feature stream.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  textCol: String = "text", buckets: Int = 8192): DataFrame = {
+    def feats(d: DataFrame) = bigrams(d, textCol).select(col("doc_id"),
+      pmod(PolyHash64.polyHash64(concat(col("w1"), lit(" "), col("w2"))),
+        lit(buckets.toLong)).as("f"))
+    val cr = feats(raw).groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val ct = feats(target).groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val nr = cr.agg(sum(col("cr")).cast("double").as("nr"))
+    val nt = ct.agg(sum(col("ct")).cast("double").as("nt"))
+    val b = lit(buckets.toDouble)
+    val tbl = cr.join(ct, Seq("f"), "full")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("f"),
+        (lpMicro(col("ct") + lit(0.5), col("nt") + lit(0.5) * b) -
+          lpMicro(col("cr") + lit(0.5), col("nr") + lit(0.5) * b)).as("w"))
+    feats(raw).join(broadcast(tbl), "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("weight_micro"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]]: CTE chain ending in `weights`.
+    * `targetWhere` selects the target slice out of `from`. */
+  def dsirWeightsSql(from: String, targetWhere: String,
+                     textExpr: String = "text", buckets: Int = 8192): String = {
+    val h = PolyHash64.sql("w1 || ' ' || w2")
+    s"""bgr AS (${bigramsSql(from, textExpr)}),
+       |fr AS (SELECT doc_id, ($h) % $buckets AS f FROM bgr),
+       |ft AS (SELECT fr.doc_id, f FROM fr
+       |       JOIN $from tt USING (doc_id) WHERE $targetWhere),
+       |cr AS (SELECT f, count(*) AS cr FROM fr GROUP BY 1),
+       |ct AS (SELECT f, count(*) AS ct FROM ft GROUP BY 1),
+       |nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr FROM cr),
+       |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt FROM ct),
+       |tbl AS (SELECT f,
+       |    ${lpMicroSql(s"COALESCE(ct,0) + 0.5", s"nt + 0.5*$buckets")} -
+       |    ${lpMicroSql(s"COALESCE(cr,0) + 0.5", s"nr + 0.5*$buckets")} AS w
+       |  FROM cr FULL JOIN ct USING (f) CROSS JOIN nr CROSS JOIN nt),
+       |weights AS (
+       |  SELECT doc_id, count(*) AS n_feats,
+       |         CAST(sum(w) AS BIGINT) AS weight_micro
+       |  FROM fr JOIN tbl USING (f) GROUP BY doc_id)""".stripMargin
+      .replace("\n", " ")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.LmScore
+
+/** LM-quality extension queries (SURVEY §2.10): CCNet-style bigram-LM
+  * surprisal scoring + head/middle/tail bucketing, and DSIR hashed-ngram
+  * importance weights. All log-probabilities are integer micro-nats
+  * (see [[LmScore]]) so every aggregate is an order-independent BIGINT
+  * sum and the DuckDB twins hash-match exactly.
+  */
+object LmQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q5: per-doc bigram-LM surprisal (train = score = the corpus) —
+    // the CCNet/KenLM quality signal; sampled rows keep the oracle
+    // volume bounded while the model still trains on EVERY document
+    "q5_bigram_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LmScore.surprisal(docs, docs)
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q6: CCNet head/middle/tail thirds per language by surprisal —
+    // ONE global exact rank (lang leading the sort), no per-language
+    // single-partition window; summary = per (lang, bucket) counts +
+    // id checksum + the exact surprisal span of the bucket
+    "q6_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = LmScore.surprisal(docs, docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("surprisal"))
+      LmScore.ccnetBuckets(scored)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"),
+          min(col("surprisal")).as("min_surprisal"),
+          max(col("surprisal")).as("max_surprisal"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // S23: DSIR importance weights — target = the English slice,
+    // raw = the whole corpus; hashed-bigram log-likelihood ratios in
+    // micro-nats (Xie et al. importance resampling, the data-mixing
+    // refinement of s13's scalar importance sampling)
+    "s23_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LmScore.dsirWeights(docs, docs.where(col("lang") === "en"))
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q5_bigram_surprisal" ->
+      s"""WITH ${LmScore.surprisalSql("documents")}
+         |SELECT doc_id, n_bigrams, logp_micro, surprisal
+         |FROM scored WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q6_ccnet_buckets" ->
+      s"""WITH ${LmScore.surprisalSql("documents")},
+         |scored_lang AS (
+         |  SELECT s.doc_id, d.lang, s.surprisal
+         |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")})
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |  min(surprisal) AS min_surprisal,
+         |  max(surprisal) AS max_surprisal
+         |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s23_dsir_weights" ->
+      s"""WITH ${LmScore.dsirWeightsSql("documents", "tt.lang = 'en'")}
+         |SELECT doc_id, n_feats, weight_micro
+         |FROM weights WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin
+  )
+}

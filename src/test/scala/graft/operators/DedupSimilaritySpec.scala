@@ -241,17 +241,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (m - 18) -> (m - 20), (m - 20) -> (m - 20)))
   }
 
-  test("connected components: pointer jumping converges a deep chain in O(log d) rounds") {
+  test("connected components: deep chains converge via the adaptive pointer-jumping switch") {
     // a 64-node path has diameter 63: pure HashMin cannot finish inside
-    // 12 rounds, path doubling must (log2(63) ≈ 6 + slack)
+    // 12 rounds; the adaptive switch engages path doubling after
+    // max(4, maxIter/3) unconverged rounds and the rest finish in
+    // O(log d) (sf1 sweep regression: chained near-dups build registry
+    // batch graphs hundreds deep, which used to trip maxIter=20)
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
-    intercept[IllegalStateException](
-      Dedup.connectedComponents(chain, maxIter = 12).collect())
-    val comps = Dedup.connectedComponents(chain, maxIter = 12,
-        pointerJumping = true).collect()
+    val comps = Dedup.connectedComponents(chain, maxIter = 12).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.values.toSet === Set(1L))
     assert(comps.keySet === (1L to 64L).toSet)
+    // forced-from-round-0 jumping still works and agrees
+    val forced = Dedup.connectedComponents(chain, maxIter = 12,
+        pointerJumping = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(forced === comps)
+    // a budget too small for even the jump rounds still fails loudly:
+    // maxIter=3 < jumpAfter means pure HashMin only, 3 < diameter
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 3).collect())
   }
 
   test("IVF: full probe equals brute force exactly; partial probe recalls (recall@k)") {

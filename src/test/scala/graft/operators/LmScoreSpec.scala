@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Fixture pins for the bigram-LM surprisal scorer (q5/q6) and the DSIR
+  * importance weights (s23). Counts and smoothing are checked against
+  * hand arithmetic; the micro-nat quantization, OOV backoff cascade,
+  * and bucket-boundary integer rule each get an explicit case.
+  */
+class LmScoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def micro(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+
+  test("trainBigram: add-half smoothing over hand-counted bigrams") {
+    // corpus: "a b a b" -> (a,b) x2, (b,a) x1 ; "b b" -> (b,b) x1
+    // c1: a->2, b->2 ; vocab = distinct w2 {a,b} + 1 = 3
+    val docs = Seq((1L, "a b a b"), (2L, "b b")).toDF("doc_id", "text")
+    val (lm, unk, _) = LmScore.trainBigram(docs)
+    val got = lm.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got(("a", "b")) === micro((2 + 0.5) / (2 + 1.5)))
+    assert(got(("b", "a")) === micro((1 + 0.5) / (2 + 1.5)))
+    assert(got(("b", "b")) === micro((1 + 0.5) / (2 + 1.5)))
+    val u = unk.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(u("a") === micro(0.5 / 3.5) && u("b") === micro(0.5 / 3.5))
+  }
+
+  test("surprisal: known, UNK-continuation, and unseen-w1 transitions each take their branch") {
+    val train = Seq((1L, "a b a b"), (2L, "b b")).toDF("doc_id", "text")
+    // "a b":   known        -> lp(a,b)
+    // "a a":   unseen cont. -> unk(a)
+    // "z a":   unseen w1    -> uniform ln(1/3)
+    val score = Seq((10L, "a b"), (11L, "a a"), (12L, "z a")).toDF("doc_id", "text")
+    val got = LmScore.surprisal(train, score).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (10L, 1L, micro(2.5 / 3.5)),
+      (11L, 1L, micro(0.5 / 3.5)),
+      (12L, 1L, micro(1.0 / 3.0))))
+    // surprisal column = -logp/n as an exact double division
+    val s = LmScore.surprisal(train, score).where($"doc_id" === 10L)
+      .select($"surprisal").head.getDouble(0)
+    assert(s === -micro(2.5 / 3.5).toDouble / 1L)
+  }
+
+  test("surprisal: sub-2-token docs contribute no rows; totals are bigint sums") {
+    val train = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val score = Seq((2L, "a"), (3L, ""), (4L, "a b c")).toDF("doc_id", "text")
+    val rows = LmScore.surprisal(train, score).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(4L))
+    assert(rows.head.getLong(1) === 2L) // (a,b), (b,c)
+  }
+
+  test("ccnetBuckets: integer thirds rule matches row_number arithmetic incl. remainder") {
+    // n=10 in one lang: head ranks 1..3 (r*3<=10), middle 4..6, tail 7..10
+    val scored = (1 to 10).map(i => (i.toLong, "en", i.toDouble))
+      .toDF("doc_id", "lang", "surprisal")
+    val m = LmScore.ccnetBuckets(scored).select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert((1 to 3).forall(i => m(i.toLong) == "head"))
+    assert((4 to 6).forall(i => m(i.toLong) == "middle"))
+    assert((7 to 10).forall(i => m(i.toLong) == "tail"))
+  }
+
+  test("ccnetBuckets: per-lang offsets from one global rank, ties broken by doc_id") {
+    val scored = Seq(
+      (1L, "en", 5.0), (2L, "en", 5.0), (3L, "en", 1.0),
+      (4L, "de", 2.0), (5L, "de", 1.0), (6L, "de", 3.0))
+      .toDF("doc_id", "lang", "surprisal")
+    val m = LmScore.ccnetBuckets(scored).select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // en order: 3,1,2 (tie 5.0 broken by doc_id) ; de order: 5,4,6
+    assert(m(3L) === "head" && m(1L) === "middle" && m(2L) === "tail")
+    assert(m(5L) === "head" && m(4L) === "middle" && m(6L) === "tail")
+  }
+
+  test("dsirWeights: target-like docs weigh above background-only docs") {
+    graft.functions.PolyHash64.register(spark)
+    val targetish = (1 to 8).map(i => (i.toLong, "x y x y x y"))
+    val rawOnly = (9 to 16).map(i => (i.toLong, "p q p q p q"))
+    val raw = (targetish ++ rawOnly).toDF("doc_id", "text")
+    val target = targetish.toDF("doc_id", "text")
+    val w = LmScore.dsirWeights(raw, target).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(w(1L) > w(9L))
+    // identical docs get identical weights (pure function of features)
+    assert(w(1L) === w(2L) && w(9L) === w(10L))
+  }
+}
