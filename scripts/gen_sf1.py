@@ -136,9 +136,13 @@ write("events",
                  ("user_id", pa.int64()), ("event_type", pa.string()),
                  ("value", pa.float64()), ("props", pa.string())]))
 
-# documents: 32-word vocab (same as driver), 44..577 chars, ~10% near-dups
-# (a few word substitutions of an earlier doc) + ~0.2% exact dups so the
-# dedup families have real work at sf1
+# documents: 32-word vocab (same as driver), 44..577 chars, ~1.5%
+# near-dups + ~0.2% exact dups — driver-faithful density (sf0.1 has
+# 8 dups in 5000). Near-dups mutate ORIGINAL docs only (no chains):
+# chained mutations build pathologically deep pair graphs whose
+# ground-truth oracle replays (all-pairs / recursive-CTE forms) are
+# deliberately quadratic and blow the sandbox at sf1. Depth robustness
+# is pinned separately by the connected-components fixture specs.
 vocab = np.array(["a", "agg", "batch", "big", "column", "customer", "data",
                   "dup", "fast", "filter", "group", "hash", "join", "key",
                   "line", "merge", "order", "part", "query", "row", "scan",
@@ -147,19 +151,21 @@ vocab = np.array(["a", "agg", "batch", "big", "column", "customer", "data",
 langs = np.array(["de", "en", "es", "fr", "zh"])
 lang_p = np.array([0.15, 0.41, 0.15, 0.14, 0.15])
 texts = []
+originals = []
 for i in range(N_DOC):
     r = rng.random()
     if i > 100 and r < 0.002:
         texts.append(texts[rng.integers(0, i)])
         continue
-    if i > 100 and r < 0.10:
-        base = texts[rng.integers(0, i)].split(" ")
+    if i > 100 and r < 0.015:
+        base = texts[originals[rng.integers(0, len(originals))]].split(" ")
         for _ in range(int(rng.integers(1, 4))):
             base[int(rng.integers(0, len(base)))] = str(vocab[rng.integers(0, len(vocab))])
         texts.append(" ".join(base))
         continue
     nw = int(rng.integers(10, 110))
     texts.append(" ".join(vocab[rng.integers(0, len(vocab), nw)]))
+    originals.append(i)
 write("documents",
       {"doc_id": pa.array(range(N_DOC), pa.int64()),
        "text": texts,

@@ -344,7 +344,10 @@ class PlanSpec extends AnyFunSuite {
       "v7_pq_topk",
       "d5_levenshtein_pairs", "d7_neardup_components", "d9_neardup_survivors",
       "e6_funnel", "t9_unigram_likelihood", "t10_tfidf_topk",
-      "a24_sketch_rollup", "q4_drift_report", "s21_component_split")
+      "a24_sketch_rollup", "q4_drift_report", "s21_component_split",
+      // LmScore: the vocab-size / distribution-total single-row scalars
+      // (V, N_raw, N_target) broadcast-cross into the model tables
+      "q5_bigram_surprisal", "q6_ccnet_buckets", "s23_dsir_weights")
     // e5 relies on the range-join rule, which activates on the same
     // conf Bench/Verify set — sweep under production settings
     spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")
