@@ -19,6 +19,14 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 con = duckdb.connect()
+# At sf>=1 some ground-truth oracle replays (deliberately quadratic
+# all-pairs forms) need spill room: honor optional resource caps so the
+# compare degrades to disk instead of dying on a full /tmp.
+if os.environ.get("GRAFT_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+if os.environ.get("GRAFT_DUCKDB_TEMP"):
+    os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 

@@ -99,13 +99,8 @@ object LmScore {
   def surprisal(train: DataFrame, docs: DataFrame,
                 textCol: String = "text"): DataFrame = {
     val (lm, unk, v) = trainBigram(train, textCol)
-    bigrams(docs, textCol)
-      .join(lm, Seq("w1", "w2"), "left")
-      .join(unk, Seq("w1"), "left")
-      .crossJoin(broadcast(v))
-      .select(col("doc_id"),
-        coalesce(col("lp"), col("lp_unk"),
-          lpMicro(lit(1.0), col("v"))).as("lp"))
+    val meta = v.select(col("v"), lpMicro(lit(1.0), col("v")).as("lp_unseen"))
+    lpRows(docs, lm, unk, meta, textCol)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micro"))
       .withColumn("surprisal",
@@ -134,6 +129,60 @@ object LmScore {
        |        FROM bg LEFT JOIN lm USING (w1, w2)
        |                LEFT JOIN unk USING (w1) CROSS JOIN vv) s
        |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
+  /** Persist the bigram model of `train` at `path` as a build-once
+    * serving artifact: `bigrams/` (w1, w2, lp), `unigrams/` (w1,
+    * lp_unk) and a one-row `meta/` carrying the vocab size and the
+    * precomputed unseen-w1 uniform log-prob. Unlike the incrementally
+    * maintained index families (LSH/decon/PQ-IVF/registry) an n-gram
+    * LM is retrained, not patched — counts are global, so there is no
+    * partial update that preserves the smoothing denominator — hence
+    * plain overwrite semantics, no merge log, no nightly hook. */
+  def saveLm(train: DataFrame, path: String,
+             textCol: String = "text"): Unit = {
+    val (lm, unk, v) = trainBigram(train, textCol)
+    lm.write.mode("overwrite").parquet(s"$path/bigrams")
+    unk.write.mode("overwrite").parquet(s"$path/unigrams")
+    v.select(col("v"), lpMicro(lit(1.0), col("v")).as("lp_unseen"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (bigram table, unigram-backoff table, 1-row meta) at `path`. */
+  def loadLm(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/unigrams"),
+      spark.read.parquet(s"$path/meta"))
+
+  /** Per-transition log-prob stream of `docs` under a loaded model:
+    * (doc_id, lp) with the [[surprisal]] OOV cascade. Shared by the
+    * batch scorer below and the streaming enrich
+    * (graft.streaming.DocStreams.lmScoreEnrich), so the two cannot
+    * drift: on a stream the final per-doc sum runs in a stateless
+    * group shell instead of groupBy (append streams cannot aggregate
+    * unbounded), but every lp this emits is identical. */
+  def lpRows(docs: DataFrame, lm: DataFrame, unk: DataFrame,
+             meta: DataFrame, textCol: String = "text"): DataFrame =
+    bigrams(docs, textCol)
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(unk, Seq("w1"), "left")
+      .crossJoin(broadcast(meta.select(col("lp_unseen"))))
+      .select(col("doc_id"),
+        coalesce(col("lp"), col("lp_unk"), col("lp_unseen")).as("lp"))
+
+  /** Batch scoring against a persisted model — equals
+    * [[surprisal]](train, docs) for the train the model was saved
+    * from, row for row (spec-pinned). */
+  def surprisalAgainstLm(docs: DataFrame,
+                         spark: org.apache.spark.sql.SparkSession,
+                         path: String, textCol: String = "text"): DataFrame = {
+    val (lm, unk, meta) = loadLm(spark, path)
+    lpRows(docs, lm, unk, meta, textCol)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_bigrams"))
+  }
 
   /** CCNet-style per-language head/middle/tail thirds by surprisal.
     * Input must carry (doc_id, lang, surprisal). Per-language rank =

@@ -845,4 +845,38 @@ object DocStreams {
           .as[NearDupMatch]
     }
   }
+
+  case class DocScore(doc_id: Long, n_bigrams: Long, logp_micro: Long,
+                      surprisal: Double)
+
+  /** Enrich a stream of (doc_id, text) rows with their bigram-LM
+    * surprisal against the persisted model at `path`
+    * ([[graft.operators.LmScore.saveLm]]) — the quality-gate feed of a
+    * continuous ingestion pipeline, stream-static like
+    * [[graft.streaming.VectorStreams.pqIvfEnrich]]. The per-transition
+    * log-probs come from the SAME [[graft.operators.LmScore.lpRows]]
+    * the batch scorer uses (join against the model tables, OOV backoff
+    * cascade included), so streamed scores equal
+    * `surprisalAgainstLm` row for row (spec-pinned). The one
+    * mechanical difference: append streams cannot run an unbounded
+    * groupBy, so the per-doc sum folds in a STATELESS
+    * flatMapGroupsWithState shell — every bigram of a document lives
+    * in the micro-batch that carried the document's row, no state is
+    * ever written, memory per group is O(1) accumulators. */
+  def lmScoreEnrich(docs: DataFrame, path: String,
+                    textCol: String = "text"): Dataset[DocScore] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (lm, unk, meta) = graft.operators.LmScore.loadLm(spark, path)
+    graft.operators.LmScore.lpRows(docs, lm, unk, meta, textCol)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[(Long, Long)], _: GroupState[Boolean]) =>
+          var n = 0L
+          var s = 0L
+          rows.foreach { r => n += 1; s += r._2 }
+          Iterator.single(DocScore(docId, n, s, -s.toDouble / n))
+      }
+  }
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.LmScore
+
+/** The persisted-LM serving path: batch scoring against a saved model
+  * must equal the in-memory train+score pipeline, and the streaming
+  * enrich must equal the batch scorer row for row on the same arrivals
+  * with zero streaming state (the per-doc fold is a stateless shell).
+  */
+case class DocRow(doc_id: Long, text: String)
+
+class LmStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables.documents(
+    spark, "/root/testdata/sf0.001").select(col("doc_id"), col("text"))
+
+  test("surprisalAgainstLm(savedLm) equals surprisal(train, docs) row for row") {
+    val path = java.nio.file.Files.createTempDirectory("lm_art").toString
+    LmScore.saveLm(docs, path)
+    val direct = LmScore.surprisal(docs, docs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val served = LmScore.surprisalAgainstLm(docs, spark, path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
+  test("streaming lmScoreEnrich equals batch surprisalAgainstLm; shells keep zero state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("lm_art2").toString
+    // train on the even docs, score the odd ones — OOV paths included
+    LmScore.saveLm(docs.where(col("doc_id") % 2 === 0), path)
+    val arriving = docs.where(col("doc_id") % 2 === 1)
+      .as[DocRow].collect().toSeq
+    assert(arriving.nonEmpty)
+    val input = MemoryStream[DocRow]
+    val name = s"lmstream_${System.nanoTime()}"
+    val q = DocStreams.lmScoreEnrich(input.toDF(), path)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val (streamed, stateRows) =
+      try {
+        // two triggers: scoring is per-document, the split cannot matter
+        input.addData(arriving.take(arriving.size / 2): _*)
+        q.processAllAvailable()
+        input.addData(arriving.drop(arriving.size / 2): _*)
+        q.processAllAvailable()
+        (spark.table(name).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+          Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L))
+      } finally q.stop()
+    val batch = LmScore.surprisalAgainstLm(arriving.toDF(), spark, path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
+  }
+}
