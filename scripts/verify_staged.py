@@ -67,10 +67,49 @@ def split_ctes(sql):
         i += m2.end()
     return ctes, sql[i:]
 
+WALK_PATTERN = re.compile(
+    r"SELECT src, src FROM edges\s+UNION\s+"
+    r"SELECT e\.src, w\.comp FROM edges e JOIN walk w ON w\.id = e\.dst")
+
+def union_find_walk():
+    """The `walk` reachability fixpoint (every (id, label) with label
+    reachable from id) exists only to feed MIN(comp) GROUP BY id — i.e.
+    connected components with min-id labels. The SQL fixpoint is
+    O(V*E); on the DENSE graphs a big-SF cohort builds (64 distinct
+    part names under a lev<=10 bound => near-complete) that is
+    quadrillions of rows. Union-find over the staged `edges` table
+    computes the identical (id, min-label) rows directly — exact, not
+    approximate — and MIN over them is the identity."""
+    parent = {}
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+    for src, dst in con.execute("SELECT src, dst FROM edges").fetchall():
+        for v in (src, dst):
+            if v not in parent:
+                parent[v] = v
+        a, b = find(src), find(dst)
+        if a != b:
+            # min-id root: the label HashMin/the walk's MIN would pick
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+    rows = [(v, find(v)) for v in parent]
+    df = pd.DataFrame(rows, columns=["id", "comp"])
+    con.register("_walk_uf", df)
+    con.execute("CREATE TEMP TABLE walk AS SELECT * FROM _walk_uf")
+
 ctes, final = split_ctes(sql)
 for name, cols, body in ctes:
-    self_ref = re.search(rf"\b{name}\b", body)
-    if self_ref:  # recursive CTE: keep the fixpoint inside one statement
+    if name == "walk" and WALK_PATTERN.search(body):
+        union_find_walk()
+    elif re.search(rf"\b{name}\b", body):
+        # recursive CTE: keep the fixpoint inside one statement
         con.execute(f"CREATE TEMP TABLE {name} AS "
                     f"(WITH RECURSIVE {name}{cols or ''} AS ({body}) "
                     f"SELECT * FROM {name})")
