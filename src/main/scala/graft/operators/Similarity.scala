@@ -428,6 +428,79 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Contrastive TRIPLET MINING for embedding-model training (v8):
+    * per sampled anchor, (positive, hard negative) drawn from the
+    * anchor's own IVF cell — positive = the most-similar in-cell
+    * neighbor at cos ≥ `posMin` (a near-dup/paraphrase), hard negative
+    * = the most-similar in-cell vector still BELOW `negMax` (the
+    * classic hard-negative rule: close in embedding space, confidently
+    * not a match). Anchors missing either side emit nothing.
+    *
+    * Scale shape: candidates meet only inside a cell (equi-join on the
+    * cell key — the cross product never materializes, same skeleton as
+    * SemDeDup's in-cell compare), and the two top-1 picks are
+    * row_number windows partitioned by the HIGH-CARDINALITY anchor id
+    * with per-group size bounded by the cell population — no
+    * single-partition stage. Uses [[buildIvf]]'s deterministic seed so
+    * the whole chain has a bit-exact SQL twin; production would swap in
+    * [[buildIvfTrained]] exactly as d6's trained variant does. */
+  def mineTriplets(emb: DataFrame, nCentroids: Int, posMin: Double,
+                   negMax: Double, sampleMod: Int): DataFrame = {
+    val (_, assigned) = buildIvf(emb.select(col("vec_id"), col("embedding")),
+      nCentroids)
+    val anchors = assigned
+      .where(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+      .select(col("vec_id").as("anchor_id"), col("vec").as("a_vec"),
+        col("cell"))
+    val cand = anchors
+      .join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("cell"))
+      .where(col("cand_id") =!= col("anchor_id"))
+      .withColumn("cos", Registry.cosineSim(col("a_vec"), col("vec")))
+      .select(col("anchor_id"), col("cand_id"), col("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val pos = cand.where(col("cos") >= posMin)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = cand.where(col("cos") < negMax)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "anchor_id").orderBy(col("anchor_id"))
+  }
+
+  /** DuckDB oracle for [[mineTriplets]] — [[ivfAssignCte]] assignment,
+    * identical cosine arithmetic and tie rules. */
+  def mineTripletsSql(dim: Int, nCentroids: Int, posMin: Double,
+                      negMax: Double, sampleMod: Int): String = {
+    val n2 = sqlN2(dim) _
+    val dot = sqlDot(dim) _
+    val cos = s"(${dot("a.a_emb", "b.embedding")}) / " +
+      s"(sqrt(${n2("a.a_emb")}) * sqrt(${n2("b.embedding")}))"
+    s"""${ivfAssignCte(dim, nCentroids)},
+       |anch AS (
+       |  SELECT vec_id AS anchor_id, embedding AS a_emb, cell
+       |  FROM assign WHERE vec_id % $sampleMod = 0),
+       |cnd AS (
+       |  SELECT a.anchor_id, b.vec_id AS cand_id, $cos AS cos
+       |  FROM anch a JOIN assign b USING (cell)
+       |  WHERE b.vec_id <> a.anchor_id),
+       |pos AS (
+       |  SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC, cand_id) AS rn
+       |    FROM cnd WHERE cos >= $posMin) WHERE rn = 1),
+       |neg AS (
+       |  SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC, cand_id) AS rn
+       |    FROM cnd WHERE cos < $negMax) WHERE rn = 1)
+       |SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos
+       |FROM pos JOIN neg USING (anchor_id) ORDER BY anchor_id""".stripMargin
+  }
+
   // ----------------------------------------- int8 scalar quantization
 
   /** Per-vector max-abs int8 quantization: q_i = floor(v_i/scale·127

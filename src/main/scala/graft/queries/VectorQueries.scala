@@ -47,7 +47,15 @@ object VectorQueries {
     // rescore — the billion-scale memory tier of the family.
     "v7_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), m = 8, kCode = 256,
-        sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK))
+        sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK)),
+
+    // Contrastive triplet mining: per sampled anchor, (positive = most
+    // similar in-cell neighbor >= posMin, hard negative = most similar
+    // in-cell vector still < negMax) — the embedding-model training-set
+    // op built on the same cluster-then-compare skeleton as d6.
+    "v8_triplet_mining" -> ((s, dir) =>
+      Similarity.mineTriplets(Tables.embeddings(s, dir), nCentroids = 16,
+        posMin = 0.3, negMax = 0.1, sampleMod = 1))
   )
 
   def oracles: Map[String, String] = Map(
@@ -61,6 +69,8 @@ object VectorQueries {
     "v6_ivf_quantized_topk" -> Similarity.ivfQuantizedSearchSql(Dim, k = TopK,
       nCentroids = 16, nProbe = 4, rescoreK = 4 * TopK, sampleMod = SampleMod),
     "v7_pq_topk" -> Similarity.pqTopKSql(Dim, m = 8, kCode = 256,
-      sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK)
+      sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK),
+    "v8_triplet_mining" -> Similarity.mineTripletsSql(Dim, nCentroids = 16,
+      posMin = 0.3, negMax = 0.1, sampleMod = 1)
   )
 }
