@@ -1147,6 +1147,63 @@ object Dedup {
       .orderBy(col("comp"))
   }
 
+  /** c8: near-dup clusters with LM-QUALITY survivor selection — the
+    * c2 pipeline's cluster stage composed with [[LmScore.surprisal]]
+    * as the keep rule: per cluster, keep the most FLUENT member
+    * (lowest mean bigram surprisal, ties to the lowest id) instead of
+    * c2's longest-text proxy — the CCNet-style refinement where the
+    * LM, not a length heuristic, decides which near-duplicate copy
+    * enters the training set. Returns one row per cluster:
+    * (comp, n_members, survivor, survivor_surprisal).
+    *
+    * Scale shape: identical to [[dedupPipelineSummary]] through the
+    * components stage (pairs never outlive the CC loop); the LM score
+    * adds one corpus-read train pass + one scoring pass (count tables
+    * checkpointed — see [[LmScore.trainBigram]]), and the survivor
+    * pick stays one window pass shuffling on the component key. */
+  def lmSurvivorClusters(docs: DataFrame, k: Int, bands: Int,
+                         rowsPerBand: Int, threshold: Double): DataFrame = {
+    val withSig = minhashSignatures(docs, k, bands * rowsPerBand).cache()
+    val pairs = minhashLshPairsFromSig(withSig, bands, rowsPerBand, threshold)
+      .select(col("id1"), col("id2"))
+    val comps =
+      try connectedComponents(pairs, assumeDistinctPairs = true)
+      finally withSig.unpersist()
+    val scored = LmScore.surprisal(docs, docs)
+    val quality = scored.select(col("doc_id").as("id"),
+      (-col("surprisal")).as("quality"))
+    survivors(comps, quality)
+      .join(scored.select(col("doc_id").as("survivor"),
+        col("surprisal").as("survivor_surprisal")), Seq("survivor"))
+      .select(col("comp"), col("n_members"), col("survivor"),
+        col("survivor_surprisal"))
+      .orderBy(col("comp"))
+  }
+
+  /** DuckDB oracle for [[lmSurvivorClusters]] — c2's pair/walk chain +
+    * q5's scored chain + the same (-surprisal DESC, id) pick. */
+  def lmSurvivorClustersSql(k: Int, bands: Int, rowsPerBand: Int,
+                            threshold: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashLshSql(k, bands, rowsPerBand, threshold)}),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |walk(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |${LmScore.surprisalSql("documents")},
+       |r AS (
+       |  SELECT c.comp, c.id, s.surprisal,
+       |         ROW_NUMBER() OVER (PARTITION BY c.comp
+       |           ORDER BY -s.surprisal DESC, c.id) AS rn
+       |  FROM comps c JOIN scored s ON s.doc_id = c.id)
+       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |       MAX(CASE WHEN rn = 1 THEN id END) AS survivor,
+       |       MAX(CASE WHEN rn = 1 THEN surprisal END) AS survivor_surprisal
+       |FROM r GROUP BY comp ORDER BY comp""".stripMargin
+
   // ------------------------------------- composed dedup pipeline (c2)
 
   /** The whole dedup story as ONE operator — the 100 TB near-dup

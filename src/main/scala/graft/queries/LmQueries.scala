@@ -52,7 +52,14 @@ object LmQueries {
       LmScore.dsirWeights(docs, docs.where(col("lang") === "en"))
         .where(pmod(col("doc_id"), lit(25)) === 0)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // C8: the c2 cluster stage composed with q5's LM score as the
+    // survivor rule — the LM, not a length heuristic, decides which
+    // near-duplicate copy enters the training set (CCNet-style)
+    "c8_lm_survivor_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.lmSurvivorClusters(Tables.documents(s, dir),
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05))
   )
 
   def oracles: Map[String, String] = Map(
@@ -77,6 +84,10 @@ object LmQueries {
     "s23_dsir_weights" ->
       s"""WITH ${LmScore.dsirWeightsSql("documents", "tt.lang = 'en'")}
          |SELECT doc_id, n_feats, weight_micro
-         |FROM weights WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin
+         |FROM weights WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+
+    "c8_lm_survivor_clusters" -> graft.operators.Dedup
+      .lmSurvivorClustersSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05)
   )
 }

@@ -77,6 +77,41 @@ class LmScoreSpec extends AnyFunSuite {
     assert(m(5L) === "head" && m(4L) === "middle" && m(6L) === "tail")
   }
 
+  test("lmSurvivorClusters (c8): survivor is the (min surprisal, min id) member of every cluster") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.lmSurvivorClusters(docs, k = 3, bands = 8,
+        rowsPerBand = 4, threshold = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    // recompute the expectation from the composed parts' own outputs:
+    // cluster members x per-doc surprisal -> min (surprisal, id) pick
+    val comps = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, 3, 8, 4, 0.05)
+          .select($"id1", $"id2"), assumeDistinctPairs = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val surp = LmScore.surprisal(docs, docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val expect = comps.groupBy(_._2).map { case (comp, members) =>
+      val best = members.map(_._1).minBy(id => (surp(id), id))
+      comp -> ((members.size.toLong, best, surp(best)))
+    }
+    assert(out === expect)
+    // and the LM rule is not the length rule: at least one cluster's
+    // survivor differs from the longest-text pick somewhere across the
+    // corpus, OR every cluster's lengths tie (guards silent fallback)
+    val lens = docs.select($"doc_id", length($"text").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lengthPick = comps.groupBy(_._2).map { case (comp, members) =>
+      comp -> members.map(_._1).minBy(id => (-lens(id), id))
+    }
+    val differs = expect.exists { case (comp, (_, surv, _)) =>
+      lengthPick(comp) != surv }
+    val allTied = comps.groupBy(_._2).forall { case (_, ms) =>
+      ms.map(m => lens(m._1)).distinct.size == 1 }
+    assert(differs || allTied)
+  }
+
   test("dsirWeights: target-like docs weigh above background-only docs") {
     graft.functions.PolyHash64.register(spark)
     val targetish = (1 to 8).map(i => (i.toLong, "x y x y x y"))
