@@ -346,8 +346,10 @@ class PlanSpec extends AnyFunSuite {
       "e6_funnel", "t9_unigram_likelihood", "t10_tfidf_topk",
       "a24_sketch_rollup", "q4_drift_report", "s21_component_split",
       // LmScore: the vocab-size / distribution-total single-row scalars
-      // (V, N_raw, N_target) broadcast-cross into the model tables
-      "q5_bigram_surprisal", "q6_ccnet_buckets", "s23_dsir_weights")
+      // (V, N_raw, N_target) broadcast-cross into the model tables;
+      // c8 composes the q5 scorer and inherits the same scalar
+      "q5_bigram_surprisal", "q6_ccnet_buckets", "s23_dsir_weights",
+      "c8_lm_survivor_clusters")
     // e5 relies on the range-join rule, which activates on the same
     // conf Bench/Verify set — sweep under production settings
     spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")
