@@ -237,6 +237,82 @@ object Bpe {
       .groupBy(col("sym")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("sym"))
 
+  /** DuckDB twin of [[train]] + [[encode]]: replays `nMerges` rounds of
+    * the exact sequential greedy trainer in SQL over `fromSql`
+    * (a relation or parenthesized+aliased subquery with doc_id, text)
+    * and ends in CTE `enc` = (doc_id, n_tokens_bpe, sym_fp).
+    *
+    * Each round is fully data-driven — pair counts over the current
+    * state, a one-row argmax CTE (count desc, then (a, b) — DuckDB's
+    * binary VARCHAR order = Spark's UTF8 byte order), and the merge
+    * application — so no learned constants are embedded; the SQL
+    * learns the SAME merges the Spark side does.
+    *
+    * The greedy left-to-right non-overlapping fold becomes a
+    * gaps-and-islands parity rule: a candidate position (sym=a,
+    * next=b) chains with an adjacent candidate only when a = b (for
+    * a ≠ b, two adjacent candidates would force b = a), and within a
+    * maximal candidate chain the fold merges exactly the odd-indexed
+    * candidates. Merging never creates a new (a, b) adjacency within
+    * the same round (the product "a b" can equal neither a nor b), so
+    * candidates computed on the round's INPUT state equal the fold's
+    * evolving-accumulator decisions — BpeBudgetSpec replays
+    * [[train]]'s fold against this rule position by position.
+    *
+    * Precondition: the corpus must still have an adjacent pair at
+    * every one of the `nMerges` rounds ([[train]] stops early on
+    * exhaustion; the SQL's cross join with an empty argmax would
+    * instead annihilate the state). Any real document corpus at the
+    * gate SFs satisfies this for small vocabularies. */
+  def trainEncodeSql(fromSql: String, nMerges: Int,
+                     textExpr: String = "text"): String = {
+    val toks = graft.functions.TextFunctions.wsTokensSql(s"lower($textExpr)")
+    val sb = new StringBuilder
+    sb.append(
+      s"""st0 AS (
+         |  SELECT doc_id, i AS pos, t[i] AS sym
+         |  FROM (SELECT doc_id, $toks AS t FROM $fromSql) d,
+         |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g)""".stripMargin)
+    for (k <- 1 to nMerges) {
+      val p = s"st${k - 1}"
+      sb.append(
+        s""",
+           |pc$k AS (
+           |  SELECT sym AS a, nxt AS b, count(*) AS n
+           |  FROM (SELECT sym, lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           |        FROM $p) z
+           |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |top$k AS (SELECT a, b FROM pc$k ORDER BY n DESC, a, b LIMIT 1),
+           |cd$k AS (
+           |  SELECT s.doc_id, s.pos, s.sym, t.a, t.b,
+           |         COALESCE(s.sym = t.a AND
+           |           lead(s.sym) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = t.b,
+           |           FALSE) AS c
+           |  FROM $p s CROSS JOIN top$k t),
+           |sl$k AS (
+           |  SELECT doc_id, pos, sym, a, b,
+           |         CASE WHEN c THEN (ROW_NUMBER() OVER
+           |             (PARTITION BY doc_id, c, grp ORDER BY pos) % 2 = 1)
+           |           ELSE FALSE END AS sel
+           |  FROM (SELECT *, pos - ROW_NUMBER() OVER
+           |          (PARTITION BY doc_id, c ORDER BY pos) AS grp FROM cd$k) z),
+           |st$k AS (
+           |  SELECT doc_id,
+           |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+           |         CASE WHEN sel THEN a || ' ' || b ELSE sym END AS sym
+           |  FROM (SELECT *, COALESCE(lag(sel) OVER
+           |          (PARTITION BY doc_id ORDER BY pos), FALSE) AS psel FROM sl$k) z
+           |  WHERE NOT psel)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |enc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_bpe,
+         |         CAST(SUM(${graft.functions.PolyHash64.sql("sym")}) AS BIGINT) AS sym_fp
+         |  FROM st$nMerges GROUP BY doc_id)""".stripMargin)
+    sb.toString.replace("\n", " ")
+  }
+
   /** Apply learned merges to a corpus — the tokenizer-inference side of
     * [[train]]. Merges apply in learned order, each with the same
     * greedy left-to-right fold, so

@@ -1122,10 +1122,15 @@ object Dedup {
     edges.unpersist()
     // a silent stop would return half-propagated labels that diverge
     // from the d7 recursive-CTE oracle fixpoint; with the adaptive jump
-    // this now needs a component deeper than ~2^(maxIter - jumpAfter)
+    // this now needs a component deeper than ~2^(maxIter - jumpAfter).
+    // The message reports whether any jump round actually ran: a
+    // maxIter <= jumpAfter caller never engaged the jump and should
+    // raise maxIter past it, not conclude path doubling is exhausted.
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds " +
-        "even with path doubling engaged; raise maxIter")
+        (if (iter > jumpAfter) "even with path doubling engaged"
+         else s"and path doubling never engaged (maxIter <= jumpAfter=$jumpAfter)") +
+        "; raise maxIter")
     labels
   }
 
@@ -1160,16 +1165,65 @@ object Dedup {
     * components stage (pairs never outlive the CC loop); the LM score
     * adds one corpus-read train pass + one scoring pass (count tables
     * checkpointed — see [[LmScore.trainBigram]]), and the survivor
-    * pick stays one window pass shuffling on the component key. */
+    * pick stays one window pass shuffling on the component key.
+    *
+    * Membership caveat (inherited by the target-LM variant): a bigram
+    * LM has no estimate for sub-2-token texts, so cluster members with
+    * no score row drop out of the INNER member⋈score join —
+    * `n_members` counts SCORED members, and a cluster whose members
+    * are all sub-2-token emits no row. The SQL twin replays the same
+    * inner join, so the rule is cross-engine pinned rather than
+    * accidental; callers needing every member LEFT-join the cluster
+    * table ([[connectedComponents]]) themselves.
+    *
+    * Design caveat: train = score = the dedup input means every
+    * near-dup copy inflates its own phrasing's counts — the keep rule
+    * leans toward the MOST-duplicated text, backwards for a quality
+    * prior. CCNet scores against a TARGET-domain LM;
+    * [[lmSurvivorClustersAgainstLm]] is that form. This one stays as
+    * the self-contained (no artifact) variant with a closed-form
+    * single-relation oracle. */
   def lmSurvivorClusters(docs: DataFrame, k: Int, bands: Int,
-                         rowsPerBand: Int, threshold: Double): DataFrame = {
+                         rowsPerBand: Int, threshold: Double): DataFrame =
+    lmSurvivorsWith(docs, LmScore.surprisal(docs, docs), k, bands,
+      rowsPerBand, threshold)
+
+  /** c9: [[lmSurvivorClusters]] scored against a PERSISTED
+    * target-domain LM ([[LmScore.saveLm]]) — the CCNet-faithful form:
+    * the keep rule measures fluency under a reference corpus (e.g.
+    * Wikipedia), not under the duplicate-laden corpus being deduped,
+    * so a 10 000-copy boilerplate cluster cannot vote its own phrasing
+    * into the training set. Same cluster stage, same tie rules; only
+    * the LM the surprisal comes from changes
+    * ([[LmScore.surprisalAgainstLm]] — one pruned read of the saved
+    * bigram/unigram tables, broadcast when the vocab fits). */
+  def lmSurvivorClustersAgainstLm(docs: DataFrame,
+                                  spark: org.apache.spark.sql.SparkSession,
+                                  lmPath: String, k: Int, bands: Int,
+                                  rowsPerBand: Int, threshold: Double): DataFrame =
+    lmSurvivorsWith(docs, LmScore.surprisalAgainstLm(docs, spark, lmPath),
+      k, bands, rowsPerBand, threshold)
+
+  /** Shared cluster-then-pick body of the two lm-survivor entry points:
+    * LSH pairs → connected components → lowest-surprisal member (ties
+    * to the lowest id), one row per scored cluster. */
+  private def lmSurvivorsWith(docs: DataFrame, scored0: DataFrame, k: Int,
+                              bands: Int, rowsPerBand: Int,
+                              threshold: Double): DataFrame = {
     val withSig = minhashSignatures(docs, k, bands * rowsPerBand).cache()
     val pairs = minhashLshPairsFromSig(withSig, bands, rowsPerBand, threshold)
       .select(col("id1"), col("id2"))
     val comps =
       try connectedComponents(pairs, assumeDistinctPairs = true)
       finally withSig.unpersist()
-    val scored = LmScore.surprisal(docs, docs)
+    // pin the per-doc scores: the frame feeds BOTH the keep rule and
+    // the survivor-score join, and only the LM's count table is
+    // checkpointed inside the scorer — unpinned, the whole scoring
+    // subtree (corpus bigram stream ⋈ model ⋈ backoff + per-doc sum)
+    // executes once per consumer, the same once-per-branch pathology
+    // the trainBigram comment documents. The table is |docs| rows of
+    // four fixed-width columns.
+    val scored = scored0.localCheckpoint()
     val quality = scored.select(col("doc_id").as("id"),
       (-col("surprisal")).as("quality"))
     survivors(comps, quality)
@@ -1184,6 +1238,27 @@ object Dedup {
     * q5's scored chain + the same (-surprisal DESC, id) pick. */
   def lmSurvivorClustersSql(k: Int, bands: Int, rowsPerBand: Int,
                             threshold: Double): String =
+    lmSurvivorsSqlWith(LmScore.surprisalSql("documents"),
+      k, bands, rowsPerBand, threshold)
+
+  /** DuckDB oracle for [[lmSurvivorClustersAgainstLm]]: identical
+    * chain, but the `scored` CTE trains on `trainFrom` (the relation /
+    * aliased subquery the persisted LM was built from) and scores
+    * `documents` — [[LmScore.surprisalTrainScoreSql]]. DuckDB cannot
+    * read the runtime scratch path the Spark side persists to, so the
+    * twin re-derives the SAME deterministic model from the same train
+    * slice; save-then-load ≡ in-memory train is separately pinned by
+    * LmScoreSpec. */
+  def lmSurvivorClustersAgainstLmSql(trainFrom: String, k: Int, bands: Int,
+                                     rowsPerBand: Int,
+                                     threshold: Double): String =
+    lmSurvivorsSqlWith(
+      LmScore.surprisalTrainScoreSql(trainFrom, "documents"),
+      k, bands, rowsPerBand, threshold)
+
+  private def lmSurvivorsSqlWith(scoredCtes: String, k: Int, bands: Int,
+                                 rowsPerBand: Int,
+                                 threshold: Double): String =
     s"""WITH RECURSIVE pairs AS (
        |${minhashLshSql(k, bands, rowsPerBand, threshold)}),
        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
@@ -1193,7 +1268,7 @@ object Dedup {
        |  UNION
        |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
        |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
-       |${LmScore.surprisalSql("documents")},
+       |$scoredCtes,
        |r AS (
        |  SELECT c.comp, c.id, s.surprisal,
        |         ROW_NUMBER() OVER (PARTITION BY c.comp

@@ -138,6 +138,36 @@ object LmScore {
        |                LEFT JOIN unk USING (w1) CROSS JOIN vv) s
        |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[surprisal]] with DISTINCT train and score
+    * relations — the target-domain-LM form (c9): the model's counts
+    * come from `trainFrom` (any relation or parenthesized+aliased
+    * subquery), the scored stream from `scoreFrom`. Same CTE contract
+    * as [[surprisalSql]] (ends in `scored`); that one stays the
+    * single-relation emitter so the q5/q6/c8 oracle texts — and their
+    * sf1.0 staged-runner cost — don't change. */
+  def surprisalTrainScoreSql(trainFrom: String, scoreFrom: String,
+                             textExpr: String = "text"): String =
+    s"""bgt AS (${bigramsSql(trainFrom, textExpr)}),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgt GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT w2) + 1 AS DOUBLE) AS v FROM c12),
+       |lm AS (SELECT w1, w2,
+       |         ${lpMicroSql("c12 + 0.5", "c1 + 0.5*v")} AS lp
+       |       FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
+       |unk AS (SELECT w1, ${lpMicroSql("0.5", "c1 + 0.5*v")} AS lp_unk
+       |        FROM c1 CROSS JOIN vv),
+       |bgs AS (${bigramsSql(scoreFrom, textExpr)}),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(lp2) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp2) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT bgs.doc_id,
+       |          COALESCE(lm.lp, unk.lp_unk,
+       |                   ${lpMicroSql("1.0", "v")}) AS lp2
+       |        FROM bgs LEFT JOIN lm USING (w1, w2)
+       |                LEFT JOIN unk USING (w1) CROSS JOIN vv) s
+       |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
   /** Persist the bigram model of `train` at `path` as a build-once
     * serving artifact: `bigrams/` (w1, w2, lp), `unigrams/` (w1,
     * lp_unk) and a one-row `meta/` carrying the vocab size and the

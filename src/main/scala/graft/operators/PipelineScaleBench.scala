@@ -96,6 +96,50 @@ object PipelineScaleBench {
       println(f"psb copies=${c}%-2d docs=$nDocs $line")
     }
 
+    // LM-family leg (q5/q6/s23/c8): wall seconds plus CORPUS-SCAN
+    // EQUIVALENTS = total task input bytes across the query's jobs
+    // (parquet + cached-block reads) divided by the corpus's on-disk
+    // bytes. The claim under test: the localCheckpointed count table
+    // (LmScore.trainBigram) keeps corpus READS flat as volume grows —
+    // one read builds the vocab-bounded count table, one read streams
+    // the scoring bigrams; without the cut, every downstream branch
+    // re-reads the corpus (the measured 14-scan q5 pathology). The
+    // number reported is an upper bound on scans (it includes the
+    // checkpoint-block traffic itself); the scale signal is that it
+    // stays FLAT across 1x/8x/64x rather than growing with consumers.
+    // NOTE the synthetic ramp's 90% per-token suffix rewrite makes the
+    // bigram vocabulary grow WITH the corpus (every copy's tokens are
+    // unique), so the count table here is corpus-sized — the worst
+    // case for the checkpoint, and still linear; a real corpus's vocab
+    // saturates and the table broadcasts.
+    val lmBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            lmBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      })
+    val lmQueries = Seq("q5_bigram_surprisal", "q6_ccnet_buckets",
+      "s23_dsir_weights", "c8_lm_survivor_clusters")
+    lmQueries.foreach(q => graft.SparkEntry.queries(q)(spark, warmDir).count())
+    graft.Isolation.scrub(spark)
+    copiesList.foreach { c =>
+      val dir = s"/tmp/graft_psb/x$c"
+      val fs = graft.sources.Hdfs.forPath(spark, s"$dir/documents.parquet")
+      val corpusBytes = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+        .filter(_.isFile).map(_.getLen).sum.max(1L)
+      val line = lmQueries.map { q =>
+        lmBytes.set(0L)
+        val (_, sec) = timed(graft.SparkEntry.queries(q)(spark, dir).count())
+        val scans = lmBytes.get.toDouble / corpusBytes
+        graft.Isolation.scrub(spark)
+        f"${q.takeWhile(_ != '_')}=${sec}%.2fs scans=${scans}%.1f"
+      }.mkString(" ")
+      println(s"psb-lm copies=$c $line")
+    }
+
     // d13 fallback leg: a MAJORITY-frequent corpus — every doc's text
     // appears in exactly two docs, so every distinct segment has df=2
     // and the "frequent minority" is ALL distinct segments, the

@@ -438,37 +438,75 @@ object Similarity {
     *
     * Scale shape: candidates meet only inside a cell (equi-join on the
     * cell key — the cross product never materializes, same skeleton as
-    * SemDeDup's in-cell compare), and the two top-1 picks are
-    * row_number windows partitioned by the HIGH-CARDINALITY anchor id
-    * with per-group size bounded by the cell population — no
-    * single-partition stage. Uses [[buildIvf]]'s deterministic seed so
-    * the whole chain has a bit-exact SQL twin; production would swap in
-    * [[buildIvfTrained]] exactly as d6's trained variant does. */
+    * SemDeDup's in-cell compare), and BOTH top-1 picks come out of ONE
+    * hash aggregation over the candidate stream (conditional struct-max
+    * per side — struct comparison is field-ordered, so max(cos, −id)
+    * replays exactly the (cos desc, id asc) window rule), so the
+    * expensive cell join executes once, with map-side partial
+    * aggregation and no window shuffle. Uses [[buildIvf]]'s
+    * deterministic seed so the whole chain has a bit-exact SQL twin —
+    * the ORACLE entry point. Production corpora are dup-heavy (that is
+    * why triplets are being mined), and on those the untrained seed
+    * collapses dense regions into hot cells that turn the in-cell join
+    * near-quadratic (TrainedIvfSpec pins the collapse; SURVEY §6
+    * measured 31.6 s seed vs 9.0 s trained for v6) — use
+    * [[mineTripletsTrained]] or [[mineTripletsFromAssigned]] there. */
   def mineTriplets(emb: DataFrame, nCentroids: Int, posMin: Double,
                    negMax: Double, sampleMod: Int): DataFrame = {
     val (_, assigned) = buildIvf(emb.select(col("vec_id"), col("embedding")),
       nCentroids)
+    mineTripletsFromAssigned(assigned, posMin, negMax, sampleMod)
+  }
+
+  /** [[mineTriplets]] over a k-means-trained assignment
+    * ([[buildIvfTrained]]) — the production entry point: Lloyd
+    * iterations spread centroids with the density, so a near-dup-heavy
+    * corpus (the normal triplet-mining input) cannot collapse into one
+    * hot cell and the in-cell candidate join stays linear-per-cell.
+    * Same selection semantics as [[mineTriplets]]; only WHERE
+    * candidates meet changes. `trainSampleMod` > 1 trains k-means on a
+    * deterministic hash subsample (see [[buildIvfTrained]]). */
+  def mineTripletsTrained(emb: DataFrame, nCentroids: Int, posMin: Double,
+                          negMax: Double, sampleMod: Int,
+                          maxIter: Int = 20, seed: Long = 42L,
+                          trainSampleMod: Long = 1L): DataFrame = {
+    val (_, assigned) = buildIvfTrained(
+      emb.select(col("vec_id"), col("embedding")), nCentroids, maxIter,
+      seed, trainSampleMod)
+    mineTripletsFromAssigned(assigned, posMin, negMax, sampleMod)
+  }
+
+  /** Triplet selection over a PREBUILT cell assignment — (vec_id, cell,
+    * vec) as produced by [[buildIvf]]/[[buildIvfTrained]]/[[loadIvf]] —
+    * so a persisted index built once can feed every mining run, exactly
+    * as d6/d16 accept trained artifacts. One cell-key equi-join builds
+    * the candidate stream, ONE hash aggregation picks positive and hard
+    * negative per anchor (conditional struct-max; max over
+    * (cos, −cand_id) = the (cos desc, cand_id asc) rule), anchors
+    * missing either side drop out via the null filter. */
+  def mineTripletsFromAssigned(assigned: DataFrame, posMin: Double,
+                               negMax: Double, sampleMod: Int): DataFrame = {
     val anchors = assigned
       .where(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
       .select(col("vec_id").as("anchor_id"), col("vec").as("a_vec"),
         col("cell"))
     val cand = anchors
-      .join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("cell"))
+      .join(assigned.select(col("vec_id").as("cand_id"), col("cell"),
+        col("vec")), Seq("cell"))
       .where(col("cand_id") =!= col("anchor_id"))
       .withColumn("cos", Registry.cosineSim(col("a_vec"), col("vec")))
       .select(col("anchor_id"), col("cand_id"), col("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("anchor_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    val pos = cand.where(col("cos") >= posMin)
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("anchor_id"), col("cand_id").as("pos_id"),
-        col("cos").as("pos_cos"))
-    val neg = cand.where(col("cos") < negMax)
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("anchor_id"), col("cand_id").as("neg_id"),
-        col("cos").as("neg_cos"))
-    pos.join(neg, "anchor_id").orderBy(col("anchor_id"))
+    def pick(cond: Column) =
+      max(when(cond, struct(col("cos").as("cos"),
+        (-col("cand_id")).as("nid"))))
+    cand.groupBy(col("anchor_id"))
+      .agg(pick(col("cos") >= posMin).as("p"),
+        pick(col("cos") < negMax).as("n"))
+      .where(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+        (-col("n.nid")).as("neg_id"), col("n.cos").as("neg_cos"))
+      .orderBy(col("anchor_id"))
   }
 
   /** DuckDB oracle for [[mineTriplets]] — [[ivfAssignCte]] assignment,

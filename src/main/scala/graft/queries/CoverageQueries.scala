@@ -212,6 +212,21 @@ object CoverageQueries {
       quotaRollup(curated(kept, components(nearDupPairs(kept))))
     }),
 
+    // C10: c7 with the CCNet LM-quality stage composed INTO the chain —
+    // rule gate → LM bucket gate (score under a bigram LM, per-lang
+    // thirds, keep head+middle) → decon → LSH/components → splits →
+    // quota. The LM family stops being a standalone query and becomes
+    // what it is in the CCNet recipe: a curation stage. ONE nested-CTE
+    // oracle replays the whole composition.
+    "c10_lm_gated_curation" -> ((s, dir) => {
+      import CurationStages._
+      val all = Tables.documents(s, dir)
+      val docs = synthesized(all)
+      val lmKept = lmGated(gated(docs), all.select(col("doc_id"), col("lang")))
+      val kept = decontaminated(lmKept, benchSlice(all))
+      quotaRollup(curated(kept, components(nearDupPairs(kept))))
+    }),
+
     // C3: curation pipeline v2 — the round-6 operators composed in the
     // order a real corpus build runs them: cheap map-side source
     // rebalancing FIRST (s17), exact span surgery on the survivors
@@ -349,6 +364,45 @@ object CoverageQueries {
           col("n_tokens"), "cum_tokens")
         .where(col("cum_tokens") <= 20000)
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    }),
+
+    // S24: BPE-TRUE token budgets — s16/c5's accounting defect fixed: a
+    // trainer's context window is measured in TOKENIZER tokens, and
+    // whitespace counting mis-sizes shards by the fertility ratio. The
+    // query trains an 8-merge BPE vocabulary on the slice (Bpe.train —
+    // the exact sequential greedy trainer), encodes the same slice with
+    // it, and lays the docs into 512-token shards under BOTH counts via
+    // the exact distributed cumsum; shard_ws vs shard_bpe diverging in
+    // the oracle-checked output IS the mis-sizing, row by row. The SQL
+    // twin re-learns the merges data-driven (per-round argmax CTEs) and
+    // replays the greedy fold as a gaps-and-islands parity rule
+    // (Bpe.trainEncodeSql); sym_fp pins the encoded CONTENT, not just
+    // the counts.
+    "s24_bpe_token_budget" -> ((s, dir) => {
+      import graft.operators.{Bpe, Ranking}
+      import graft.functions.PolyHash64
+      val subset = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), col("text"))
+      val (merges, syms) = Bpe.train(subset, nMerges = 8)
+      syms.unpersist(blocking = false)
+      val enc = Bpe.encode(subset, merges)
+        .select(col("doc_id"),
+          size(col("syms")).cast("long").as("n_tokens_bpe"),
+          aggregate(transform(col("syms"), x => PolyHash64.polyHash64(x)),
+            lit(0L), (a, v) => a + v).as("sym_fp"))
+      val ws = subset.select(col("doc_id"),
+        size(TF.wsTokens(lower(col("text")))).cast("long").as("n_tokens_ws"))
+      val both = ws.join(enc, "doc_id").where(col("n_tokens_ws") >= 1)
+      val c1 = Ranking.cumsumExact(both, Seq(col("doc_id")),
+        col("n_tokens_bpe"), "cum_bpe")
+      val c2 = Ranking.cumsumExact(c1, Seq(col("doc_id")),
+        col("n_tokens_ws"), "cum_ws")
+      c2.select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"),
+          col("sym_fp"),
+          expr("(cum_ws - n_tokens_ws) div 512").as("shard_ws"),
+          expr("(cum_bpe - n_tokens_bpe) div 512").as("shard_bpe"))
+        .orderBy(col("doc_id"))
     }),
 
     // J3: one-to-many nested materialization (main.py:189,554-577) —
@@ -1314,6 +1368,73 @@ object CoverageQueries {
          |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
     },
 
+    // c7's chain with the CCNet bucket stage spliced between the rule
+    // gate and decon: the q6 scoring/bucketing CTEs run over `gated`,
+    // `lmkept` (head+middle) replaces `gated` as the decon input, and
+    // everything downstream is c7's oracle verbatim over lmkept.
+    "c10_lm_gated_curation" -> {
+      import graft.operators.{Dedup, Sampling, TextAnalysis, LmScore}
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val sigSql = TextAnalysis.repetitionSignalsSql(
+        topNs = Seq(2), dupNs = Seq(10), from = "corpus")
+      val pairsSql = Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, from = "kept")
+      val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
+      val capQualify = Sampling.groupCapSql("source", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
+      val dShingles = Dedup.shingleCtesSql(k = 8,
+        from = "(SELECT doc_id, text FROM lmkept UNION ALL " +
+          "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)",
+        prefix = "d", materializedSh = true)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
+         |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sig AS (
+         |$sigSql),
+         |gated AS MATERIALIZED (
+         |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
+         |  WHERE sig.dup10_char_frac < 0.10),
+         |${LmScore.surprisalSql("gated")},
+         |scored_lang AS (
+         |  SELECT s.doc_id, d.lang, s.surprisal
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+         |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
+         |lmkept AS MATERIALIZED (
+         |  SELECT g.* FROM gated g
+         |  JOIN bucketed bk ON bk.doc_id = g.doc_id
+         |  WHERE bk.bucket <> 'tail'),
+         |$dShingles,
+         |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT b.doc_id,
+         |           CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+         |    FROM (SELECT doc_id, h FROM dsh WHERE doc_id % 3 = 0) b
+         |    LEFT JOIN bhash c ON c.h = b.h GROUP BY b.doc_id)
+         |  WHERE containment >= 0.5),
+         |kept AS MATERIALIZED (
+         |  SELECT g.* FROM lmkept g
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pairs AS MATERIALIZED (
+         |$pairsSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT kk.doc_id, kk.source, kk.text, $splitSql AS split
+         |  FROM kept kk LEFT JOIN comps cm ON cm.id = kk.doc_id),
+         |capped AS (SELECT * FROM labeled $capQualify)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
+
     "s22_group_caps" -> {
       val qualify = graft.operators.Sampling.groupCapSql("lang", "doc_id",
         "(CAST(doc_id AS VARCHAR) || '/' || lang)", cap = 100)
@@ -1387,6 +1508,28 @@ object CoverageQueries {
          |  FROM s)
          |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 20000""".stripMargin
+    },
+
+    "s24_bpe_token_budget" -> {
+      val chain = graft.operators.Bpe.trainEncodeSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0) src", 8)
+      val toks = TF.wsTokensSql("lower(text)")
+      s"""WITH $chain,
+         |ws AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens_ws
+         |       FROM documents
+         |       WHERE doc_id % 25 = 0 AND len($toks) >= 1),
+         |b AS (SELECT doc_id, n_tokens_ws, n_tokens_bpe, sym_fp
+         |      FROM ws JOIN enc USING (doc_id)),
+         |c AS (SELECT *,
+         |        SUM(n_tokens_ws) OVER (ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum_ws,
+         |        SUM(n_tokens_bpe) OVER (ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum_bpe
+         |      FROM b)
+         |SELECT doc_id, n_tokens_ws, n_tokens_bpe, sym_fp,
+         |       CAST((cum_ws - n_tokens_ws) // 512 AS BIGINT) AS shard_ws,
+         |       CAST((cum_bpe - n_tokens_bpe) // 512 AS BIGINT) AS shard_bpe
+         |FROM c ORDER BY doc_id""".stripMargin
     },
 
     "j3_orders_per_customer_csv" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, LmScore, Sampling, TextAnalysis}
 
 /** The c7 curation chain's stage builders — ONE definition shared by the
   * declared `c7_curation_pipeline` query and the stage profiler
@@ -48,6 +48,27 @@ private[graft] object CurationStages {
       sig.where(col("dup10_char_frac") < 0.10).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
       .localCheckpoint()
+  }
+
+  /** CCNet-style LM quality gate (c10's extra stage): score the gated
+    * docs under a bigram LM of the gated corpus, per-language thirds by
+    * surprisal ([[LmScore.ccnetBuckets]] — ONE global rank, lang
+    * leading the sort key), keep head+middle. Sits between the Gopher
+    * rule gate and decontamination — the CCNet recipe's position in a
+    * curation chain. Sub-2-token docs have no surprisal row and drop
+    * with the tail (the oracle twin replays the same inner join).
+    * Pinned: the decon stage consumes the result twice. The ONE LM
+    * join stays map-side after broadcast (the count table is
+    * vocab-bounded); everything else in the stage is the corpus-keyed
+    * scoring pass + a #langs-row broadcast of bucket offsets. */
+  def lmGated(gatedDocs: DataFrame, langs: DataFrame): DataFrame = {
+    val scored = LmScore.surprisal(gatedDocs, gatedDocs)
+      .join(langs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("surprisal"))
+    val keep = LmScore.ccnetBuckets(scored)
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"))
+    gatedDocs.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
   }
 
   /** Frame decontamination: drop docs whose k=8 shingle containment in

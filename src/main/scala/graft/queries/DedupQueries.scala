@@ -323,7 +323,7 @@ object DedupQueries {
     * the committer's task dirs churn a grandchild. The body's frame is
     * localCheckpoint'd (materialized off the scratch files) before the
     * cleanup, so the delete cannot race the lazy read. */
-  private def withIndexScratch(s: SparkSession, name: String)(
+  private[queries] def withIndexScratch(s: SparkSession, name: String)(
       body: String => DataFrame): DataFrame = {
     val scratchRoot = s.conf.get("graft.scratch.dir",
       s"${System.getProperty("java.io.tmpdir")}/graft_scratch")

@@ -59,7 +59,25 @@ object LmQueries {
     // near-duplicate copy enters the training set (CCNet-style)
     "c8_lm_survivor_clusters" -> ((s, dir) =>
       graft.operators.Dedup.lmSurvivorClusters(Tables.documents(s, dir),
-        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05))
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)),
+
+    // C9: c8 with the CCNet-faithful TARGET-domain LM — the model is
+    // trained on the English slice, PERSISTED (LmScore.saveLm), and
+    // survivor selection scores every cluster member against the saved
+    // artifact (surprisalAgainstLm), so a duplicate-heavy cluster
+    // cannot inflate its own phrasing's probability. The full persisted
+    // lifecycle (train → save → load → score) runs inside the query;
+    // the oracle re-derives the same deterministic model from the same
+    // slice (DuckDB cannot see the scratch path — save≡train is
+    // LmScoreSpec-pinned)
+    "c9_target_lm_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupQueries.withIndexScratch(s, "c9_lm") { path =>
+        LmScore.saveLm(docs.where(col("lang") === "en"), path)
+        graft.operators.Dedup.lmSurvivorClustersAgainstLm(docs, s, path,
+          k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)
+      }
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -88,6 +106,11 @@ object LmQueries {
 
     "c8_lm_survivor_clusters" -> graft.operators.Dedup
       .lmSurvivorClustersSql(k = 3, bands = 8, rowsPerBand = 4,
-        threshold = 0.05)
+        threshold = 0.05),
+
+    "c9_target_lm_survivors" -> graft.operators.Dedup
+      .lmSurvivorClustersAgainstLmSql(
+        "(SELECT doc_id, text FROM documents WHERE lang = 'en') tgt",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05)
   )
 }

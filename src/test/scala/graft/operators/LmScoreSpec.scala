@@ -112,6 +112,36 @@ class LmScoreSpec extends AnyFunSuite {
     assert(differs || allTied)
   }
 
+  test("lmSurvivorClustersAgainstLm (c9): the self-trained LM keeps the dup-inflated copy, the target LM keeps the fluent one") {
+    // one near-dup cluster {1, 2}: 30 shared prefix tokens, tails
+    // differ. Doc 1 ends in boilerplate ("zz zz") that 20 junk docs in
+    // the SAME corpus repeat endlessly — the self-trained LM therefore
+    // assigns that phrasing high probability (the duplicate-bias
+    // defect). The target LM is trained on a clean slice where
+    // "good day" is fluent and "zz" never occurs, so it keeps doc 2.
+    val prefix = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = (Seq(
+      (1L, s"$prefix zz zz"),
+      (2L, s"$prefix good day")) ++
+      (100L to 119L).map(i => (i, "zz zz zz zz zz"))).toDF("doc_id", "text")
+    val target = (200L to 204L).map(i => (i, s"$prefix good day"))
+      .toDF("doc_id", "text")
+    val lmDir = java.nio.file.Files.createTempDirectory("c9lm").toString
+    LmScore.saveLm(target, lmDir)
+    def surv(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val self = surv(Dedup.lmSurvivorClusters(corpus, k = 3, bands = 8,
+      rowsPerBand = 4, threshold = 0.05))
+    val tgt = surv(Dedup.lmSurvivorClustersAgainstLm(corpus, spark, lmDir,
+      k = 3, bands = 8, rowsPerBand = 4, threshold = 0.05))
+    // comp label = min member id (HashMin); both see the same 2-member
+    // cluster — only the keep rule differs
+    assert(self(1L) === ((2L, 1L)),
+      s"self-trained LM should keep the boilerplate copy (got $self)")
+    assert(tgt(1L) === ((2L, 2L)),
+      s"target LM should keep the fluent copy (got $tgt)")
+  }
+
   test("dsirWeights: target-like docs weigh above background-only docs") {
     graft.functions.PolyHash64.register(spark)
     val targetish = (1 to 8).map(i => (i.toLong, "x y x y x y"))
