@@ -347,9 +347,13 @@ class PlanSpec extends AnyFunSuite {
       "a24_sketch_rollup", "q4_drift_report", "s21_component_split",
       // LmScore: the vocab-size / distribution-total single-row scalars
       // (V, N_raw, N_target) broadcast-cross into the model tables;
-      // c8 composes the q5 scorer and inherits the same scalar
+      // c8 composes the q5 scorer and inherits the same scalar, c9 the
+      // persisted-LM scorer (the saved 1-row meta table broadcast-
+      // crosses into the lp stream), c10 the q6 scorer inside its
+      // curation chain
       "q5_bigram_surprisal", "q6_ccnet_buckets", "s23_dsir_weights",
-      "c8_lm_survivor_clusters")
+      "c8_lm_survivor_clusters", "c9_target_lm_survivors",
+      "c10_lm_gated_curation")
     // e5 relies on the range-join rule, which activates on the same
     // conf Bench/Verify set — sweep under production settings
     spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")

@@ -149,6 +149,22 @@ class TripletMiningSpec extends AnyFunSuite {
     } finally emb.unpersist()
   }
 
+  test("mining off a PERSISTED index (saveIvf -> loadIvf) equals mining off the in-memory assignment") {
+    val emb = dupHeavy.where($"vec_id" < 128).cache()
+    try {
+      val (index, assigned) = Similarity.buildIvfTrained(emb, k = 4)
+      val path = java.nio.file.Files.createTempDirectory("v8_idx").toString
+      Similarity.saveIvf(index, assigned, path)
+      val (_, loaded) = Similarity.loadIvf(spark, path)
+      val direct = Similarity.mineTripletsFromAssigned(assigned,
+        posMin = 0.8, negMax = 0.4, sampleMod = 1).collect().toSeq
+      val persisted = Similarity.mineTripletsFromAssigned(loaded,
+        posMin = 0.8, negMax = 0.4, sampleMod = 1).collect().toSeq
+      assert(persisted === direct)
+      assert(persisted.nonEmpty)
+    } finally emb.unpersist()
+  }
+
   test("sampleMod restricts anchors, not candidates") {
     val emb = Seq(
       (0L, vec(0 -> 1f)),
