@@ -539,6 +539,179 @@ object Similarity {
        |FROM pos JOIN neg USING (anchor_id) ORDER BY anchor_id""".stripMargin
   }
 
+  // ------------------------------------- margin-based alignment (v9)
+
+  /** MARGIN-BASED ALIGNMENT MINING (v9) — the CCMatrix/LASER bitext
+    * rule (Artetxe & Schwenk): a candidate pair (x, y) scores not by
+    * raw cosine but by cosine RELATIVE to both points' neighborhoods,
+    *   margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2),
+    * where avgₖ is the mean cosine to the k nearest neighbors on the
+    * OTHER side. Raw-cosine thresholds break on hubness (dense regions
+    * where everything is "similar"); the margin cancels the
+    * neighborhood density, which is why production parallel-corpus
+    * mining uses it. Sides here are vec_id parity (even = source,
+    * odd = target — the testdata stand-in for two languages); per
+    * sampled source, the best-margin target at margin ≥ `minMargin`.
+    *
+    * Engine-exactness: each avgₖ is a PIVOTED left-associated sum —
+    * max-over-rank columns added in rank order, (c₁+c₂)+c₃... — so the
+    * float addition order is pinned identically in the SQL twin (a
+    * plain AVG would sum in shuffle order); the final per-source pick
+    * is the same conditional struct-max as [[mineTripletsFromAssigned]]
+    * (margin desc, target id asc).
+    *
+    * This is the ORACLE/cohort form: sampled sources broadcast against
+    * the streaming target side (one |sample|×|B| pass — v1's guarded
+    * brute-force shape), then the touched targets' own neighborhoods
+    * against the full source side (≤ sample·k distinct targets).
+    * The 100 TB path is [[marginAlignmentFromAssigned]]. */
+  def marginAlignment(emb: DataFrame, k: Int, minMargin: Double,
+                      sampleMod: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val aSide = base.where(pmod(col("vec_id"), lit(2)) === 0)
+    val bSide = base.where(pmod(col("vec_id"), lit(2)) === 1)
+    val q = aSide.where(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"))
+    val cand = bSide.join(broadcast(q), lit(true))
+      .withColumn("cos", Registry.cosineSim(col("q_emb"), col("embedding")))
+      .select(col("src_id"), col("vec_id").as("tgt_id"), col("cos"))
+    val wq = Window.partitionBy(col("src_id")).orderBy(desc("cos"), col("tgt_id"))
+    // feeds the source denominator, the touched-target set, and the
+    // margin join — pin it once (|sample|·k rows)
+    val top = cand.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= k).localCheckpoint()
+    val ys = top.select(col("tgt_id")).distinct()
+      .join(bSide.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("y_emb")), Seq("tgt_id"))
+    val yc = aSide.join(broadcast(ys), lit(true))
+      .withColumn("cos", Registry.cosineSim(col("y_emb"), col("embedding")))
+      .select(col("tgt_id"), col("vec_id").as("a_id"), col("cos"))
+    val wy = Window.partitionBy(col("tgt_id")).orderBy(desc("cos"), col("a_id"))
+    val ytop = yc.withColumn("rn", row_number().over(wy)).where(col("rn") <= k)
+    marginPick(top, pivotAvg(top, "src_id", "x_avg", k),
+      pivotAvg(ytop, "tgt_id", "y_avg", k), minMargin)
+  }
+
+  /** avgₖ with a PINNED addition order: rank-pivoted max columns summed
+    * left-associated — identical IEEE order in Spark and the SQL twin.
+    * A key with fewer than k neighbors yields NULL (strict-k rule;
+    * such rows drop at the margin threshold on both engines). */
+  private def pivotAvg(top: DataFrame, key: String, out: String,
+                       k: Int): DataFrame =
+    top.groupBy(col(key)).agg(
+      ((1 to k).map(i => max(when(col("rn") === i, col("cos"))))
+        .reduceLeft(_ + _) / lit(k.toDouble)).as(out))
+
+  /** Margin computation + best-margin-per-source pick shared by the
+    * brute and in-cell forms. */
+  private def marginPick(top: DataFrame, xden: DataFrame, yden: DataFrame,
+                         minMargin: Double): DataFrame =
+    top.join(xden, "src_id").join(yden, "tgt_id")
+      .withColumn("margin",
+        col("cos") / ((col("x_avg") + col("y_avg")) / lit(2.0)))
+      .groupBy(col("src_id"))
+      .agg(max(when(col("margin") >= minMargin,
+        struct(col("margin").as("m"), (-col("tgt_id")).as("nid"),
+          col("cos").as("c")))).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("src_id"), (-col("p.nid")).as("tgt_id"),
+        col("p.c").as("cos"), col("p.m").as("margin"))
+      .orderBy(col("src_id"))
+
+  /** [[marginAlignment]] over a prebuilt cell assignment ((vec_id,
+    * cell, vec) from [[buildIvfTrained]]/[[loadIvf]]) — the production
+    * path: candidates and both neighborhoods meet only INSIDE a cell
+    * (equi-join on the cell key), so the |sample|×|B| cross never
+    * forms and the work per cell is |A∩cell|·|B∩cell|. The margin is
+    * then computed over in-cell neighborhoods — the standard
+    * faiss-sharded approximation of the global rule (exact when a
+    * probe's true k-NN live in its cell; one-cell assignment ≡ the
+    * brute form, spec-pinned). */
+  def marginAlignmentFromAssigned(assigned: DataFrame, k: Int,
+                                  minMargin: Double,
+                                  sampleMod: Int): DataFrame = {
+    val aSide = assigned.where(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"), col("cell"), col("vec"))
+    val bSide = assigned.where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("cell"), col("vec"))
+    val q = aSide.where(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+      .select(col("vec_id").as("src_id"), col("vec").as("q_vec"), col("cell"))
+    val cand = q.join(bSide.select(col("vec_id").as("tgt_id"), col("cell"),
+        col("vec")), Seq("cell"))
+      .withColumn("cos", Registry.cosineSim(col("q_vec"), col("vec")))
+      .select(col("src_id"), col("tgt_id"), col("cos"))
+    val wq = Window.partitionBy(col("src_id")).orderBy(desc("cos"), col("tgt_id"))
+    val top = cand.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= k).localCheckpoint()
+    val ys = top.select(col("tgt_id")).distinct()
+      .join(bSide.select(col("vec_id").as("tgt_id"), col("cell"),
+        col("vec").as("y_vec")), Seq("tgt_id"))
+    val yc = ys.join(aSide.select(col("vec_id").as("a_id"), col("cell"),
+        col("vec")), Seq("cell"))
+      .withColumn("cos", Registry.cosineSim(col("y_vec"), col("vec")))
+      .select(col("tgt_id"), col("a_id"), col("cos"))
+    val wy = Window.partitionBy(col("tgt_id")).orderBy(desc("cos"), col("a_id"))
+    val ytop = yc.withColumn("rn", row_number().over(wy)).where(col("rn") <= k)
+    marginPick(top, pivotAvg(top, "src_id", "x_avg", k),
+      pivotAvg(ytop, "tgt_id", "y_avg", k), minMargin)
+  }
+
+  /** DuckDB oracle for [[marginAlignment]]: unrolled in-order cosine
+    * chains, the same rank pivots with the same left-associated sums,
+    * the same (margin desc, tgt_id) pick. */
+  def marginAlignmentSql(dim: Int, k: Int, minMargin: Double,
+                         sampleMod: Int): String = {
+    def n2(t: String) = (1 to dim)
+      .map(i => s"CAST($t.embedding[$i] AS DOUBLE)*CAST($t.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def dotE(x: String, y: String) = (1 to dim)
+      .map(i => s"CAST($x.embedding[$i] AS DOUBLE)*CAST($y.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def pivot(k: Int) = (1 to k)
+      .map(i => s"MAX(CASE WHEN rn = $i THEN cos END)").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, embedding, ${n2("q")} AS n2
+       |           FROM embeddings q
+       |           WHERE vec_id % $sampleMod = 0 AND vec_id % 2 = 0),
+       |aa AS (SELECT vec_id, embedding, ${n2("aa")} AS n2
+       |       FROM embeddings aa WHERE vec_id % 2 = 0),
+       |bb AS (SELECT vec_id, embedding, ${n2("bb")} AS n2
+       |       FROM embeddings bb WHERE vec_id % 2 = 1),
+       |cand AS (
+       |  SELECT q.vec_id AS src_id, bb.vec_id AS tgt_id,
+       |         (${dotE("q", "bb")}) / (sqrt(q.n2) * sqrt(bb.n2)) AS cos
+       |  FROM q CROSS JOIN bb),
+       |topx AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+       |      ORDER BY cos DESC, tgt_id) AS rn FROM cand)
+       |  WHERE rn <= $k),
+       |xden AS (SELECT src_id, (${pivot(k)}) / $k.0 AS x_avg
+       |         FROM topx GROUP BY src_id),
+       |ys AS (SELECT DISTINCT tgt_id FROM topx),
+       |yc AS (
+       |  SELECT y.vec_id AS tgt_id, aa.vec_id AS a_id,
+       |         (${dotE("y", "aa")}) / (sqrt(y.n2) * sqrt(aa.n2)) AS cos
+       |  FROM (SELECT bb.* FROM bb JOIN ys ON ys.tgt_id = bb.vec_id) y
+       |  CROSS JOIN aa),
+       |ytop AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+       |      ORDER BY cos DESC, a_id) AS rn FROM yc)
+       |  WHERE rn <= $k),
+       |yden AS (SELECT tgt_id, (${pivot(k)}) / $k.0 AS y_avg
+       |         FROM ytop GROUP BY tgt_id),
+       |m AS (
+       |  SELECT t.src_id, t.tgt_id, t.cos,
+       |         t.cos / ((x_avg + y_avg) / 2.0) AS margin
+       |  FROM topx t JOIN xden USING (src_id) JOIN yden USING (tgt_id)),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+       |    ORDER BY margin DESC, tgt_id) AS rr
+       |  FROM m WHERE margin >= $minMargin)
+       |SELECT src_id, tgt_id, cos, margin FROM r WHERE rr = 1
+       |ORDER BY src_id""".stripMargin
+  }
+
   // ----------------------------------------- int8 scalar quantization
 
   /** Per-vector max-abs int8 quantization: q_i = floor(v_i/scale·127

@@ -55,7 +55,17 @@ object VectorQueries {
     // op built on the same cluster-then-compare skeleton as d6.
     "v8_triplet_mining" -> ((s, dir) =>
       Similarity.mineTriplets(Tables.embeddings(s, dir), nCentroids = 16,
-        posMin = 0.3, negMax = 0.1, sampleMod = 1))
+        posMin = 0.3, negMax = 0.1, sampleMod = 1)),
+
+    // Margin-based alignment mining (CCMatrix/LASER): per sampled
+    // even-id source, the best ODD-id target by margin = cos relative
+    // to both sides' k-NN neighborhoods — the hubness-immune bitext
+    // rule. Brute cohort form (sampled side broadcast); the in-cell
+    // FromAssigned variant is the scale path, spec-pinned equal on a
+    // one-cell assignment.
+    "v9_margin_alignment" -> ((s, dir) =>
+      Similarity.marginAlignment(Tables.embeddings(s, dir), k = 4,
+        minMargin = 1.0, sampleMod = SampleMod))
   )
 
   def oracles: Map[String, String] = Map(
@@ -71,6 +81,8 @@ object VectorQueries {
     "v7_pq_topk" -> Similarity.pqTopKSql(Dim, m = 8, kCode = 256,
       sampleMod = SampleMod, k = TopK, rescoreK = 4 * TopK),
     "v8_triplet_mining" -> Similarity.mineTripletsSql(Dim, nCentroids = 16,
-      posMin = 0.3, negMax = 0.1, sampleMod = 1)
+      posMin = 0.3, negMax = 0.1, sampleMod = 1),
+    "v9_margin_alignment" -> Similarity.marginAlignmentSql(Dim, k = 4,
+      minMargin = 1.0, sampleMod = SampleMod)
   )
 }

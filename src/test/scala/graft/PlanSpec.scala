@@ -342,6 +342,11 @@ class PlanSpec extends AnyFunSuite {
     val intendedCross = Set(
       "v1_cosine_topk", "v3_embedding_neardup_pairs", "v5_quantized_topk",
       "v7_pq_topk",
+      // v9's cohort form broadcasts the sampled source side against the
+      // streaming target side (and the touched targets against the
+      // source side) — the v1 guarded brute-force shape; the production
+      // path is the in-cell equi-join (marginAlignmentFromAssigned)
+      "v9_margin_alignment",
       "d5_levenshtein_pairs", "d7_neardup_components", "d9_neardup_survivors",
       "e6_funnel", "t9_unigram_likelihood", "t10_tfidf_topk",
       "a24_sketch_rollup", "q4_drift_report", "s21_component_split",
