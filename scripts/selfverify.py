@@ -24,9 +24,12 @@ con = duckdb.connect()
 # compare degrades to disk instead of dying on a full /tmp.
 if os.environ.get("GRAFT_DUCKDB_MEM"):
     con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
-if os.environ.get("GRAFT_DUCKDB_TEMP"):
-    os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
-    con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
+# default the spill dir OFF the repo cwd: DuckDB's default is ./.tmp,
+# and a big-SF run from the repo root once left a 60 GB .tmp/ that a
+# later `git add -A` spent CPU-minutes hashing
+_tmp = os.environ.get("GRAFT_DUCKDB_TEMP", "/tmp/duck_selfverify")
+os.makedirs(_tmp, exist_ok=True)
+con.execute(f"SET temp_directory='{_tmp}'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 

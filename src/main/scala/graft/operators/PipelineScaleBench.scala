@@ -53,8 +53,13 @@ object PipelineScaleBench {
     // shuffle-bounded, its LSH+components stage is c2's machinery
     // over the curated third of the corpus — the composition must
     // inherit the sublinear curve, not multiply it
+    // c10 = c7 with the CCNet LM bucket gate spliced in: the ramp must
+    // show the chain inheriting c7's sublinear curve plus the LM
+    // family's flat-scan scoring — the gate stays one broadcast-able
+    // LM join + a global-rank pass, never a per-language hot partition
     val queries = Seq("c1_corpus_pipeline", "c2_dedup_pipeline",
-      "c3_curation_v2", "c4_ingest_curation", "c7_curation_pipeline")
+      "c3_curation_v2", "c4_ingest_curation", "c7_curation_pipeline",
+      "c10_lm_gated_curation")
 
     import BenchTime.timed
     // JIT/codegen warmup at a thin slice so the 1× point isn't taxed
