@@ -57,6 +57,17 @@ private[graft] object CurationStages {
     * rule gate and decontamination — the CCNet recipe's position in a
     * curation chain. Sub-2-token docs have no surprisal row and drop
     * with the tail (the oracle twin replays the same inner join).
+    *
+    * Train = the gated corpus itself — deliberate, and NOT the c8
+    * self-training defect c9 fixes: bucketing keeps the best two
+    * RELATIVE thirds per language (rank-based within one corpus), so
+    * a corpus-wide shift in absolute surprisal cancels, whereas c8's
+    * survivor pick compares absolute scores between near-identical
+    * texts where a dup cluster's own mass tips the scale. CCNet
+    * proper trains one target LM per language (Wikipedia); a
+    * target-LM gate here would need that per-language model zoo —
+    * the single-model target form exists as
+    * [[graft.operators.LmScore.surprisalAgainstLm]] and c9.
     * Pinned: the decon stage consumes the result twice. The ONE LM
     * join stays map-side after broadcast (the count table is
     * vocab-bounded); everything else in the stage is the corpus-keyed
