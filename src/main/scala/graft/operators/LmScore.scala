@@ -138,6 +138,93 @@ object LmScore {
        |                LEFT JOIN unk USING (w1) CROSS JOIN vv) s
        |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
+  /** PER-LANGUAGE bigram LMs in ONE pass (q7) — CCNet proper: one
+    * model per language, each document scored under ITS OWN
+    * language's model ([[surprisal]]/q6 train a single cross-language
+    * model, which lets a dominant language's phrasing set the scale
+    * for every other language's scores). Scale-right formulation: the
+    * language key simply JOINS the aggregation keys — counts are
+    * (lang, w1, w2), backoff totals (lang, w1), vocab sizes a
+    * #langs-row table — so "train |langs| models" is the SAME two
+    * hash-agg shuffles as one model, no per-language loop, no
+    * per-language hot partition, and scoring is the same model join
+    * with lang prepended. Input needs (doc_id, lang, textCol). In the
+    * self-trained form (train = score) every scoring language has
+    * model rows by construction; the trailing 0L coalesce arm is a
+    * guard for a train/score split where a language appears only on
+    * the scoring side (no model at all ⇒ lp 0 per transition, i.e.
+    * "no opinion" rather than a NULL-poisoned sum) — the SQL twin
+    * carries the same COALESCE arm. Same micro-nat quantization, same
+    * BIGINT-sum discipline as [[surprisal]]. */
+  def surprisalPerLang(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // lang rides the map-side explode (no id→lang join shuffle)
+    def bigramsL = docs
+      .select(col("doc_id"), col("lang"), TextAnalysis.toks(col(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bigramsL
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = c12.groupBy(col("lang"), col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.groupBy(col("lang"))
+      .agg((countDistinct(col("w2")) + 1).cast("double").as("v"))
+    val lm = c12.join(c1, Seq("lang", "w1")).join(broadcast(v), Seq("lang"))
+      .select(col("lang"), col("w1"), col("w2"),
+        lpMicro(col("c12") + lit(0.5), col("c1") + lit(0.5) * col("v")).as("lp"))
+    val unk = c1.join(broadcast(v), Seq("lang"))
+      .select(col("lang"), col("w1"),
+        lpMicro(lit(0.5), col("c1") + lit(0.5) * col("v")).as("lp_unk"))
+    val uni = v.select(col("lang"), lpMicro(lit(1.0), col("v")).as("lp_unseen"))
+    bigramsL
+      .join(lm, Seq("lang", "w1", "w2"), "left")
+      .join(unk, Seq("lang", "w1"), "left")
+      .join(broadcast(uni), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("lp"), col("lp_unk"), col("lp_unseen"), lit(0L)).as("lp2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp2")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_bigrams"))
+  }
+
+  /** DuckDB twin of [[surprisalPerLang]]: CTE chain ending in
+    * `scored_pl` (doc_id, lang, n_bigrams, logp_micro, surprisal). */
+  def surprisalPerLangSql(from: String, textExpr: String = "text"): String = {
+    val toks = TF.wsTokensSql(s"lower($textExpr)")
+    s"""bgl AS (
+       |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT doc_id, lang, $toks AS t FROM $from) d,
+       |       LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+       |  WHERE len(t) >= 2),
+       |c12l AS (SELECT lang, w1, w2, count(*) AS c12
+       |         FROM bgl GROUP BY 1, 2, 3),
+       |c1l AS (SELECT lang, w1, sum(c12) AS c1 FROM c12l GROUP BY 1, 2),
+       |vl AS (SELECT lang, CAST(count(DISTINCT w2) + 1 AS DOUBLE) AS v
+       |       FROM c12l GROUP BY 1),
+       |lml AS (SELECT lang, w1, w2,
+       |          ${lpMicroSql("c12 + 0.5", "c1 + 0.5*v")} AS lp
+       |        FROM c12l JOIN c1l USING (lang, w1) JOIN vl USING (lang)),
+       |unkl AS (SELECT lang, w1, ${lpMicroSql("0.5", "c1 + 0.5*v")} AS lp_unk
+       |         FROM c1l JOIN vl USING (lang)),
+       |unil AS (SELECT lang, ${lpMicroSql("1.0", "v")} AS lp_unseen FROM vl),
+       |scored_pl AS (
+       |  SELECT doc_id, lang, count(*) AS n_bigrams,
+       |         CAST(sum(lp2) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp2) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT g.doc_id, g.lang,
+       |          COALESCE(lml.lp, unkl.lp_unk, unil.lp_unseen, 0) AS lp2
+       |        FROM bgl g
+       |        LEFT JOIN lml USING (lang, w1, w2)
+       |        LEFT JOIN unkl USING (lang, w1)
+       |        LEFT JOIN unil USING (lang)) s
+       |  GROUP BY doc_id, lang)""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB twin of [[surprisal]] with DISTINCT train and score
     * relations — the target-domain-LM form (c9): the model's counts
     * come from `trainFrom` (any relation or parenthesized+aliased

@@ -43,6 +43,19 @@ object LmQueries {
         .orderBy(col("lang"), col("bucket"))
     }),
 
+    // Q7: CCNet-faithful PER-LANGUAGE LMs — one model per language in
+    // the SAME two hash-agg shuffles as one model (lang joins the
+    // aggregation keys; no per-language loop, no per-language hot
+    // partition), each doc scored under its own language's model.
+    // q6's single cross-language model lets the dominant language's
+    // phrasing set the scale for every other language's scores; this
+    // is the per-language form CCNet actually prescribes
+    "q7_per_lang_surprisal" -> ((s, dir) => {
+      LmScore.surprisalPerLang(Tables.documents(s, dir))
+        .where(pmod(col("doc_id"), lit(25)) === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // S23: DSIR importance weights — target = the English slice,
     // raw = the whole corpus; hashed-bigram log-likelihood ratios in
     // micro-nats (Xie et al. importance resampling, the data-mixing
@@ -98,6 +111,11 @@ object LmQueries {
          |  min(surprisal) AS min_surprisal,
          |  max(surprisal) AS max_surprisal
          |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q7_per_lang_surprisal" ->
+      s"""WITH ${LmScore.surprisalPerLangSql("documents")}
+         |SELECT doc_id, lang, n_bigrams, logp_micro, surprisal
+         |FROM scored_pl WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
 
     "s23_dsir_weights" ->
       s"""WITH ${LmScore.dsirWeightsSql("documents", "tt.lang = 'en'")}

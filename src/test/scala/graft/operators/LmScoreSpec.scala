@@ -112,6 +112,25 @@ class LmScoreSpec extends AnyFunSuite {
     assert(differs || allTied)
   }
 
+  test("surprisalPerLang (q7): languages' models are isolated; totals match hand counts; cross-language model disagrees") {
+    // en: "a b a b" -> (a,b)x2, (b,a)x1; c1: a=2, b=1; V = {a,b}+1 = 3
+    // de: "a a b"   -> (a,a)x1, (a,b)x1; c1: a=2;      V = {a,b}+1 = 3
+    val docs = Seq((1L, "en", "a b a b"), (2L, "de", "a a b"))
+      .toDF("doc_id", "lang", "text")
+    val got = LmScore.surprisalPerLang(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      (1L, "en", 3L, 2 * micro(2.5 / 3.5) + micro(1.5 / 2.5)),
+      (2L, "de", 2L, 2 * micro(1.5 / 3.5))))
+    // the single cross-language model pools counts ((a,b)=3, c1(a)=4,
+    // V=3), so doc 2 totals differently — per-lang isolation is real
+    val cross = LmScore.surprisal(docs, docs)
+      .where(col("doc_id") === 2).head.getLong(2)
+    assert(cross === micro(1.5 / 5.5) + micro(3.5 / 5.5))
+    assert(cross !== 2 * micro(1.5 / 3.5))
+  }
+
   test("lmSurvivorClustersAgainstLm (c9): the self-trained LM keeps the dup-inflated copy, the target LM keeps the fluent one") {
     // one near-dup cluster {1, 2}: 30 shared prefix tokens, tails
     // differ. Doc 1 ends in boilerplate ("zz zz") that 20 junk docs in
