@@ -1369,9 +1369,10 @@ object CoverageQueries {
     },
 
     // c7's chain with the CCNet bucket stage spliced between the rule
-    // gate and decon: the q6 scoring/bucketing CTEs run over `gated`,
-    // `lmkept` (head+middle) replaces `gated` as the decon input, and
-    // everything downstream is c7's oracle verbatim over lmkept.
+    // gate and decon: the q7 PER-LANGUAGE scoring CTEs run over
+    // `gated` (+lang from documents), `lmkept` (head+middle) replaces
+    // `gated` as the decon input, and everything downstream is c7's
+    // oracle verbatim over lmkept.
     "c10_lm_gated_curation" -> {
       import graft.operators.{Dedup, Sampling, TextAnalysis, LmScore}
       val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
@@ -1395,10 +1396,11 @@ object CoverageQueries {
          |gated AS MATERIALIZED (
          |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
          |  WHERE sig.dup10_char_frac < 0.10),
-         |${LmScore.surprisalSql("gated")},
+         |${LmScore.surprisalPerLangSql(
+                "(SELECT g.doc_id, g.text, dd.lang FROM gated g " +
+                  "JOIN documents dd ON dd.doc_id = g.doc_id) gl")},
          |scored_lang AS (
-         |  SELECT s.doc_id, d.lang, s.surprisal
-         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+         |  SELECT doc_id, lang, surprisal FROM scored_pl),
          |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
          |lmkept AS MATERIALIZED (
          |  SELECT g.* FROM gated g

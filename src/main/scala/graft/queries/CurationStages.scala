@@ -51,30 +51,31 @@ private[graft] object CurationStages {
   }
 
   /** CCNet-style LM quality gate (c10's extra stage): score the gated
-    * docs under a bigram LM of the gated corpus, per-language thirds by
-    * surprisal ([[LmScore.ccnetBuckets]] — ONE global rank, lang
-    * leading the sort key), keep head+middle. Sits between the Gopher
-    * rule gate and decontamination — the CCNet recipe's position in a
-    * curation chain. Sub-2-token docs have no surprisal row and drop
-    * with the tail (the oracle twin replays the same inner join).
+    * docs under PER-LANGUAGE bigram LMs of the gated corpus
+    * ([[LmScore.surprisalPerLang]] — CCNet's actual per-language form;
+    * |langs| models in the same two hash-agg shuffles as one), then
+    * per-language thirds by surprisal ([[LmScore.ccnetBuckets]] — ONE
+    * global rank, lang leading the sort key), keep head+middle. Sits
+    * between the Gopher rule gate and decontamination — the CCNet
+    * recipe's position in a curation chain. Sub-2-token docs have no
+    * surprisal row and drop with the tail (the oracle twin replays
+    * the same inner join).
     *
     * Train = the gated corpus itself — deliberate, and NOT the c8
     * self-training defect c9 fixes: bucketing keeps the best two
     * RELATIVE thirds per language (rank-based within one corpus), so
     * a corpus-wide shift in absolute surprisal cancels, whereas c8's
     * survivor pick compares absolute scores between near-identical
-    * texts where a dup cluster's own mass tips the scale. CCNet
-    * proper trains one target LM per language (Wikipedia); a
-    * target-LM gate here would need that per-language model zoo —
-    * the single-model target form exists as
-    * [[graft.operators.LmScore.surprisalAgainstLm]] and c9.
-    * Pinned: the decon stage consumes the result twice. The ONE LM
-    * join stays map-side after broadcast (the count table is
-    * vocab-bounded); everything else in the stage is the corpus-keyed
+    * texts where a dup cluster's own mass tips the scale. A
+    * target-corpus gate would ride
+    * [[graft.operators.LmScore.surprisalAgainstLm]] (the c9
+    * machinery) per language.
+    * Pinned: the decon stage consumes the result twice. The model
+    * joins stay broadcast-able (count tables are vocab-bounded per
+    * language); everything else in the stage is the corpus-keyed
     * scoring pass + a #langs-row broadcast of bucket offsets. */
   def lmGated(gatedDocs: DataFrame, langs: DataFrame): DataFrame = {
-    val scored = LmScore.surprisal(gatedDocs, gatedDocs)
-      .join(langs, "doc_id")
+    val scored = LmScore.surprisalPerLang(gatedDocs.join(langs, "doc_id"))
       .select(col("doc_id"), col("lang"), col("surprisal"))
     val keep = LmScore.ccnetBuckets(scored)
       .where(col("bucket") =!= "tail")
