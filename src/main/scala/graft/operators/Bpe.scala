@@ -237,6 +237,35 @@ object Bpe {
       .groupBy(col("sym")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("sym"))
 
+  /** Persist a trained tokenizer at `path` as a build-once serving
+    * artifact: `merges/` = (rank, a, b, n) in learned order. Plain
+    * overwrite semantics like [[LmScore.saveLm]] — a tokenizer is
+    * retrained, never patched (every merge after an edited one would
+    * shift), so there is no merge log and no incremental form; atomic
+    * replacement for a LIVE tokenizer rides
+    * [[Maintenance.retrainAndSwap]]'s root-swap protocol. The artifact
+    * is what turns the one-corpus [[train]]+[[encode]] demonstration
+    * into the production shape: freeze merges once, encode everywhere
+    * — every shard materializer, budget query and batch loader reads
+    * the same frozen vocabulary instead of retraining in-query. */
+  def saveTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i, m.a, m.b, m.n) }
+      .toDF("rank", "a", "b", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Load a persisted tokenizer back in learned order. The collect is
+    * vocabulary-sized (one row per merge — tens of thousands at most),
+    * the same driver-side footprint [[encode]]'s closure carries. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Merge] =
+    spark.read.parquet(s"$path/merges").orderBy(col("rank")).collect()
+      .map(r => Merge(r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("n"))).toSeq
+
   /** DuckDB twin of [[train]] + [[encode]]: replays `nMerges` rounds of
     * the exact sequential greedy trainer in SQL over `fromSql`
     * (a relation or parenthesized+aliased subquery with doc_id, text)
@@ -259,58 +288,105 @@ object Bpe {
     * evolving-accumulator decisions — BpeBudgetSpec replays
     * [[train]]'s fold against this rule position by position.
     *
-    * Precondition: the corpus must still have an adjacent pair at
-    * every one of the `nMerges` rounds ([[train]] stops early on
-    * exhaustion; the SQL's cross join with an empty argmax would
-    * instead annihilate the state). Any real document corpus at the
-    * gate SFs satisfies this for small vocabularies. */
+    * Exhaustion parity with [[train]]'s early stop: the argmax row is
+    * LEFT-joined (ON TRUE), so a round whose pair counts are empty
+    * leaves every candidate flag FALSE and the state passes through
+    * unchanged — the SQL's remaining rounds are no-ops exactly where
+    * the Spark trainer stops, instead of a cross join with an empty
+    * one-row CTE annihilating the whole state into a silent empty
+    * result. BpeTokenizerSpec replays the rule on an exhausting
+    * corpus. */
   def trainEncodeSql(fromSql: String, nMerges: Int,
                      textExpr: String = "text"): String = {
     val toks = graft.functions.TextFunctions.wsTokensSql(s"lower($textExpr)")
-    val sb = new StringBuilder
-    sb.append(
+    val st0 =
       s"""st0 AS (
-         |  SELECT doc_id, i AS pos, t[i] AS sym
+         |  SELECT doc_id AS gid, i AS pos, t[i] AS sym
          |  FROM (SELECT doc_id, $toks AS t FROM $fromSql) d,
-         |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g)""".stripMargin)
+         |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g)""".stripMargin
+    val enc =
+      s""",
+         |enc AS (
+         |  SELECT gid AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens_bpe,
+         |         CAST(SUM(${graft.functions.PolyHash64.sql("sym")}) AS BIGINT) AS sym_fp
+         |  FROM st$nMerges GROUP BY gid)""".stripMargin
+    (st0 + mergeRoundsSql(nMerges, trainPred = "TRUE") + enc)
+      .replace("\n", " ")
+  }
+
+  /** The train/encode SPLIT twin — the persisted-tokenizer form (c11):
+    * merges are learned from `trainFrom` ONLY (pair counts restricted
+    * to train-tagged rows) but each learned merge applies to BOTH
+    * relations as it is learned, so the encode rows end up under the
+    * exact frozen-merge sequence `Bpe.encode` applies — applying merge
+    * k to a document the moment it is learned is the same left-to-right
+    * fold as applying the full ordered sequence at the end (merges
+    * apply in order either way). Rows ride a synthetic
+    * `gid = doc_id*2 + is_train` key so overlapping doc_ids across the
+    * two slices never share a window partition; `enc` emits the
+    * encode-tagged rows only, with doc_id recovered as gid // 2.
+    * DuckDB cannot read the runtime scratch path the Spark side
+    * persists the tokenizer to, so the twin RE-LEARNS the same
+    * deterministic merges from the same train slice (save→load→encode
+    * ≡ in-memory encode is BpeTokenizerSpec-pinned — the c9 pattern).
+    * Same exhaustion-parity LEFT JOIN as [[trainEncodeSql]]. */
+  def trainEncodeSplitSql(trainFrom: String, encodeFrom: String,
+                          nMerges: Int, textExpr: String = "text"): String = {
+    val toks = graft.functions.TextFunctions.wsTokensSql(s"lower($textExpr)")
+    val st0 =
+      s"""st0 AS (
+         |  SELECT gid, i AS pos, t[i] AS sym
+         |  FROM (SELECT doc_id * 2 + 1 AS gid, $toks AS t FROM $trainFrom
+         |        UNION ALL
+         |        SELECT doc_id * 2 AS gid, $toks AS t FROM $encodeFrom) d,
+         |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g)""".stripMargin
+    val enc =
+      s""",
+         |enc AS (
+         |  SELECT gid // 2 AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens_bpe,
+         |         CAST(SUM(${graft.functions.PolyHash64.sql("sym")}) AS BIGINT) AS sym_fp
+         |  FROM st$nMerges WHERE gid % 2 = 0 GROUP BY gid)""".stripMargin
+    (st0 + mergeRoundsSql(nMerges, trainPred = "gid % 2 = 1") + enc)
+      .replace("\n", " ")
+  }
+
+  /** Shared per-round CTE body of the two SQL twins: pair counts over
+    * the `trainPred` rows of st(k-1), one-row argmax, parity-rule
+    * merge over ALL rows. */
+  private def mergeRoundsSql(nMerges: Int, trainPred: String): String = {
+    val sb = new StringBuilder
     for (k <- 1 to nMerges) {
       val p = s"st${k - 1}"
       sb.append(
         s""",
            |pc$k AS (
            |  SELECT sym AS a, nxt AS b, count(*) AS n
-           |  FROM (SELECT sym, lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-           |        FROM $p) z
+           |  FROM (SELECT sym, lead(sym) OVER (PARTITION BY gid ORDER BY pos) AS nxt
+           |        FROM $p WHERE $trainPred) z
            |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
            |top$k AS (SELECT a, b FROM pc$k ORDER BY n DESC, a, b LIMIT 1),
            |cd$k AS (
-           |  SELECT s.doc_id, s.pos, s.sym, t.a, t.b,
+           |  SELECT s.gid, s.pos, s.sym, t.a, t.b,
            |         COALESCE(s.sym = t.a AND
-           |           lead(s.sym) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = t.b,
+           |           lead(s.sym) OVER (PARTITION BY s.gid ORDER BY s.pos) = t.b,
            |           FALSE) AS c
-           |  FROM $p s CROSS JOIN top$k t),
+           |  FROM $p s LEFT JOIN top$k t ON TRUE),
            |sl$k AS (
-           |  SELECT doc_id, pos, sym, a, b,
+           |  SELECT gid, pos, sym, a, b,
            |         CASE WHEN c THEN (ROW_NUMBER() OVER
-           |             (PARTITION BY doc_id, c, grp ORDER BY pos) % 2 = 1)
+           |             (PARTITION BY gid, c, grp ORDER BY pos) % 2 = 1)
            |           ELSE FALSE END AS sel
            |  FROM (SELECT *, pos - ROW_NUMBER() OVER
-           |          (PARTITION BY doc_id, c ORDER BY pos) AS grp FROM cd$k) z),
+           |          (PARTITION BY gid, c ORDER BY pos) AS grp FROM cd$k) z),
            |st$k AS (
-           |  SELECT doc_id,
-           |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+           |  SELECT gid,
+           |         ROW_NUMBER() OVER (PARTITION BY gid ORDER BY pos) AS pos,
            |         CASE WHEN sel THEN a || ' ' || b ELSE sym END AS sym
            |  FROM (SELECT *, COALESCE(lag(sel) OVER
-           |          (PARTITION BY doc_id ORDER BY pos), FALSE) AS psel FROM sl$k) z
+           |          (PARTITION BY gid ORDER BY pos), FALSE) AS psel FROM sl$k) z
            |  WHERE NOT psel)""".stripMargin)
     }
-    sb.append(
-      s""",
-         |enc AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_bpe,
-         |         CAST(SUM(${graft.functions.PolyHash64.sql("sym")}) AS BIGINT) AS sym_fp
-         |  FROM st$nMerges GROUP BY doc_id)""".stripMargin)
-    sb.toString.replace("\n", " ")
+    sb.toString
   }
 
   /** Apply learned merges to a corpus — the tokenizer-inference side of

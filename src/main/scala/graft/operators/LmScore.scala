@@ -138,27 +138,11 @@ object LmScore {
        |                LEFT JOIN unk USING (w1) CROSS JOIN vv) s
        |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
-  /** PER-LANGUAGE bigram LMs in ONE pass (q7) — CCNet proper: one
-    * model per language, each document scored under ITS OWN
-    * language's model ([[surprisal]]/q6 train a single cross-language
-    * model, which lets a dominant language's phrasing set the scale
-    * for every other language's scores). Scale-right formulation: the
-    * language key simply JOINS the aggregation keys — counts are
-    * (lang, w1, w2), backoff totals (lang, w1), vocab sizes a
-    * #langs-row table — so "train |langs| models" is the SAME two
-    * hash-agg shuffles as one model, no per-language loop, no
-    * per-language hot partition, and scoring is the same model join
-    * with lang prepended. Input needs (doc_id, lang, textCol). In the
-    * self-trained form (train = score) every scoring language has
-    * model rows by construction; the trailing 0L coalesce arm is a
-    * guard for a train/score split where a language appears only on
-    * the scoring side (no model at all ⇒ lp 0 per transition, i.e.
-    * "no opinion" rather than a NULL-poisoned sum) — the SQL twin
-    * carries the same COALESCE arm. Same micro-nat quantization, same
-    * BIGINT-sum discipline as [[surprisal]]. */
-  def surprisalPerLang(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    // lang rides the map-side explode (no id→lang join shuffle)
-    def bigramsL = docs
+  /** Per-(doc, lang) bigram stream — [[bigrams]] with `lang` riding
+    * the map-side explode (no id→lang join shuffle). Input needs
+    * (doc_id, lang, textCol). */
+  private def bigramsPerLang(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), TextAnalysis.toks(col(textCol)).as("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"), explode(arrays_zip(
@@ -166,7 +150,19 @@ object LmScore {
         slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("lang"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bigramsL
+
+  /** |langs| add-½-smoothed bigram models in ONE pass: the language
+    * key simply JOINS the aggregation keys — counts are (lang, w1,
+    * w2), backoff totals (lang, w1), vocab sizes a #langs-row table —
+    * so "train |langs| models" is the SAME two hash-agg shuffles as
+    * one model, no per-language loop, no per-language hot partition.
+    * Returns (bigram table, unigram-backoff table, vocab-size table),
+    * all lang-keyed — the per-language twin of [[trainBigram]]. */
+  def trainBigramPerLang(train: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame) = {
+    // same five-consumer pathology as trainBigram's c12: checkpoint the
+    // vocab²-bounded count table so the corpus is read once
+    val c12 = bigramsPerLang(train, textCol)
       .groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint()
@@ -179,8 +175,21 @@ object LmScore {
     val unk = c1.join(broadcast(v), Seq("lang"))
       .select(col("lang"), col("w1"),
         lpMicro(lit(0.5), col("c1") + lit(0.5) * col("v")).as("lp_unk"))
-    val uni = v.select(col("lang"), lpMicro(lit(1.0), col("v")).as("lp_unseen"))
-    bigramsL
+    (lm, unk, v)
+  }
+
+  /** Shared per-language scoring tail: bigram stream ⋈ model ⋈ backoff
+    * ⋈ #langs-row uniform table, then the per-(doc, lang) BIGINT sum.
+    * The trailing 0L arm fires when a document's language has NO model
+    * at all — reachable only in the train/score split
+    * ([[surprisalAgainstLmPerLang]], where a language can appear on
+    * the scoring side alone): lp 0 per transition, i.e. "no opinion"
+    * rather than a NULL-poisoned sum. In the self-trained form every
+    * scoring language has model rows by construction. The SQL twins
+    * carry the same COALESCE arm. */
+  private def scorePerLang(bg: DataFrame, lm: DataFrame, unk: DataFrame,
+                           uni: DataFrame): DataFrame =
+    bg
       .join(lm, Seq("lang", "w1", "w2"), "left")
       .join(unk, Seq("lang", "w1"), "left")
       .join(broadcast(uni), Seq("lang"), "left")
@@ -190,6 +199,60 @@ object LmScore {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp2")).as("logp_micro"))
       .withColumn("surprisal",
         -col("logp_micro").cast("double") / col("n_bigrams"))
+
+  /** PER-LANGUAGE bigram LMs in ONE pass (q7) — CCNet proper: one
+    * model per language, each document scored under ITS OWN
+    * language's model ([[surprisal]]/q6 train a single cross-language
+    * model, which lets a dominant language's phrasing set the scale
+    * for every other language's scores). Train = score = `docs`
+    * ([[trainBigramPerLang]] + [[scorePerLang]]); the persisted
+    * target-domain form is [[saveLmPerLang]] →
+    * [[surprisalAgainstLmPerLang]]. Input needs (doc_id, lang,
+    * textCol). Same micro-nat quantization, same BIGINT-sum
+    * discipline as [[surprisal]]. */
+  def surprisalPerLang(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val (lm, unk, v) = trainBigramPerLang(docs, textCol)
+    val uni = v.select(col("lang"), lpMicro(lit(1.0), col("v")).as("lp_unseen"))
+    scorePerLang(bigramsPerLang(docs, textCol), lm, unk, uni)
+  }
+
+  /** Persist PER-LANGUAGE target-domain models at `path` — the CCNet
+    * prescription proper (one Wikipedia-style target LM per language):
+    * `bigrams/` and `unigrams/` lang-PARTITIONED (a scorer for one
+    * language prunes to its own partition), `meta/` one row per lang.
+    * Same plain-overwrite, retrain-not-patch semantics as [[saveLm]];
+    * atomic replacement of a LIVE model dir rides
+    * [[Maintenance.retrainAndSwap]]. */
+  def saveLmPerLang(train: DataFrame, path: String,
+                    textCol: String = "text"): Unit = {
+    val (lm, unk, v) = trainBigramPerLang(train, textCol)
+    lm.write.mode("overwrite").partitionBy("lang").parquet(s"$path/bigrams")
+    unk.write.mode("overwrite").partitionBy("lang").parquet(s"$path/unigrams")
+    v.select(col("lang"), col("v"),
+        lpMicro(lit(1.0), col("v")).as("lp_unseen"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (bigram table, unigram-backoff table, per-lang meta) at `path`. */
+  def loadLmPerLang(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/unigrams"),
+      spark.read.parquet(s"$path/meta"))
+
+  /** Score `docs` (doc_id, lang, textCol) against the persisted
+    * per-language models at `path` — the train/score split form the
+    * [[scorePerLang]] 0L arm exists for: a scoring language with no
+    * model partition gets lp 0 per transition ("no opinion"), never a
+    * NULL-poisoned sum. Equals [[surprisalPerLang]] row for row when
+    * the model was saved from the same corpus (spec-pinned). */
+  def surprisalAgainstLmPerLang(docs: DataFrame,
+                                spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                textCol: String = "text"): DataFrame = {
+    val (lm, unk, meta) = loadLmPerLang(spark, path)
+    scorePerLang(bigramsPerLang(docs, textCol), lm, unk,
+      meta.select(col("lang"), col("lp_unseen")))
   }
 
   /** DuckDB twin of [[surprisalPerLang]]: CTE chain ending in
@@ -219,6 +282,48 @@ object LmScore {
        |  FROM (SELECT g.doc_id, g.lang,
        |          COALESCE(lml.lp, unkl.lp_unk, unil.lp_unseen, 0) AS lp2
        |        FROM bgl g
+       |        LEFT JOIN lml USING (lang, w1, w2)
+       |        LEFT JOIN unkl USING (lang, w1)
+       |        LEFT JOIN unil USING (lang)) s
+       |  GROUP BY doc_id, lang)""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[surprisalAgainstLmPerLang]] — per-language
+    * models trained on `trainFrom`, scored over `scoreFrom` (both
+    * need doc_id, lang, textExpr). DuckDB cannot read the persisted
+    * model dir, so the twin re-derives the SAME deterministic models
+    * from the same train slice (save≡train is LmScoreSpec-pinned —
+    * the c9 pattern). Ends in `scored_pl`; the trailing 0 COALESCE
+    * arm mirrors [[scorePerLang]]'s no-model-for-this-language rule. */
+  def surprisalPerLangTrainScoreSql(trainFrom: String, scoreFrom: String,
+                                    textExpr: String = "text"): String = {
+    val toks = TF.wsTokensSql(s"lower($textExpr)")
+    def bgl(alias: String, from: String) =
+      s"""$alias AS (
+         |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, lang, $toks AS t FROM $from) d,
+         |       LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+         |  WHERE len(t) >= 2)""".stripMargin
+    s"""${bgl("bglt", trainFrom)},
+       |c12l AS (SELECT lang, w1, w2, count(*) AS c12
+       |         FROM bglt GROUP BY 1, 2, 3),
+       |c1l AS (SELECT lang, w1, sum(c12) AS c1 FROM c12l GROUP BY 1, 2),
+       |vl AS (SELECT lang, CAST(count(DISTINCT w2) + 1 AS DOUBLE) AS v
+       |       FROM c12l GROUP BY 1),
+       |lml AS (SELECT lang, w1, w2,
+       |          ${lpMicroSql("c12 + 0.5", "c1 + 0.5*v")} AS lp
+       |        FROM c12l JOIN c1l USING (lang, w1) JOIN vl USING (lang)),
+       |unkl AS (SELECT lang, w1, ${lpMicroSql("0.5", "c1 + 0.5*v")} AS lp_unk
+       |         FROM c1l JOIN vl USING (lang)),
+       |unil AS (SELECT lang, ${lpMicroSql("1.0", "v")} AS lp_unseen FROM vl),
+       |${bgl("bgls", scoreFrom)},
+       |scored_pl AS (
+       |  SELECT doc_id, lang, count(*) AS n_bigrams,
+       |         CAST(sum(lp2) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp2) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT g.doc_id, g.lang,
+       |          COALESCE(lml.lp, unkl.lp_unk, unil.lp_unseen, 0) AS lp2
+       |        FROM bgls g
        |        LEFT JOIN lml USING (lang, w1, w2)
        |        LEFT JOIN unkl USING (lang, w1)
        |        LEFT JOIN unil USING (lang)) s
@@ -285,7 +390,17 @@ object LmScore {
     * (graft.streaming.DocStreams.lmScoreEnrich), so the two cannot
     * drift: on a stream the final per-doc sum runs in a stateless
     * group shell instead of groupBy (append streams cannot aggregate
-    * unbounded), but every lp this emits is identical. */
+    * unbounded), but every lp this emits is identical.
+    *
+    * Join strategy is deliberately left to AQE rather than hinted: a
+    * saturated real-corpus vocabulary keeps the model tables far under
+    * the broadcast threshold (AQE converts both joins —
+    * PlanSpec-pinned at realistic vocab), while the synthetic
+    * vocab-grows-with-corpus ramp (PipelineScaleBench's per-token
+    * rewrite) legitimately needs the shuffle fallback; a forced
+    * broadcast() would OOM exactly there. The fallback shuffles on
+    * (w1, w2), whose hottest keys are the most frequent bigrams —
+    * functional, and the documented cost of an unsaturated vocab. */
   def lpRows(docs: DataFrame, lm: DataFrame, unk: DataFrame,
              meta: DataFrame, textCol: String = "text"): DataFrame =
     bigrams(docs, textCol)

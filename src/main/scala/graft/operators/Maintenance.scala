@@ -56,6 +56,37 @@ object Maintenance {
   case class LshConfig(targetRowsPerPart: Long = 4L * 1000 * 1000,
                        rebuildAtRowsPerPart: Long = 16L * 1000 * 1000)
 
+  /** Retrain-and-swap for the RETRAINED (never patched) artifact
+    * families — bigram LMs ([[LmScore.saveLm]] /
+    * [[LmScore.saveLmPerLang]]) and BPE tokenizers
+    * ([[Bpe.saveTokenizer]]): counts and merge sequences are global,
+    * so there is no partial update that preserves their semantics
+    * (the saveLm scaladoc's argument), but the OPERATIONAL form still
+    * needs atomicity — a plain `save` over a live dir rewrites three
+    * tables one after another, and a crash between them serves a
+    * MIXED model (new bigrams under old smoothing meta) to every
+    * scorer until someone notices. This wraps the whole retrain in
+    * [[graft.sources.TableSwap]]'s stage-aside root swap (the decon
+    * re-save pattern): `save` materializes the NEW artifact into a
+    * staging dir, the live root swaps in one rename window, and every
+    * crash point heals at the next entry ([[TableSwap.recover]] runs
+    * first) — a reader never sees half a model. Single-maintainer
+    * like every swap in the engine: schedule when no scorer holds the
+    * path open mid-plan (a Spark reader that already resolved its
+    * files re-reads defensively; the swap is between jobs).
+    *
+    *   Maintenance.retrainAndSwap(spark, lmPath)(tmp =>
+    *     LmScore.saveLmPerLang(freshTrain, tmp))
+    */
+  def retrainAndSwap(spark: SparkSession, path: String)(
+      save: String => Unit): Unit = {
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val parent = root.getParent.toString
+    graft.sources.TableSwap.recover(fs, parent, root.getName)
+    graft.sources.TableSwap.rewrite(spark, fs, parent, root.getName)(save)
+  }
+
   /** Run one nightly pass against the index at `path`. The family is
     * detected from the layout (`cells/` → PQ-IVF, `bands/` → LSH).
     * `repair` additionally runs the row-hygiene repair first — the
@@ -98,6 +129,16 @@ object Maintenance {
     if (exists("hashes")) {
       graft.sources.TableSwap.recover(fs, path, "bloom")
       graft.sources.TableSwap.recover(fs, path, "meta")
+    }
+    // the retrained families (LM roots carry bigrams/+unigrams/+meta,
+    // tokenizer roots merges/) have no incremental maintenance by
+    // design — retrains ride [[retrainAndSwap]], whose crash window is
+    // exactly the root swap the heal above covers. Return before the
+    // index-family detection (a tokenizer root has no meta/ at all).
+    if (exists("bigrams") || exists("merges")) {
+      val fam = if (exists("merges")) "tokenizer" else "lm"
+      return NightlyReport(path, fam,
+        if (rootStaged) Seq("heal-swap") else Nil, None, None)
     }
     // registry analogue: a [[Clusters.compactRegistry]] fold that died
     // between TableSwap's two renames leaves members/ absent with the

@@ -227,6 +227,34 @@ object CoverageQueries {
       quotaRollup(curated(kept, components(nearDupPairs(kept))))
     }),
 
+    // C12: c10 with the gate scored under PERSISTED per-language
+    // TARGET-domain LMs — CCNet's actual prescription (one
+    // Wikipedia-style target model per language) where c10
+    // deliberately self-trains: the held-out %3==1 benchmark slice
+    // plays the target domain, its per-language models are trained
+    // and PERSISTED in one pass (LmScore.saveLmPerLang —
+    // lang-partitioned artifact), and the gate scores the gated
+    // corpus against the loaded artifact
+    // (CurationStages.lmGatedAgainstLm). The full persisted lifecycle
+    // (train → save → load → score) runs inside the query; the oracle
+    // re-derives the same deterministic models from the same slice
+    // (save≡train is LmScoreSpec-pinned — the c9 pattern). Everything
+    // downstream is c10's chain verbatim.
+    "c12_target_lm_curation" -> ((s, dir) => {
+      import CurationStages._
+      val all = Tables.documents(s, dir)
+      val docs = synthesized(all)
+      DedupQueries.withIndexScratch(s, "c12_lm") { path =>
+        graft.operators.LmScore.saveLmPerLang(
+          benchSlice(all).select(col("doc_id"), col("lang"), col("text")),
+          path)
+        val lmKept = lmGatedAgainstLm(gated(docs),
+          all.select(col("doc_id"), col("lang")), s, path)
+        val kept = decontaminated(lmKept, benchSlice(all))
+        quotaRollup(curated(kept, components(nearDupPairs(kept))))
+      }
+    }),
+
     // C3: curation pipeline v2 — the round-6 operators composed in the
     // order a real corpus build runs them: cheap map-side source
     // rebalancing FIRST (s17), exact span surgery on the survivors
@@ -403,6 +431,60 @@ object CoverageQueries {
           expr("(cum_ws - n_tokens_ws) div 512").as("shard_ws"),
           expr("(cum_bpe - n_tokens_bpe) div 512").as("shard_bpe"))
         .orderBy(col("doc_id"))
+    }),
+
+    // C11: the BPE-TRUE shard materializer — s24 PROVED the whitespace
+    // mis-sizing row by row; this is the production fix wired end to
+    // end: train a vocabulary once on a SAMPLE slice (%25 — production
+    // trains on a few hundred MB, never the corpus), FREEZE it as a
+    // persisted artifact (Bpe.saveTokenizer), then encode a 5× larger
+    // corpus slice under the loaded merges and lay 512-BPE-token
+    // shards with the exact distributed cumsum — the shards a trainer
+    // actually reads, sized in tokenizer tokens. Per BPE shard the
+    // rollup carries the whitespace-rule shard span
+    // (ws_shard_lo/hi ≠ shard id) so the boundary drift vs the
+    // whitespace c5 rule is IN the oracle-checked output, and fp_sum
+    // pins the encoded content per shard. The SQL twin re-learns the
+    // same deterministic merges from the same train slice and applies
+    // them to the encode slice (Bpe.trainEncodeSplitSql — DuckDB
+    // cannot read the scratch artifact; save→load→encode ≡ in-memory
+    // encode is BpeTokenizerSpec-pinned, the c9 pattern).
+    "c11_bpe_true_shards" -> ((s, dir) => {
+      import graft.operators.{Bpe, Ranking}
+      import graft.functions.PolyHash64
+      val docs = Tables.documents(s, dir)
+      val trainSlice = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), col("text"))
+      val encodeSlice = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text"))
+      DedupQueries.withIndexScratch(s, "c11_bpe") { path =>
+        val (merges, syms) = Bpe.train(trainSlice, nMerges = 8)
+        syms.unpersist(blocking = false)
+        Bpe.saveTokenizer(s, merges, path)
+        val frozen = Bpe.loadTokenizer(s, path)
+        val enc = Bpe.encode(encodeSlice, frozen)
+          .select(col("doc_id"),
+            size(col("syms")).cast("long").as("n_tokens_bpe"),
+            aggregate(transform(col("syms"), x => PolyHash64.polyHash64(x)),
+              lit(0L), (a, v) => a + v).as("sym_fp"))
+        val ws = encodeSlice.select(col("doc_id"),
+          size(TF.wsTokens(lower(col("text")))).cast("long").as("n_tokens_ws"))
+        val both = ws.join(enc, "doc_id").where(col("n_tokens_ws") >= 1)
+        val c1 = Ranking.cumsumExact(both, Seq(col("doc_id")),
+          col("n_tokens_bpe"), "cum_bpe")
+        val c2 = Ranking.cumsumExact(c1, Seq(col("doc_id")),
+          col("n_tokens_ws"), "cum_ws")
+        c2.select(col("doc_id"), col("n_tokens_bpe"), col("sym_fp"),
+            expr("(cum_bpe - n_tokens_bpe) div 512").as("shard"),
+            expr("(cum_ws - n_tokens_ws) div 512").as("shard_ws"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens_bpe")).as("tokens_bpe"),
+            sum(col("sym_fp")).as("fp_sum"),
+            min(col("shard_ws")).as("ws_shard_lo"),
+            max(col("shard_ws")).as("ws_shard_hi"))
+          .orderBy(col("shard"))
+      }
     }),
 
     // J3: one-to-many nested materialization (main.py:189,554-577) —
@@ -1437,6 +1519,76 @@ object CoverageQueries {
          |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
     },
 
+    // c10's oracle with the scored_pl CTEs swapped for the
+    // train/score SPLIT form: models re-derived from the %3==1 target
+    // slice (DuckDB cannot read the persisted artifact), scored over
+    // gated(+lang); everything downstream is c10's text verbatim.
+    "c12_target_lm_curation" -> {
+      import graft.operators.{Dedup, Sampling, TextAnalysis, LmScore}
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val sigSql = TextAnalysis.repetitionSignalsSql(
+        topNs = Seq(2), dupNs = Seq(10), from = "corpus")
+      val pairsSql = Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, from = "kept")
+      val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
+      val capQualify = Sampling.groupCapSql("source", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
+      val dShingles = Dedup.shingleCtesSql(k = 8,
+        from = "(SELECT doc_id, text FROM lmkept UNION ALL " +
+          "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)",
+        prefix = "d", materializedSh = true)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
+         |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sig AS (
+         |$sigSql),
+         |gated AS MATERIALIZED (
+         |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
+         |  WHERE sig.dup10_char_frac < 0.10),
+         |${LmScore.surprisalPerLangTrainScoreSql(
+                "(SELECT doc_id, lang, text FROM documents " +
+                  "WHERE doc_id % 3 = 1) tgt",
+                "(SELECT g.doc_id, g.text, dd.lang FROM gated g " +
+                  "JOIN documents dd ON dd.doc_id = g.doc_id) gl")},
+         |scored_lang AS (
+         |  SELECT doc_id, lang, surprisal FROM scored_pl),
+         |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
+         |lmkept AS MATERIALIZED (
+         |  SELECT g.* FROM gated g
+         |  JOIN bucketed bk ON bk.doc_id = g.doc_id
+         |  WHERE bk.bucket <> 'tail'),
+         |$dShingles,
+         |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT b.doc_id,
+         |           CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+         |    FROM (SELECT doc_id, h FROM dsh WHERE doc_id % 3 = 0) b
+         |    LEFT JOIN bhash c ON c.h = b.h GROUP BY b.doc_id)
+         |  WHERE containment >= 0.5),
+         |kept AS MATERIALIZED (
+         |  SELECT g.* FROM lmkept g
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pairs AS MATERIALIZED (
+         |$pairsSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT kk.doc_id, kk.source, kk.text, $splitSql AS split
+         |  FROM kept kk LEFT JOIN comps cm ON cm.id = kk.doc_id),
+         |capped AS (SELECT * FROM labeled $capQualify)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
+
     "s22_group_caps" -> {
       val qualify = graft.operators.Sampling.groupCapSql("lang", "doc_id",
         "(CAST(doc_id AS VARCHAR) || '/' || lang)", cap = 100)
@@ -1532,6 +1684,35 @@ object CoverageQueries {
          |       CAST((cum_ws - n_tokens_ws) // 512 AS BIGINT) AS shard_ws,
          |       CAST((cum_bpe - n_tokens_bpe) // 512 AS BIGINT) AS shard_bpe
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "c11_bpe_true_shards" -> {
+      val chain = graft.operators.Bpe.trainEncodeSplitSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0) tr",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0) en", 8)
+      val toks = TF.wsTokensSql("lower(text)")
+      s"""WITH $chain,
+         |ws AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens_ws
+         |       FROM documents
+         |       WHERE doc_id % 5 = 0 AND len($toks) >= 1),
+         |b AS (SELECT doc_id, n_tokens_ws, n_tokens_bpe, sym_fp
+         |      FROM ws JOIN enc USING (doc_id)),
+         |c AS (SELECT *,
+         |        SUM(n_tokens_bpe) OVER (ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum_bpe,
+         |        SUM(n_tokens_ws) OVER (ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum_ws
+         |      FROM b),
+         |sh AS (SELECT doc_id, n_tokens_bpe, sym_fp,
+         |         CAST((cum_bpe - n_tokens_bpe) // 512 AS BIGINT) AS shard,
+         |         CAST((cum_ws - n_tokens_ws) // 512 AS BIGINT) AS shard_ws
+         |       FROM c)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens_bpe) AS BIGINT) AS tokens_bpe,
+         |       CAST(SUM(sym_fp) AS BIGINT) AS fp_sum,
+         |       MIN(shard_ws) AS ws_shard_lo,
+         |       MAX(shard_ws) AS ws_shard_hi
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     "j3_orders_per_customer_csv" ->

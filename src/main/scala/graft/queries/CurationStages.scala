@@ -66,16 +66,44 @@ private[graft] object CurationStages {
     * RELATIVE thirds per language (rank-based within one corpus), so
     * a corpus-wide shift in absolute surprisal cancels, whereas c8's
     * survivor pick compares absolute scores between near-identical
-    * texts where a dup cluster's own mass tips the scale. A
-    * target-corpus gate would ride
-    * [[graft.operators.LmScore.surprisalAgainstLm]] (the c9
-    * machinery) per language.
+    * texts where a dup cluster's own mass tips the scale. The
+    * defense has a LIMIT, though: a language whose crawl is
+    * boilerplate-dominated still ranks boilerplate phrasing as head
+    * WITHIN that language under a self-trained model. The
+    * target-domain form that fixes it is [[lmGatedAgainstLm]] (c12).
     * Pinned: the decon stage consumes the result twice. The model
     * joins stay broadcast-able (count tables are vocab-bounded per
     * language); everything else in the stage is the corpus-keyed
     * scoring pass + a #langs-row broadcast of bucket offsets. */
-  def lmGated(gatedDocs: DataFrame, langs: DataFrame): DataFrame = {
-    val scored = LmScore.surprisalPerLang(gatedDocs.join(langs, "doc_id"))
+  def lmGated(gatedDocs: DataFrame, langs: DataFrame): DataFrame =
+    lmKeep(gatedDocs,
+      LmScore.surprisalPerLang(gatedDocs.join(langs, "doc_id")))
+
+  /** c12's gate — [[lmGated]] scored under PERSISTED per-language
+    * TARGET-domain models ([[LmScore.saveLmPerLang]] at `lmPath`)
+    * instead of self-training on the gated corpus: the form
+    * [[lmGated]]'s scaladoc names as the principled fix for its
+    * boilerplate-dominated-language limit (a language whose crawl is
+    * mostly boilerplate still ranks boilerplate phrasing as head
+    * under a self-trained model; a target-domain model does not learn
+    * that phrasing in the first place). Same thirds, same
+    * keep-head+middle rule; only the model the surprisal comes from
+    * changes ([[LmScore.surprisalAgainstLmPerLang]] — lang-partitioned
+    * pruned reads, broadcast-able when each language's vocab fits). A
+    * scoring language absent from the target corpus scores lp 0 per
+    * transition (the documented "no opinion" arm) and buckets by rank
+    * like any other. */
+  def lmGatedAgainstLm(gatedDocs: DataFrame, langs: DataFrame,
+                       spark: org.apache.spark.sql.SparkSession,
+                       lmPath: String): DataFrame =
+    lmKeep(gatedDocs,
+      LmScore.surprisalAgainstLmPerLang(gatedDocs.join(langs, "doc_id"),
+        spark, lmPath))
+
+  /** Shared bucket-and-keep tail of the two LM gates: per-language
+    * thirds by surprisal (ONE global rank), keep head+middle. */
+  private def lmKeep(gatedDocs: DataFrame, scored0: DataFrame): DataFrame = {
+    val scored = scored0
       .select(col("doc_id"), col("lang"), col("surprisal"))
     val keep = LmScore.ccnetBuckets(scored)
       .where(col("bucket") =!= "tail")

@@ -161,6 +161,62 @@ class LmScoreSpec extends AnyFunSuite {
       s"target LM should keep the fluent copy (got $tgt)")
   }
 
+  test("saveLmPerLang → surprisalAgainstLmPerLang equals surprisalPerLang row for row") {
+    val docs = Seq((1L, "en", "a b a b"), (2L, "de", "a a b"),
+      (3L, "en", "b a"), (4L, "de", "b b a a"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pllm").toString
+    LmScore.saveLmPerLang(docs, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(rows(LmScore.surprisalAgainstLmPerLang(docs, spark, dir)) ===
+      rows(LmScore.surprisalPerLang(docs)))
+  }
+
+  test("per-lang split form: a scoring language with no model gets the 0L no-opinion arm") {
+    val train = Seq((1L, "en", "a b a b")).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pllm2").toString
+    LmScore.saveLmPerLang(train, dir)
+    val score = Seq((10L, "fr", "x y z")).toDF("doc_id", "lang", "text")
+    val got = LmScore.surprisalAgainstLmPerLang(score, spark, dir).collect()
+    assert(got.length === 1)
+    // 2 transitions, each lp 0: "no opinion", never a NULL-poisoned sum
+    assert(got.head.getLong(2) === 2L && got.head.getLong(3) === 0L)
+  }
+
+  test("c12 gate fixture: self-trained and target-trained per-language gates keep DIFFERENT docs") {
+    import graft.queries.CurationStages
+    // one language, 6 scoreable docs: 4 boilerplate + 2 fluent. The
+    // SELF-trained model learns the boilerplate as the language's most
+    // probable phrasing (it dominates the training mass), so the
+    // boilerplate ranks head+middle and the fluent docs fall in the
+    // tail; the TARGET model (trained on a clean slice where the
+    // fluent phrasing is canonical and "zz" never occurs) ranks the
+    // fluent docs head. The kept sets must differ in BOTH directions.
+    val boiler = (1L to 4L).map(i => (i, "zz zz zz zz zz zz"))
+    val fluent = Seq((5L, "good day dear friend of mine"),
+      (6L, "good day dear friend of yours"))
+    val gated = (boiler ++ fluent).toDF("doc_id", "text")
+    val langs = (1L to 6L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val target = Seq((200L, "en", "good day dear friend of mine"),
+      (201L, "en", "good day dear friend of ours"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("c12lm").toString
+    LmScore.saveLmPerLang(target, dir)
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val self = kept(CurationStages.lmGated(gated, langs))
+    val tgt = kept(CurationStages.lmGatedAgainstLm(gated, langs, spark, dir))
+    // fluent docs: dropped by the self-trained gate, kept by the target
+    assert(!self.contains(5L) && tgt.contains(5L),
+      s"self=$self target=$tgt")
+    // and some boilerplate doc the self gate keeps, the target drops
+    assert((self -- tgt).nonEmpty && (tgt -- self).nonEmpty,
+      s"self=$self target=$tgt")
+  }
+
   test("dsirWeights: target-like docs weigh above background-only docs") {
     graft.functions.PolyHash64.register(spark)
     val targetish = (1 to 8).map(i => (i.toLong, "x y x y x y"))
