@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash64
+
+/** TRAINED language identification — the classifier CCNet actually
+  * runs ahead of its per-language stages (fastText langid), where
+  * t15's stopword heuristic is the engine's only in-table-free lang
+  * signal: a multinomial Naive Bayes over HASHED CHARACTER TRIGRAMS.
+  * Same feature space as fastText's langid (hashed char n-grams), same
+  * linear decision function (NB IS a linear model over feature
+  * counts); the count-based closed form replaces SGD so training is
+  * deterministic and the whole model — train, score, argmax — has an
+  * exact DuckDB twin under the engine's integer micro-nat discipline
+  * (no LBFGS fixpoint, the reason [[QualityClassifier]] carries no
+  * oracle). For the gradient-trained variant of the same shape see
+  * [[QualityClassifier.trainMulticlass]] (spec-pinned, no oracle).
+  *
+  * Scale shape (100 TB): training aggregates the labeled cohort to a
+  * (lang × buckets)-bounded count table (two hash-agg shuffles with
+  * map-side combine — training cohorts are small by design, but the
+  * pass is distributed regardless); scoring is map-side after ONE
+  * broadcast of the model table: feature extraction is an in-row
+  * explode, the model join is broadcast-hash (the table is ≤
+  * |langs|·buckets rows of three fixed-width columns), and the
+  * per-doc argmax is one hash aggregation keyed on doc_id — no
+  * shuffle touches anything corpus-sized except that final per-doc
+  * sum. Plan-pinned in LangIdSpec.
+  *
+  * Scoring math, all BIGINT micro-nats (order-independent sums):
+  *   score(d, l) = prior(l) + Σ_f cnt_{d,f} · lp(f|l)
+  *               = prior(l) + T_d·lp_unseen(l) + Σ_{f seen in l} cnt_{d,f}·dlp(f,l)
+  * with dlp(f,l) = lp(f|l) − lp_unseen(l), so the model join only
+  * needs rows for (f, l) pairs the training corpus SAW; unseen
+  * features fold into the closed-form base term. Add-½ smoothing over
+  * `buckets` hash buckets; prior add-½ over |langs|. Ties break to
+  * the lexicographically smallest lang (exact integer compare, so the
+  * tie rule is engine-stable). Documents shorter than one trigram
+  * (< 3 chars) have no features and emit no row — callers LEFT-join
+  * predictions back when they need every doc; the SQL twin replays
+  * the same inner rule.
+  */
+object LangId {
+
+  /** Default hash-bucket count — large enough that trigram collisions
+    * are rare for real alphabets, small enough that the model table
+    * always broadcasts. */
+  val Buckets = 4096
+
+  /** Hashed char-trigram stream of `docs` + passthrough columns:
+    * map-side only (explode positions, substring, hash, bucket). */
+  private def feats(docs: DataFrame, textCol: String, buckets: Int,
+                    keep: Seq[String]): DataFrame = {
+    val cols = keep.map(col) :+ lower(col(textCol)).as("t")
+    docs.select(cols: _*)
+      .where(length(col("t")) >= 3)
+      .select((keep.map(col) :+
+        explode(sequence(lit(1), length(col("t")) - 2)).as("i") :+
+        col("t")): _*)
+      .select((keep.map(col) :+
+        pmod(PolyHash64.polyHash64(expr("substring(t, i, 3)")),
+          lit(buckets.toLong)).as("f")): _*)
+  }
+
+  /** Train on a labeled cohort (doc_id, lang, textCol). Returns
+    * (model, langConst):
+    *  - model: (lang, f, dlp) — seen-feature log-prob deltas;
+    *  - langConst: (lang, lp_unseen, prior) — one row per language.
+    * Both are broadcast-sized by construction. */
+  def train(labeled: DataFrame, textCol: String = "text",
+            buckets: Int = Buckets): (DataFrame, DataFrame) = {
+    val b = lit(buckets.toDouble)
+    // the count table feeds the model rows AND the per-lang totals —
+    // checkpoint so the labeled corpus is read once (the trainBigram
+    // pattern); the table is (lang × buckets)-bounded
+    val c = feats(labeled, textCol, buckets, Seq("lang"))
+      .groupBy(col("lang"), col("f")).agg(count(lit(1)).as("cf"))
+      .localCheckpoint()
+    val n = c.groupBy(col("lang")).agg(sum(col("cf")).as("n"))
+    val model = c.join(n, "lang")
+      .select(col("lang"), col("f"),
+        (LmScore.lpMicro(col("cf") + lit(0.5), col("n") + lit(0.5) * b) -
+          LmScore.lpMicro(lit(0.5), col("n") + lit(0.5) * b)).as("dlp"))
+    val dl = labeled.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+    val tot = dl.agg(sum(col("nd")).cast("double").as("nd_all"),
+      count(lit(1)).cast("double").as("nl"))
+    val langConst = n.join(dl, "lang").crossJoin(broadcast(tot))
+      .select(col("lang"),
+        LmScore.lpMicro(lit(0.5), col("n") + lit(0.5) * b).as("lp_unseen"),
+        LmScore.lpMicro(col("nd") + lit(0.5),
+          col("nd_all") + lit(0.5) * col("nl")).as("prior"))
+    (model, langConst)
+  }
+
+  /** Predict the language of every doc in `docs` with ≥ 1 trigram:
+    * (doc_id, pred_lang, score_micro). Map-side scoring after one
+    * broadcast of the model (see the object scaladoc). */
+  def predict(model: DataFrame, langConst: DataFrame, docs: DataFrame,
+              textCol: String = "text", buckets: Int = Buckets): DataFrame = {
+    // NOT pinned, deliberately: the frame is corpus-sized (docs ×
+    // distinct buckets per doc), so the two consumers re-derive it
+    // map-side instead of parking a corpus-scale block in memory —
+    // the same trade the LM family makes for its bigram stream
+    // (LmScore pins only the vocab-bounded COUNT tables)
+    val fs = feats(docs, textCol, buckets, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("cnt"))
+    val tot = fs.groupBy(col("doc_id")).agg(sum(col("cnt")).as("tf"))
+    val seen = fs.join(broadcast(model), "f")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt") * col("dlp")).as("s"))
+    tot.crossJoin(broadcast(langConst))
+      .join(seen, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("prior") + col("tf") * col("lp_unseen") +
+          coalesce(col("s"), lit(0L))).as("score"))
+      // smallest (-score, lang) struct = highest score, ties to the
+      // lexicographically smallest lang — one hash agg, no window
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("m"))
+      .select(col("doc_id"), col("m.lang").as("pred_lang"),
+        (-col("m.ns")).as("score_micro"))
+  }
+
+  /** Train-and-predict in one call (train on `labeled`, predict over
+    * `docs`). */
+  def trainPredict(labeled: DataFrame, docs: DataFrame,
+                   textCol: String = "text",
+                   buckets: Int = Buckets): DataFrame = {
+    val (model, langConst) = train(labeled, textCol, buckets)
+    predict(model, langConst, docs, textCol, buckets)
+  }
+
+  /** DuckDB twin of [[trainPredict]] as a CTE chain ending in
+    * `li_pred` (doc_id, pred_lang, score_micro). CTE names are
+    * li_-prefixed so the chain composes with the LM chains
+    * (surprisalPerLangSql etc.) in one oracle. */
+  def trainPredictSql(trainFrom: String, scoreFrom: String,
+                      textExpr: String = "text",
+                      buckets: Int = Buckets): String = {
+    val h = PolyHash64.sql("substr(t, i, 3)")
+    def featsSql(alias: String, from: String, cols: String) =
+      s"""$alias AS (
+         |  SELECT $cols, ($h) % $buckets AS f
+         |  FROM (SELECT *, lower($textExpr) AS t FROM $from) d,
+         |       LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) g
+         |  WHERE length(t) >= 3)""".stripMargin
+    s"""${featsSql("li_ft", trainFrom, "lang")},
+       |li_c AS (SELECT lang, f, count(*) AS cf FROM li_ft GROUP BY 1, 2),
+       |li_n AS (SELECT lang, sum(cf) AS n FROM li_c GROUP BY 1),
+       |li_model AS (SELECT lang, f,
+       |    ${LmScore.lpMicroSql("cf + 0.5", s"n + 0.5*$buckets")} -
+       |    ${LmScore.lpMicroSql("0.5", s"n + 0.5*$buckets")} AS dlp
+       |  FROM li_c JOIN li_n USING (lang)),
+       |li_dl AS (SELECT lang, count(*) AS nd FROM $trainFrom GROUP BY 1),
+       |li_tot AS (SELECT CAST(sum(nd) AS DOUBLE) AS nd_all,
+       |                  CAST(count(*) AS DOUBLE) AS nl FROM li_dl),
+       |li_lc AS (SELECT lang,
+       |    ${LmScore.lpMicroSql("0.5", s"n + 0.5*$buckets")} AS lp_unseen,
+       |    ${LmScore.lpMicroSql("nd + 0.5", "nd_all + 0.5*nl")} AS prior
+       |  FROM li_n JOIN li_dl USING (lang) CROSS JOIN li_tot),
+       |${featsSql("li_fx", scoreFrom, "doc_id")},
+       |li_fs AS (SELECT doc_id, f, count(*) AS cnt FROM li_fx GROUP BY 1, 2),
+       |li_tf AS (SELECT doc_id, sum(cnt) AS tf FROM li_fs GROUP BY 1),
+       |li_seen AS (SELECT doc_id, lang, sum(cnt * dlp) AS s
+       |            FROM li_fs JOIN li_model USING (f) GROUP BY 1, 2),
+       |li_sc AS (
+       |  SELECT t.doc_id, l.lang,
+       |         CAST(l.prior + t.tf * l.lp_unseen + COALESCE(sn.s, 0)
+       |              AS BIGINT) AS score
+       |  FROM li_tf t CROSS JOIN li_lc l
+       |  LEFT JOIN li_seen sn ON sn.doc_id = t.doc_id AND sn.lang = l.lang),
+       |li_pred AS (
+       |  SELECT doc_id, lang AS pred_lang, score AS score_micro
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, lang) AS rn FROM li_sc) z
+       |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
+  }
+}

@@ -73,4 +73,47 @@ object QualityClassifier {
   def filterByQuality(model: LogisticRegressionModel, docs: DataFrame,
                       minProb: Double, textCol: String = "text"): DataFrame =
     score(model, docs, textCol).where(col("quality_prob") >= minProb)
+
+  /** MULTICLASS form — the same linear-over-hashed-features family as
+    * the binary gate, trained one-vs-rest style via Spark ML's
+    * multinomial LR (softmax over K weight vectors; the
+    * gradient-trained sibling of [[LangId]]'s closed-form NB — use
+    * LangId when an exact oracle matters, this when max-margin
+    * accuracy does). `labelCol` holds STRING classes (e.g. languages);
+    * the label index is the deterministic sorted-distinct order, so
+    * retraining on the same cohort is reproducible. Returns the model
+    * plus that class order for [[predictLabel]]. */
+  def trainMulticlass(labeled: DataFrame, labelCol: String = "lang",
+                      textCol: String = "text", numFeatures: Int = 1 << 12,
+                      maxIter: Int = 50, regParam: Double = 0.01)
+      : (LogisticRegressionModel, Seq[String]) = {
+    val labels = labeled.select(col(labelCol).cast("string").as("_l"))
+      .distinct().orderBy(col("_l")).collect().map(_.getString(0)).toSeq
+    val idx = labels.zipWithIndex.toMap
+    val toIdx = udf((s: String) => idx(s).toDouble)
+    val model = new LogisticRegression()
+      .setFamily("multinomial")
+      .setFeaturesCol("features").setLabelCol("_li")
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .fit(featurize(
+        labeled.withColumn("_li", toIdx(col(labelCol).cast("string"))),
+        textCol, numFeatures))
+    (model, labels)
+  }
+
+  /** Map-side multiclass scoring: adds `pred_label` (the argmax class
+    * mapped back through the training class order). The K×F
+    * coefficient matrix rides the closure — one broadcast, one dense
+    * dot per class per row, no shuffle (plan-asserted in the spec,
+    * same contract as [[score]]). */
+  def predictLabel(model: LogisticRegressionModel, labels: Seq[String],
+                   docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scorer = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+    scorer.setFeaturesCol("features").setProbabilityCol("_prob")
+      .setPredictionCol("_pred").setRawPredictionCol("_raw")
+      .transform(featurize(docs, textCol, model.numFeatures))
+      .withColumn("pred_label",
+        element_at(array(labels.map(lit): _*), col("_pred").cast("int") + 1))
+      .drop("features", "_prob", "_pred", "_raw")
+  }
 }

@@ -56,6 +56,51 @@ object LmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q8: TRAINED language identification — the classifier CCNet runs
+    // ahead of its per-language stages (fastText-style hashed char
+    // n-grams; here the deterministic multinomial-NB form of the same
+    // linear family, so the whole train→score→argmax chain has an
+    // exact oracle — see LangId). Train on the labeled %3≠2 slice,
+    // predict the held-out %3==2 slice, roll up the confusion matrix
+    // against the table's lang with id + score checksums. NOTE the
+    // synthetic corpus draws every language's text from the same
+    // vocabulary (lang is metadata), so the honest prediction here is
+    // the prior-dominant class for nearly every doc — the query pins
+    // the exact train→score→argmax arithmetic cross-engine;
+    // ACCURACY on separable fixtures is LangIdSpec's job.
+    "q8_trained_langid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.where(pmod(col("doc_id"), lit(3)) =!= 2)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val held = docs.where(pmod(col("doc_id"), lit(3)) === 2)
+      graft.operators.LangId
+        .trainPredict(labeled, held.select(col("doc_id"), col("text")))
+        .join(held.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(col("score_micro")).as("score_checksum"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // Q9: the q8 classifier COMPOSED with q7 — predicted language (not
+    // the table column) keys the per-language LMs, i.e. the actual
+    // CCNet front half: langid → per-language model per doc. Sampled
+    // per-doc surprisals so the oracle volume stays bounded.
+    "q9_langid_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.where(pmod(col("doc_id"), lit(3)) =!= 2)
+        .select(col("lang"), col("text"))
+      val held = docs.where(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"), col("text"))
+      val pred = graft.operators.LangId.trainPredict(labeled, held)
+      LmScore.surprisalPerLang(
+          held.join(pred.select(col("doc_id"),
+            col("pred_lang").as("lang")), "doc_id"))
+        .where(pmod(col("doc_id"), lit(5)) === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // S23: DSIR importance weights — target = the English slice,
     // raw = the whole corpus; hashed-bigram log-likelihood ratios in
     // micro-nats (Xie et al. importance resampling, the data-mixing
@@ -116,6 +161,32 @@ object LmQueries {
       s"""WITH ${LmScore.surprisalPerLangSql("documents")}
          |SELECT doc_id, lang, n_bigrams, logp_micro, surprisal
          |FROM scored_pl WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q8_trained_langid" -> {
+      val chain = graft.operators.LangId.trainPredictSql(
+        "(SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 2) tr",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2) sc")
+      s"""WITH $chain
+         |SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum,
+         |       CAST(SUM(p.score_micro) AS BIGINT) AS score_checksum
+         |FROM li_pred p JOIN documents d ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q9_langid_surprisal" -> {
+      val liChain = graft.operators.LangId.trainPredictSql(
+        "(SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 2) tr",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2) sc")
+      val plChain = LmScore.surprisalPerLangSql(
+        "(SELECT d.doc_id, p.pred_lang AS lang, d.text FROM documents d " +
+          "JOIN li_pred p ON p.doc_id = d.doc_id " +
+          "WHERE d.doc_id % 3 = 2) pl")
+      s"""WITH $liChain,
+         |$plChain
+         |SELECT doc_id, lang, n_bigrams, logp_micro, surprisal
+         |FROM scored_pl WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
+    },
 
     "s23_dsir_weights" ->
       s"""WITH ${LmScore.dsirWeightsSql("documents", "tt.lang = 'en'")}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Trained language-ID (q8/q9): correctness on clear-cut fixtures,
+  * agreement with the t1 stopword heuristic where stopwords exist,
+  * the disagreement case the trained form exists for (no stopwords —
+  * char n-grams still carry the signal), determinism, and the scale
+  * contract: scoring is map-side after ONE broadcast of the model
+  * table (the only corpus-keyed shuffle is the final per-doc argmax
+  * aggregation).
+  */
+class LangIdSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val enTrain = Seq(
+    "the quick brown fox jumps over the lazy dog and runs to the hills",
+    "it is a truth universally acknowledged that a single man wants a wife",
+    "this is the story of a house that stood in the middle of the town")
+  private val deTrain = Seq(
+    "der schnelle braune fuchs springt und das ist nicht ein problem",
+    "die kinder spielen mit dem ball und der hund ist zu den bergen",
+    "das wetter ist nicht gut und die strassen sind mit schnee bedeckt")
+  private val frTrain = Seq(
+    "le renard brun saute et la maison est dans les collines pour que",
+    "les enfants jouent dans la rue et le chien est pas une menace",
+    "la vie est belle pour une personne que les autres aiment dans paris")
+
+  private def labeled = (
+    enTrain.map(("en", _)) ++ deTrain.map(("de", _)) ++ frTrain.map(("fr", _)))
+    .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    .toDF("doc_id", "lang", "text")
+
+  test("clear-cut held-out docs classify correctly; stopword heuristic agrees") {
+    val held = Seq(
+      (100L, "en", "the dog runs over the hills and it is a good day for that"),
+      (101L, "de", "der hund ist nicht zu den kindern und das ist ein spiel"),
+      (102L, "fr", "le chien est dans la rue et les enfants jouent pour que"))
+      .toDF("doc_id", "lang", "text")
+    val pred = LangId.trainPredict(labeled,
+        held.select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pred === Map(100L -> "en", 101L -> "de", 102L -> "fr"))
+    // the t1 stopword heuristic reads the same verdicts on these
+    val stop = held.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(stop === Map(100L -> "en", 101L -> "de", 102L -> "fr"))
+  }
+
+  test("disagreement case: zero stopwords — char n-grams still identify the language") {
+    // German content words only: no stopword list hits anything, so
+    // the t1 heuristic returns its undetermined tag; the trained
+    // model recognizes the character shapes (sch/ch/en/ei...) from
+    // the German training rows
+    val held = Seq((200L, "schnelle fuchs springt schnee bergen kindern"))
+      .toDF("doc_id", "text")
+    val stop = held.select(TextAnalysis.langId(col("text"))).head.getString(0)
+    assert(stop === "und", "fixture must be stopword-free")
+    val pred = LangId.trainPredict(labeled, held).head.getString(1)
+    assert(pred === "de")
+  }
+
+  test("training is deterministic: identical model tables across runs") {
+    def modelRows = {
+      val (m, lc) = LangId.train(labeled)
+      (m.orderBy("lang", "f").collect().map(_.toSeq).toSeq,
+        lc.orderBy("lang").collect().map(_.toSeq).toSeq)
+    }
+    assert(modelRows === modelRows)
+  }
+
+  test("ties break to the lexicographically smallest lang") {
+    // two identically-distributed training langs -> identical scores
+    // for any doc; the argmax must pick the smaller lang name
+    val twin = Seq((1L, "aa", "x y z w v u"), (2L, "bb", "x y z w v u"))
+      .toDF("doc_id", "lang", "text")
+    val p = LangId.trainPredict(twin,
+      Seq((9L, "x y z")).toDF("doc_id", "text")).head
+    assert(p.getString(1) === "aa")
+  }
+
+  test("docs shorter than one trigram emit no prediction row") {
+    val p = LangId.trainPredict(labeled,
+      Seq((1L, "ab"), (2L, "abc")).toDF("doc_id", "text"))
+    assert(p.select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("scale plan: model join broadcasts; no sort-merge join anywhere") {
+    val held = (0L to 50L).map(i => (i, s"the dog number $i runs over the hills"))
+      .toDF("doc_id", "text")
+    val pred = LangId.trainPredict(labeled, held)
+    pred.count() // settle AQE
+    val plan = pred.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join allowed:\n$plan")
+  }
+}

@@ -66,4 +66,41 @@ class QualityClassifierSpec extends AnyFunSuite {
     val n = QualityClassifier.score(model, docs).count()
     assert(n === docs.count())
   }
+
+  /** Three separable "languages" by vocabulary — the multiclass form's
+    * fixture (the gradient-trained sibling of LangId's NB). */
+  private def langCorpus(n: Int, seed: Int) = {
+    val vocab = Map(
+      "aa" -> Vector("alpha", "apex", "anchor", "atlas", "amber"),
+      "bb" -> Vector("bravo", "basin", "boulder", "birch", "bison"),
+      "cc" -> Vector("cedar", "canyon", "cobalt", "crater", "cliff"))
+    val rnd = new scala.util.Random(seed)
+    val langs = vocab.keys.toSeq.sorted
+    (0 until n).map { i =>
+      val l = langs(i % 3)
+      val words = (0 until 15).map(_ => vocab(l)(rnd.nextInt(5)))
+      (i.toLong, l, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+  }
+
+  test("multiclass: held-out argmax labels recover the class; label order deterministic") {
+    val (model, labels) = QualityClassifier.trainMulticlass(
+      langCorpus(150, seed = 3))
+    assert(labels === Seq("aa", "bb", "cc")) // sorted-distinct contract
+    val held = langCorpus(60, seed = 77)
+    val got = QualityClassifier.predictLabel(model, labels, held)
+    val acc = got.withColumn("hit",
+        (col("pred_label") === col("lang")).cast("int"))
+      .agg(avg(col("hit"))).head.getDouble(0)
+    assert(acc >= 0.95, s"accuracy $acc")
+  }
+
+  test("multiclass scoring is map-side: no exchange in the prediction plan") {
+    val (model, labels) = QualityClassifier.trainMulticlass(
+      langCorpus(90, seed = 5))
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = QualityClassifier.predictLabel(model, labels, docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
