@@ -327,6 +327,26 @@ class PlanSpec extends AnyFunSuite {
     assert(scans >= 1 && scans <= 2, p)
   }
 
+  test("lpRows: at realistic (saturated) vocab the bigram-model and backoff joins BROADCAST") {
+    // the r13 verdict's one skew note: lpRows' model joins are
+    // deliberately unhinted (a forced broadcast would OOM on the
+    // synthetic vocab-grows-with-corpus ramp — see the lpRows
+    // scaladoc); this pins that at a saturated vocabulary the
+    // broadcast actually happens, so the shuffle fallback is the
+    // documented exception, not the silent default
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("lpbc").toString
+    graft.operators.LmScore.saveLm(docs, dir)
+    val scored = graft.operators.LmScore.surprisalAgainstLm(docs, spark, dir)
+    scored.count() // settle AQE
+    val p = scored.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2, s"bigram AND unigram joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join at this vocab:\n$p")
+  }
+
   test("suite-wide: no accidental cartesian/nested-loop joins in ANY declared query") {
     // operators whose ALGORITHM is an intentional cross product:
     // brute-force cosine ground truths (v1/v3/v5 — guarded or sampled
@@ -358,7 +378,12 @@ class PlanSpec extends AnyFunSuite {
       // curation chain
       "q5_bigram_surprisal", "q6_ccnet_buckets", "s23_dsir_weights",
       "c8_lm_survivor_clusters", "c9_target_lm_survivors",
-      "c10_lm_gated_curation")
+      "c10_lm_gated_curation",
+      // LangId: the (#langs)-row class-constant table broadcast-crosses
+      // into the per-doc totals — every doc scores against every class
+      // by definition (a K-class linear scorer), and K is single-digit;
+      // the corpus-sized side never builds. q9 composes q8's classifier.
+      "q8_trained_langid", "q9_langid_surprisal")
     // e5 relies on the range-join rule, which activates on the same
     // conf Bench/Verify set — sweep under production settings
     spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")

@@ -438,4 +438,68 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(full === brute)
     assert(full.nonEmpty)
   }
+
+  test("LM retrain-and-swap: the new model replaces the old atomically; a mid-swap crash heals to ONE consistent model") {
+    val v1Train = Seq((1L, "en", "a b a b a b"), (2L, "de", "x y x y"))
+      .toDF("doc_id", "lang", "text")
+    val v2Train = Seq((1L, "en", "c d c d c d"), (2L, "de", "x y x y"))
+      .toDF("doc_id", "lang", "text")
+    val score = Seq((10L, "en", "a b c d"), (11L, "de", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val parent = java.nio.file.Files.createTempDirectory("mnt_lm").toString
+    val path = parent + "/lm"
+    def scores() = LmScore.surprisalAgainstLmPerLang(score, spark, path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // build v1 (fresh path: retrainAndSwap installs without a swap)
+    Maintenance.retrainAndSwap(spark, path)(tmp =>
+      LmScore.saveLmPerLang(v1Train, tmp))
+    val v1Scores = scores()
+    // happy-path retrain: v2 fully replaces v1 and the scores move
+    Maintenance.retrainAndSwap(spark, path)(tmp =>
+      LmScore.saveLmPerLang(v2Train, tmp))
+    val v2Scores = scores()
+    assert(v2Scores !== v1Scores, "retrain must change the en model")
+    // crash window 1: the staging write died — tmp litter, live intact.
+    // The next retrain sweeps it and lands cleanly.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(parent, "_repair_tmp_lm/bigrams"))
+    Maintenance.retrainAndSwap(spark, path)(tmp =>
+      LmScore.saveLmPerLang(v1Train, tmp))
+    assert(scores() === v1Scores)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(parent, "_repair_tmp_lm")))
+    // crash window 2: live staged aside, replacement never arrived —
+    // the worst window, where a naive in-place save would serve HALF a
+    // model. The nightly heals it back to the complete old model.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(parent, "_repair_old_lm")))
+    val night = Maintenance.nightly(spark, path)
+    assert(night.family === "lm" && night.actions === Seq("heal-swap"),
+      s"got $night")
+    assert(scores() === v1Scores,
+      "healed dir must serve the complete pre-crash model")
+    // and a healthy night is a no-op on the lm family
+    assert(Maintenance.nightly(spark, path).noOp)
+  }
+
+  test("tokenizer retrain-and-swap: family detected, crashed swap heals, frozen merges identical") {
+    val train = Seq((1L, "p q p q r"), (2L, "p q r r")).toDF("doc_id", "text")
+    val parent = java.nio.file.Files.createTempDirectory("mnt_tok").toString
+    val path = parent + "/tok"
+    val (merges, syms) = Bpe.train(train, nMerges = 2)
+    syms.unpersist(blocking = false)
+    Maintenance.retrainAndSwap(spark, path)(tmp =>
+      Bpe.saveTokenizer(spark, merges, tmp))
+    assert(Bpe.loadTokenizer(spark, path) === merges)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(parent, "_repair_old_tok")))
+    val night = Maintenance.nightly(spark, path)
+    assert(night.family === "tokenizer" &&
+      night.actions === Seq("heal-swap"), s"got $night")
+    assert(Bpe.loadTokenizer(spark, path) === merges)
+  }
 }
