@@ -118,13 +118,29 @@ object PipelineScaleBench {
     // case for the checkpoint, and still linear; a real corpus's vocab
     // saturates and the table broadcasts.
     val lmBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null)
-            lmBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
-      })
+    val lmListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          lmBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(lmListener)
+    // onTaskEnd is delivered asynchronously on the listener bus —
+    // without a drain, a query's trailing events can be missed AND
+    // bleed into the next query's window after the reset, skewing the
+    // scans evidence both ways. The bus API is private[spark], so the
+    // drain is a bounded settle-wait: sample the counter until it
+    // stops moving (tasks are done when timed() returns; only delivery
+    // lags).
+    def drainedBytes(): Long = {
+      var prev = -1L
+      var cur = lmBytes.get
+      var spins = 0
+      while (cur != prev && spins < 20) {
+        Thread.sleep(100); prev = cur; cur = lmBytes.get; spins += 1
+      }
+      cur
+    }
     val lmQueries = Seq("q5_bigram_surprisal", "q6_ccnet_buckets",
       "s23_dsir_weights", "c8_lm_survivor_clusters")
     lmQueries.foreach(q => graft.SparkEntry.queries(q)(spark, warmDir).count())
@@ -136,13 +152,88 @@ object PipelineScaleBench {
           new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
         .filter(_.isFile).map(_.getLen).sum.max(1L)
       val line = lmQueries.map { q =>
-        lmBytes.set(0L)
+        drainedBytes(); lmBytes.set(0L)
         val (_, sec) = timed(graft.SparkEntry.queries(q)(spark, dir).count())
-        val scans = lmBytes.get.toDouble / corpusBytes
+        val scans = drainedBytes().toDouble / corpusBytes
         graft.Isolation.scrub(spark)
         f"${q.takeWhile(_ != '_')}=${sec}%.2fs scans=${scans}%.1f"
       }.mkString(" ")
       println(s"psb-lm copies=$c $line")
+    }
+    // the listener's job ends with the LM leg — later legs must not
+    // keep paying (or polluting) the byte counter
+    spark.sparkContext.removeSparkListener(lmListener)
+
+    // v9 leg: marginAlignmentFromAssigned on a HUB-HEAVY embedding ramp.
+    // Corpus: per copy, 90% of vectors get a copy-specific first-
+    // component shift (unique directions — no accidental cross-copy
+    // structure), 10% keep the base direction exactly — a growing hub
+    // family, the adversarial regime for neighborhood-relative margins.
+    // The scale knob under test: #cells grows WITH the corpus (IVF
+    // sizing, nlist ∝ N), so per-cell work stays bounded and wall grows
+    // ~linearly — never with the |sample|×|B| cross the brute form pays.
+    val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    copiesList.foreach { c =>
+      val scaled = if (c == 1) embBase
+        else (0 until c).map { i =>
+          embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            when(pmod(col("vec_id"), lit(10)) === 0, col("embedding"))
+              .otherwise(transform(col("embedding"),
+                (x, j) => when(j === 0, x + lit(i * 0.05f)).otherwise(x)))
+              .as("embedding"))
+        }.reduce(_.unionByName(_))
+      val nVec = scaled.count()
+      val cells = 8 * c
+      val ((_, assigned), buildSec) = timed(
+        Similarity.buildIvfTrained(scaled, k = cells, sampleMod = 1L))
+      val pinned = assigned.localCheckpoint()
+      pinned.count()
+      val (nPairs, mineSec) = timed(
+        Similarity.marginAlignmentFromAssigned(pinned, k = 4,
+          minMargin = 1.0, sampleMod = 8).count())
+      val resident = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      graft.Isolation.scrub(spark)
+      println(f"psb v9 copies=$c%-2d vecs=$nVec cells=$cells " +
+        f"build=${buildSec}%.2fs mine=${mineSec}%.2fs pairs=$nPairs " +
+        f"resident=${resident / 1e6}%.1fMB")
+    }
+
+    // s24 leg: the frozen-tokenizer encode + double exact cumsum (the
+    // c11 production shape). Merges train ONCE on the base %25 slice
+    // (driver-bounded, the cost a real vocab pays once), then every
+    // scale point ENCODES its full corpus under the frozen merges and
+    // lays 512-token shards under both counts. The claim: encode is
+    // map-side (wall ~linear in corpus bytes), and the two cumsums
+    // stay range-partitioned — no single-partition stage at any scale.
+    val (s24merges, s24syms) = Bpe.train(
+      base.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), col("text")), nMerges = 8)
+    s24syms.unpersist(blocking = false)
+    copiesList.foreach { c =>
+      val dir = s"/tmp/graft_psb/x$c"
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val (nShards, sec) = timed {
+        val enc = Bpe.encode(corpus, s24merges)
+          .select(col("doc_id"),
+            size(col("syms")).cast("long").as("tok_bpe"))
+          .join(corpus.select(col("doc_id"),
+            size(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+              .cast("long").as("tok_ws")), "doc_id")
+          .where(col("tok_ws") >= 1)
+        val c1 = Ranking.cumsumExact(enc, Seq(col("doc_id")),
+          col("tok_bpe"), "cum_bpe")
+        val c2 = Ranking.cumsumExact(c1, Seq(col("doc_id")),
+          col("tok_ws"), "cum_ws")
+        c2.select(expr("(cum_bpe - tok_bpe) div 512").as("shard"),
+            expr("(cum_ws - tok_ws) div 512").as("shard_ws"))
+          .groupBy(col("shard")).agg(countDistinct(col("shard_ws")))
+          .count()
+      }
+      graft.Isolation.scrub(spark)
+      println(f"psb s24 copies=$c%-2d shards=$nShards encode_shard=${sec}%.2fs")
     }
 
     // d13 fallback leg: a MAJORITY-frequent corpus — every doc's text

@@ -496,6 +496,15 @@ object Similarity {
       .where(col("cand_id") =!= col("anchor_id"))
       .withColumn("cos", Registry.cosineSim(col("a_vec"), col("vec")))
       .select(col("anchor_id"), col("cand_id"), col("cos"))
+    tripletPick(cand, posMin, negMax).orderBy(col("anchor_id"))
+  }
+
+  /** The per-anchor pos/hard-neg pick shared by every triplet entry
+    * point: ONE hash aggregation, conditional struct-max per side
+    * (max over (cos, −cand_id) = the (cos desc, cand_id asc) rule),
+    * anchors missing either side dropped. */
+  private def tripletPick(cand: DataFrame, posMin: Double,
+                          negMax: Double): DataFrame = {
     def pick(cond: Column) =
       max(when(cond, struct(col("cos").as("cos"),
         (-col("cand_id")).as("nid"))))
@@ -506,8 +515,42 @@ object Similarity {
       .select(col("anchor_id"),
         (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
         (-col("n.nid")).as("neg_id"), col("n.cos").as("neg_cos"))
-      .orderBy(col("anchor_id"))
   }
+
+  /** Candidate stream of a QUERY batch against a PERSISTED IVF corpus
+    * ([[saveIvf]] layout): each query row is assigned to its nearest
+    * cell map-side under the loaded centroids (the same single
+    * assignment path every entry point shares), joined to that cell's
+    * STORED vectors — a partition-pruned scan of `cells/`, the disk
+    * inverted file — with one cosine per pair and identical-id
+    * self-exclusion. Shared by [[mineTripletsAgainstIvf]] and the
+    * streaming enrich (graft.streaming.VectorStreams.tripletEnrich),
+    * so the continuous and batch miners cannot drift. */
+  def tripletCandidatesAgainstIvf(spark: org.apache.spark.sql.SparkSession,
+                                  path: String,
+                                  queries: DataFrame): DataFrame = {
+    val (index, cells) = loadIvf(spark, path)
+    val anchors = assignToCells(index, queries)
+      .select(col("vec_id").as("anchor_id"), col("vec").as("a_vec"),
+        col("cell"))
+    anchors
+      .join(cells.select(col("vec_id").as("cand_id"), col("cell"),
+        col("vec")), Seq("cell"))
+      .where(col("cand_id") =!= col("anchor_id"))
+      .withColumn("cos", Registry.cosineSim(col("a_vec"), col("vec")))
+      .select(col("anchor_id"), col("cand_id"), col("cos"))
+  }
+
+  /** Batch twin of the streaming triplet enrich: mine triplets for a
+    * query batch against the persisted IVF corpus at `path` — the
+    * daily shape when anchors arrive in batches rather than as a
+    * stream. Selection semantics = [[mineTripletsFromAssigned]]
+    * (same [[tripletPick]]); only where anchors come from changes. */
+  def mineTripletsAgainstIvf(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame,
+                             posMin: Double, negMax: Double): DataFrame =
+    tripletPick(tripletCandidatesAgainstIvf(spark, path, queries),
+      posMin, negMax).orderBy(col("anchor_id"))
 
   /** DuckDB oracle for [[mineTriplets]] — [[ivfAssignCte]] assignment,
     * identical cosine arithmetic and tie rules. */

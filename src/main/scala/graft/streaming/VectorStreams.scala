@@ -63,6 +63,65 @@ object VectorStreams {
       }
   }
 
+  case class TripletCand(anchor_id: Long, cand_id: Long, cos: Double)
+  case class MinedTriplet(anchor_id: Long, pos_id: Long, pos_cos: Double,
+                          neg_id: Long, neg_cos: Double)
+
+  /** CONTINUOUS triplet mining — the stream-static shape a trainer's
+    * data loader actually runs: anchor vectors arrive as a stream, are
+    * assigned to their nearest cell map-side under the persisted IVF's
+    * centroids, and mined against the STORED corpus (a partition-
+    * pruned scan of the index's cells — the static side). The whole
+    * candidate front half IS the batch implementation
+    * ([[Similarity.tripletCandidatesAgainstIvf]], shared), so the
+    * streamed triplets equal [[Similarity.mineTripletsAgainstIvf]]
+    * over the same arrivals row for row (spec-pinned). The one
+    * mechanical difference, same as [[pqIvfEnrich]]'s heap cuts: the
+    * per-anchor struct-max pick becomes an iterator fold inside a
+    * STATELESS flatMapGroupsWithState shell — an anchor's candidates
+    * all live in the micro-batch that carried it, no state row is
+    * ever written (spec-pinned zero), and memory per group is O(1).
+    * Fold order replays the batch rule exactly: higher cos wins, ties
+    * to the smaller cand_id. */
+  def tripletEnrich(stream: DataFrame, path: String, posMin: Double,
+                    negMax: Double): Dataset[MinedTriplet] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val cand = Similarity.tripletCandidatesAgainstIvf(spark, path, stream)
+    cand.as[TripletCand].groupByKey(_.anchor_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (aid: Long, rows: Iterator[TripletCand], _: GroupState[Boolean]) =>
+          // Spark SQL's double ordering, not Java's: NaN (a zero-norm
+          // embedding's 0/0 cosine) ranks ABOVE every value — so it
+          // passes `cos >= posMin`, fails `cos < negMax`, and wins the
+          // struct-max — and ±0.0 collapse to the id tie-break (the
+          // cosKey lesson, applied to a fold)
+          def cmpSpark(a: Double, b: Double): Int =
+            if (a.isNaN && b.isNaN) 0
+            else if (a.isNaN) 1
+            else if (b.isNaN) -1
+            else java.lang.Double.compare(a + 0.0d, b + 0.0d) match {
+              case 0 => 0
+              case c => if (a == b) 0 else c // a == b collapses ±0.0
+            }
+          def better(r: TripletCand, cur: TripletCand): Boolean =
+            cur == null || {
+              val c = cmpSpark(r.cos, cur.cos)
+              c > 0 || (c == 0 && r.cand_id < cur.cand_id)
+            }
+          var pos: TripletCand = null
+          var neg: TripletCand = null
+          rows.foreach { r =>
+            if (cmpSpark(r.cos, posMin) >= 0 && better(r, pos)) pos = r
+            if (cmpSpark(r.cos, negMax) < 0 && better(r, neg)) neg = r
+          }
+          if (pos != null && neg != null)
+            Iterator(MinedTriplet(aid, pos.cand_id, pos.cos,
+              neg.cand_id, neg.cos))
+          else Iterator.empty
+      }
+  }
+
   /** The continuous-curation sink for the VECTOR index — the PQ twin
     * of [[DocStreams.indexedDedupSink]]: each micro-batch is enriched
     * against the persisted PQ-IVF index ([[Similarity.pqIvfSearch]] —

@@ -114,4 +114,77 @@ class VectorStreamsSpec extends AnyFunSuite {
     // the degenerate rows actually exercised the NaN path
     assert(batch.exists(r => r(3).asInstanceOf[Double].isNaN))
   }
+
+  private def runTripletStream(path: String, arrivals: Seq[Seq[VecRow]],
+                               posMin: Double, negMax: Double)
+      : (Seq[Seq[Any]], Long) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[VecRow]
+    val name = s"tripstream_${System.nanoTime()}"
+    val q = VectorStreams.tripletEnrich(input.toDF(), path, posMin, negMax)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      arrivals.foreach { t => input.addData(t: _*); q.processAllAvailable() }
+      val rows = spark.table(name).orderBy(col("anchor_id"))
+        .collect().map(_.toSeq).toSeq
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      (rows, stateRows)
+    } finally q.stop()
+  }
+
+  test("continuous triplet mining equals the batch miner on the same arrivals; shells keep zero state") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") % 7 =!= 0)
+    val arriving = emb.where(col("vec_id") % 7 === 0).as[VecRow].collect().toSeq
+    assert(arriving.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("ivf_trip").toString
+    val (index, assigned) = Similarity.buildIvfTrained(resident, k = 8)
+    Similarity.saveIvf(index, assigned, path)
+    // thresholds chosen so real corpus cosines populate BOTH sides
+    val (streamed, stateRows) = runTripletStream(path,
+      Seq(arriving.take(arriving.size / 2), arriving.drop(arriving.size / 2)),
+      posMin = 0.2, negMax = 0.2)
+    val batch = Similarity.mineTripletsAgainstIvf(spark, path,
+        arriving.toDF(), posMin = 0.2, negMax = 0.2)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+    assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
+  }
+
+  test("continuous triplet mining: zero-norm NaN arrivals pick identically to the batch struct-max") {
+    val zero = Seq.fill(64)(0f)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") % 7 =!= 0)
+    val arriving = emb.where(col("vec_id") % 7 === 0)
+      .as[VecRow].collect().toSeq :+ VecRow(900002L, zero)
+    val path = java.nio.file.Files.createTempDirectory("ivf_trip_nan").toString
+    val (index, assigned) = Similarity.buildIvfTrained(resident, k = 8)
+    Similarity.saveIvf(index, assigned, path)
+    val (streamed, _) = runTripletStream(path, Seq(arriving),
+      posMin = 0.2, negMax = 0.2)
+    val batch = Similarity.mineTripletsAgainstIvf(spark, path,
+        arriving.toDF(), posMin = 0.2, negMax = 0.2)
+      .collect().map(_.toSeq).toSeq
+    def norm(rows: Seq[Seq[Any]]) = rows.map(_.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case x => x
+    })
+    assert(norm(streamed) === norm(batch))
+    // the NaN anchor's every cosine is 0/0 = NaN: under SQL ordering it
+    // passes `>= posMin` (NaN ranks top) but can never pass `< negMax`,
+    // so the anchor must drop — on BOTH engines identically. A Java-
+    // ordered fold would instead fail the pos side too; same drop, but
+    // for the wrong reason, and a mixed-NaN cell would then diverge —
+    // the parity above is what pins the ordering.
+    assert(!batch.exists(_.head == 900002L))
+    assert(!streamed.exists(_.head == 900002L))
+    assert(streamed.nonEmpty)
+  }
 }
