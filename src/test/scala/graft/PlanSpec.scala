@@ -382,8 +382,9 @@ class PlanSpec extends AnyFunSuite {
       // LangId: the (#langs)-row class-constant table broadcast-crosses
       // into the per-doc totals — every doc scores against every class
       // by definition (a K-class linear scorer), and K is single-digit;
-      // the corpus-sized side never builds. q9 composes q8's classifier.
-      "q8_trained_langid", "q9_langid_surprisal")
+      // the corpus-sized side never builds. q9 composes q8's
+      // classifier; c13 composes it into the curation gate.
+      "q8_trained_langid", "q9_langid_surprisal", "c13_langid_curation")
     // e5 relies on the range-join rule, which activates on the same
     // conf Bench/Verify set — sweep under production settings
     spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")
