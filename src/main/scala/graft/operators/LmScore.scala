@@ -189,16 +189,36 @@ object LmScore {
     * carry the same COALESCE arm. */
   private def scorePerLang(bg: DataFrame, lm: DataFrame, unk: DataFrame,
                            uni: DataFrame): DataFrame =
+    lpRowsPerLangOf(bg, lm, unk, uni)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp2")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_bigrams"))
+
+  /** Per-transition (doc_id, lang, lp2) stream — the per-language twin
+    * of [[lpRows]], shared by the batch scorer above and the streaming
+    * enrich (graft.streaming.DocStreams.lmScoreEnrichPerLang) so the
+    * two cannot drift: on a stream the final per-(doc, lang) sum runs
+    * in a stateless group shell instead of groupBy, but every lp2 this
+    * emits is identical. */
+  private def lpRowsPerLangOf(bg: DataFrame, lm: DataFrame, unk: DataFrame,
+                              uni: DataFrame): DataFrame =
     bg
       .join(lm, Seq("lang", "w1", "w2"), "left")
       .join(unk, Seq("lang", "w1"), "left")
       .join(broadcast(uni), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("lp"), col("lp_unk"), col("lp_unseen"), lit(0L)).as("lp2"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp2")).as("logp_micro"))
-      .withColumn("surprisal",
-        -col("logp_micro").cast("double") / col("n_bigrams"))
+
+  /** [[lpRowsPerLangOf]] against the persisted per-language models at
+    * `path` — the loaded-artifact form the streaming enrich consumes. */
+  def lpRowsPerLang(docs: DataFrame,
+                    spark: org.apache.spark.sql.SparkSession,
+                    path: String, textCol: String = "text"): DataFrame = {
+    val (lm, unk, meta) = loadLmPerLang(spark, path)
+    lpRowsPerLangOf(bigramsPerLang(docs, textCol), lm, unk,
+      meta.select(col("lang"), col("lp_unseen")))
+  }
 
   /** PER-LANGUAGE bigram LMs in ONE pass (q7) — CCNet proper: one
     * model per language, each document scored under ITS OWN

@@ -879,4 +879,35 @@ object DocStreams {
           Iterator.single(DocScore(docId, n, s, -s.toDouble / n))
       }
   }
+
+  case class DocScorePerLang(doc_id: Long, lang: String, n_bigrams: Long,
+                             logp_micro: Long, surprisal: Double)
+
+  /** PER-LANGUAGE twin of [[lmScoreEnrich]]: a stream of (doc_id,
+    * lang, text) rows scored against the persisted per-language
+    * target models at `path` ([[graft.operators.LmScore.saveLmPerLang]])
+    * — the continuous form of the c12 gate's scoring stage. Same
+    * shared-lp contract (`LmScore.lpRowsPerLang` IS the batch
+    * scorer's transition stream, including the lp-0 no-opinion arm
+    * for a language with no model), same stateless per-(doc, lang)
+    * fold shell, so streamed scores equal `surprisalAgainstLmPerLang`
+    * row for row (spec-pinned). */
+  def lmScoreEnrichPerLang(docs: DataFrame, path: String,
+                           textCol: String = "text")
+      : Dataset[DocScorePerLang] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.LmScore.lpRowsPerLang(docs, spark, path, textCol)
+      .as[(Long, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long)],
+         _: GroupState[Boolean]) =>
+          var n = 0L
+          var s = 0L
+          rows.foreach { r => n += 1; s += r._3 }
+          Iterator.single(DocScorePerLang(key._1, key._2, n, s,
+            -s.toDouble / n))
+      }
+  }
 }

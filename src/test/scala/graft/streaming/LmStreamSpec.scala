@@ -61,4 +61,43 @@ class LmStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
   }
+
+  test("streaming lmScoreEnrichPerLang equals batch surprisalAgainstLmPerLang incl. the no-model lang; zero state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("pllm_stream").toString
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // per-language targets trained on the even docs; the odd docs
+    // arrive on the stream, one of them under a language NO model was
+    // trained for (the lp-0 no-opinion arm)
+    LmScore.saveLmPerLang(all.where(col("doc_id") % 2 === 0), path)
+    val arriving = all.where(col("doc_id") % 2 === 1)
+      .as[(Long, String, String)].collect().toSeq :+
+      ((900001L, "xx", "some words never modelled"))
+    val input = MemoryStream[(Long, String, String)]
+    val name = s"pllmstream_${System.nanoTime()}"
+    val q = DocStreams.lmScoreEnrichPerLang(
+        input.toDF().toDF("doc_id", "lang", "text"), path)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val (streamed, stateRows) =
+      try {
+        input.addData(arriving.take(arriving.size / 2): _*)
+        q.processAllAvailable()
+        input.addData(arriving.drop(arriving.size / 2): _*)
+        q.processAllAvailable()
+        (spark.table(name).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+          Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L))
+      } finally q.stop()
+    val batch = LmScore.surprisalAgainstLmPerLang(
+        arriving.toDF("doc_id", "lang", "text"), spark, path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the no-model lang took the 0L arm on BOTH engines
+    assert(streamed.exists(r => r.head == 900001L && r(3) == 0L))
+    assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
+  }
 }
