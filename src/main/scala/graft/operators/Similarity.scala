@@ -699,6 +699,90 @@ object Similarity {
       pivotAvg(ytop, "tgt_id", "y_avg", k), minMargin)
   }
 
+  /** Persist the margin-mining serving artifact: the [[saveIvf]]
+    * layout PLUS a per-target neighborhood-denominator table `yden/`
+    * (tgt_id, y_avg) — avgₖ of every B-side (odd-id) vector's top-k
+    * in-cell cosines against the A-side (even-id) corpus, with
+    * [[pivotAvg]]'s pinned left-associated addition order. The
+    * production observation: the y-denominator is a property of the
+    * CORPUS, not of the queries — [[marginAlignmentFromAssigned]]
+    * recomputes touched targets' neighborhoods every run, but a
+    * persisted index can pay that join ONCE at build time, leaving
+    * per-batch mining one broadcast-able yden lookup (the d14
+    * amortization argument, applied to v9). Targets with fewer than
+    * `k` in-cell A-side neighbors keep the strict-k NULL (they drop
+    * at the margin join on every path, batch and stream alike). */
+  def saveMarginIndex(index: IvfIndex, assigned: DataFrame, k: Int,
+                      path: String): Unit = {
+    saveIvf(index, assigned, path)
+    val aSide = assigned.where(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("a_id"), col("cell"), col("vec"))
+    val bSide = assigned.where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("tgt_id"), col("cell"),
+        col("vec").as("y_vec"))
+    val yc = bSide.join(aSide, Seq("cell"))
+      .withColumn("cos", Registry.cosineSim(col("y_vec"), col("vec")))
+      .select(col("tgt_id"), col("a_id"), col("cos"))
+    val wy = Window.partitionBy(col("tgt_id")).orderBy(desc("cos"), col("a_id"))
+    val ytop = yc.withColumn("rn", row_number().over(wy)).where(col("rn") <= k)
+    pivotAvg(ytop, "tgt_id", "y_avg", k)
+      .write.mode("overwrite").parquet(s"$path/yden")
+    assigned.sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(k)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/margin_meta")
+  }
+
+  /** Mine margin-alignment pairs for a QUERY batch against the
+    * persisted index — query rows are the source side (assign
+    * map-side, candidates in-cell against the stored B-side targets,
+    * x-denominator from the batch's own top-k), the y-denominator one
+    * pruned read of the precomputed `yden/` table. On the corpus's own
+    * sampled A-side rows this equals [[marginAlignmentFromAssigned]]
+    * exactly (spec-pinned — yden over ALL targets vs the touched-only
+    * recompute is pure precomputation, never a semantics change).
+    * Query vec_ids must be disjoint from stored target ids (the same
+    * id contract as every probe API here; the corpus's parity split
+    * satisfies it by construction). */
+  def marginAgainstIvf(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame,
+                       minMargin: Double): DataFrame = {
+    val k = marginIndexK(spark, path)
+    val cand = marginCandidatesAgainstIvf(spark, path, queries)
+    val wq = Window.partitionBy(col("src_id")).orderBy(desc("cos"), col("tgt_id"))
+    val top = cand.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= k).localCheckpoint()
+    marginPick(top, pivotAvg(top, "src_id", "x_avg", k),
+      spark.read.parquet(s"$path/yden"), minMargin)
+  }
+
+  /** The persisted index's build-time k (top-k width shared by the
+    * x side and the precomputed yden). */
+  def marginIndexK(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Int =
+    spark.read.parquet(s"$path/margin_meta").head().getInt(0)
+
+  /** Shared candidate front half of the batch and streaming
+    * against-index miners: assign queries to cells map-side, join the
+    * stored B-side targets in-cell (partition-pruned), one cosine per
+    * pair. Emits (src_id, tgt_id, cos). */
+  private[graft] def marginCandidatesAgainstIvf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame): DataFrame = {
+    val (index, cells) = loadIvf(spark, path)
+    val bSide = cells.where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("tgt_id"), col("cell"), col("vec"))
+    val anchors = assignToCells(index, queries)
+      .select(col("vec_id").as("src_id"), col("vec").as("q_vec"),
+        col("cell"))
+    anchors.join(bSide, Seq("cell"))
+      .withColumn("cos", Registry.cosineSim(col("q_vec"), col("vec")))
+      .select(col("src_id"), col("tgt_id"), col("cos"))
+  }
+
   /** DuckDB oracle for [[marginAlignment]]: unrolled in-order cosine
     * chains, the same rank pivots with the same left-associated sums,
     * the same (margin desc, tgt_id) pick. */

@@ -67,6 +67,18 @@ object VectorStreams {
   case class MinedTriplet(anchor_id: Long, pos_id: Long, pos_cos: Double,
                           neg_id: Long, neg_cos: Double)
 
+  /** Spark SQL's double ordering, not Java's: NaN (a zero-norm
+    * embedding's 0/0 cosine) ranks ABOVE every value — so it passes
+    * `x >= t`, fails `x < t`, and wins a struct-max — and ±0.0
+    * collapse to the downstream tie-break (the cosKey lesson, as a
+    * comparator for the stateless folds). */
+  private def cmpSpark(a: Double, b: Double): Int =
+    if (a.isNaN && b.isNaN) 0
+    else if (a.isNaN) 1
+    else if (b.isNaN) -1
+    else if (a == b) 0 // collapses ±0.0
+    else java.lang.Double.compare(a, b)
+
   /** CONTINUOUS triplet mining — the stream-static shape a trainer's
     * data loader actually runs: anchor vectors arrive as a stream, are
     * assigned to their nearest cell map-side under the persisted IVF's
@@ -91,19 +103,6 @@ object VectorStreams {
     cand.as[TripletCand].groupByKey(_.anchor_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (aid: Long, rows: Iterator[TripletCand], _: GroupState[Boolean]) =>
-          // Spark SQL's double ordering, not Java's: NaN (a zero-norm
-          // embedding's 0/0 cosine) ranks ABOVE every value — so it
-          // passes `cos >= posMin`, fails `cos < negMax`, and wins the
-          // struct-max — and ±0.0 collapse to the id tie-break (the
-          // cosKey lesson, applied to a fold)
-          def cmpSpark(a: Double, b: Double): Int =
-            if (a.isNaN && b.isNaN) 0
-            else if (a.isNaN) 1
-            else if (b.isNaN) -1
-            else java.lang.Double.compare(a + 0.0d, b + 0.0d) match {
-              case 0 => 0
-              case c => if (a == b) 0 else c // a == b collapses ±0.0
-            }
           def better(r: TripletCand, cur: TripletCand): Boolean =
             cur == null || {
               val c = cmpSpark(r.cos, cur.cos)
@@ -119,6 +118,72 @@ object VectorStreams {
             Iterator(MinedTriplet(aid, pos.cand_id, pos.cos,
               neg.cand_id, neg.cos))
           else Iterator.empty
+      }
+  }
+
+  case class MarginCand(src_id: Long, tgt_id: Long, cos: Double)
+  case class MarginScored(src_id: Long, tgt_id: Long, cos: Double,
+                          x_avg: Double)
+  case class AlignedPair(src_id: Long, tgt_id: Long, cos: Double,
+                         margin: Double)
+
+  /** CONTINUOUS margin-alignment mining against a persisted margin
+    * index ([[Similarity.saveMarginIndex]]) — the v9 stream-static
+    * form: arriving source vectors are assigned map-side, their
+    * candidates come from the stored B-side cells (partition-pruned
+    * static scans, shared front half
+    * [[Similarity.marginCandidatesAgainstIvf]]), the x-denominator
+    * folds from the batch's own top-k in a STATELESS shell (bounded
+    * heap, same rank order and left-associated IEEE sum as the batch
+    * pivot), and the y-denominator is one static join against the
+    * index's PRECOMPUTED `yden/` table — the build-time amortization
+    * that makes per-batch mining cheap. Streamed pairs equal
+    * [[Similarity.marginAgainstIvf]] over the same arrivals row for
+    * row (spec-pinned); anchors with fewer than k candidates drop
+    * (the strict-k rule), NaN margins rank top (Spark's double
+    * ordering, [[cmpSpark]]), zero state rows ever written. */
+  def marginEnrich(stream: DataFrame, path: String,
+                   minMargin: Double): Dataset[AlignedPair] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val k = Similarity.marginIndexK(spark, path)
+    val cand = Similarity.marginCandidatesAgainstIvf(spark, path, stream)
+    val top = cand.as[MarginCand].groupByKey(_.src_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, rows: Iterator[MarginCand], _: GroupState[Boolean]) =>
+          val t = topBy(rows, k)(r => (cosKey(r.cos), r.tgt_id))
+          if (t.size < k) Iterator.empty // strict-k: batch x_avg is NULL
+          else {
+            // left-associated sum in rank order, seeded from rank 1 —
+            // bit-identical to pivotAvg's reduceLeft chain
+            var s = t.head.cos
+            t.tail.foreach(r => s += r.cos)
+            val xa = s / k
+            t.iterator.map(r => MarginScored(sid, r.tgt_id, r.cos, xa))
+          }
+      }
+    val scored = top.toDF()
+      .join(spark.read.parquet(s"$path/yden"), Seq("tgt_id"))
+      .withColumn("margin",
+        col("cos") / ((col("x_avg") + col("y_avg")) / lit(2.0)))
+      // a strict-k NULL y_avg yields a NULL margin; the batch pick can
+      // never keep it (NULL fails every comparison), so dropping here
+      // preserves parity and keeps the encoder non-nullable
+      .where(col("margin").isNotNull)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+      .as[AlignedPair]
+    scored.groupByKey(_.src_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, rows: Iterator[AlignedPair], _: GroupState[Boolean]) =>
+          var best: AlignedPair = null
+          rows.foreach { r =>
+            if (cmpSpark(r.margin, minMargin) >= 0 &&
+                (best == null || cmpSpark(r.margin, best.margin) > 0 ||
+                 (cmpSpark(r.margin, best.margin) == 0 &&
+                   r.tgt_id < best.tgt_id)))
+              best = r
+          }
+          if (best == null) Iterator.empty else Iterator.single(best)
       }
   }
 

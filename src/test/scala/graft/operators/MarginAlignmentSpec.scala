@@ -106,4 +106,28 @@ class MarginAlignmentSpec extends AnyFunSuite {
         s"contract violated: ${r.toSeq}")
     }
   }
+
+  test("persisted margin index: marginAgainstIvf on the corpus's own sampled anchors equals marginAlignmentFromAssigned") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 256).map { i =>
+      (i.toLong, Seq.fill(8)((rnd.nextGaussian() * (1 + i % 3)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (index, assigned) = Similarity.buildIvfTrained(big, k = 4)
+    val pinned = assigned.localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("margin_idx").toString
+    Similarity.saveMarginIndex(index, pinned, k = 2, path)
+    val direct = Similarity.marginAlignmentFromAssigned(pinned, k = 2,
+      minMargin = 1.0, sampleMod = 4).collect().map(_.toSeq).toSeq
+    // the same sampled even anchors, this time as a QUERY batch
+    // against the persisted artifact — yden over ALL targets vs the
+    // touched-only recompute must be pure precomputation
+    val queries = big.where(col("vec_id") % 4 === 0 && col("vec_id") % 2 === 0)
+    val served = Similarity.marginAgainstIvf(spark, path, queries,
+        minMargin = 1.0)
+      .collect().map(_.toSeq).toSeq
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
 }

@@ -187,4 +187,43 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(!streamed.exists(_.head == 900002L))
     assert(streamed.nonEmpty)
   }
+
+  test("continuous margin mining equals batch marginAgainstIvf on the same arrivals; shells keep zero state") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    // corpus = the resident index (even sources feed yden, odd rows are
+    // the stored targets); arrivals = fresh source vectors with ids
+    // disjoint from the stored targets
+    val resident = emb.where(col("vec_id") % 7 =!= 0)
+    val (index, assigned) = Similarity.buildIvfTrained(resident, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("margin_stream").toString
+    Similarity.saveMarginIndex(index, assigned.localCheckpoint(), k = 3, path)
+    val arriving = emb.where(col("vec_id") % 7 === 0)
+      .as[VecRow].collect().toSeq
+    assert(arriving.nonEmpty)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[VecRow]
+    val name = s"marginstream_${System.nanoTime()}"
+    val q = VectorStreams.marginEnrich(input.toDF(), path, minMargin = 0.8)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val (streamed, stateRows) =
+      try {
+        input.addData(arriving.take(arriving.size / 2): _*)
+        q.processAllAvailable()
+        input.addData(arriving.drop(arriving.size / 2): _*)
+        q.processAllAvailable()
+        (spark.table(name).orderBy(col("src_id")).collect().map(_.toSeq).toSeq,
+          Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L))
+      } finally q.stop()
+    val batch = Similarity.marginAgainstIvf(spark, path,
+        arriving.toDF(), minMargin = 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+    assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
+  }
 }
