@@ -140,6 +140,20 @@ object Maintenance {
       return NightlyReport(path, fam,
         if (rootStaged) Seq("heal-swap") else Nil, None, None)
     }
+    // margin-index roots ([[Similarity.saveMarginIndex]] layout:
+    // cells/ + centroids/ + yden/ + margin_meta/) would otherwise be
+    // misdetected as PQ by the cells/ probe below and crash the drift
+    // check on the missing codebook tables. yden is retrained-not-
+    // patched (a corpus property — rebuilds ride [[retrainAndSwap]]),
+    // so the nightly here is cell compaction + the root heal above.
+    if (exists("margin_meta")) {
+      val compacted = graft.sources.Compaction.compactPartitions(spark,
+        s"$path/cells", "cell=", maxFilesPerPart)
+      return NightlyReport(path, "margin-ivf",
+        (if (rootStaged) Seq("heal-swap") else Nil) ++
+          (if (compacted.nonEmpty) Seq(s"compact:${compacted.size}") else Nil),
+        None, None)
+    }
     // registry analogue: a [[Clusters.compactRegistry]] fold that died
     // between TableSwap's two renames leaves members/ absent with the
     // full table staged at _repair_old_members — recover it BEFORE the

@@ -198,6 +198,43 @@ object PipelineScaleBench {
       println(f"psb v9 copies=$c%-2d vecs=$nVec cells=$cells " +
         f"build=${buildSec}%.2fs mine=${mineSec}%.2fs pairs=$nPairs " +
         f"resident=${resident / 1e6}%.1fMB")
+
+      // margin-index amortization sub-leg (the d14 argument applied to
+      // v9): a FIXED query batch against the persisted artifact — the
+      // probe pays assignment + pruned cell scan + one yden lookup,
+      // while the from-scratch run recomputes every touched target's
+      // neighborhood. Equality asserted: the index is precomputation,
+      // never a semantics change. (Anchor set = the same sampleMod=8
+      // even rows, expressed as a query batch.)
+      val idxPath = s"/tmp/graft_psb/marginidx_x$c"
+      val fs = graft.sources.Hdfs.forPath(spark, idxPath)
+      fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+      val rebuilt = Similarity.buildIvfTrained(scaled, k = cells)
+      val (_, idxBuildSec) = timed(Similarity.saveMarginIndex(
+        rebuilt._1, rebuilt._2.localCheckpoint(), k = 4, idxPath))
+      graft.Isolation.scrub(spark)
+      val queries2 = scaled.where(
+        pmod(col("vec_id"), lit(8)) === 0 && pmod(col("vec_id"), lit(2)) === 0)
+      val (served, probeSec) = timed(
+        Similarity.marginAgainstIvf(spark, idxPath, queries2, minMargin = 1.0)
+          .collect().map(_.toSeq).toSeq)
+      graft.Isolation.scrub(spark)
+      // from-scratch pays the WHOLE recompute (assignment + touched-
+      // target neighborhoods) — a fresh deterministic build, not the
+      // earlier leg's checkpointed frame (the scrubs above evict it)
+      val (direct, scratchSec) = timed {
+        val (_, a2) = Similarity.buildIvfTrained(scaled, k = cells)
+        Similarity.marginAlignmentFromAssigned(a2.localCheckpoint(), k = 4,
+          minMargin = 1.0, sampleMod = 8).collect().map(_.toSeq).toSeq
+      }
+      graft.Isolation.scrub(spark)
+      println(f"psb v9idx copies=$c%-2d idx_build=${idxBuildSec}%.2fs " +
+        f"probe=${probeSec}%.2fs from_scratch=${scratchSec}%.2fs " +
+        f"equal=${served == direct}")
+      if (served != direct) {
+        System.err.println(s"psb v9idx OUTPUT MISMATCH at copies=$c")
+        spark.stop(); sys.exit(4)
+      }
     }
 
     // s24 leg: the frozen-tokenizer encode + double exact cumsum (the

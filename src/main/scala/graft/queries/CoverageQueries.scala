@@ -89,6 +89,10 @@ object CoverageQueries {
     // Ranking.cumsumExact — no single-partition window), and roll up
     // per shard with a fingerprint checksum so a chunk in the wrong
     // shard cannot pass. ONE oracle replays the whole chain.
+    // ACCOUNTING NOTE: budgets here are WHITESPACE token counts — kept
+    // deliberately as the comparison point; s24 proves the mis-sizing
+    // row by row and c11 is the production form (frozen persisted BPE
+    // merges, shards laid under tokenizer counts).
     "c5_training_shards" -> ((s, dir) => {
       import graft.operators.{TextAnalysis, Ranking}
       import graft.functions.PolyHash64
@@ -510,6 +514,37 @@ object CoverageQueries {
             max(col("shard_ws")).as("ws_shard_hi"))
           .orderBy(col("shard"))
       }
+    }),
+
+    // S25: TOKENIZER FERTILITY by language — the standard tokenizer-QA
+    // table every multilingual training run reads before committing to
+    // a vocabulary: tokens-per-word under the frozen merges, per
+    // language (a language the vocabulary serves poorly shows fertility
+    // near 1.0 — no merges apply — and burns context window; the
+    // sum-of-counts ratio is exact BIGINT/BIGINT in double). Same
+    // train-on-sample / encode-corpus shape as c11; the oracle replays
+    // the split chain and the ratio.
+    "s25_tokenizer_fertility" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val docs = Tables.documents(s, dir)
+      val trainSlice = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), col("text"))
+      val encodeSlice = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val (merges, syms) = Bpe.train(trainSlice, nMerges = 8)
+      syms.unpersist(blocking = false)
+      val enc = Bpe.encode(encodeSlice.select(col("doc_id"), col("text")),
+          merges)
+        .select(col("doc_id"), size(col("syms")).cast("long").as("n_bpe"))
+      val ws = encodeSlice.select(col("doc_id"), col("lang"),
+        size(TF.wsTokens(lower(col("text")))).cast("long").as("n_ws"))
+      ws.join(enc, "doc_id").where(col("n_ws") >= 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("ws_tokens"),
+          sum(col("n_bpe")).as("bpe_tokens"),
+          (sum(col("n_bpe")).cast("double") /
+            sum(col("n_ws")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
     }),
 
     // J3: one-to-many nested materialization (main.py:189,554-577) —
@@ -1809,6 +1844,25 @@ object CoverageQueries {
          |       MIN(shard_ws) AS ws_shard_lo,
          |       MAX(shard_ws) AS ws_shard_hi
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+    },
+
+    "s25_tokenizer_fertility" -> {
+      val chain = graft.operators.Bpe.trainEncodeSplitSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0) tr",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0) en", 8)
+      val toks = TF.wsTokensSql("lower(text)")
+      s"""WITH $chain,
+         |ws AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_ws
+         |       FROM documents
+         |       WHERE doc_id % 5 = 0 AND len($toks) >= 1),
+         |j AS (SELECT lang, n_ws, n_tokens_bpe
+         |      FROM ws JOIN enc USING (doc_id))
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+         |       CAST(SUM(n_tokens_bpe) AS BIGINT) AS bpe_tokens,
+         |       CAST(SUM(n_tokens_bpe) AS DOUBLE) /
+         |         CAST(SUM(n_ws) AS DOUBLE) AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "j3_orders_per_customer_csv" ->

@@ -483,6 +483,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.nightly(spark, path).noOp)
   }
 
+  test("margin-index roots: nightly detects the family (never the PQ drift check), compacts cells, heals a crashed root swap, probes identical") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val resident = emb.where(col("vec_id") % 7 =!= 0)
+    val batch = emb.where(col("vec_id") % 7 === 0)
+    val parent = java.nio.file.Files.createTempDirectory("mnt_margin").toString
+    val path = parent + "/margin"
+    val (index, assigned) = Similarity.buildIvfTrained(resident, k = 4)
+    Maintenance.retrainAndSwap(spark, path)(tmp =>
+      Similarity.saveMarginIndex(index, assigned.localCheckpoint(),
+        k = 3, tmp))
+    def probe() = Similarity.marginAgainstIvf(spark, path, batch,
+      minMargin = 0.8).collect().map(_.toSeq).toSeq
+    val before = probe()
+    val night1 = Maintenance.nightly(spark, path, maxFilesPerPart = 1)
+    assert(night1.family === "margin-ivf", s"got $night1")
+    assert(probe() === before)
+    // a build-fresh, already-compacted index settles to a no-op night
+    assert(Maintenance.nightly(spark, path, maxFilesPerPart = 1).noOp ||
+      night1.actions.exists(_.startsWith("compact:")))
+    // worst crash window: live staged aside mid retrain-and-swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(parent, "_repair_old_margin")))
+    val night = Maintenance.nightly(spark, path)
+    assert(night.family === "margin-ivf" &&
+      night.actions.contains("heal-swap"), s"got $night")
+    assert(probe() === before,
+      "healed index must serve the pre-crash pairs")
+  }
+
   test("tokenizer retrain-and-swap: family detected, crashed swap heals, frozen merges identical") {
     val train = Seq((1L, "p q p q r"), (2L, "p q r r")).toDF("doc_id", "text")
     val parent = java.nio.file.Files.createTempDirectory("mnt_tok").toString
