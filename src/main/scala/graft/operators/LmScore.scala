@@ -220,6 +220,105 @@ object LmScore {
       meta.select(col("lang"), col("lp_unseen")))
   }
 
+  /** Adjacent token TRIPLES per document: map-side, same shape as
+    * [[bigrams]] one order up. Documents with <3 tokens contribute
+    * nothing (the trigram analog of the <2 bigram rule). */
+  private def trigrams(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.toks(col(textCol)).as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 2).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 2).as("w2"),
+        slice(col("t"), lit(3), size(col("t")) - 2).as("w3"))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"),
+        col("g.w2").as("w2"), col("g.w3").as("w3"))
+
+  /** TRIGRAM surprisal with bigram→unigram backoff (q10) — one order
+    * closer to the 5-gram KenLM CCNet actually runs than [[surprisal]]:
+    * P(w3|w1w2) add-½-smoothed where the (w1,w2) context was seen in
+    * training, backing off to the BIGRAM estimate P(w3|w2) (the same
+    * add-½ table [[trainBigram]] builds), then to the per-w2 UNK mass,
+    * then to uniform 1/V — each transition scored by the HIGHEST-order
+    * model that has an opinion, the standard stupid-backoff shape with
+    * exact integer micro-nats at every tier (one ln per model row,
+    * BIGINT sums everywhere — the whole cascade hash-matches DuckDB).
+    * Scale shape: one extra hash-agg shuffle for the trigram count
+    * table (context totals re-aggregate THAT table, not the corpus;
+    * checkpointed like c12), the scoring join keyed (w1,w2,w3) —
+    * broadcast-able at saturated vocab exactly like [[lpRows]], with
+    * the same documented shuffle fallback. Output: (doc_id,
+    * n_trigrams, logp_micro, surprisal). */
+  def surprisalTrigram(train: DataFrame, docs: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val c123 = trigrams(train, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
+    val c12t = c123.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("ctx"))
+    val v3 = c123.agg((countDistinct(col("w3")) + 1).cast("double").as("v3"))
+    val lm3 = c123.join(c12t, Seq("w1", "w2")).crossJoin(broadcast(v3))
+      .select(col("w1"), col("w2"), col("w3"),
+        lpMicro(col("c123") + lit(0.5), col("ctx") + lit(0.5) * col("v3"))
+          .as("lp3"))
+    val (lm2, unk2, v2) = trainBigram(train, textCol)
+    val uni = v2.select(lpMicro(lit(1.0), col("v")).as("lp_unseen"))
+    trigrams(docs, textCol)
+      .join(lm3, Seq("w1", "w2", "w3"), "left")
+      .join(lm2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("lp").as("lp2")), Seq("w2", "w3"), "left")
+      .join(unk2.select(col("w1").as("w2"), col("lp_unk")), Seq("w2"), "left")
+      .crossJoin(broadcast(uni))
+      .select(col("doc_id"),
+        coalesce(col("lp3"), col("lp2"), col("lp_unk"), col("lp_unseen"))
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_trigrams"))
+  }
+
+  /** DuckDB twin of [[surprisalTrigram]] with DISTINCT train and score
+    * relations (the form that actually exercises every backoff tier —
+    * self-trained, the top tier always hits), ending in `scored3`. */
+  def surprisalTrigramSql(trainFrom: String, scoreFrom: String,
+                          textExpr: String = "text"): String = {
+    val toks = TF.wsTokensSql(s"lower($textExpr)")
+    def tgOf(alias: String, from: String) =
+      s"""$alias AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         |  FROM (SELECT doc_id, $toks AS t FROM $from) d,
+         |       LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g
+         |  WHERE len(t) >= 3)""".stripMargin
+    s"""${tgOf("tgt", trainFrom)},
+       |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tgt GROUP BY 1, 2, 3),
+       |c12t AS (SELECT w1, w2, sum(c123) AS ctx FROM c123 GROUP BY 1, 2),
+       |v3 AS (SELECT CAST(count(DISTINCT w3) + 1 AS DOUBLE) AS v3 FROM c123),
+       |lm3 AS (SELECT w1, w2, w3,
+       |          ${lpMicroSql("c123 + 0.5", "ctx + 0.5*v3")} AS lp3
+       |        FROM c123 JOIN c12t USING (w1, w2) CROSS JOIN v3),
+       |bg AS (${bigramsSql(trainFrom, textExpr)}),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT w2) + 1 AS DOUBLE) AS v FROM c12),
+       |lm2 AS (SELECT w1 AS w2, w2 AS w3,
+       |          ${lpMicroSql("c12 + 0.5", "c1 + 0.5*v")} AS lp2
+       |        FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
+       |unk2 AS (SELECT w1 AS w2, ${lpMicroSql("0.5", "c1 + 0.5*v")} AS lp_unk
+       |         FROM c1 CROSS JOIN vv),
+       |${tgOf("tgs", scoreFrom)},
+       |scored3 AS (
+       |  SELECT doc_id, count(*) AS n_trigrams,
+       |         CAST(sum(lp) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT tgs.doc_id,
+       |          COALESCE(lm3.lp3, lm2.lp2, unk2.lp_unk,
+       |                   ${lpMicroSql("1.0", "v")}) AS lp
+       |        FROM tgs LEFT JOIN lm3 USING (w1, w2, w3)
+       |                LEFT JOIN lm2 USING (w2, w3)
+       |                LEFT JOIN unk2 USING (w2) CROSS JOIN vv) s
+       |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+  }
+
   /** PER-LANGUAGE bigram LMs in ONE pass (q7) — CCNet proper: one
     * model per language, each document scored under ITS OWN
     * language's model ([[surprisal]]/q6 train a single cross-language

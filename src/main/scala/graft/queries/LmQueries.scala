@@ -101,6 +101,23 @@ object LmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q10: TRIGRAM surprisal with bigram→unigram backoff — one order
+    // closer to the 5-gram KenLM CCNet actually runs: each transition
+    // scored by the highest-order model with an opinion (seen
+    // (w1,w2,w3) context → trigram; else seen (w2,w3) → bigram; else
+    // seen w2 → UNK mass; else uniform), all tiers integer micro-nats.
+    // Train/score SPLIT (model on even docs, scored docs odd) so every
+    // backoff tier genuinely fires at the gate SFs — self-trained, the
+    // top tier always hits and the cascade would be dead code.
+    "q10_trigram_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LmScore.surprisalTrigram(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          docs.where(pmod(col("doc_id"), lit(2)) === 1))
+        .where(pmod(col("doc_id"), lit(25)) === 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // S23: DSIR importance weights — target = the English slice,
     // raw = the whole corpus; hashed-bigram log-likelihood ratios in
     // micro-nats (Xie et al. importance resampling, the data-mixing
@@ -187,6 +204,13 @@ object LmQueries {
          |SELECT doc_id, lang, n_bigrams, logp_micro, surprisal
          |FROM scored_pl WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
     },
+
+    "q10_trigram_surprisal" ->
+      s"""WITH ${LmScore.surprisalTrigramSql(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) tr",
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) sc")}
+         |SELECT doc_id, n_trigrams, logp_micro, surprisal
+         |FROM scored3 WHERE doc_id % 25 = 1 ORDER BY doc_id""".stripMargin,
 
     "s23_dsir_weights" ->
       s"""WITH ${LmScore.dsirWeightsSql("documents", "tt.lang = 'en'")}

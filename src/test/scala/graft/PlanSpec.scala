@@ -379,6 +379,9 @@ class PlanSpec extends AnyFunSuite {
       "q5_bigram_surprisal", "q6_ccnet_buckets", "s23_dsir_weights",
       "c8_lm_survivor_clusters", "c9_target_lm_survivors",
       "c10_lm_gated_curation",
+      // q10 inherits the same 1-row scalar crosses (trigram V3 + the
+      // bigram tier's V) at both cascade levels
+      "q10_trigram_surprisal",
       // LangId: the (#langs)-row class-constant table broadcast-crosses
       // into the per-doc totals — every doc scores against every class
       // by definition (a K-class linear scorer), and K is single-digit;

@@ -161,6 +161,26 @@ class LmScoreSpec extends AnyFunSuite {
       s"target LM should keep the fluent copy (got $tgt)")
   }
 
+  test("surprisalTrigram: all four backoff tiers take their branch, hand-counted") {
+    // train "a b c a b c": trigrams (a,b,c)x2, (b,c,a), (c,a,b);
+    // ctx(a,b)=2; V3 = |{a,b,c}|+1 = 4. bigram side: (a,b)x2, (b,c)x2,
+    // (c,a); c1: a=2,b=2,c=1; V2 = 4.
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"), // trigram tier: seen (a,b,c)
+      (11L, "x b c"), // bigram tier: ctx (x,b) unseen, (b,c) seen
+      (12L, "x a d"), // UNK tier: (a,d) unseen, w2=a seen
+      (13L, "x y b")  // uniform tier: w2=y never seen
+    ).toDF("doc_id", "text")
+    val got = LmScore.surprisalTrigram(train, score).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (10L, 1L, micro(2.5 / 4.0)),   // (2+.5)/(2+.5*4)
+      (11L, 1L, micro(2.5 / 4.0)),   // bigram (b,c): (2+.5)/(2+.5*4)
+      (12L, 1L, micro(0.5 / 4.0)),   // unk(a): .5/(2+.5*4)
+      (13L, 1L, micro(1.0 / 4.0))))  // uniform 1/V2
+  }
+
   test("saveLmPerLang → surprisalAgainstLmPerLang equals surprisalPerLang row for row") {
     val docs = Seq((1L, "en", "a b a b"), (2L, "de", "a a b"),
       (3L, "en", "b a"), (4L, "de", "b b a a"))
