@@ -178,10 +178,18 @@ object Bpe {
   def trainSampled(docs: DataFrame, nMerges: Int, sampleMod: Int): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var corpus: Array[Seq[String]] = docs
+    greedyLocal(docs
       .where(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
       .select(TextAnalysis.toks(col("text")))
-      .as[Seq[String]].collect()
+      .as[Seq[String]].collect(), nMerges)
+  }
+
+  /** The exact in-memory greedy loop shared by [[trainSampled]] and
+    * [[trainBytesLocal]]: per round, count adjacent pairs across every
+    * sequence, take the (count desc, utf8-lex (a,b)) argmax, merge. */
+  private def greedyLocal(corpus0: Array[Seq[String]],
+                          nMerges: Int): Seq[Merge] = {
+    var corpus = corpus0
     val merges = Seq.newBuilder[Merge]
     var round = 0
     var exhausted = false
@@ -211,6 +219,97 @@ object Bpe {
       round += 1
     }
     merges.result()
+  }
+
+  // ------------------------------------------------- byte-level mode
+
+  /** UTF-8 byte symbols of one pre-token, as two-uppercase-hex-digit
+    * strings (DuckDB's `hex(encode(w))` sliced pairwise gives the
+    * identical stream, so the twins share an alphabet literal by
+    * literal). */
+  def byteSyms(word: String): Seq[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = "%02X".format(bytes(i) & 0xff)
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** BYTE-LEVEL trainer — the GPT-2/LLaMA-family tokenizer shape the
+    * whitespace-symbol [[train]] family approximates at the phrase
+    * level: the alphabet is UTF-8 BYTES (so no text is ever OOV and
+    * non-Latin scripts pay their true multi-byte fertility — exactly
+    * what s25/s26 measure), and merges apply WITHIN pre-token
+    * boundaries only (each lowercased whitespace token is its own
+    * sequence — the pre-tokenization rule; a merge can never span two
+    * words). Driver-local over an ALREADY-SAMPLED slice (the
+    * [[trainSampled]] stance: vocabularies converge on sample-sized
+    * text; corpus-scale machinery is for ENCODE) with the exact
+    * [[train]] greedy semantics per round. */
+  def trainBytesLocal(docs: DataFrame, nMerges: Int): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    greedyLocal(docs
+      .select(TextAnalysis.toks(col("text")))
+      .as[Seq[String]].collect()
+      .flatMap(ws => ws.map(byteSyms)), nMerges)
+  }
+
+  /** Byte-level ENCODE under frozen merges — fully distributed,
+    * map-side like [[encode]]: each word's byte symbols get the
+    * learned merges in order (the per-word application IS the
+    * pre-token boundary rule), then the word streams concatenate back
+    * into one per-document symbol array. Returns (doc_id, syms). */
+  def encodeBytes(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.map(m => (m.a, m.b)).toArray
+    docs.select(col("doc_id"), TextAnalysis.toks(col("text")).as("words"))
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.map { case (id, words) =>
+        (id, words.flatMap(w => applyMergesSeq(byteSyms(w), ms)))
+      })
+      .toDF("doc_id", "syms")
+  }
+
+  /** Byte-level twin of [[trainEncodeSplitSql]]: merges learned from
+    * `trainFrom` only, applied to both sides as learned, over BYTE
+    * symbol streams with per-word sequences. Every (doc, word, side)
+    * triple rides its own window key
+    * `gid = doc_id·2²¹ + (word_index−1)·2 + is_train` (bounds: ≤ 2²⁰
+    * words per document — far beyond any gate corpus — and
+    * doc_id ≤ 2⁴¹), so [[mergeRoundsSql]]'s per-gid windows enforce
+    * the pre-token boundary rule for free; `enc` re-aggregates the
+    * encode-side words per document (count and hash-sum are
+    * associative). Ends in `enc` (doc_id, n_tokens_bpe, sym_fp). */
+  def trainEncodeBytesSplitSql(trainFrom: String, encodeFrom: String,
+                               nMerges: Int,
+                               textExpr: String = "text"): String = {
+    val toks = graft.functions.TextFunctions.wsTokensSql(s"lower($textExpr)")
+    def side(from: String, flag: Int) =
+      s"""  SELECT doc_id * 2097152 + (wi - 1) * 2 + $flag AS gid,
+         |         bi AS pos, substr(h, 2 * bi - 1, 2) AS sym
+         |  FROM (SELECT doc_id, $toks AS t FROM $from) d,
+         |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS wi) g,
+         |       LATERAL (SELECT hex(encode(t[wi])) AS h) hh,
+         |       LATERAL (SELECT unnest(range(1, length(h) // 2 + 1)) AS bi) bb""".stripMargin
+    val st0 =
+      s"""st0 AS (
+         |${side(trainFrom, 1)}
+         |  UNION ALL
+         |${side(encodeFrom, 0)})""".stripMargin
+    val enc =
+      s""",
+         |enc AS (
+         |  SELECT gid // 2097152 AS doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_tokens_bpe,
+         |         CAST(SUM(${graft.functions.PolyHash64.sql("sym")}) AS BIGINT) AS sym_fp
+         |  FROM st$nMerges WHERE gid % 2 = 0 GROUP BY 1)""".stripMargin
+    (st0 + mergeRoundsSql(nMerges, trainPred = "gid % 2 = 1") + enc)
+      .replace("\n", " ")
   }
 
   /** Spark's StringType sort order is unsigned UTF-8 BYTE lexicographic

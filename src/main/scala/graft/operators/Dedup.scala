@@ -82,6 +82,18 @@ object Dedup {
        |  FROM (SELECT $noWww AS nw)))""".stripMargin.replace("\n", " ")
   }
 
+  /** Host of a URL, through the [[normalizeUrl]] rules (lowercase,
+    * scheme/www stripped) — the key of every host-level web-quality
+    * prior (RefinedWeb's URL rules, Common-Crawl host PageRank): the
+    * canonical form starts with the host, so this is one split. */
+  def urlHost(url: Column): Column =
+    split_part(split_part(normalizeUrl(url), lit("?"), lit(1)),
+      lit("/"), lit(1))
+
+  /** DuckDB twin of [[urlHost]]. */
+  def urlHostSql(u: String): String =
+    s"split_part(split_part(${normalizeUrlSql(u)}, '?', 1), '/', 1)"
+
   /** d18 — URL-canonical exact dedup groups: one row per canonical
     * URL with the first-seen keeper (min id — the engine's S2
     * first-writer-wins semantics, reference
@@ -2436,33 +2448,53 @@ object Dedup {
     * enforced, because silently missing qualifying pairs is worse than
     * an explicit band-count choice (more bands ⇒ narrower bands ⇒ more
     * candidate collisions; 4×16 bits covers the standard dist ≤ 3). */
-  def simhashPairs(docs: DataFrame, maxDist: Int, bands: Int = 4): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int, bands: Int = 4): DataFrame =
+    hammingNearDupPairs(simhash(docs), "doc_id", "simhash",
+      bits = 64, maxDist = maxDist, bands = bands)
+
+  /** Band-blocked HAMMING near-dup pairs over ANY fingerprint relation
+    * (`idCol`, `hashCol`: a ≤64-bit signature in a long) — the SimHash
+    * banding machinery factored to its generic form so non-text
+    * fingerprints ride the same candidate discipline (m6's perceptual
+    * image dHash is the motivating case: LAION-style near-dup over
+    * decoded rasters). The signature is cut into `bands` fields of
+    * bits/bands bits; candidates are exact-field-equality bucket
+    * collisions (the join KEYS the band, so candidates never leave
+    * their band bucket — plan-pinned in the spec), verified by exact
+    * XOR popcount ≤ maxDist. Pigeonhole: complete recall requires
+    * dist < bands — enforced, because silently missing qualifying
+    * pairs is worse than an explicit band-count choice (more bands ⇒
+    * narrower bands ⇒ more candidate collisions).
+    *
+    * A pair colliding in k bands would surface k times; instead of a
+    * dropDuplicates SHUFFLE over the candidate set (the largest
+    * intermediate — near-dup-heavy corpora make it quadratic per
+    * cluster), each pair is kept only in its FIRST colliding band:
+    * both full fingerprints ride the join row, so "is this the first
+    * band where we collide" is a map-side expression and the dedup
+    * costs zero exchanges. Output: (id1, id2, dist), id1 < id2. */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          bits: Int, maxDist: Int, bands: Int): DataFrame = {
     require(maxDist < bands,
       s"band blocking with $bands bands only guarantees recall for dist < $bands")
-    val width = 64 / bands
+    require(bits >= bands && bits % bands == 0 && bits <= 64,
+      s"bits=$bits must be a positive multiple of bands=$bands, <= 64")
+    val width = bits / bands
     val mask = (1L << width) - 1
     def field(sig: Column, b: Int) =
       shiftright(sig, b * width).bitwiseAND(lit(mask))
-    val sh = simhash(docs)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until bands).map(field(col("simhash"), _)): _*)))
+    val banded = hashes.select(col(idCol).as("_id"), col(hashCol).as("_sig"),
+      posexplode(array((0 until bands).map(field(col(hashCol), _)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // a pair colliding in k bands would surface k times; instead of a
-    // dropDuplicates SHUFFLE over the candidate set (the largest
-    // intermediate — near-dup-heavy corpora make it quadratic per
-    // cluster), keep each pair only in its FIRST colliding band: both
-    // full fingerprints ride the join row, so "is this the first
-    // band where we collide" is a map-side expression and the dedup
-    // costs zero exchanges.
     val firstCollidingBand = least((0 until bands).map(b =>
-      when(field(col("a.simhash"), b) === field(col("b.simhash"), b), lit(b))
+      when(field(col("a._sig"), b) === field(col("b._sig"), b), lit(b))
         .otherwise(lit(bands))): _*)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a._id") < col("b._id"))
       .where(col("a.band") === firstCollidingBand)
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("dist"))
       .where(col("dist") <= maxDist)
       .orderBy(col("id1"), col("id2"))
   }

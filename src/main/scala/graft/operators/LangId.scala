@@ -85,31 +85,53 @@ object LangId {
     val dl = labeled.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
     val tot = dl.agg(sum(col("nd")).cast("double").as("nd_all"),
       count(lit(1)).cast("double").as("nl"))
+    // `buckets` rides langConst so predict() can verify it was handed
+    // the bucket count the model was trained under — a mismatch would
+    // silently mis-bucket every feature (garbage scores, no error)
     val langConst = n.join(dl, "lang").crossJoin(broadcast(tot))
       .select(col("lang"),
         LmScore.lpMicro(lit(0.5), col("n") + lit(0.5) * b).as("lp_unseen"),
         LmScore.lpMicro(col("nd") + lit(0.5),
-          col("nd_all") + lit(0.5) * col("nl")).as("prior"))
+          col("nd_all") + lit(0.5) * col("nl")).as("prior"),
+        lit(buckets).as("buckets"))
     (model, langConst)
   }
 
   /** Predict the language of every doc in `docs` with ≥ 1 trigram:
     * (doc_id, pred_lang, score_micro). Map-side scoring after one
-    * broadcast of the model (see the object scaladoc). */
+    * broadcast of the model (see the object scaladoc). `buckets` must
+    * be the count [[train]] ran under — verified at runtime against
+    * the bucket count langConst carries (assert_true on the
+    * #langs-row broadcast side: zero extra jobs, loud on mismatch). */
   def predict(model: DataFrame, langConst: DataFrame, docs: DataFrame,
               textCol: String = "text", buckets: Int = Buckets): DataFrame = {
-    // NOT pinned, deliberately: the frame is corpus-sized (docs ×
-    // distinct buckets per doc), so the two consumers re-derive it
-    // map-side instead of parking a corpus-scale block in memory —
-    // the same trade the LM family makes for its bigram stream
-    // (LmScore pins only the vocab-bounded COUNT tables)
+    val lc =
+      if (langConst.columns.contains("buckets"))
+        langConst
+          .where(assert_true(col("buckets") === lit(buckets),
+            concat(lit(s"LangId.predict called with buckets=$buckets but " +
+              "the model was trained with buckets="),
+              col("buckets").cast("string"))).isNull)
+          .drop("buckets")
+      else langConst
+    // feature stream NOT pinned, deliberately: the frame is
+    // corpus-sized (docs × distinct buckets per doc) — parking a
+    // corpus-scale block in memory is the wrong trade (LmScore pins
+    // only the vocab-bounded COUNT tables for the same reason)
     val fs = feats(docs, textCol, buckets, Seq("doc_id"))
       .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("cnt"))
-    val tot = fs.groupBy(col("doc_id")).agg(sum(col("cnt")).as("tf"))
+    // per-doc total trigram count is a MAP-SIDE formula of the text
+    // (every position i in 1..len-2 emits exactly one bucketed
+    // feature), not a second pass over the feature stream — this
+    // halves the corpus-scale scan cost of scoring; same ≥3-char
+    // inner-row rule as feats()
+    val tot = docs.select(col("doc_id"), lower(col(textCol)).as("t"))
+      .where(length(col("t")) >= 3)
+      .select(col("doc_id"), (length(col("t")) - 2).cast("long").as("tf"))
     val seen = fs.join(broadcast(model), "f")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt") * col("dlp")).as("s"))
-    tot.crossJoin(broadcast(langConst))
+    tot.crossJoin(broadcast(lc))
       .join(seen, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior") + col("tf") * col("lp_unseen") +

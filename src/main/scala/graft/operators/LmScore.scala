@@ -233,15 +233,31 @@ object LmScore {
       .select(col("doc_id"), col("g.w1").as("w1"),
         col("g.w2").as("w2"), col("g.w3").as("w3"))
 
+  /** Stupid-backoff penalty in integer micro-nats: ln(0.4)·10⁶,
+    * quantized with the same floor(x+0.5) rule as [[lpMicro]]. Brants
+    * et al. 2007's α≈0.4 — a transition scored by a lower-order tier
+    * pays this fixed cost relative to one the top tier covered, so
+    * falling out of the trigram table is never free (without it the
+    * surprisal spread the CCNet gate buckets on is compressed). A pure
+    * integer add, so the BIGINT-sum discipline is untouched. */
+  val BackoffPenaltyMicro: Long = -916291L
+
   /** TRIGRAM surprisal with bigram→unigram backoff (q10) — one order
     * closer to the 5-gram KenLM CCNet actually runs than [[surprisal]]:
-    * P(w3|w1w2) add-½-smoothed where the (w1,w2) context was seen in
-    * training, backing off to the BIGRAM estimate P(w3|w2) (the same
-    * add-½ table [[trainBigram]] builds), then to the per-w2 UNK mass,
-    * then to uniform 1/V — each transition scored by the HIGHEST-order
-    * model that has an opinion, the standard stupid-backoff shape with
-    * exact integer micro-nats at every tier (one ln per model row,
-    * BIGINT sums everywhere — the whole cascade hash-matches DuckDB).
+    * P(w3|w1w2) add-½-smoothed for trigrams OBSERVED in training
+    * (the table has rows only for seen (w1,w2,w3); any unseen trigram
+    * — even under a seen context — backs off), falling back to the
+    * BIGRAM estimate P(w3|w2) (the same add-½ table [[trainBigram]]
+    * builds), then to the per-w2 UNK mass, then to uniform 1/V — each
+    * transition scored by the HIGHEST-order model with an opinion,
+    * with every backed-off tier paying the fixed
+    * [[BackoffPenaltyMicro]] (stupid backoff's α=0.4; one level of
+    * backoff here, since the bigram/UNK/uniform arms are all "the
+    * bigram model's opinion"). Exact integer micro-nats at every tier
+    * (one ln per model row, BIGINT sums everywhere — the whole
+    * cascade hash-matches DuckDB). For the principled estimator fix
+    * (discounted mass moved to CONTINUATION counts rather than a flat
+    * penalty) see [[surprisalKn]].
     * Scale shape: one extra hash-agg shuffle for the trigram count
     * table (context totals re-aggregate THAT table, not the corpus;
     * checkpointed like c12), the scoring join keyed (w1,w2,w3) —
@@ -269,8 +285,9 @@ object LmScore {
       .join(unk2.select(col("w1").as("w2"), col("lp_unk")), Seq("w2"), "left")
       .crossJoin(broadcast(uni))
       .select(col("doc_id"),
-        coalesce(col("lp3"), col("lp2"), col("lp_unk"), col("lp_unseen"))
-          .as("lp"))
+        coalesce(col("lp3"), col("lp2") + lit(BackoffPenaltyMicro),
+          col("lp_unk") + lit(BackoffPenaltyMicro),
+          col("lp_unseen") + lit(BackoffPenaltyMicro)).as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("logp_micro"))
       .withColumn("surprisal",
@@ -311,12 +328,266 @@ object LmScore {
        |         CAST(sum(lp) AS BIGINT) AS logp_micro,
        |         -CAST(sum(lp) AS DOUBLE) / count(*) AS surprisal
        |  FROM (SELECT tgs.doc_id,
-       |          COALESCE(lm3.lp3, lm2.lp2, unk2.lp_unk,
-       |                   ${lpMicroSql("1.0", "v")}) AS lp
+       |          COALESCE(lm3.lp3, lm2.lp2 + ($BackoffPenaltyMicro),
+       |                   unk2.lp_unk + ($BackoffPenaltyMicro),
+       |                   ${lpMicroSql("1.0", "v")} + ($BackoffPenaltyMicro)) AS lp
        |        FROM tgs LEFT JOIN lm3 USING (w1, w2, w3)
        |                LEFT JOIN lm2 USING (w2, w3)
        |                LEFT JOIN unk2 USING (w2) CROSS JOIN vv) s
        |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+  }
+
+  // ------------------------------------------------ Kneser-Ney (q11/c15)
+
+  /** Interpolated KNESER-NEY bigram estimator — the KenLM estimator
+    * CCNet actually runs (modified KN at order 5; this is the exact
+    * interpolated-KN recurrence at order 2 with a single discount).
+    * The add-½ family ([[trainBigram]]) gives a word seen 1000× in ONE
+    * document the same backoff mass as one spread over 1000 documents;
+    * KN's continuation counts fix exactly that: the discounted mass
+    * redistributes by HOW MANY DISTINCT CONTEXTS a word follows, not
+    * how often it occurs (Kneser & Ney 1995; Chen & Goodman 1999).
+    *
+    *   P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1) + d·N1+(w1,·)/c(w1) · Pc(w2)
+    *   Pc(w2)   = max(N1+(·,w2) − d, 0)/T + d·Du/T · 1/V
+    *
+    * with d = 3/4 (the classic discount, chosen RATIONAL so every
+    * probability is a ratio of exact integer-valued terms), N1+ the
+    * distinct-continuation / distinct-context counts, T the distinct
+    * bigram-type total, Du = distinct continuation words, V = Du + 1
+    * (UNK — the same vocab convention as [[trainBigram]]). An unseen
+    * w1 scores Pc(w2) directly; an unseen w2 gets the d·Du/(T·V) UNK
+    * share of the continuation distribution — every transition has
+    * positive mass, no separate backoff cascade and no flat penalty
+    * (interpolation is the principled form of what
+    * [[BackoffPenaltyMicro]] approximates for q10).
+    *
+    * Engine-exactness: probabilities are evaluated as ×4-scaled
+    * integer-valued numerators/denominators promoted to DOUBLE with
+    * identical association on both engines (each promotion and product
+    * is IEEE round-to-nearest — deterministic), then quantized once
+    * through [[lpMicro]]'s floor rule; all aggregation stays BIGINT.
+    * Scale shape identical to [[trainBigram]]+[[lpRows]]: the count
+    * table is the one corpus-keyed shuffle (checkpointed — it feeds
+    * five branches); u1/cont/meta re-aggregate THAT table; scoring is
+    * three left joins that AQE broadcasts at saturated vocab.
+    *
+    * Returns (lm: (w1,w2,lp) seen-bigram micro-nats,
+    *          u1: (w1,c1,n1p), cont: (w2,pcnum), meta 1-row
+    *          (t,du,v,pcden,pcnum_unk)). */
+  def trainKnBigram(train: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val c12 = bigrams(train, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val u1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont0 = c12.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val meta = c12
+      .agg(count(lit(1)).cast("double").as("t"),
+        countDistinct(col("w2")).cast("double").as("du"))
+      .select(col("t"), col("du"), (col("du") + lit(1.0)).as("v"),
+        (lit(4.0) * col("t") * (col("du") + lit(1.0))).as("pcden"),
+        (lit(3) * col("du")).as("pcnum_unk"))
+    // ×4·T·V-scaled continuation numerator — precomputed per w2 so the
+    // scorer's per-row arithmetic is one multiply-add
+    val cont = cont0.crossJoin(broadcast(meta.select(col("v"), col("du"))))
+      .select(col("w2"),
+        ((lit(4) * col("nc") - lit(3)) * col("v") + lit(3) * col("du"))
+          .as("pcnum"))
+    val lm = c12.join(u1, "w1").join(cont, "w2").crossJoin(broadcast(meta))
+      .select(col("w1"), col("w2"),
+        lpMicro(
+          (lit(4) * col("c12") - lit(3)) * col("pcden") +
+            lit(3) * col("n1p") * col("pcnum"),
+          lit(4) * col("c1") * col("pcden")).as("lp"))
+    (lm, u1, cont, meta)
+  }
+
+  /** Per-document KN surprisal of `docs` under the model of `train`
+    * — the q11 form of [[surprisal]]: (doc_id, n_bigrams, logp_micro,
+    * surprisal). Every transition is scored by the INTERPOLATED
+    * estimate (seen bigram → precomputed lp; seen w1 → the
+    * continuation-weighted backoff; unseen w1 → the continuation
+    * distribution itself), so there is no tier cliff to penalize. */
+  def surprisalKn(train: DataFrame, docs: DataFrame,
+                  textCol: String = "text"): DataFrame = {
+    val (lm, u1, cont, meta) = trainKnBigram(train, textCol)
+    knLpRows(bigrams(docs, textCol), lm, u1, cont, meta)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_bigrams"))
+  }
+
+  /** Shared per-transition KN scorer: (doc_id [, lang], lp). The
+    * trailing 0L arm mirrors [[scorePerLang]]'s no-model rule and is
+    * reachable only in lang-keyed train/score splits. */
+  private def knLpRows(bg: DataFrame, lm: DataFrame, u1: DataFrame,
+                       cont: DataFrame, meta: DataFrame,
+                       langKeyed: Boolean = false): DataFrame = {
+    val keys = if (langKeyed) Seq("lang") else Seq.empty[String]
+    val joined =
+      if (langKeyed)
+        bg.join(lm, keys ++ Seq("w1", "w2"), "left")
+          .join(u1, keys :+ "w1", "left")
+          .join(cont, keys :+ "w2", "left")
+          .join(broadcast(meta), keys, "left")
+      else
+        bg.join(lm, Seq("w1", "w2"), "left")
+          .join(u1, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(meta))
+    val pcnumC = coalesce(col("pcnum"), col("pcnum_unk"))
+    val outCols = (Seq(col("doc_id")) ++
+      (if (langKeyed) Seq(col("lang")) else Nil)) :+
+      coalesce(
+        when(col("lp").isNotNull, col("lp"))
+          .when(col("c1").isNotNull,
+            lpMicro(lit(3) * col("n1p") * pcnumC,
+              lit(4) * col("c1") * col("pcden")))
+          .otherwise(lpMicro(pcnumC, col("pcden"))),
+        lit(0L)).as("lp")
+    joined.select(outCols: _*)
+  }
+
+  /** DuckDB twin of [[surprisalKn]] with distinct train/score
+    * relations, ending in CTE `kscored`. Expression association
+    * mirrors the Spark side term for term (see [[trainKnBigram]]'s
+    * engine-exactness note). */
+  def surprisalKnSql(trainFrom: String, scoreFrom: String,
+                     textExpr: String = "text"): String =
+    s"""kbt AS (${bigramsSql(trainFrom, textExpr)}),
+       |kc12 AS (SELECT w1, w2, count(*) AS c12 FROM kbt GROUP BY 1, 2),
+       |ku1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p
+       |        FROM kc12 GROUP BY 1),
+       |kmeta AS (SELECT t, du, du + 1.0 AS v, 4.0 * t * (du + 1.0) AS pcden,
+       |                 3 * du AS pcnum_unk
+       |          FROM (SELECT CAST(count(*) AS DOUBLE) AS t,
+       |                       CAST(count(DISTINCT w2) AS DOUBLE) AS du
+       |                FROM kc12)),
+       |kcont AS (SELECT w2, (4 * nc - 3) * v + 3 * du AS pcnum
+       |          FROM (SELECT w2, count(*) AS nc FROM kc12 GROUP BY 1)
+       |          CROSS JOIN kmeta),
+       |klm AS (SELECT kc12.w1, kc12.w2,
+       |          ${lpMicroSql(
+               "(4 * c12 - 3) * pcden + 3 * n1p * pcnum",
+               "4 * c1 * pcden")} AS lp
+       |        FROM kc12 JOIN ku1 USING (w1) JOIN kcont USING (w2)
+       |        CROSS JOIN kmeta),
+       |kbs AS (${bigramsSql(scoreFrom, textExpr)}),
+       |kscored AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(lp) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT kbs.doc_id,
+       |          CASE WHEN klm.lp IS NOT NULL THEN klm.lp
+       |               WHEN ku1.c1 IS NOT NULL THEN
+       |                 ${lpMicroSql(
+               "3 * n1p * COALESCE(pcnum, pcnum_unk)",
+               "4 * c1 * pcden")}
+       |               ELSE ${lpMicroSql(
+               "COALESCE(pcnum, pcnum_unk)", "pcden")} END AS lp
+       |        FROM kbs LEFT JOIN klm USING (w1, w2)
+       |                 LEFT JOIN ku1 USING (w1)
+       |                 LEFT JOIN kcont USING (w2)
+       |                 CROSS JOIN kmeta) s
+       |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
+  /** |langs| KN models in ONE pass — the per-language twin of
+    * [[trainKnBigram]]/[[surprisalKn]] for the c15 gate, built the
+    * [[trainBigramPerLang]] way: `lang` simply joins every aggregation
+    * and join key, so training all models is the SAME shuffles as one
+    * and scoring stays one corpus-keyed pass (meta/cont/u1 re-aggregate
+    * the checkpointed count table; the meta join is a #langs-row
+    * broadcast). Train = score = `docs` (doc_id, lang, textCol);
+    * output (doc_id, lang, n_bigrams, logp_micro, surprisal). */
+  def surprisalKnPerLang(docs: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val c12 = bigramsPerLang(docs, textCol)
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val u1 = c12.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont0 = c12.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("nc"))
+    val meta = c12.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("t"),
+        countDistinct(col("w2")).cast("double").as("du"))
+      .select(col("lang"), col("t"), col("du"),
+        (col("du") + lit(1.0)).as("v"),
+        (lit(4.0) * col("t") * (col("du") + lit(1.0))).as("pcden"),
+        (lit(3) * col("du")).as("pcnum_unk"))
+    val cont = cont0
+      .join(broadcast(meta.select(col("lang"), col("v"), col("du"))), "lang")
+      .select(col("lang"), col("w2"),
+        ((lit(4) * col("nc") - lit(3)) * col("v") + lit(3) * col("du"))
+          .as("pcnum"))
+    val lm = c12.join(u1, Seq("lang", "w1")).join(cont, Seq("lang", "w2"))
+      .join(broadcast(meta), "lang")
+      .select(col("lang"), col("w1"), col("w2"),
+        lpMicro(
+          (lit(4) * col("c12") - lit(3)) * col("pcden") +
+            lit(3) * col("n1p") * col("pcnum"),
+          lit(4) * col("c1") * col("pcden")).as("lp"))
+    knLpRows(bigramsPerLang(docs, textCol), lm, u1, cont, meta,
+        langKeyed = true)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_bigrams"))
+  }
+
+  /** DuckDB twin of [[surprisalKnPerLang]] (train = score = `from`),
+    * ending in `kscored_pl` (doc_id, lang, n_bigrams, logp_micro,
+    * surprisal). */
+  def surprisalKnPerLangSql(from: String, textExpr: String = "text"): String = {
+    val toks = TF.wsTokensSql(s"lower($textExpr)")
+    s"""kbl AS (
+       |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT doc_id, lang, $toks AS t FROM $from) d,
+       |       LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+       |  WHERE len(t) >= 2),
+       |kc12l AS (SELECT lang, w1, w2, count(*) AS c12
+       |          FROM kbl GROUP BY 1, 2, 3),
+       |ku1l AS (SELECT lang, w1, sum(c12) AS c1, count(*) AS n1p
+       |         FROM kc12l GROUP BY 1, 2),
+       |kmetal AS (SELECT lang, t, du, du + 1.0 AS v,
+       |                  4.0 * t * (du + 1.0) AS pcden, 3 * du AS pcnum_unk
+       |           FROM (SELECT lang, CAST(count(*) AS DOUBLE) AS t,
+       |                        CAST(count(DISTINCT w2) AS DOUBLE) AS du
+       |                 FROM kc12l GROUP BY 1)),
+       |kcontl AS (SELECT lang, w2, (4 * nc - 3) * v + 3 * du AS pcnum
+       |           FROM (SELECT lang, w2, count(*) AS nc
+       |                 FROM kc12l GROUP BY 1, 2)
+       |           JOIN kmetal USING (lang)),
+       |klml AS (SELECT kc12l.lang, kc12l.w1, kc12l.w2,
+       |           ${lpMicroSql(
+             "(4 * c12 - 3) * pcden + 3 * n1p * pcnum",
+             "4 * c1 * pcden")} AS lp
+       |         FROM kc12l JOIN ku1l USING (lang, w1)
+       |                    JOIN kcontl USING (lang, w2)
+       |                    JOIN kmetal USING (lang)),
+       |kscored_pl AS (
+       |  SELECT doc_id, lang, count(*) AS n_bigrams,
+       |         CAST(sum(lp) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT g.doc_id, g.lang,
+       |          COALESCE(
+       |            CASE WHEN klml.lp IS NOT NULL THEN klml.lp
+       |                 WHEN ku1l.c1 IS NOT NULL THEN
+       |                   ${lpMicroSql(
+             "3 * n1p * COALESCE(pcnum, pcnum_unk)",
+             "4 * c1 * pcden")}
+       |                 ELSE ${lpMicroSql(
+             "COALESCE(pcnum, pcnum_unk)", "pcden")} END,
+       |            0) AS lp
+       |        FROM kbl g LEFT JOIN klml USING (lang, w1, w2)
+       |                   LEFT JOIN ku1l USING (lang, w1)
+       |                   LEFT JOIN kcontl USING (lang, w2)
+       |                   LEFT JOIN kmetal USING (lang)) s
+       |  GROUP BY doc_id, lang)""".stripMargin.replace("\n", " ")
   }
 
   /** PER-LANGUAGE bigram LMs in ONE pass (q7) — CCNet proper: one
@@ -352,12 +623,24 @@ object LmScore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** (bigram table, unigram-backoff table, per-lang meta) at `path`. */
+  /** (bigram table, unigram-backoff table, per-lang meta) at `path`.
+    * Partition-column TYPE INFERENCE is disabled for the two
+    * lang-partitioned reads: a numeric-looking language code (e.g.
+    * "001") would otherwise load as an integer partition column, and
+    * the scorer's string-keyed `lang` join would silently match
+    * nothing (schema resolution happens at read time, so the toggle
+    * brackets only these reads). */
   def loadLmPerLang(spark: org.apache.spark.sql.SparkSession, path: String)
-      : (DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/bigrams"),
-      spark.read.parquet(s"$path/unigrams"),
-      spark.read.parquet(s"$path/meta"))
+      : (DataFrame, DataFrame, DataFrame) = {
+    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      (spark.read.parquet(s"$path/bigrams"),
+        spark.read.parquet(s"$path/unigrams"),
+        spark.read.parquet(s"$path/meta"))
+    } finally spark.conf.set(conf, prev)
+  }
 
   /** Score `docs` (doc_id, lang, textCol) against the persisted
     * per-language models at `path` — the train/score split form the

@@ -198,6 +198,110 @@ object Multimodal {
       }.toDF()
   }
 
+  /** [[synthPngBytes]]'s NEAR-DUPLICATE variant generator for the
+    * perceptual-dedup stage (m6): media_id 2k and 2k+1 render the SAME
+    * base image (formula of base = media_id/2) with a per-variant
+    * brightness shift of (media_id%2)·3 on every channel, clamped at
+    * 255 — the LAION-style "same picture, re-encoded slightly
+    * brighter" twin. A uniform brightness shift preserves every
+    * strict luma gradient except where clamping binds, so twins land
+    * within a few dHash bits of each other. Pixels come from a
+    * NONLINEAR product formula (unlike m2's linear one, whose
+    * near-constant gradients would make every image's dHash similar):
+    * the per-cell pattern is pseudorandom per base, so DISTINCT bases
+    * sit ~half the hash bits apart and never survive the ≤3 verify.
+    * Same honest encode path as m2: real deflate PNG via ImageIO, and
+    * an oracle that never sees a PNG can replay every pixel
+    * (LEAST(formula + delta, 255)). */
+  def synthPngVariantBytes(id: Long): Array[Byte] = {
+    val base = id / 2
+    val delta = (id % 2).toInt * 3
+    val w = (8 + base % 9).toInt; val h = (8 + base % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = math.min(
+          (((base * 31 + 7) * (x + 3) * (y + 5)) % 256).toInt + delta, 255)
+        val g = math.min(
+          (((base * 17 + 5) * (x + 11) * (y + 2)) % 256).toInt + delta, 255)
+        val b = math.min(
+          (((base * 7 + 13) * (x + 2) * (y + 7)) % 256).toInt + delta, 255)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (media_id) → (media_id, payload: binary PNG variant), map-side. */
+  def synthPngVariantMedia(ids: DataFrame): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthPngVariantBytes(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** PERCEPTUAL dHash over real PNG payloads — the fingerprint of the
+    * LAION-style image near-dup stage: ImageIO inflate, the m4
+    * nearest-neighbor resample to a `gw`×`gh` INTEGER-luma grid
+    * (luma×1000 = 299R + 587G + 114B — scaled to stay integer, order
+    * comparisons unaffected), then one bit per horizontal gradient:
+    * bit (y·(gw−1)+x) = 1 iff luma(x+1,y) > luma(x,y) (strict).
+    * Default 9×7 grid ⇒ 56 bits, so the hash, every band slice, and
+    * XOR/popcount stay comfortably inside a signed BIGINT on both
+    * engines. Every step is integer arithmetic on the replayable
+    * resample rule, so an oracle that never decodes a PNG states the
+    * exact hash from the generating pixel formula. Map-side
+    * (mapPartitions) like every decode stage; no shuffle until the
+    * banding join. Returns (media_id, dhash). */
+  def pngDHash(media: DataFrame, gw: Int = 9, gh: Int = 7): DataFrame = {
+    require(gw >= 2 && gh >= 1 && (gw - 1) * gh <= 62,
+      s"dHash grid ${gw}x$gh must fit a signed long: (gw-1)*gh <= 62")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload of media_id=$id is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          val luma = Array.ofDim[Long](gh, gw)
+          var y = 0
+          while (y < gh) {
+            val sy = y * h / gh
+            var x = 0
+            while (x < gw) {
+              val sx = x * w / gw
+              val rgb = img.getRGB(sx, sy)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              luma(y)(x) = 299L * r + 587L * g + 114L * b
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          y = 0
+          while (y < gh) {
+            var x = 0
+            while (x < gw - 1) {
+              if (luma(y)(x + 1) > luma(y)(x))
+                hash |= 1L << (y * (gw - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          (id, hash)
+        }
+      }.toDF("media_id", "dhash")
+  }
+
   /** Deterministic 16-bit PCM mono WAV: RIFF/fmt/data chunks written
     * byte-for-byte (little-endian), samples from an integer formula of
     * (id, position) so an oracle can recompute every statistic without

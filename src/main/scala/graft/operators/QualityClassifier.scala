@@ -89,8 +89,19 @@ object QualityClassifier {
       : (LogisticRegressionModel, Seq[String]) = {
     val labels = labeled.select(col(labelCol).cast("string").as("_l"))
       .distinct().orderBy(col("_l")).collect().map(_.getString(0)).toSeq
+    require(!labels.contains(null),
+      s"trainMulticlass: NULL values in label column '$labelCol' — " +
+        "filter or impute labels before fitting")
     val idx = labels.zipWithIndex.toMap
-    val toIdx = udf((s: String) => idx(s).toDouble)
+    // loud failure on a label outside the training class order (a
+    // bare idx(s) would NPE/NoSuchElement deep inside a task with no
+    // hint which value broke)
+    val toIdx = udf((s: String) => idx.get(s) match {
+      case Some(i) => i.toDouble
+      case None => throw new IllegalArgumentException(
+        s"trainMulticlass: unexpected label '$s' in column '$labelCol' " +
+          s"(training classes: ${labels.mkString(", ")})")
+    })
     val model = new LogisticRegression()
       .setFamily("multinomial")
       .setFeaturesCol("features").setLabelCol("_li")

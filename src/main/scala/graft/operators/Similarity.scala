@@ -714,6 +714,21 @@ object Similarity {
     * at the margin join on every path, batch and stream alike). */
   def saveMarginIndex(index: IvfIndex, assigned: DataFrame, k: Int,
                       path: String): Unit = {
+    // family marker FIRST: a direct build that crashes mid-way must
+    // never leave cells/ without margin_meta/ — Maintenance.nightly
+    // detects the margin family by the marker, and a marker-less root
+    // with cells/ would be misdetected as PQ-IVF and crash the drift
+    // check on the missing codebook tables. A marker-first partial
+    // build is detected as margin-ivf and fails loudly at the first
+    // probe of the missing tables instead (atomic replacement of a
+    // LIVE index rides Maintenance.retrainAndSwap either way).
+    assigned.sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(k)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/margin_meta")
     saveIvf(index, assigned, path)
     val aSide = assigned.where(pmod(col("vec_id"), lit(2)) === 0)
       .select(col("vec_id").as("a_id"), col("cell"), col("vec"))
@@ -727,13 +742,6 @@ object Similarity {
     val ytop = yc.withColumn("rn", row_number().over(wy)).where(col("rn") <= k)
     pivotAvg(ytop, "tgt_id", "y_avg", k)
       .write.mode("overwrite").parquet(s"$path/yden")
-    assigned.sparkSession.createDataFrame(
-        java.util.List.of[org.apache.spark.sql.Row](
-          org.apache.spark.sql.Row(k)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.IntegerType))))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/margin_meta")
   }
 
   /** Mine margin-alignment pairs for a QUERY batch against the

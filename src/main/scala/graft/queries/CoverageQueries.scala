@@ -259,6 +259,43 @@ object CoverageQueries {
       }
     }),
 
+    // C14: the HOST-QUALITY prior composed into c10's chain — the
+    // RefinedWeb/Common-Crawl "URL rules first" stage: d18's
+    // canonicalizer extracts each gated doc's host, g1's fixed-point
+    // PageRank ranks the host co-citation graph, and below-mean-rank
+    // hosts drop BEFORE the content-heavy LM gate ever scores them
+    // (cheapest signal runs earliest). Everything downstream is c10's
+    // chain over the host-kept slice; ONE nested-CTE oracle replays
+    // canonicalization, the rank recurrence, the integer-mean cut and
+    // the whole chain after it.
+    "c14_host_prior_curation" -> ((s, dir) => {
+      import CurationStages._
+      val all = Tables.documents(s, dir)
+      val docs = synthesized(all)
+      val hKept = hostPriorKept(gated(docs), all)
+      val lmKept = lmGated(hKept, all.select(col("doc_id"), col("lang")))
+      val kept = decontaminated(lmKept, benchSlice(all))
+      quotaRollup(curated(kept, components(nearDupPairs(kept))))
+    }),
+
+    // C15: c10 with the gate's ESTIMATOR swapped for interpolated
+    // KNESER-NEY (q11's per-language form) — the last fidelity gap
+    // between this gate and the one CCNet runs (KenLM is modified KN):
+    // same chain, same thirds, same keep rule, but discounted mass
+    // redistributes by continuation counts instead of add-½, so a
+    // language whose crawl repeats bursty phrasing buckets it toward
+    // the tail where add-½ rewards the raw counts. The kept set
+    // genuinely differs from c10's (spec-pinned); this oracle replays
+    // the full KN-gated chain.
+    "c15_kn_gated_curation" -> ((s, dir) => {
+      import CurationStages._
+      val all = Tables.documents(s, dir)
+      val docs = synthesized(all)
+      val lmKept = lmGatedKn(gated(docs), all.select(col("doc_id"), col("lang")))
+      val kept = decontaminated(lmKept, benchSlice(all))
+      quotaRollup(curated(kept, components(nearDupPairs(kept))))
+    }),
+
     // C13: the CCNet FRONT HALF composed into curation — c10's chain
     // with the language key PREDICTED by the trained classifier (q8's
     // LangId, trained on the held-out %3==1 labeled slice) instead of
@@ -534,6 +571,72 @@ object CoverageQueries {
       syms.unpersist(blocking = false)
       val enc = Bpe.encode(encodeSlice.select(col("doc_id"), col("text")),
           merges)
+        .select(col("doc_id"), size(col("syms")).cast("long").as("n_bpe"))
+      val ws = encodeSlice.select(col("doc_id"), col("lang"),
+        size(TF.wsTokens(lower(col("text")))).cast("long").as("n_ws"))
+      ws.join(enc, "doc_id").where(col("n_ws") >= 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("ws_tokens"),
+          sum(col("n_bpe")).as("bpe_tokens"),
+          (sum(col("n_bpe")).cast("double") /
+            sum(col("n_ws")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
+    // C16: BYTE-LEVEL BPE tokenizer lifecycle — the GPT-2/LLaMA-family
+    // alphabet under the same freeze-once/encode-everywhere artifact
+    // contract as c11: UTF-8 bytes as symbols (nothing is ever OOV;
+    // non-Latin scripts pay their true multi-byte cost), merges
+    // learned on the %50 sample WITHIN pre-token boundaries (each
+    // whitespace token is its own sequence — a merge never spans
+    // words), persisted (Bpe.saveTokenizer — the same merges/ artifact
+    // format), reloaded, and applied distributed-map-side to the 5×
+    // %10 slice. sym_fp pins the encoded byte-symbol CONTENT per doc.
+    // The SQL twin re-learns the same deterministic merges from the
+    // same train slice over per-(doc,word,side) window keys
+    // (Bpe.trainEncodeBytesSplitSql; save→load→encode ≡ in-memory is
+    // BpeTokenizerSpec-pinned, the c9/c11 pattern).
+    "c16_byte_bpe_tokenizer" -> ((s, dir) => {
+      import graft.operators.Bpe
+      import graft.functions.PolyHash64
+      val docs = Tables.documents(s, dir)
+      val trainSlice = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"), col("text"))
+      val encodeSlice = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text"))
+      DedupQueries.withIndexScratch(s, "c16_bpe") { path =>
+        Bpe.saveTokenizer(s, Bpe.trainBytesLocal(trainSlice, nMerges = 6),
+          path)
+        val frozen = Bpe.loadTokenizer(s, path)
+        // zero-word docs have no byte stream — the twin's enc omits
+        // them (no st0 rows), so the engine side drops them too
+        Bpe.encodeBytes(encodeSlice, frozen)
+          .where(size(col("syms")) >= 1)
+          .select(col("doc_id"),
+            size(col("syms")).cast("long").as("n_tokens_bpe"),
+            aggregate(transform(col("syms"), x => PolyHash64.polyHash64(x)),
+              lit(0L), (a, v) => a + v).as("sym_fp"))
+          .orderBy(col("doc_id"))
+      }
+    }),
+
+    // S26: tokenizer fertility under the BYTE-LEVEL vocabulary — the
+    // s25 QA table re-read under c16's alphabet, the contrast row the
+    // vocabulary-commit decision actually reads: word-symbol fertility
+    // (s25) starts at 1.0 and only falls as merges land; byte-level
+    // fertility starts at bytes-per-word (multi-byte scripts pay more)
+    // and falls toward it — the two tables side by side expose which
+    // languages a byte vocabulary actually serves.
+    "s26_byte_fertility" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val docs = Tables.documents(s, dir)
+      val trainSlice = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"), col("text"))
+      val encodeSlice = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val merges = Bpe.trainBytesLocal(trainSlice, nMerges = 6)
+      val enc = Bpe.encodeBytes(
+          encodeSlice.select(col("doc_id"), col("text")), merges)
         .select(col("doc_id"), size(col("syms")).cast("long").as("n_bpe"))
       val ws = encodeSlice.select(col("doc_id"), col("lang"),
         size(TF.wsTokens(lower(col("text")))).cast("long").as("n_ws"))
@@ -953,6 +1056,35 @@ object CoverageQueries {
       Multimodal.rawVideoFrameSample(
           Multimodal.synthRawVideoMedia(ids), stride = 2, maxFrames = 3)
         .orderBy(col("media_id"))
+    }),
+
+    // M6: PERCEPTUAL image near-dup — the LAION-style stage a 100 TB
+    // image-text corpus needs: real PNG decode → m4's nearest-neighbor
+    // resample to a 9×7 integer-luma grid → 56-bit dHash (one bit per
+    // horizontal luma gradient) → Hamming-band candidate buckets (the
+    // d3/d14 banding machinery, 4×14 bits — candidates never leave
+    // their band bucket) → exact XOR-popcount verify (≤3) → d7
+    // components. Payloads are planted brightness-shifted twins
+    // (media 2k/2k+1 render base k at +0/+3 per channel, clamped):
+    // a uniform shift preserves every strict gradient except where
+    // clamping binds, so twins pair while distinct bases stay ~28 bits
+    // apart. The oracle never decodes a PNG — it replays hash, bands,
+    // verify and the reachability fixpoint from the generating pixel
+    // formula, so a hash match proves the whole chain bit-for-bit.
+    "m6_perceptual_near_dup" -> ((s, dir) => {
+      import graft.operators.{Multimodal, Dedup}
+      val ids = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(31)) === 0)
+        .select(explode(array(col("doc_id") * 2,
+          col("doc_id") * 2 + 1)).as("media_id"))
+      val hashes = Multimodal.pngDHash(Multimodal.synthPngVariantMedia(ids))
+      val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+        bits = 56, maxDist = 3, bands = 4)
+      val comps = Dedup.connectedComponents(
+        pairs.select(col("id1"), col("id2")), assumeDistinctPairs = true)
+      pairs.join(comps.withColumnRenamed("id", "id1"), "id1")
+        .select(col("id1"), col("id2"), col("dist"), col("comp"))
+        .orderBy(col("id1"), col("id2"))
     }),
 
     // S18: JSONL corpus ingest round trip — docs serialize to JSON
@@ -1579,6 +1711,176 @@ object CoverageQueries {
          |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
     },
 
+    // c10's oracle with the host-prior block spliced between `gated`
+    // and the LM stage: messy-URL synthesis, the d18 canonical host,
+    // the two-edges-per-doc co-citation graph, g1's integer PageRank
+    // recurrence as a nested-WITH subquery, the integer-mean cut —
+    // then c10's text verbatim over `hostkept`.
+    "c14_host_prior_curation" -> {
+      import graft.operators.{Dedup, Graph, Sampling, TextAnalysis, LmScore}
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val sigSql = TextAnalysis.repetitionSignalsSql(
+        topNs = Seq(2), dupNs = Seq(10), from = "corpus")
+      val pairsSql = Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, from = "kept")
+      val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
+      val capQualify = Sampling.groupCapSql("source", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
+      val dShingles = Dedup.shingleCtesSql(k = 8,
+        from = "(SELECT doc_id, text FROM lmkept UNION ALL " +
+          "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)",
+        prefix = "d", materializedSh = true)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
+         |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sig AS (
+         |$sigSql),
+         |gated AS MATERIALIZED (
+         |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
+         |  WHERE sig.dup10_char_frac < 0.10),
+         |hurl AS (
+         |  SELECT doc_id,
+         |         (CASE WHEN doc_id % 4 = 0 THEN 'http://'
+         |               WHEN doc_id % 4 = 1 THEN 'https://www.'
+         |               WHEN doc_id % 4 = 2 THEN 'HTTPS://'
+         |               ELSE 'https://WWW.' END)
+         |         || 'H' || CAST(doc_id % 37 AS VARCHAR) || '.CoM/p/'
+         |         || CAST(doc_id % 10 AS VARCHAR)
+         |         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         |         || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+         |                  WHEN doc_id % 3 = 1 THEN '?b=2&a=1'
+         |                  ELSE '#frag' END) AS url
+         |  FROM gated),
+         |hh AS (SELECT doc_id, ${Dedup.urlHostSql("url")} AS host FROM hurl),
+         |hedges AS (
+         |  SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS src,
+         |         'h' || CAST((doc_id % 37 * 3 + 1) % 37 AS VARCHAR)
+         |           || '.com' AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) || '.com',
+         |         'h' || CAST((doc_id % 37 * 5 + 2) % 37 AS VARCHAR) || '.com'
+         |  FROM documents),
+         |hew AS (SELECT src, dst, count(*) AS w FROM hedges GROUP BY 1, 2),
+         |hrank AS (SELECT id, rank_fp
+         |          FROM (${Graph.pageRankSql(
+                       "SELECT src, dst, w FROM hew", iters = 3)}) pr),
+         |havg AS (SELECT SUM(rank_fp) // COUNT(*) AS avg_fp FROM hrank),
+         |hostkept AS MATERIALIZED (
+         |  SELECT g.* FROM gated g
+         |  JOIN hh ON hh.doc_id = g.doc_id
+         |  JOIN hrank r ON r.id = hh.host
+         |  CROSS JOIN havg
+         |  WHERE r.rank_fp >= havg.avg_fp),
+         |${LmScore.surprisalPerLangSql(
+                "(SELECT g.doc_id, g.text, dd.lang FROM hostkept g " +
+                  "JOIN documents dd ON dd.doc_id = g.doc_id) gl")},
+         |scored_lang AS (
+         |  SELECT doc_id, lang, surprisal FROM scored_pl),
+         |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
+         |lmkept AS MATERIALIZED (
+         |  SELECT g.* FROM hostkept g
+         |  JOIN bucketed bk ON bk.doc_id = g.doc_id
+         |  WHERE bk.bucket <> 'tail'),
+         |$dShingles,
+         |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT b.doc_id,
+         |           CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+         |    FROM (SELECT doc_id, h FROM dsh WHERE doc_id % 3 = 0) b
+         |    LEFT JOIN bhash c ON c.h = b.h GROUP BY b.doc_id)
+         |  WHERE containment >= 0.5),
+         |kept AS MATERIALIZED (
+         |  SELECT g.* FROM lmkept g
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pairs AS MATERIALIZED (
+         |$pairsSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT kk.doc_id, kk.source, kk.text, $splitSql AS split
+         |  FROM kept kk LEFT JOIN comps cm ON cm.id = kk.doc_id),
+         |capped AS (SELECT * FROM labeled $capQualify)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
+
+    // c10's oracle with the scored_pl block swapped for the
+    // per-language KNESER-NEY CTEs (kscored_pl); everything
+    // downstream is c10's text verbatim.
+    "c15_kn_gated_curation" -> {
+      import graft.operators.{Dedup, Sampling, TextAnalysis, LmScore}
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val sigSql = TextAnalysis.repetitionSignalsSql(
+        topNs = Seq(2), dupNs = Seq(10), from = "corpus")
+      val pairsSql = Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, from = "kept")
+      val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
+      val capQualify = Sampling.groupCapSql("source", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
+      val dShingles = Dedup.shingleCtesSql(k = 8,
+        from = "(SELECT doc_id, text FROM lmkept UNION ALL " +
+          "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)",
+        prefix = "d", materializedSh = true)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
+         |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sig AS (
+         |$sigSql),
+         |gated AS MATERIALIZED (
+         |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
+         |  WHERE sig.dup10_char_frac < 0.10),
+         |${LmScore.surprisalKnPerLangSql(
+                "(SELECT g.doc_id, g.text, dd.lang FROM gated g " +
+                  "JOIN documents dd ON dd.doc_id = g.doc_id) gl")},
+         |scored_lang AS (
+         |  SELECT doc_id, lang, surprisal FROM kscored_pl),
+         |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
+         |lmkept AS MATERIALIZED (
+         |  SELECT g.* FROM gated g
+         |  JOIN bucketed bk ON bk.doc_id = g.doc_id
+         |  WHERE bk.bucket <> 'tail'),
+         |$dShingles,
+         |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT b.doc_id,
+         |           CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+         |    FROM (SELECT doc_id, h FROM dsh WHERE doc_id % 3 = 0) b
+         |    LEFT JOIN bhash c ON c.h = b.h GROUP BY b.doc_id)
+         |  WHERE containment >= 0.5),
+         |kept AS MATERIALIZED (
+         |  SELECT g.* FROM lmkept g
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pairs AS MATERIALIZED (
+         |$pairsSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT kk.doc_id, kk.source, kk.text, $splitSql AS split
+         |  FROM kept kk LEFT JOIN comps cm ON cm.id = kk.doc_id),
+         |capped AS (SELECT * FROM labeled $capQualify)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
+
     // c10's oracle with the scored_pl CTEs swapped for the
     // train/score SPLIT form: models re-derived from the %3==1 target
     // slice (DuckDB cannot read the persisted artifact), scored over
@@ -1855,6 +2157,34 @@ object CoverageQueries {
          |ws AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_ws
          |       FROM documents
          |       WHERE doc_id % 5 = 0 AND len($toks) >= 1),
+         |j AS (SELECT lang, n_ws, n_tokens_bpe
+         |      FROM ws JOIN enc USING (doc_id))
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+         |       CAST(SUM(n_tokens_bpe) AS BIGINT) AS bpe_tokens,
+         |       CAST(SUM(n_tokens_bpe) AS DOUBLE) /
+         |         CAST(SUM(n_ws) AS DOUBLE) AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "c16_byte_bpe_tokenizer" -> {
+      val chain = graft.operators.Bpe.trainEncodeBytesSplitSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0) tr",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0) en", 6)
+      s"""WITH $chain
+         |SELECT doc_id, n_tokens_bpe, sym_fp
+         |FROM enc ORDER BY doc_id""".stripMargin
+    },
+
+    "s26_byte_fertility" -> {
+      val chain = graft.operators.Bpe.trainEncodeBytesSplitSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0) tr",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0) en", 6)
+      val toks = TF.wsTokensSql("lower(text)")
+      s"""WITH $chain,
+         |ws AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_ws
+         |       FROM documents
+         |       WHERE doc_id % 10 = 0 AND len($toks) >= 1),
          |j AS (SELECT lang, n_ws, n_tokens_bpe
          |      FROM ws JOIN enc USING (doc_id))
          |SELECT lang, COUNT(*) AS n_docs,
@@ -2196,6 +2526,55 @@ object CoverageQueries {
         |             + 2*((media_id*17 + fi*23 + x*11 + y*5) % 256)
         |             + 3*((media_id*7 + fi*19 + x*3 + y*19) % 256))) AS BIGINT) AS checksum
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // replays synthPngVariantBytes' clamped-brightness pixel formula at
+    // the dHash grid's resample positions, reassembles the 56-bit hash
+    // via LEAD over grid x, then the band join + popcount verify + the
+    // d7 reachability fixpoint — the full perceptual chain with no PNG
+    "m6_perceptual_near_dup" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id*2 + j.j AS media_id, doc_id AS base, j.j*3 AS delta,
+        |         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents, LATERAL (SELECT unnest([0, 1]) AS j) j
+        |  WHERE doc_id % 31 = 0),
+        |g AS (
+        |  SELECT media_id, gy.y AS y, gx.x AS x,
+        |    299*LEAST((base*31 + 7)*(((x*w)//9) + 3)*(((y*h)//7) + 5) % 256 + delta, 255)
+        |  + 587*LEAST((base*17 + 5)*(((x*w)//9) + 11)*(((y*h)//7) + 2) % 256 + delta, 255)
+        |  + 114*LEAST((base*7 + 13)*(((x*w)//9) + 2)*(((y*h)//7) + 7) % 256 + delta, 255)
+        |      AS luma
+        |  FROM m, LATERAL (SELECT unnest(range(0, 9)) AS x) gx,
+        |          LATERAL (SELECT unnest(range(0, 7)) AS y) gy),
+        |hs AS (
+        |  SELECT media_id,
+        |         CAST(SUM(CASE WHEN nl > luma
+        |                       THEN (CAST(1 AS BIGINT) << CAST(y*8 + x AS INTEGER))
+        |                       ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM (SELECT media_id, y, x, luma,
+        |               lead(luma) OVER (PARTITION BY media_id, y ORDER BY x) AS nl
+        |        FROM g) z
+        |  WHERE x < 8 GROUP BY media_id),
+        |banded AS (
+        |  SELECT media_id, dhash, b.b AS band,
+        |         (dhash >> CAST(b.b*14 AS INTEGER)) & 16383 AS bucket
+        |  FROM hs, LATERAL (SELECT unnest(range(0, 4)) AS b) b),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+        |         CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS dist
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |       AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+        |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+        |SELECT p.id1, p.id2, p.dist, c.comp
+        |FROM pairs p JOIN comps c ON c.id = p.id1
+        |ORDER BY p.id1, p.id2""".stripMargin,
 
     "s11_incremental_agg" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, LmScore, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Graph, LmScore, Sampling, TextAnalysis}
 
 /** The c7 curation chain's stage builders — ONE definition shared by the
   * declared `c7_curation_pipeline` query and the stage profiler
@@ -99,6 +99,75 @@ private[graft] object CurationStages {
     lmKeep(gatedDocs,
       LmScore.surprisalAgainstLmPerLang(gatedDocs.join(langs, "doc_id"),
         spark, lmPath))
+
+  /** The synthetic messy URL of a document (a pure doc_id formula —
+    * the corpus carries no URL column): d18's construction with a
+    * 37-host web, every canonicalization rule exercised (scheme/case/
+    * www variance by %4, an UPPERCASED host, a trailing slash every
+    * 5th doc, tracking params / unsorted params / a fragment by %3).
+    * Canonical host comes out as "h<doc_id%37>.com". */
+  def hostUrl: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val scheme = when(pmod(d, lit(4)) === 0, lit("http://"))
+      .when(pmod(d, lit(4)) === 1, lit("https://www."))
+      .when(pmod(d, lit(4)) === 2, lit("HTTPS://"))
+      .otherwise(lit("https://WWW."))
+    concat(scheme, lit("H"), pmod(d, lit(37)).cast("string"),
+      lit(".CoM/p/"), pmod(d, lit(10)).cast("string"),
+      when(pmod(d, lit(5)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(d, lit(3)) === 0, lit("?utm_source=x&b=2&a=1"))
+        .when(pmod(d, lit(3)) === 1, lit("?b=2&a=1"))
+        .otherwise(lit("#frag")))
+  }
+
+  /** c14's stage — the RefinedWeb/Common-Crawl HOST-QUALITY prior
+    * composed into the gate: d18's canonicalizer extracts each gated
+    * doc's host from its (messy) URL, g1's fixed-point PageRank ranks
+    * the host co-citation graph (each doc cites two formula hosts;
+    * edge weight = citation count — built from the WHOLE corpus, the
+    * way a web graph exists independently of the slice under
+    * curation), and docs whose host ranks below the integer-mean rank
+    * drop. Sits right after the Gopher rule gate — URL-keyed rules run
+    * before anything content-heavy because they are the cheapest
+    * signal there is. Scale shape: the graph is |hosts|-bounded, so
+    * ranks and the keep set BROADCAST; the corpus pays one map-side
+    * host derivation + one broadcast semi join. All rank arithmetic is
+    * BIGINT fixed-point ([[Graph.pageRank]]), the mean an integer
+    * div, so the cut is engine-exact. Pinned: [[lmGated]] consumes the
+    * result twice. */
+  def hostPriorKept(gatedDocs: DataFrame, all: DataFrame): DataFrame = {
+    def hostOf(k: org.apache.spark.sql.Column) =
+      concat(lit("h"), k.cast("string"), lit(".com"))
+    val r = pmod(col("doc_id"), lit(37))
+    val edges = all.select(hostOf(r).as("src"),
+        hostOf(pmod(r * 3 + 1, lit(37))).as("dst"))
+      .unionAll(all.select(hostOf(r).as("src"),
+        hostOf(pmod(r * 5 + 2, lit(37))).as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val ranks = Graph.pageRank(edges, iters = 3)
+    val avg = ranks.agg(expr("sum(rank_fp) div count(*)").as("avg_fp"))
+    val keep = ranks.crossJoin(broadcast(avg))
+      .where(col("rank_fp") >= col("avg_fp"))
+      .select(col("id").as("host"))
+    gatedDocs
+      .withColumn("host", Dedup.urlHost(hostUrl))
+      .join(broadcast(keep), Seq("host"), "left_semi")
+      .drop("host")
+      .localCheckpoint()
+  }
+
+  /** c15's gate — [[lmGated]] scored under the interpolated
+    * KNESER-NEY per-language models ([[LmScore.surprisalKnPerLang]])
+    * instead of add-½ + backoff: the ESTIMATOR fix (q11's scaladoc has
+    * the burstiness argument) composed into the position the CCNet
+    * recipe gives it. Same self-training stance as [[lmGated]], same
+    * thirds, same keep-head+middle rule; because KN redistributes
+    * backoff mass by continuation counts, the kept set genuinely
+    * DIFFERS from c10's (LmScoreSpec pins the divergence on a bursty
+    * fixture; the c15 oracle pins this chain's exact output). */
+  def lmGatedKn(gatedDocs: DataFrame, langs: DataFrame): DataFrame =
+    lmKeep(gatedDocs,
+      LmScore.surprisalKnPerLang(gatedDocs.join(langs, "doc_id")))
 
   /** Shared bucket-and-keep tail of the two LM gates: per-language
     * thirds by surprisal (ONE global rank), keep head+middle. */

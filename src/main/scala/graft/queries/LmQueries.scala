@@ -118,6 +118,27 @@ object LmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q11: interpolated KNESER-NEY bigram surprisal — the KenLM
+    // ESTIMATOR CCNet actually runs (q5/q10's add-½ + stupid backoff
+    // is the right skeleton with the wrong estimator: a word seen
+    // 1000× in one document gets the same backoff mass as one spread
+    // over 1000 documents; KN redistributes discounted mass by
+    // CONTINUATION counts — how many distinct contexts a word
+    // follows). Same train/score split as q10 so the
+    // unseen-context/unseen-word interpolation arms genuinely fire;
+    // d = 3/4 rational, all terms exact-integer-valued doubles, one
+    // floor-quantized micro-nat per transition, BIGINT sums — the
+    // whole recurrence hash-matches DuckDB. The bursty-vs-spread
+    // ranking flip add-½ cannot express is LmScoreSpec-pinned.
+    "q11_kn_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LmScore.surprisalKn(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          docs.where(pmod(col("doc_id"), lit(2)) === 1))
+        .where(pmod(col("doc_id"), lit(25)) === 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // S23: DSIR importance weights — target = the English slice,
     // raw = the whole corpus; hashed-bigram log-likelihood ratios in
     // micro-nats (Xie et al. importance resampling, the data-mixing
@@ -211,6 +232,13 @@ object LmQueries {
              "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) sc")}
          |SELECT doc_id, n_trigrams, logp_micro, surprisal
          |FROM scored3 WHERE doc_id % 25 = 1 ORDER BY doc_id""".stripMargin,
+
+    "q11_kn_surprisal" ->
+      s"""WITH ${LmScore.surprisalKnSql(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) tr",
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) sc")}
+         |SELECT doc_id, n_bigrams, logp_micro, surprisal
+         |FROM kscored WHERE doc_id % 25 = 1 ORDER BY doc_id""".stripMargin,
 
     "s23_dsir_weights" ->
       s"""WITH ${LmScore.dsirWeightsSql("documents", "tt.lang = 'en'")}
