@@ -382,6 +382,12 @@ class PlanSpec extends AnyFunSuite {
       // q10 inherits the same 1-row scalar crosses (trigram V3 + the
       // bigram tier's V) at both cascade levels
       "q10_trigram_surprisal",
+      // q11's KN model constants (T, Du, V, pcden — ONE row) broadcast-
+      // cross into the model tables and the scoring stream, exactly
+      // q5's vocab-scalar shape (c15's per-lang form joins the
+      // #langs-row meta BY lang instead, and its chain sits behind
+      // checkpointed stage leaves)
+      "q11_kn_surprisal",
       // LangId: the (#langs)-row class-constant table broadcast-crosses
       // into the per-doc totals — every doc scores against every class
       // by definition (a K-class linear scorer), and K is single-digit;

@@ -87,6 +87,40 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(enc === finalSyms)
   }
 
+  test("byte mode: byteSyms is the UTF-8 hex-pair stream, multi-byte characters included") {
+    assert(Bpe.byteSyms("hi") === Seq("68", "69"))
+    assert(Bpe.byteSyms("über") === Seq("C3", "BC", "62", "65", "72"))
+    assert(Bpe.byteSyms("") === Seq.empty)
+  }
+
+  test("byte mode: save→load→encodeBytes equals in-memory, and merges NEVER span a pre-token boundary") {
+    // "ab ab ab": pair (61,62) occurs once INSIDE each word = 3x; the
+    // cross-word pair (62,61) must never be counted or merged — each
+    // word is its own sequence
+    val train = docs((1L, "ab ab ab"), (2L, "ab cd"))
+    val merges = Bpe.trainBytesLocal(train, nMerges = 1)
+    assert(merges === Seq(Bpe.Merge("61", "62", 4L)),
+      s"top byte pair must be in-word (61,62) x4, got $merges")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_byte").toString
+    Bpe.saveTokenizer(spark, merges, dir)
+    val frozen = Bpe.loadTokenizer(spark, dir)
+    val corpus = docs((10L, "ab ba abab"))
+    val enc = Bpe.encodeBytes(corpus, frozen).collect().head.getSeq[String](1)
+    // "ab" -> ["61 62"]; "ba" -> ["62","61"] (cross pair never merged);
+    // "abab" -> ["61 62","61 62"]
+    assert(enc === Seq("61 62", "62", "61", "61 62", "61 62"))
+    assert(enc === Bpe.encodeBytes(corpus, merges).collect().head.getSeq[String](1))
+  }
+
+  test("byte mode: greedy order and utf8 tie-break match the word-level trainer's rules") {
+    // two competing pairs with equal counts: ("61","61") from "aa" x2
+    // and ("62","62") from "bb" x2 — tie breaks to the byte-lex
+    // smaller pair, then the next round picks the other
+    val train = docs((1L, "aa bb"), (2L, "aa bb"))
+    val merges = Bpe.trainBytesLocal(train, nMerges = 2)
+    assert(merges === Seq(Bpe.Merge("61", "61", 2L), Bpe.Merge("62", "62", 2L)))
+  }
+
   test("split-form contract: merges learned on train apply to encode docs " +
       "identically whether applied incrementally or as a frozen sequence") {
     // the trainEncodeSplitSql equivalence argument in miniature: for a

@@ -100,4 +100,39 @@ class LangIdSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-side shuffle join allowed:\n$plan")
   }
+
+  test("scale plan: scoring reads the scored relation ONCE — per-doc totals are a map-side formula, not a second feature pass") {
+    // tf = greatest(len-2, 0) comes straight off the docs scan; only
+    // the feature stream (one scan) feeds the model join. A second
+    // LocalTableScan/parquet read of the scored docs would double the
+    // corpus cost at 100 TB.
+    val held = (0L to 50L).map(i => (i, s"the dog number $i runs over the hills"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val pred = LangId.trainPredict(labeled, held)
+    pred.count() // settle AQE
+    val plan = pred.queryExecution.executedPlan.toString
+    // the totals arm is a map-side projection of the text length —
+    // visible in the plan as length(lower(text)) - 2 — NOT a second
+    // explode+hash+aggregate pass over the feature stream
+    assert("length\\(lower\\(".r.findAllIn(plan).nonEmpty,
+      s"per-doc totals must be the map-side length formula:\n$plan")
+    // exactly ONE feature explode in the final plan — the scoring
+    // pass (training explodes sit behind train()'s checkpointed count
+    // table). The old shape re-derived the scored feature stream for
+    // the totals: a second Generate over the corpus.
+    val gens = "\\bGenerate\\b".r.findAllIn(plan).size
+    assert(gens <= 1,
+      s"expected no extra explode for per-doc totals, found $gens:\n$plan")
+  }
+
+  test("predict verifies the bucket count against the one the model was trained under") {
+    val (m, lc) = LangId.train(labeled, buckets = 2048)
+    val held = Seq((1L, "the dog runs")).toDF("doc_id", "text")
+    // matching count: fine
+    assert(LangId.predict(m, lc, held, buckets = 2048).count() === 1L)
+    // mismatched count: loud failure, not silent garbage scores
+    val ex = intercept[Exception](
+      LangId.predict(m, lc, held, buckets = 4096).collect())
+    assert(ex.getMessage != null)
+  }
 }

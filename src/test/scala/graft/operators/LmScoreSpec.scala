@@ -161,13 +161,18 @@ class LmScoreSpec extends AnyFunSuite {
       s"target LM should keep the fluent copy (got $tgt)")
   }
 
-  test("surprisalTrigram: all four backoff tiers take their branch, hand-counted") {
+  test("surprisalTrigram: all four backoff tiers take their branch, hand-counted; backed-off tiers pay alpha") {
     // train "a b c a b c": trigrams (a,b,c)x2, (b,c,a), (c,a,b);
     // ctx(a,b)=2; V3 = |{a,b,c}|+1 = 4. bigram side: (a,b)x2, (b,c)x2,
-    // (c,a); c1: a=2,b=2,c=1; V2 = 4.
+    // (c,a); c1: a=2,b=2,c=1; V2 = 4. Every tier below the trigram one
+    // pays the fixed stupid-backoff penalty ln(0.4)*1e6 = -916291
+    // (one backoff level: bigram/UNK/uniform are all the bigram
+    // model's opinion).
+    val A = LmScore.BackoffPenaltyMicro
+    assert(A === math.floor(math.log(0.4) * 1e6 + 0.5).toLong)
     val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
     val score = Seq(
-      (10L, "a b c"), // trigram tier: seen (a,b,c)
+      (10L, "a b c"), // trigram tier: seen (a,b,c) — NO penalty
       (11L, "x b c"), // bigram tier: ctx (x,b) unseen, (b,c) seen
       (12L, "x a d"), // UNK tier: (a,d) unseen, w2=a seen
       (13L, "x y b")  // uniform tier: w2=y never seen
@@ -175,10 +180,92 @@ class LmScoreSpec extends AnyFunSuite {
     val got = LmScore.surprisalTrigram(train, score).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq(
-      (10L, 1L, micro(2.5 / 4.0)),   // (2+.5)/(2+.5*4)
-      (11L, 1L, micro(2.5 / 4.0)),   // bigram (b,c): (2+.5)/(2+.5*4)
-      (12L, 1L, micro(0.5 / 4.0)),   // unk(a): .5/(2+.5*4)
-      (13L, 1L, micro(1.0 / 4.0))))  // uniform 1/V2
+      (10L, 1L, micro(2.5 / 4.0)),       // (2+.5)/(2+.5*4)
+      (11L, 1L, micro(2.5 / 4.0) + A),   // bigram (b,c) + alpha
+      (12L, 1L, micro(0.5 / 4.0) + A),   // unk(a) + alpha
+      (13L, 1L, micro(1.0 / 4.0) + A)))  // uniform 1/V2 + alpha
+  }
+
+  test("trainKnBigram: continuation counts, discount and normalization over hand-counted bigrams") {
+    // corpus "a b a b" + "b b": (a,b)x2, (b,a)x1, (b,b)x1.
+    // u1: a -> (c1=2, n1p=1), b -> (c1=2, n1p=2)
+    // cont: nc(a)=1, nc(b)=2; T=3 types, Du=2, V=3
+    // pcden = 4*3*3 = 36; pcnum(a) = (4-3)*3 + 6 = 9;
+    // pcnum(b) = (8-3)*3 + 6 = 21; pcnum_unk = 6
+    val docs = Seq((1L, "a b a b"), (2L, "b b")).toDF("doc_id", "text")
+    val (lm, _, _, _) = LmScore.trainKnBigram(docs)
+    val got = lm.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got(("a", "b")) === micro(((8 - 3) * 36.0 + 3 * 1 * 21) / (8 * 36)))
+    assert(got(("b", "a")) === micro((1 * 36.0 + 3 * 2 * 9) / (8 * 36)))
+    assert(got(("b", "b")) === micro((1 * 36.0 + 3 * 2 * 21) / (8 * 36)))
+    // exact normalization of the scaled numerators: P(.|a) covers
+    // seen b (243) + backoff a (27) + backoff UNK (18) = den 288;
+    // P(.|b): 90 + 162 + 36 = 288; continuation: 9 + 21 + 6 = 36
+    assert((8 - 3) * 36 + 3 * 21 === 243)
+    assert(243 + 3 * 1 * 9 + 3 * 1 * 6 === 8 * 36)
+    assert((36 + 3 * 2 * 9) + (36 + 3 * 2 * 21) + 3 * 2 * 6 === 8 * 36)
+  }
+
+  test("surprisalKn: every interpolation branch takes its arm, hand-counted") {
+    val train = Seq((1L, "a b a b"), (2L, "b b")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"), // seen bigram -> precomputed lp
+      (11L, "a a"), // seen w1, unseen (a,a), a is a known continuation
+      (12L, "a z"), // seen w1, z OOV -> pcnum_unk
+      (13L, "z a"), // unseen w1 -> continuation distribution
+      (14L, "z q")  // unseen w1, OOV w2 -> UNK continuation share
+    ).toDF("doc_id", "text")
+    val got = LmScore.surprisalKn(train, score).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (10L, 1L, micro(243.0 / 288)),
+      (11L, 1L, micro((3 * 1 * 9).toDouble / 288)),
+      (12L, 1L, micro((3 * 1 * 6).toDouble / 288)),
+      (13L, 1L, micro(9.0 / 36)),
+      (14L, 1L, micro(6.0 / 36))))
+  }
+
+  test("KN vs add-half: a bursty word and a spread word rank DIFFERENTLY (the case KN exists for)") {
+    // "zzz" occurs 5x, always after the SAME context (one bursty doc);
+    // "qqq" occurs 5x after 5 DISTINCT contexts. Equal total counts.
+    // Score "fresh zzz" vs "fresh qqq" ("fresh" is a seen w1, both
+    // bigrams unseen): add-half's backoff is the per-w1 UNK mass —
+    // blind to w2, so the two docs score IDENTICALLY. KN's backoff is
+    // the continuation distribution: nc(qqq)=5 >> nc(zzz)=1, so the
+    // spread word scores strictly better. This ranking flip is the
+    // estimator fix q11/c15 ship.
+    val train = Seq(
+      (1L, "aaa zzz aaa zzz aaa zzz aaa zzz aaa zzz"),
+      (2L, "p1 qqq p2 qqq p3 qqq p4 qqq p5 qqq"),
+      (3L, "fresh other")).toDF("doc_id", "text")
+    val score = Seq((10L, "fresh zzz"), (11L, "fresh qqq"))
+      .toDF("doc_id", "text")
+    def surp(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ah = surp(LmScore.surprisal(train, score))
+    val kn = surp(LmScore.surprisalKn(train, score))
+    assert(ah(10L) === ah(11L),
+      s"add-half backoff is w2-blind, must tie: $ah")
+    assert(kn(10L) > kn(11L),
+      s"KN must score the spread word strictly better: $kn")
+  }
+
+  test("c15 gate fixture: the KN-scored gate keeps different docs than the add-half gate on the gate corpus") {
+    import graft.queries.CurationStages
+    // the real gate-SF corpus: both estimators produce full
+    // head/middle/tail orderings; the estimators disagree on enough
+    // mid-ranked docs that the kept sets differ in both directions —
+    // the c15-vs-c10 divergence, pinned on data rather than asserted
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val gated = CurationStages.gated(CurationStages.synthesized(all))
+    val langs = all.select(col("doc_id"), col("lang"))
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ah = kept(CurationStages.lmGated(gated, langs))
+    val kn = kept(CurationStages.lmGatedKn(gated, langs))
+    assert(ah.nonEmpty && kn.nonEmpty)
+    assert(ah !== kn, s"KN and add-half gates kept identical sets (${ah.size} docs)")
   }
 
   test("saveLmPerLang → surprisalAgainstLmPerLang equals surprisalPerLang row for row") {

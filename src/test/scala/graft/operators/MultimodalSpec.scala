@@ -172,6 +172,69 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pngDHash: the decoded-raster hash equals the pixel-formula replay bit for bit") {
+    // replicate the oracle's math in plain Scala: clamped-brightness
+    // pixel formula -> NN resample to 9x7 -> integer luma -> gradient
+    // bits. A match proves the REAL decode+resample path lands on the
+    // same raster the formula states.
+    def expected(id: Long): Long = {
+      val base = id / 2; val delta = (id % 2) * 3
+      val w = 8 + base % 9; val h = 8 + base % 7
+      def luma(gx: Long, gy: Long): Long = {
+        val sx = gx * w / 9; val sy = gy * h / 7
+        val r = math.min((base * 31 + 7) * (sx + 3) * (sy + 5) % 256 + delta, 255)
+        val g = math.min((base * 17 + 5) * (sx + 11) * (sy + 2) % 256 + delta, 255)
+        val b = math.min((base * 7 + 13) * (sx + 2) * (sy + 7) % 256 + delta, 255)
+        299 * r + 587 * g + 114 * b
+      }
+      (for (y <- 0L until 7L; x <- 0L until 8L
+            if luma(x + 1, y) > luma(x, y))
+        yield 1L << (y * 8 + x)).sum
+    }
+    val ids = spark.range(0, 24).select(col("id").as("media_id"))
+    val got = pngDHash(synthPngVariantMedia(ids)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 24L).foreach(id =>
+      assert(got(id) === expected(id), s"dhash mismatch for media_id=$id"))
+  }
+
+  test("perceptual near-dup: brightness twins pair, distinct bases do not; components group the twins") {
+    val ids = spark.range(0, 40).select(col("id").as("media_id"))
+    val hashes = pngDHash(synthPngVariantMedia(ids))
+    val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+      bits = 56, maxDist = 3, bands = 4)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted twin (2k, 2k+1) must surface...
+    (0L until 20L).foreach(k =>
+      assert(got.contains((2 * k, 2 * k + 1)), s"twin pair of base $k missed"))
+    // ...and nothing else (distinct bases sit ~half the bits apart)
+    assert(got === (0L until 20L).map(k => (2 * k, 2 * k + 1)).toSet)
+    val comps = Dedup.connectedComponents(
+        pairs.select(col("id1"), col("id2")), assumeDistinctPairs = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { k =>
+      assert(comps(2 * k) === 2 * k && comps(2 * k + 1) === 2 * k)
+    }
+  }
+
+  test("hammingNearDupPairs: candidates never leave their band bucket (plan pin) and recall contract is enforced") {
+    val hashes = Seq((1L, 7L), (2L, 7L), (3L, 1024L)).toDF("id", "h")
+    val pairs = Dedup.hammingNearDupPairs(hashes, "id", "h",
+      bits = 56, maxDist = 3, bands = 4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the self-join must key on (band, bucket) — never a cross product
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("band") && plan.contains("bucket"))
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 2L)))
+    // pigeonhole: dist >= bands cannot guarantee recall — reject loudly
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDupPairs(hashes, "id", "h", 56, maxDist = 4, bands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDupPairs(hashes, "id", "h", 57, maxDist = 3, bands = 4))
+  }
+
   test("real frame sampling: stride 1 with no cap reads every frame; stride skips exactly") {
     val ids = spark.range(1, 8).select(col("id").as("media_id"))
     val vids = synthRawVideoMedia(ids)
