@@ -590,6 +590,161 @@ object LmScore {
        |  GROUP BY doc_id, lang)""".stripMargin.replace("\n", " ")
   }
 
+  /** TRIGRAM interpolated Kneser-Ney (q12) — [[surprisalKn]] one order
+    * up, i.e. the actual KenLM recurrence shape at order 3 (KenLM runs
+    * modified KN at order 5; this is interpolated KN with a single
+    * rational discount d = 3/4 at every level):
+    *
+    *   P(w3|w1w2) = max(c123−d,0)/c12 + d·N1+(w1w2·)/c12 · Pm(w3|w2)
+    *   Pm(w3|w2)  = max(cm−d,0)/cm2  + d·N1+(w2·)m/cm2  · Pb(w3)
+    *   Pb(w3)     = max(nb−d,0)/TB   + d·DuB/TB · 1/V
+    *
+    * with the LOWER levels estimated from CONTINUATION counts, the KN
+    * signature: cm(w2,w3) = |{w1 : (w1,w2,w3) seen}| (how many distinct
+    * contexts the bigram continues, not how often it occurs), and
+    * nb(w3) = |{w2 : cm(w2,w3) ≥ 1}|. Unseen (w1,w2) contexts score
+    * Pm directly; unseen w2 scores Pb — a seen top context implies a
+    * seen mid context (∃w3 ⇒ (w2,w3) in the mid table), so every arm
+    * is total. The ×4-scaled numerators telescope exactly like
+    * [[trainKnBigram]]'s (per-level sums equal the level denominator —
+    * spec-pinned on hand counts), all products mirrored term for term
+    * in the SQL twin. Scale shape: the trigram count table is the one
+    * corpus-keyed shuffle (checkpointed, five consumers); mid/bot/meta
+    * re-aggregate it; scoring is four left joins, broadcast-able at
+    * saturated vocab. Output: (doc_id, n_trigrams, logp_micro,
+    * surprisal). */
+  def surprisalKnTrigram(train: DataFrame, docs: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val kt3 = trigrams(train, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
+    val ktc = kt3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12t"), count(lit(1)).as("n1pt"))
+    // mid level: continuation counts — distinct contexts per (w2,w3)
+    val mid = kt3.groupBy(col("w2"), col("w3"))
+      .agg(countDistinct(col("w1")).as("cm"))
+    val mc = mid.groupBy(col("w2"))
+      .agg(sum(col("cm")).as("cm2"), count(lit(1)).as("n1pm"))
+    val metab = mid
+      .agg(count(lit(1)).cast("double").as("tb"),
+        countDistinct(col("w3")).cast("double").as("dub"))
+      .select(col("tb"), col("dub"), (col("dub") + lit(1.0)).as("v"),
+        (lit(4.0) * col("tb") * (col("dub") + lit(1.0))).as("pbden"),
+        (lit(3) * col("dub")).as("pbnum_unk"))
+    val pb = mid.groupBy(col("w3")).agg(count(lit(1)).as("nb"))
+      .crossJoin(broadcast(metab.select(col("v"), col("dub"))))
+      .select(col("w3"),
+        ((lit(4) * col("nb") - lit(3)) * col("v") + lit(3) * col("dub"))
+          .as("pbnum"))
+    val pmden = mc.crossJoin(broadcast(metab.select(col("pbden"))))
+      .select(col("w2"), col("n1pm"),
+        (lit(4) * col("cm2") * col("pbden")).as("pmden"))
+    val pm2 = mid.join(mc, "w2").join(pb, "w3")
+      .crossJoin(broadcast(metab.select(col("pbden"))))
+      .select(col("w2"), col("w3"),
+        ((lit(4) * col("cm") - lit(3)) * col("pbden") +
+          lit(3) * col("n1pm") * col("pbnum")).as("pmnum"))
+    val lm3 = kt3.join(ktc, Seq("w1", "w2"))
+      .join(pm2, Seq("w2", "w3"))
+      .join(pmden.select(col("w2"), col("pmden")), "w2")
+      .select(col("w1"), col("w2"), col("w3"),
+        lpMicro(
+          (lit(4) * col("c123") - lit(3)) * col("pmden") +
+            lit(3) * col("n1pt") * col("pmnum"),
+          lit(4) * col("c12t") * col("pmden")).as("lp3"))
+    val pbnumX = coalesce(col("pbnum"), col("pbnum_unk"))
+    val pmnumX = coalesce(col("pmnum"),
+      lit(3) * col("n1pm") * pbnumX)
+    trigrams(docs, textCol)
+      .join(lm3, Seq("w1", "w2", "w3"), "left")
+      .join(ktc, Seq("w1", "w2"), "left")
+      .join(pm2, Seq("w2", "w3"), "left")
+      .join(pmden.select(col("w2"), col("n1pm"), col("pmden")),
+        Seq("w2"), "left")
+      .join(pb, Seq("w3"), "left")
+      .crossJoin(broadcast(metab.select(col("pbden"), col("pbnum_unk"))))
+      .select(col("doc_id"),
+        when(col("lp3").isNotNull, col("lp3"))
+          .when(col("c12t").isNotNull,
+            lpMicro(lit(3) * col("n1pt") * pmnumX,
+              lit(4) * col("c12t") * col("pmden")))
+          .when(col("pmden").isNotNull, lpMicro(pmnumX, col("pmden")))
+          .otherwise(lpMicro(pbnumX, col("pbden"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_trigrams"))
+  }
+
+  /** DuckDB twin of [[surprisalKnTrigram]] with distinct train/score
+    * relations, ending in `ktscored`; term association mirrored. */
+  def surprisalKnTrigramSql(trainFrom: String, scoreFrom: String,
+                            textExpr: String = "text"): String = {
+    val toks = TF.wsTokensSql(s"lower($textExpr)")
+    def tgOf(alias: String, from: String) =
+      s"""$alias AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         |  FROM (SELECT doc_id, $toks AS t FROM $from) d,
+         |       LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g
+         |  WHERE len(t) >= 3)""".stripMargin
+    s"""${tgOf("ktt", trainFrom)},
+       |kt3 AS (SELECT w1, w2, w3, count(*) AS c123 FROM ktt GROUP BY 1, 2, 3),
+       |ktc AS (SELECT w1, w2, sum(c123) AS c12t, count(*) AS n1pt
+       |        FROM kt3 GROUP BY 1, 2),
+       |kmid AS (SELECT w2, w3, count(DISTINCT w1) AS cm
+       |         FROM kt3 GROUP BY 1, 2),
+       |kmc AS (SELECT w2, sum(cm) AS cm2, count(*) AS n1pm
+       |        FROM kmid GROUP BY 1),
+       |kmetab AS (SELECT tb, dub, dub + 1.0 AS v,
+       |                  4.0 * tb * (dub + 1.0) AS pbden,
+       |                  3 * dub AS pbnum_unk
+       |           FROM (SELECT CAST(count(*) AS DOUBLE) AS tb,
+       |                        CAST(count(DISTINCT w3) AS DOUBLE) AS dub
+       |                 FROM kmid)),
+       |kpb AS (SELECT w3, (4 * nb - 3) * v + 3 * dub AS pbnum
+       |        FROM (SELECT w3, count(*) AS nb FROM kmid GROUP BY 1)
+       |        CROSS JOIN kmetab),
+       |kpmden AS (SELECT w2, n1pm, 4 * cm2 * pbden AS pmden
+       |           FROM kmc CROSS JOIN kmetab),
+       |kpm AS (SELECT kmid.w2, kmid.w3,
+       |          (4 * cm - 3) * pbden + 3 * n1pm * pbnum AS pmnum
+       |        FROM kmid JOIN kmc USING (w2) JOIN kpb USING (w3)
+       |        CROSS JOIN kmetab),
+       |klm3 AS (SELECT kt3.w1, kt3.w2, kt3.w3,
+       |           ${lpMicroSql(
+             "(4 * c123 - 3) * pmden + 3 * n1pt * pmnum",
+             "4 * c12t * pmden")} AS lp3
+       |         FROM kt3 JOIN ktc USING (w1, w2)
+       |                  JOIN kpm USING (w2, w3)
+       |                  JOIN kpmden USING (w2)),
+       |${tgOf("kts", scoreFrom)},
+       |ktscored AS (
+       |  SELECT doc_id, count(*) AS n_trigrams,
+       |         CAST(sum(lp) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT kts.doc_id,
+       |          CASE WHEN klm3.lp3 IS NOT NULL THEN klm3.lp3
+       |               WHEN ktc.c12t IS NOT NULL THEN
+       |                 ${lpMicroSql(
+             "3 * n1pt * COALESCE(pmnum, " +
+               "3 * n1pm * COALESCE(pbnum, pbnum_unk))",
+             "4 * c12t * pmden")}
+       |               WHEN kpmden.pmden IS NOT NULL THEN
+       |                 ${lpMicroSql(
+             "COALESCE(pmnum, 3 * n1pm * COALESCE(pbnum, pbnum_unk))",
+             "pmden")}
+       |               ELSE ${lpMicroSql(
+             "COALESCE(pbnum, pbnum_unk)", "pbden")} END AS lp
+       |        FROM kts LEFT JOIN klm3 USING (w1, w2, w3)
+       |                 LEFT JOIN ktc USING (w1, w2)
+       |                 LEFT JOIN kpm USING (w2, w3)
+       |                 LEFT JOIN kpmden USING (w2)
+       |                 LEFT JOIN kpb USING (w3)
+       |                 CROSS JOIN kmetab) s
+       |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+  }
+
   /** PER-LANGUAGE bigram LMs in ONE pass (q7) — CCNet proper: one
     * model per language, each document scored under ITS OWN
     * language's model ([[surprisal]]/q6 train a single cross-language

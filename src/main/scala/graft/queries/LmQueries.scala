@@ -139,6 +139,23 @@ object LmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q12: TRIGRAM interpolated Kneser-Ney — q11's estimator at q10's
+    // order, i.e. the full KenLM recurrence shape: top-level trigram
+    // counts, CONTINUATION-count bigram and unigram levels (the KN
+    // signature — how many distinct contexts a word continues), one
+    // rational discount, interpolation instead of a backoff cliff.
+    // Same train/score split so every interpolation arm fires; the
+    // per-level scaled numerators telescope exactly (LmScoreSpec pins
+    // the identities on hand counts).
+    "q12_kn_trigram_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LmScore.surprisalKnTrigram(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          docs.where(pmod(col("doc_id"), lit(2)) === 1))
+        .where(pmod(col("doc_id"), lit(25)) === 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // S23: DSIR importance weights — target = the English slice,
     // raw = the whole corpus; hashed-bigram log-likelihood ratios in
     // micro-nats (Xie et al. importance resampling, the data-mixing
@@ -239,6 +256,13 @@ object LmQueries {
              "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) sc")}
          |SELECT doc_id, n_bigrams, logp_micro, surprisal
          |FROM kscored WHERE doc_id % 25 = 1 ORDER BY doc_id""".stripMargin,
+
+    "q12_kn_trigram_surprisal" ->
+      s"""WITH ${LmScore.surprisalKnTrigramSql(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) tr",
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) sc")}
+         |SELECT doc_id, n_trigrams, logp_micro, surprisal
+         |FROM ktscored WHERE doc_id % 25 = 1 ORDER BY doc_id""".stripMargin,
 
     "s23_dsir_weights" ->
       s"""WITH ${LmScore.dsirWeightsSql("documents", "tt.lang = 'en'")}

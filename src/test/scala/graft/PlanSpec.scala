@@ -388,6 +388,9 @@ class PlanSpec extends AnyFunSuite {
       // #langs-row meta BY lang instead, and its chain sits behind
       // checkpointed stage leaves)
       "q11_kn_surprisal",
+      // q12's trigram KN inherits the same shape one order up (the
+      // 1-row continuation-level constants TB/DuB/V/pbden)
+      "q12_kn_trigram_surprisal",
       // LangId: the (#langs)-row class-constant table broadcast-crosses
       // into the per-doc totals — every doc scores against every class
       // by definition (a K-class linear scorer), and K is single-digit;

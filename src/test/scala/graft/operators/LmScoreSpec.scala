@@ -226,6 +226,36 @@ class LmScoreSpec extends AnyFunSuite {
       (14L, 1L, micro(6.0 / 36))))
   }
 
+  test("surprisalKnTrigram: every interpolation arm, hand-counted; per-level numerators telescope to the denominator") {
+    // train "a b c a b c": kt3 = {abc:2, bca:1, cab:1};
+    // ktc: (a,b)->(2,1), (b,c)->(1,1), (c,a)->(1,1)
+    // mid (continuation counts): (b,c):1, (c,a):1, (a,b):1
+    // mc: each w2 -> (cm2=1, n1pm=1); TB=3, DuB=3, V=4, PBden=48
+    // pb: every seen w3: (4-3)*4 + 9 = 13 ; pbnum_unk = 9
+    // pm: every seen (w2,w3): (4-3)*48 + 3*1*13 = 87 ; pmden = 192
+    // lm3(a,b,c): ((8-3)*192 + 3*1*87) / (4*2*192) = 1221/1536
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"), // seen trigram
+      (11L, "a b d"), // seen context (a,b), unseen w3 everywhere
+      (12L, "x b c"), // unseen context, w2 seen, (b,c) mid-seen
+      (13L, "x b a"), // unseen context, w2 seen, (b,a) mid-unseen
+      (14L, "x y c")  // w2 never seen -> continuation unigram
+    ).toDF("doc_id", "text")
+    val got = LmScore.surprisalKnTrigram(train, score).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (10L, 1L, micro(1221.0 / 1536)),
+      (11L, 1L, micro((3 * 1 * (3 * 1 * 9)).toDouble / 1536)), // 81/1536
+      (12L, 1L, micro(87.0 / 192)),
+      (13L, 1L, micro((3 * 1 * 13).toDouble / 192)),           // 39/192
+      (14L, 1L, micro(13.0 / 48))))
+    // telescoping identities: mid level for w2=b (seen c, unseen a/b,
+    // UNK) sums to pmden; top level for (a,b) sums to its denominator
+    assert(87 + 39 + 39 + 27 === 192)
+    assert(1221 + 117 + 117 + 81 === 4 * 2 * 192)
+  }
+
   test("KN vs add-half: a bursty word and a spread word rank DIFFERENTLY (the case KN exists for)") {
     // "zzz" occurs 5x, always after the SAME context (one bursty doc);
     // "qqq" occurs 5x after 5 DISTINCT contexts. Equal total counts.
