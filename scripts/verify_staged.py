@@ -113,6 +113,12 @@ for name, cols, body in ctes:
         con.execute(f"CREATE TEMP TABLE {name} AS "
                     f"(WITH RECURSIVE {name}{cols or ''} AS ({body}) "
                     f"SELECT * FROM {name})")
+    elif cols:
+        # explicit CTE column list (e.g. `pw(bit, p) AS (VALUES ...)`):
+        # CREATE TABLE AS has no column-list form, so alias through a
+        # subquery to preserve the names
+        con.execute(f"CREATE TEMP TABLE {name} AS "
+                    f"(SELECT * FROM ({body}) AS {name}{cols})")
     else:
         con.execute(f"CREATE TEMP TABLE {name} AS ({body})")
     n = con.execute(f"SELECT count(*) FROM {name}").fetchone()[0]
