@@ -504,7 +504,16 @@ object LmScore {
     * output (doc_id, lang, n_bigrams, logp_micro, surprisal). */
   def surprisalKnPerLang(docs: DataFrame,
                          textCol: String = "text"): DataFrame = {
-    val c12 = bigramsPerLang(docs, textCol)
+    val (lm, u1, cont, meta) = trainKnBigramPerLang(docs, textCol)
+    scoreKnPerLang(bigramsPerLang(docs, textCol), lm, u1, cont, meta)
+  }
+
+  /** The |langs|-models-in-one-pass KN trainer behind
+    * [[surprisalKnPerLang]] and [[saveKnLmPerLang]]: returns
+    * (lm, u1, cont, meta), every table lang-keyed. */
+  def trainKnBigramPerLang(train: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val c12 = bigramsPerLang(train, textCol)
       .groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint()
@@ -531,12 +540,63 @@ object LmScore {
           (lit(4) * col("c12") - lit(3)) * col("pcden") +
             lit(3) * col("n1p") * col("pcnum"),
           lit(4) * col("c1") * col("pcden")).as("lp"))
-    knLpRows(bigramsPerLang(docs, textCol), lm, u1, cont, meta,
-        langKeyed = true)
+    (lm, u1, cont, meta)
+  }
+
+  /** Shared per-language KN scoring tail ([[knLpRows]] + the per-(doc,
+    * lang) BIGINT sum); a scoring language with no model takes the 0L
+    * no-opinion arm, [[scorePerLang]]'s rule. */
+  private def scoreKnPerLang(bg: DataFrame, lm: DataFrame, u1: DataFrame,
+                             cont: DataFrame, meta: DataFrame): DataFrame =
+    knLpRows(bg, lm, u1, cont, meta, langKeyed = true)
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micro"))
       .withColumn("surprisal",
         -col("logp_micro").cast("double") / col("n_bigrams"))
+
+  /** Persist PER-LANGUAGE KN models at `path` — [[saveLmPerLang]]'s
+    * layout for the KN estimator: `kn_bigrams/`, `kn_u1/`, `kn_cont/`
+    * lang-PARTITIONED, `kn_meta/` one row per lang. Same plain-
+    * overwrite retrain-not-patch semantics (continuation counts are
+    * corpus globals — no partial update preserves them); atomic
+    * replacement of a LIVE model rides
+    * [[Maintenance.retrainAndSwap]]. */
+  def saveKnLmPerLang(train: DataFrame, path: String,
+                      textCol: String = "text"): Unit = {
+    val (lm, u1, cont, meta) = trainKnBigramPerLang(train, textCol)
+    lm.write.mode("overwrite").partitionBy("lang").parquet(s"$path/kn_bigrams")
+    u1.write.mode("overwrite").partitionBy("lang").parquet(s"$path/kn_u1")
+    cont.write.mode("overwrite").partitionBy("lang").parquet(s"$path/kn_cont")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/kn_meta")
+  }
+
+  /** (lm, u1, cont, meta) at `path`; partition-column type inference
+    * disabled for the same numeric-lang-code reason as
+    * [[loadLmPerLang]]. */
+  def loadKnLmPerLang(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      (spark.read.parquet(s"$path/kn_bigrams"),
+        spark.read.parquet(s"$path/kn_u1"),
+        spark.read.parquet(s"$path/kn_cont"),
+        spark.read.parquet(s"$path/kn_meta"))
+    } finally spark.conf.set(conf, prev)
+  }
+
+  /** Score `docs` (doc_id, lang, textCol) against the persisted
+    * per-language KN models at `path`; equals [[surprisalKnPerLang]]
+    * row for row when the artifact was saved from the same corpus
+    * (spec-pinned), with the lp-0 no-opinion arm for model-less
+    * languages. */
+  def surprisalKnAgainstLmPerLang(docs: DataFrame,
+                                  spark: org.apache.spark.sql.SparkSession,
+                                  path: String,
+                                  textCol: String = "text"): DataFrame = {
+    val (lm, u1, cont, meta) = loadKnLmPerLang(spark, path)
+    scoreKnPerLang(bigramsPerLang(docs, textCol), lm, u1, cont, meta)
   }
 
   /** DuckDB twin of [[surprisalKnPerLang]] (train = score = `from`),
@@ -587,6 +647,65 @@ object LmScore {
        |                   LEFT JOIN ku1l USING (lang, w1)
        |                   LEFT JOIN kcontl USING (lang, w2)
        |                   LEFT JOIN kmetal USING (lang)) s
+       |  GROUP BY doc_id, lang)""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[surprisalKnAgainstLmPerLang]] — per-language KN
+    * models trained on `trainFrom`, scored over `scoreFrom` (both need
+    * doc_id, lang, textExpr). DuckDB cannot read the persisted model
+    * dir, so the twin re-derives the SAME deterministic models from
+    * the same train slice (save≡train is LmScoreSpec-pinned — the
+    * c9/c12 pattern). Ends in `kscored_pl`; the trailing COALESCE-0
+    * arm mirrors the no-model-for-this-language rule. */
+  def surprisalKnPerLangTrainScoreSql(trainFrom: String, scoreFrom: String,
+                                      textExpr: String = "text"): String = {
+    val toks = TF.wsTokensSql(s"lower($textExpr)")
+    def bgl(alias: String, from: String) =
+      s"""$alias AS (
+         |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, lang, $toks AS t FROM $from) d,
+         |       LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+         |  WHERE len(t) >= 2)""".stripMargin
+    s"""${bgl("kblt", trainFrom)},
+       |kc12l AS (SELECT lang, w1, w2, count(*) AS c12
+       |          FROM kblt GROUP BY 1, 2, 3),
+       |ku1l AS (SELECT lang, w1, sum(c12) AS c1, count(*) AS n1p
+       |         FROM kc12l GROUP BY 1, 2),
+       |kmetal AS (SELECT lang, t, du, du + 1.0 AS v,
+       |                  4.0 * t * (du + 1.0) AS pcden, 3 * du AS pcnum_unk
+       |           FROM (SELECT lang, CAST(count(*) AS DOUBLE) AS t,
+       |                        CAST(count(DISTINCT w2) AS DOUBLE) AS du
+       |                 FROM kc12l GROUP BY 1)),
+       |kcontl AS (SELECT lang, w2, (4 * nc - 3) * v + 3 * du AS pcnum
+       |           FROM (SELECT lang, w2, count(*) AS nc
+       |                 FROM kc12l GROUP BY 1, 2)
+       |           JOIN kmetal USING (lang)),
+       |klml AS (SELECT kc12l.lang, kc12l.w1, kc12l.w2,
+       |           ${lpMicroSql(
+             "(4 * c12 - 3) * pcden + 3 * n1p * pcnum",
+             "4 * c1 * pcden")} AS lp
+       |         FROM kc12l JOIN ku1l USING (lang, w1)
+       |                    JOIN kcontl USING (lang, w2)
+       |                    JOIN kmetal USING (lang)),
+       |${bgl("kbls", scoreFrom)},
+       |kscored_pl AS (
+       |  SELECT doc_id, lang, count(*) AS n_bigrams,
+       |         CAST(sum(lp) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT g.doc_id, g.lang,
+       |          COALESCE(
+       |            CASE WHEN klml.lp IS NOT NULL THEN klml.lp
+       |                 WHEN ku1l.c1 IS NOT NULL THEN
+       |                   ${lpMicroSql(
+             "3 * n1p * COALESCE(pcnum, pcnum_unk)",
+             "4 * c1 * pcden")}
+       |                 ELSE ${lpMicroSql(
+             "COALESCE(pcnum, pcnum_unk)", "pcden")} END,
+       |            0) AS lp
+       |        FROM kbls g LEFT JOIN klml USING (lang, w1, w2)
+       |                    LEFT JOIN ku1l USING (lang, w1)
+       |                    LEFT JOIN kcontl USING (lang, w2)
+       |                    LEFT JOIN kmetal USING (lang)) s
        |  GROUP BY doc_id, lang)""".stripMargin.replace("\n", " ")
   }
 

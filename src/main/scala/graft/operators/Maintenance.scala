@@ -131,12 +131,15 @@ object Maintenance {
       graft.sources.TableSwap.recover(fs, path, "meta")
     }
     // the retrained families (LM roots carry bigrams/+unigrams/+meta,
-    // tokenizer roots merges/) have no incremental maintenance by
+    // KN roots kn_bigrams/+kn_u1/+kn_cont/+kn_meta, tokenizer roots
+    // merges/) have no incremental maintenance by
     // design — retrains ride [[retrainAndSwap]], whose crash window is
     // exactly the root swap the heal above covers. Return before the
     // index-family detection (a tokenizer root has no meta/ at all).
-    if (exists("bigrams") || exists("merges")) {
-      val fam = if (exists("merges")) "tokenizer" else "lm"
+    if (exists("bigrams") || exists("merges") || exists("kn_bigrams")) {
+      val fam = if (exists("merges")) "tokenizer"
+        else if (exists("kn_bigrams")) "kn-lm"
+        else "lm"
       return NightlyReport(path, fam,
         if (rootStaged) Seq("heal-swap") else Nil, None, None)
     }

@@ -57,9 +57,22 @@ object PipelineScaleBench {
     // show the chain inheriting c7's sublinear curve plus the LM
     // family's flat-scan scoring — the gate stays one broadcast-able
     // LM join + a global-rank pass, never a per-language hot partition
+    // c14 = c10 with the host-prior stage: the ramp must show the
+    // |hosts|-bounded rank broadcast costing O(docs) map-side work —
+    // the host graph does NOT grow with copies (37 hosts at every
+    // scale), so the added stage's cost should be flat-ish against
+    // c10's curve.
+    // c15 = c10 with the Kneser-Ney gate: same chain shape, the
+    // estimator pays two extra vocab-bounded aggregates (continuation
+    // counts) off the SAME checkpointed count table — the curve must
+    // track c10's, not multiply it.
+    // m6 = decode → dHash → band join → components: pure map-side
+    // hashing plus a banded self-join whose buckets stay uniform as
+    // the image population grows — wall should track docs linearly.
     val queries = Seq("c1_corpus_pipeline", "c2_dedup_pipeline",
       "c3_curation_v2", "c4_ingest_curation", "c7_curation_pipeline",
-      "c10_lm_gated_curation")
+      "c10_lm_gated_curation", "c14_host_prior_curation",
+      "c15_kn_gated_curation", "m6_perceptual_near_dup")
 
     import BenchTime.timed
     // JIT/codegen warmup at a thin slice so the 1× point isn't taxed
@@ -141,8 +154,16 @@ object PipelineScaleBench {
       }
       cur
     }
+    // q11 rides the same leg: trainKnBigram's checkpointed count table
+    // feeds FIVE consumers (model, u1, cont, meta, and through them the
+    // scorer) — the flat-scans claim is identical to q5's, with the
+    // continuation aggregates re-reading the count table, not the
+    // corpus. (q12's trigram form shares the shape one order up; the
+    // ramp's per-token rewrite makes ITS count table corpus-sized — the
+    // documented worst case q5's note covers — so the bigram form
+    // carries the leg.)
     val lmQueries = Seq("q5_bigram_surprisal", "q6_ccnet_buckets",
-      "s23_dsir_weights", "c8_lm_survivor_clusters")
+      "s23_dsir_weights", "c8_lm_survivor_clusters", "q11_kn_surprisal")
     lmQueries.foreach(q => graft.SparkEntry.queries(q)(spark, warmDir).count())
     graft.Isolation.scrub(spark)
     copiesList.foreach { c =>

@@ -169,6 +169,19 @@ private[graft] object CurationStages {
     lmKeep(gatedDocs,
       LmScore.surprisalKnPerLang(gatedDocs.join(langs, "doc_id")))
 
+  /** c17's gate — [[lmGatedKn]] scored under PERSISTED per-language
+    * TARGET-domain KN models ([[LmScore.saveKnLmPerLang]] at `lmPath`):
+    * c12's target-domain stance with c15's estimator, i.e. the actual
+    * CCNet configuration (one Wikipedia-style KenLM per language —
+    * KenLM IS Kneser-Ney). Same thirds, same keep rule; a scoring
+    * language with no model takes the lp-0 no-opinion arm. */
+  def lmGatedKnAgainstLm(gatedDocs: DataFrame, langs: DataFrame,
+                         spark: org.apache.spark.sql.SparkSession,
+                         lmPath: String): DataFrame =
+    lmKeep(gatedDocs,
+      LmScore.surprisalKnAgainstLmPerLang(gatedDocs.join(langs, "doc_id"),
+        spark, lmPath))
+
   /** Shared bucket-and-keep tail of the two LM gates: per-language
     * thirds by surprisal (ONE global rank), keep head+middle. */
   private def lmKeep(gatedDocs: DataFrame, scored0: DataFrame): DataFrame = {

@@ -323,6 +323,30 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got.head.getLong(2) === 2L && got.head.getLong(3) === 0L)
   }
 
+  test("saveKnLmPerLang → surprisalKnAgainstLmPerLang equals surprisalKnPerLang row for row") {
+    val docs = Seq((1L, "en", "a b a b"), (2L, "de", "a a b"),
+      (3L, "en", "b a"), (4L, "de", "b b a a"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("knpllm").toString
+    LmScore.saveKnLmPerLang(docs, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(rows(LmScore.surprisalKnAgainstLmPerLang(docs, spark, dir)) ===
+      rows(LmScore.surprisalKnPerLang(docs)))
+  }
+
+  test("per-lang KN split form: a scoring language with no model gets the 0L no-opinion arm") {
+    val train = Seq((1L, "en", "a b a b")).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("knpllm2").toString
+    LmScore.saveKnLmPerLang(train, dir)
+    val score = Seq((10L, "fr", "x y z")).toDF("doc_id", "lang", "text")
+    val got = LmScore.surprisalKnAgainstLmPerLang(score, spark, dir).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 2L && got.head.getLong(3) === 0L)
+  }
+
   test("c12 gate fixture: self-trained and target-trained per-language gates keep DIFFERENT docs") {
     import graft.queries.CurationStages
     // one language, 6 scoreable docs: 4 boilerplate + 2 fluent. The
