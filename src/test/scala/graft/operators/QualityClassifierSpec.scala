@@ -95,6 +95,16 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"accuracy $acc")
   }
 
+  test("multiclass training rejects null labels loudly, not with a mid-job NPE") {
+    import spark.implicits._
+    val bad = Seq((1L, "en", "the dog runs"), (2L, null: String, "le chien"))
+      .toDF("doc_id", "lang", "text")
+    val ex = intercept[IllegalArgumentException](
+      QualityClassifier.trainMulticlass(bad))
+    assert(ex.getMessage.contains("NULL") && ex.getMessage.contains("lang"),
+      ex.getMessage)
+  }
+
   test("multiclass scoring is map-side: no exchange in the prediction plan") {
     val (model, labels) = QualityClassifier.trainMulticlass(
       langCorpus(90, seed = 5))
