@@ -7,8 +7,9 @@ Routes each query to the right compare:
   - plain oracles      -> selfverify.py with the query name as prefix
 
 Runs a small process pool (DuckDB processes are independent); each
-worker gets its own spill dir and a bounded memory_limit so N workers
-never exceed the host.
+worker gets its own spill dir and a bounded memory_limit derived from
+host RAM / jobs (capped at 20GB) so N workers never exceed the host;
+override with GRAFT_DUCKDB_MEM.
 
 Usage: python3 scripts/sf1_full_sweep.py [sfdir] [outdir] [jobs]
 Then:  python3 scripts/collect_sf1_evidence.py scripts/sf1_sweep_rN.json <log>
@@ -24,13 +25,25 @@ here = os.path.dirname(os.path.abspath(__file__))
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted(oracle)
 
+def default_mem_gb():
+    # host RAM / jobs, 2GB floor, 20GB cap — the pool's aggregate limit
+    # stays within the host instead of assuming 20GB*jobs fits
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(l for l in f if l.startswith("MemTotal")).split()[1])
+        return max(2, min(20, kb // 1024 // 1024 // max(1, jobs)))
+    except (OSError, StopIteration, ValueError):
+        return 20
+
+mem = os.environ.get("GRAFT_DUCKDB_MEM", f"{default_mem_gb()}GB")
+
 def run(q):
     heavy = oracle[q].lstrip().upper().startswith("WITH")
     cmd = ([sys.executable, f"{here}/verify_staged.py", q, sfdir, outdir]
            if heavy else
            [sys.executable, f"{here}/selfverify.py", sfdir, outdir, q])
     env = dict(os.environ,
-               GRAFT_DUCKDB_MEM=os.environ.get("GRAFT_DUCKDB_MEM", "20GB"),
+               GRAFT_DUCKDB_MEM=mem,
                GRAFT_DUCKDB_TEMP=f"/tmp/duck_sweep_{q}")
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,

@@ -245,18 +245,48 @@ object Bpe {
     * what s25/s26 measure), and merges apply WITHIN pre-token
     * boundaries only (each lowercased whitespace token is its own
     * sequence — the pre-tokenization rule; a merge can never span two
-    * words). Driver-local over an ALREADY-SAMPLED slice (the
-    * [[trainSampled]] stance: vocabularies converge on sample-sized
-    * text; corpus-scale machinery is for ENCODE) with the exact
-    * [[train]] greedy semantics per round. */
-  def trainBytesLocal(docs: DataFrame, nMerges: Int): Seq[Merge] = {
+    * words). Driver-local (the [[trainSampled]] stance: vocabularies
+    * converge on sample-sized text; corpus-scale machinery is for
+    * ENCODE) with the exact [[train]] greedy semantics per round.
+    *
+    * The driver collect is BOUNDED: `sampleMod` = 0 (the default) is
+    * AUTO — a xxhash64(doc_id)-keyed one-in-mod sample whose modulus
+    * [[autoByteSampleMod]] derives from the corpus's total text bytes
+    * (one column-pruned aggregate pass, run only on the auto path) so
+    * the expected collect stays ≤ `budgetBytes` no matter the corpus —
+    * the PQ trainer's `trainSampleMod = 0` discipline. Corpora at or
+    * under the budget derive mod 1 (identity: every gate slice), so
+    * small-SF hashes are unchanged by the guard. */
+  def trainBytesLocal(docs: DataFrame, nMerges: Int, sampleMod: Int = 0,
+                      budgetBytes: Long = TrainBudgetBytes): Seq[Merge] = {
+    require(sampleMod >= 0, "sampleMod must be >= 0 (0 = auto)")
     val spark = docs.sparkSession
     import spark.implicits._
-    greedyLocal(docs
+    val mod =
+      if (sampleMod != 0) sampleMod.toLong
+      else autoByteSampleMod(
+        docs.agg(coalesce(sum(octet_length(col("text"))), lit(0L))
+          .cast("long")).as[Long].head(), budgetBytes)
+    val sampled =
+      if (mod > 1L) docs.where(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+      else docs
+    greedyLocal(sampled
       .select(TextAnalysis.toks(col("text")))
       .as[Seq[String]].collect()
       .flatMap(ws => ws.map(byteSyms)), nMerges)
   }
+
+  /** Driver-collect budget for [[trainBytesLocal]]'s AUTO sample:
+    * 512 MiB of UTF-8 text — far past byte-vocabulary convergence
+    * (production byte-BPE trainers converge on a few hundred MB) and
+    * comfortably inside any driver heap. */
+  val TrainBudgetBytes: Long = 512L << 20
+
+  /** The effective sampling modulus for a byte-BPE training collect:
+    * one-in-mod of `totalBytes` keeps the expected collect ≤ `budget`;
+    * corpora within budget pass through whole. */
+  private[graft] def autoByteSampleMod(totalBytes: Long, budget: Long): Long =
+    math.max(1L, (totalBytes + budget - 1L) / budget)
 
   /** Byte-level ENCODE under frozen merges — fully distributed,
     * map-side like [[encode]]: each word's byte symbols get the

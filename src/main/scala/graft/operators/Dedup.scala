@@ -2480,7 +2480,12 @@ object Dedup {
     require(bits >= bands && bits % bands == 0 && bits <= 64,
       s"bits=$bits must be a positive multiple of bands=$bands, <= 64")
     val width = bits / bands
-    val mask = (1L << width) - 1
+    // width == 64 (bits=64, bands=1): Java's shift wraps (1L << 64 == 1L),
+    // which would zero the mask and funnel every row into ONE bucket —
+    // output would stay correct (exact popcount verify) but candidates
+    // degrade to O(n²); require(maxDist < bands) already forces bands >= 2
+    // for any useful maxDist, so this arm only guards maxDist = 0 calls.
+    val mask = if (width == 64) -1L else (1L << width) - 1
     def field(sig: Column, b: Int) =
       shiftright(sig, b * width).bitwiseAND(lit(mask))
     val banded = hashes.select(col(idCol).as("_id"), col(hashCol).as("_sig"),
@@ -2497,6 +2502,147 @@ object Dedup {
         bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("dist"))
       .where(col("dist") <= maxDist)
       .orderBy(col("id1"), col("id2"))
+  }
+
+  // ----------------------- persisted Hamming-band index (m7 / d19)
+
+  /** Band rows of a Hamming fingerprint relation, partition column
+    * included: (_id, _sig, band, bucket, part) — the full signature
+    * rides every row, [[hammingNearDupPairs]]'s zero-exchange
+    * candidate-dedup layout persisted as-is. */
+  private def hammingBandRows(hashes: DataFrame, idCol: String,
+                              hashCol: String, bits: Int, bands: Int,
+                              nBucketParts: Int): DataFrame = {
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    hashes.select(col(idCol).as("_id"), col(hashCol).as("_sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col(hashCol), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      // int, not the pmod's natural bigint: the partition directory
+      // round-trips as int, and a CAST on the probe's join key would
+      // break dynamic partition pruning (the probe would scan every
+      // partition)
+      .withColumn("part", pmod(col("bucket"), lit(nBucketParts)).cast("int"))
+  }
+
+  /** Persist a Hamming fingerprint band index — the [[saveLshIndex]]
+    * lifecycle applied to ≤64-bit signatures (m6's perceptual image
+    * dHashes are the motivating case: a LAION-scale media corpus is
+    * hashed ONCE; each arriving batch probes the index at |batch|
+    * cost). Band rows land bucket-partitioned (part = bucket mod
+    * `nBucketParts`, the probe-pruning layout); there is NO separate
+    * doc store — the full signature rides every band row, so exact
+    * verification never leaves the band scan. The one-row meta table
+    * (bits, bands, n_bucket_parts) is written LAST as the commit
+    * marker; probes read their parameters from it, because a probe
+    * banded under mismatched parameters would silently find nothing. */
+  def saveHammingIndex(hashes: DataFrame, idCol: String, hashCol: String,
+                       bits: Int, bands: Int, path: String,
+                       nBucketParts: Int = LshBucketParts): Unit = {
+    require(bits >= bands && bits % bands == 0 && bits <= 64,
+      s"bits=$bits must be a positive multiple of bands=$bands, <= 64")
+    hammingBandRows(hashes, idCol, hashCol, bits, bands, nBucketParts)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$path/bands")
+    writeHammingMeta(hashes.sparkSession, bits, bands, nBucketParts, path)
+  }
+
+  private def writeHammingMeta(spark: org.apache.spark.sql.SparkSession,
+                               bits: Int, bands: Int, nBucketParts: Int,
+                               path: String): Unit = {
+    import spark.implicits._
+    Seq((bits, bands, nBucketParts))
+      .toDF("bits", "bands", "n_bucket_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    spark.catalog.refreshByPath(path)
+  }
+
+  private def hammingMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Int, Int, Int) = {
+    require(graft.sources.Hdfs.forPath(spark, path)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"$path is not a saved Hamming index (no meta/ table — see saveHammingIndex)")
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2))
+  }
+
+  /** Append a batch of fingerprints to a persisted Hamming index — the
+    * post-probe step of the nightly loop (probe → keep survivors →
+    * append). Parquet append touches only the partitions the new
+    * buckets hash into; probes after the append see the union exactly
+    * as a fresh [[saveHammingIndex]] of it would (same banding rule —
+    * spec-asserted). Single-table, so there is no torn-append window:
+    * the band rows ARE the whole index. */
+  def appendToHammingIndex(newHashes: DataFrame, idCol: String,
+                           hashCol: String, path: String): Unit = {
+    val spark = newHashes.sparkSession
+    val (bits, bands, parts) = hammingMeta(spark, path)
+    hammingBandRows(newHashes, idCol, hashCol, bits, bands, parts)
+      .write.mode("append").partitionBy("part").parquet(s"$path/bands")
+  }
+
+  /** Verified near-dup PAIRS of a batch against a persisted Hamming
+    * index: (bid, cid, dist), dist = exact XOR popcount ≤ `maxDist`.
+    * The corpus-side touch is ONE DPP-pruned band scan (the join
+    * carries the partition column as an equi-key; only partitions the
+    * batch's buckets hash into are read — plan-pinned in the spec);
+    * candidates are exact-field bucket collisions deduped map-side by
+    * the first-colliding-band rule (both full signatures ride the join
+    * row — no shuffle, [[hammingNearDupPairs]]'s trick). Batch and
+    * corpus ids should be disjoint; self-pairs are guarded regardless,
+    * so probing an index the batch was already appended to (the
+    * idempotent-resume shape) never matches a row to itself. */
+  def hammingPairsAgainstIndex(batch: DataFrame, idCol: String,
+                               hashCol: String, path: String,
+                               maxDist: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val (bits, bands, parts) = hammingMeta(spark, path)
+    require(maxDist < bands,
+      s"band blocking with $bands bands only guarantees recall for dist < $bands")
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def field(sig: Column, b: Int) =
+      shiftright(sig, b * width).bitwiseAND(lit(mask))
+    val keys = Seq("part", "band", "bucket")
+    val bBands = hammingBandRows(batch, idCol, hashCol, bits, bands, parts)
+    // corpus rows cohabiting a batch bucket; the join carries `part`
+    // so the partition column is an equi-join key — the DPP handle
+    val hit = spark.read.parquet(s"$path/bands")
+      .join(bBands.select(keys.map(col): _*).distinct(), keys)
+    val firstCollidingBand = least((0 until bands).map(b =>
+      when(field(col("b._sig"), b) === field(col("c._sig"), b), lit(b))
+        .otherwise(lit(bands))): _*)
+    bBands.as("b").join(hit.as("c"), keys)
+      .where(col("b._id") =!= col("c._id"))
+      .where(col("b.band") === firstCollidingBand)
+      .select(col("b._id").as("bid"), col("c._id").as("cid"),
+        bit_count(col("b._sig").bitwiseXOR(col("c._sig"))).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Per-item verdicts of a batch against a persisted Hamming index —
+    * [[dedupAgainstLshIndex]]'s output shape over fingerprints: one row
+    * per batch item, (idCol, n_matches, match_id = lowest matching
+    * resident id, is_dup), ordered by id. Population = EVERY batch row
+    * (a fingerprint always exists — there is no empty-shingle drop). */
+  def dedupAgainstHammingIndex(batch: DataFrame, idCol: String,
+                               hashCol: String, path: String,
+                               maxDist: Int): DataFrame =
+    verdictsFromPairs(batch.select(col(idCol).as("doc_id")),
+      hammingPairsAgainstIndex(batch, idCol, hashCol, path, maxDist))
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Nightly small-file repair for an append-grown Hamming index —
+    * [[compactLshBands]] minus the stats table (this index has none):
+    * partitions holding more than `maxFilesPerPart` files are rewritten
+    * to `targetFiles`; probe verdicts are bit-identical before and
+    * after (spec-pinned). Returns the rewritten partition ids. */
+  def compactHammingBands(spark: org.apache.spark.sql.SparkSession,
+                          path: String, maxFilesPerPart: Int,
+                          targetFiles: Int = 1): Seq[Int] = {
+    hammingMeta(spark, path)
+    graft.sources.Compaction.compactPartitions(spark, s"$path/bands",
+      "part=", maxFilesPerPart, targetFiles).map(_.toInt)
   }
 
   /** DuckDB oracle for [[simhashPairs]]: same per-token FNV-1a 64, bit

@@ -102,7 +102,14 @@ object LangId {
     * broadcast of the model (see the object scaladoc). `buckets` must
     * be the count [[train]] ran under — verified at runtime against
     * the bucket count langConst carries (assert_true on the
-    * #langs-row broadcast side: zero extra jobs, loud on mismatch). */
+    * #langs-row broadcast side: zero extra jobs, loud on mismatch).
+    *
+    * PRECONDITION: `doc_id` must be unique in `docs` (one text per id).
+    * The per-doc trigram total is a map-side length formula per INPUT
+    * ROW; a duplicated doc_id would pair the per-doc feature sum
+    * (aggregated across the duplicates) with each row's own tf, mixing
+    * totals in the argmax. The upstream tables guarantee uniqueness;
+    * callers scoring ad-hoc frames must dedup first. */
   def predict(model: DataFrame, langConst: DataFrame, docs: DataFrame,
               textCol: String = "text", buckets: Int = Buckets): DataFrame = {
     val lc =

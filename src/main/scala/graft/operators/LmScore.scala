@@ -548,11 +548,33 @@ object LmScore {
     * no-opinion arm, [[scorePerLang]]'s rule. */
   private def scoreKnPerLang(bg: DataFrame, lm: DataFrame, u1: DataFrame,
                              cont: DataFrame, meta: DataFrame): DataFrame =
-    knLpRows(bg, lm, u1, cont, meta, langKeyed = true)
+    foldKnPerLang(knLpRows(bg, lm, u1, cont, meta, langKeyed = true))
+
+  /** The per-(doc, lang) fold over a KN transition stream — shared by
+    * the batch scorers and (as the batch half of the equality spec) the
+    * streaming enrich, which runs the same sum in a stateless group
+    * shell instead of groupBy. */
+  private def foldKnPerLang(rows: DataFrame): DataFrame =
+    rows
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micro"))
       .withColumn("surprisal",
         -col("logp_micro").cast("double") / col("n_bigrams"))
+
+  /** Per-transition KN (doc_id, lang, lp) against the persisted
+    * per-language KN models at `path` — the KN twin of
+    * [[lpRowsPerLang]], shared by [[surprisalKnAgainstLmPerLang]] and
+    * the streaming enrich
+    * (graft.streaming.DocStreams.lmScoreEnrichKnPerLang) so the batch
+    * and continuous curation paths gate on the SAME estimator and
+    * cannot drift. A scoring language with no model takes the 0L arm. */
+  def lpRowsKnPerLang(docs: DataFrame,
+                      spark: org.apache.spark.sql.SparkSession,
+                      path: String, textCol: String = "text"): DataFrame = {
+    val (lm, u1, cont, meta) = loadKnLmPerLang(spark, path)
+    knLpRows(bigramsPerLang(docs, textCol), lm, u1, cont, meta,
+      langKeyed = true)
+  }
 
   /** Persist PER-LANGUAGE KN models at `path` — [[saveLmPerLang]]'s
     * layout for the KN estimator: `kn_bigrams/`, `kn_u1/`, `kn_cont/`
@@ -594,10 +616,8 @@ object LmScore {
   def surprisalKnAgainstLmPerLang(docs: DataFrame,
                                   spark: org.apache.spark.sql.SparkSession,
                                   path: String,
-                                  textCol: String = "text"): DataFrame = {
-    val (lm, u1, cont, meta) = loadKnLmPerLang(spark, path)
-    scoreKnPerLang(bigramsPerLang(docs, textCol), lm, u1, cont, meta)
-  }
+                                  textCol: String = "text"): DataFrame =
+    foldKnPerLang(lpRowsKnPerLang(docs, spark, path, textCol))
 
   /** DuckDB twin of [[surprisalKnPerLang]] (train = score = `from`),
     * ending in `kscored_pl` (doc_id, lang, n_bigrams, logp_micro,

@@ -1111,6 +1111,57 @@ object CoverageQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // M7: persisted Hamming-band index LIFECYCLE — the d14 "build once,
+    // probe every batch" shape applied to m6's perceptual dHashes, run
+    // end-to-end ON DISK: save the role-0 media corpus index, then for
+    // three successive batches probe (DPP-pruned band scan, exact
+    // XOR-popcount verify), append the survivors, and compact — the
+    // nightly loop a LAION-scale image corpus runs. Roles come from
+    // media_id % 4, which SPLITS each brightness-twin pair (media 2k /
+    // 2k+1 render base k at +0/+3): even bases land in roles {0, 1}
+    // (batch-1 dups against the initial corpus), odd bases in {2, 3}
+    // (batch-3 dups against batch-2 SURVIVORS — the append is load-
+    // bearing). Each probe materializes to parquet before its append
+    // (the c6 barrier: a lazy probe evaluated after the append would
+    // see its own batch). The banding/bucketing layout is invisible to
+    // the result (pigeonhole: dist ≤ 3 < 4 bands guarantees a
+    // colliding band; the verify is exact), so the oracle replays the
+    // growing-corpus lifecycle as plain popcount ≤ 3 containment — the
+    // d15 stance — over dHashes derived from the generating pixel
+    // formula, with no PNG and no index.
+    "m7_hamming_index_lifecycle" -> ((s, dir) => {
+      import graft.operators.{Multimodal, Dedup}
+      val ids = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(31)) === 0)
+        .select(explode(array(col("doc_id") * 2,
+          col("doc_id") * 2 + 1)).as("media_id"))
+      // scope-bounded cache: the hash frame feeds the save, three
+      // probes, and three appends — decode cost paid once
+      val hashes = Multimodal.pngDHash(Multimodal.synthPngVariantMedia(ids))
+        .cache()
+      try DedupQueries.withIndexScratch(s, "m7_hidx") { idx =>
+        Dedup.saveHammingIndex(
+          hashes.where(pmod(col("media_id"), lit(4)) === 0),
+          "media_id", "dhash", bits = 56, bands = 4, idx, nBucketParts = 16)
+        val probes = (1 to 3).map { b =>
+          val batch = hashes.where(pmod(col("media_id"), lit(4)) === b)
+          Dedup.dedupAgainstHammingIndex(batch, "media_id", "dhash", idx,
+              maxDist = 3)
+            .write.mode("overwrite").parquet(s"$idx/probe_$b")
+          val probed = s.read.parquet(s"$idx/probe_$b")
+          Dedup.appendToHammingIndex(
+            batch.join(probed.where(!col("is_dup")).select(col("media_id")),
+              "media_id"), "media_id", "dhash", idx)
+          Dedup.compactHammingBands(s, idx, maxFilesPerPart = 1)
+          probed.withColumn("batch", lit(b))
+        }
+        probes.reduce(_ unionByName _)
+          .select(col("batch"), col("media_id"), col("n_matches"),
+            col("match_id"), col("is_dup"))
+          .orderBy(col("batch"), col("media_id"))
+      } finally hashes.unpersist(blocking = false)
+    }),
+
     // S18: JSONL corpus ingest round trip — docs serialize to JSON
     // lines in-engine, parse back through from_json with the explicit
     // nested schema, and the aggregate reads PARSED columns only; the
@@ -2669,6 +2720,63 @@ object CoverageQueries {
         |SELECT p.id1, p.id2, p.dist, c.comp
         |FROM pairs p JOIN comps c ON c.id = p.id1
         |ORDER BY p.id1, p.id2""".stripMargin,
+
+    // replays the m6 dHash pixel formula, then the growing-corpus probe
+    // lifecycle as plain popcount ≤ 3 containment (banding is invisible
+    // to the RESULT: dist ≤ 3 < 4 bands pigeonholes a colliding band,
+    // and the verify is exact — the d15 "layout is invisible" stance);
+    // corpus grows by each batch's NON-dup survivors, the c6 unroll
+    "m7_hamming_index_lifecycle" -> {
+      val steps = (1 to 3).map { b =>
+        s"""b$b AS (SELECT media_id, dhash FROM hs WHERE media_id % 4 = $b),
+           |p$b AS (
+           |  SELECT b.media_id,
+           |         COALESCE(m.n_matches, 0) AS n_matches,
+           |         m.match_id,
+           |         m.match_id IS NOT NULL AS is_dup
+           |  FROM b$b b
+           |  LEFT JOIN (SELECT x.media_id, COUNT(*) AS n_matches,
+           |                    MIN(c.media_id) AS match_id
+           |             FROM b$b x JOIN c${b - 1} c
+           |               ON bit_count(xor(x.dhash, c.dhash)) <= 3
+           |             GROUP BY x.media_id) m ON m.media_id = b.media_id),
+           |c$b AS (SELECT media_id, dhash FROM c${b - 1} UNION ALL
+           |        SELECT b.media_id, b.dhash FROM b$b b
+           |        JOIN p$b p ON p.media_id = b.media_id AND NOT p.is_dup)"""
+          .stripMargin
+      }
+      val union = (1 to 3)
+        .map(b => s"SELECT $b AS batch, media_id, n_matches, match_id, " +
+          s"is_dup FROM p$b")
+        .mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT doc_id*2 + j.j AS media_id, doc_id AS base, j.j*3 AS delta,
+         |         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         |  FROM documents, LATERAL (SELECT unnest([0, 1]) AS j) j
+         |  WHERE doc_id % 31 = 0),
+         |g AS (
+         |  SELECT media_id, gy.y AS y, gx.x AS x,
+         |    299*LEAST((base*31 + 7)*(((x*w)//9) + 3)*(((y*h)//7) + 5) % 256 + delta, 255)
+         |  + 587*LEAST((base*17 + 5)*(((x*w)//9) + 11)*(((y*h)//7) + 2) % 256 + delta, 255)
+         |  + 114*LEAST((base*7 + 13)*(((x*w)//9) + 2)*(((y*h)//7) + 7) % 256 + delta, 255)
+         |      AS luma
+         |  FROM m, LATERAL (SELECT unnest(range(0, 9)) AS x) gx,
+         |          LATERAL (SELECT unnest(range(0, 7)) AS y) gy),
+         |hs AS (
+         |  SELECT media_id,
+         |         CAST(SUM(CASE WHEN nl > luma
+         |                       THEN (CAST(1 AS BIGINT) << CAST(y*8 + x AS INTEGER))
+         |                       ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM (SELECT media_id, y, x, luma,
+         |               lead(luma) OVER (PARTITION BY media_id, y ORDER BY x) AS nl
+         |        FROM g) z
+         |  WHERE x < 8 GROUP BY media_id),
+         |c0 AS (SELECT media_id, dhash FROM hs WHERE media_id % 4 = 0),
+         |${steps.mkString(",\n")}
+         |SELECT batch, media_id, n_matches, match_id, is_dup FROM (
+         |$union
+         |) r ORDER BY batch, media_id""".stripMargin
+    },
 
     "s11_incremental_agg" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,

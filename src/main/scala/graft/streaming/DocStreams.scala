@@ -910,4 +910,35 @@ object DocStreams {
             -s.toDouble / n))
       }
   }
+
+  /** KNESER-NEY twin of [[lmScoreEnrichPerLang]]: a stream of (doc_id,
+    * lang, text) rows scored against the persisted per-language KN
+    * models at `path` ([[graft.operators.LmScore.saveKnLmPerLang]]) —
+    * the continuous form of the c17 gate, so the streaming curation
+    * path gates on the SAME interpolated-KN estimator as the batch
+    * one. The per-transition log-probs come from the shared
+    * `LmScore.lpRowsKnPerLang` (the batch scorer's transition stream,
+    * including the lp-0 no-opinion arm for a language with no model);
+    * the per-(doc, lang) sum folds in the same stateless
+    * flatMapGroupsWithState shell, so streamed scores equal
+    * `surprisalKnAgainstLmPerLang` row for row with zero state rows
+    * (spec-pinned). */
+  def lmScoreEnrichKnPerLang(docs: DataFrame, path: String,
+                             textCol: String = "text")
+      : Dataset[DocScorePerLang] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.LmScore.lpRowsKnPerLang(docs, spark, path, textCol)
+      .as[(Long, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long)],
+         _: GroupState[Boolean]) =>
+          var n = 0L
+          var s = 0L
+          rows.foreach { r => n += 1; s += r._3 }
+          Iterator.single(DocScorePerLang(key._1, key._2, n, s,
+            -s.toDouble / n))
+      }
+  }
 }

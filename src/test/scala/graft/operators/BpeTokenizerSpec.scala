@@ -112,6 +112,30 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(enc === Bpe.encodeBytes(corpus, merges).collect().head.getSeq[String](1))
   }
 
+  test("byte mode: trainBytesLocal's driver collect is bounded — AUTO mod " +
+      "derives from corpus bytes, in-budget corpora pass through whole") {
+    // the modulus formula: within budget -> 1 (identity, so gate-SF
+    // hashes are untouched by the guard); past budget -> ceil division
+    assert(Bpe.autoByteSampleMod(100L, Bpe.TrainBudgetBytes) === 1L)
+    assert(Bpe.autoByteSampleMod(Bpe.TrainBudgetBytes, Bpe.TrainBudgetBytes) === 1L)
+    assert(Bpe.autoByteSampleMod(Bpe.TrainBudgetBytes + 1L, Bpe.TrainBudgetBytes) === 2L)
+    assert(Bpe.autoByteSampleMod(5L * (512L << 20), 512L << 20) === 5L)
+    // a corpus past a (tiny, injected) budget is SAMPLED: AUTO equals
+    // the explicit xxhash64(doc_id)-mod slice trained with the same
+    // greedy loop, never the whole corpus
+    val d = docs((0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "aa aa" else "bb bb")): _*)
+    val budget = 20L // bytes; total is 200 -> mod 10
+    val auto = Bpe.trainBytesLocal(d, nMerges = 1, budgetBytes = budget)
+    val manual = Bpe.trainBytesLocal(
+      d.where(pmod(xxhash64(col("doc_id")), lit(10L)) === 0),
+      nMerges = 1, sampleMod = 1)
+    assert(auto === manual)
+    // default budget on a small corpus = identity (c16's contract)
+    assert(Bpe.trainBytesLocal(d, nMerges = 1) ===
+      Bpe.trainBytesLocal(d, nMerges = 1, sampleMod = 1))
+  }
+
   test("byte mode: greedy order and utf8 tie-break match the word-level trainer's rules") {
     // two competing pairs with equal counts: ("61","61") from "aa" x2
     // and ("62","62") from "bb" x2 — tie breaks to the byte-lex
