@@ -494,6 +494,192 @@ object LmScore {
        |                 CROSS JOIN kmeta) s
        |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------ modified KN (q13)
+
+  /** MODIFIED Kneser-Ney bigram trainer — KenLM's default estimator
+    * configuration at the bigram level: instead of [[trainKnBigram]]'s
+    * single rational discount d = ¾, three discounts D₁/D₂/D₃₊ are
+    * DERIVED FROM THE CORPUS's count-of-counts (Chen & Goodman 1998;
+    * nₖ = |{(w1,w2) : c(w1,w2) = k}|):
+    *
+    *   Y  = n₁ / (n₁ + 2·n₂)
+    *   D₁ = 1 − 2·Y·n₂/n₁,  D₂ = 2 − 3·Y·n₃/n₂,  D₃₊ = 3 − 4·Y·n₄/n₃
+    *
+    * and each seen bigram is discounted by the D of ITS OWN count
+    * tier, with the redistributed mass γ(w1) = D₁·N₁(w1) + D₂·N₂(w1)
+    * + D₃₊·N₃₊(w1) (Nₖ(w1) = distinct continuations of w1 with count
+    * k). The continuation LOWER level is [[trainKnBigram]]'s
+    * unchanged (d = ¾ over continuation counts, uniform base) — the
+    * modification is a top-level estimator refinement.
+    *
+    * Exactness: the discounts are RATIONALS of integer count-of-counts
+    * evaluated in double arithmetic with identical association on both
+    * engines (the q11 discipline: hash-exactness needs identical IEEE
+    * evaluation order, not integer representability). A corpus whose
+    * count-of-counts cannot estimate valid discounts (any nₖ = 0, or a
+    * derived Dⱼ outside [0, j] — degenerate discounts would produce
+    * negative probabilities) takes KenLM's documented
+    * `--discount_fallback` escape hatch: fixed D₁/D₂/D₃₊ = 0.5/1/1.5,
+    * lmplz's default fallback values. Divisions are GREATEST-guarded so
+    * the fallback arm never divides by zero (Spark yields Infinity
+    * there, DuckDB NULL — the guard keeps both engines off that path;
+    * under valid counts GREATEST(nₖ, 1) = nₖ exactly).
+    *
+    * Same scale shape as [[trainKnBigram]]: one corpus-keyed shuffle
+    * into the checkpointed count table; u1/cont/meta re-aggregate it;
+    * scoring is three vocab-bounded left joins + a one-row broadcast.
+    * Returns (lm: (w1,w2,lp), u1: (w1,c1,g), cont: (w2,pcnum),
+    * meta 1-row). */
+  def trainMknBigram(train: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val c12 = bigrams(train, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val meta = c12
+      .agg(count(lit(1)).cast("double").as("t"),
+        countDistinct(col("w2")).cast("double").as("du"),
+        sum(when(col("c12") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("c12") === 2, lit(1L)).otherwise(lit(0L))).as("n2"),
+        sum(when(col("c12") === 3, lit(1L)).otherwise(lit(0L))).as("n3"),
+        sum(when(col("c12") === 4, lit(1L)).otherwise(lit(0L))).as("n4"))
+      .withColumn("y",
+        col("n1") / greatest(col("n1") + lit(2.0) * col("n2"), lit(1.0)))
+      .withColumn("d1r", lit(1.0) -
+        lit(2.0) * col("y") * col("n2") / greatest(col("n1"), lit(1L)))
+      .withColumn("d2r", lit(2.0) -
+        lit(3.0) * col("y") * col("n3") / greatest(col("n2"), lit(1L)))
+      .withColumn("d3r", lit(3.0) -
+        lit(4.0) * col("y") * col("n4") / greatest(col("n3"), lit(1L)))
+      .withColumn("ok",
+        col("n1") > 0 && col("n2") > 0 && col("n3") > 0 && col("n4") > 0 &&
+          col("d1r") >= 0 && col("d1r") <= 1 &&
+          col("d2r") >= 0 && col("d2r") <= 2 &&
+          col("d3r") >= 0 && col("d3r") <= 3)
+      .select(col("t"), col("du"), (col("du") + lit(1.0)).as("v"),
+        (lit(4.0) * col("t") * (col("du") + lit(1.0))).as("pcden"),
+        (lit(3) * col("du")).as("pcnum_unk"),
+        when(col("ok"), col("d1r")).otherwise(lit(0.5)).as("d1"),
+        when(col("ok"), col("d2r")).otherwise(lit(1.0)).as("d2"),
+        when(col("ok"), col("d3r")).otherwise(lit(1.5)).as("d3"),
+        col("ok").as("estimated"))
+    val u1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"),
+        sum(when(col("c12") === 1, lit(1L)).otherwise(lit(0L))).as("nn1"),
+        sum(when(col("c12") === 2, lit(1L)).otherwise(lit(0L))).as("nn2"),
+        sum(when(col("c12") >= 3, lit(1L)).otherwise(lit(0L))).as("nn3"))
+      .crossJoin(broadcast(meta.select(col("d1"), col("d2"), col("d3"))))
+      .select(col("w1"), col("c1"),
+        (col("d1") * col("nn1") + col("d2") * col("nn2") +
+          col("d3") * col("nn3")).as("g"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(meta.select(col("v"), col("du"))))
+      .select(col("w2"),
+        ((lit(4) * col("nc") - lit(3)) * col("v") + lit(3) * col("du"))
+          .as("pcnum"))
+    val lm = c12.join(u1, "w1").join(cont, "w2").crossJoin(broadcast(meta))
+      .select(col("w1"), col("w2"),
+        lpMicro(
+          (col("c12") - when(col("c12") === 1, col("d1"))
+            .when(col("c12") === 2, col("d2"))
+            .otherwise(col("d3"))) * col("pcden") +
+            col("g") * col("pcnum"),
+          col("c1") * col("pcden")).as("lp"))
+    (lm, u1, cont, meta)
+  }
+
+  /** Per-document MODIFIED-KN surprisal of `docs` under the model of
+    * `train` — q13's form of [[surprisalKn]], same output columns.
+    * Interpolation arms: seen bigram → tier-discounted estimate; seen
+    * w1 → γ(w1)-weighted continuation backoff; unseen w1 → the
+    * continuation distribution itself. */
+  def surprisalMkn(train: DataFrame, docs: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    val (lm, u1, cont, meta) = trainMknBigram(train, textCol)
+    bigrams(docs, textCol)
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(meta))
+      .select(col("doc_id"),
+        when(col("lp").isNotNull, col("lp"))
+          .when(col("c1").isNotNull,
+            lpMicro(col("g") * coalesce(col("pcnum"), col("pcnum_unk")),
+              col("c1") * col("pcden")))
+          .otherwise(lpMicro(coalesce(col("pcnum"), col("pcnum_unk")),
+            col("pcden"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_micro"))
+      .withColumn("surprisal",
+        -col("logp_micro").cast("double") / col("n_bigrams"))
+  }
+
+  /** DuckDB twin of [[surprisalMkn]] with distinct train/score
+    * relations, ending in CTE `mscored`. Discount arithmetic mirrors
+    * the Spark side's association term for term (left-assoc products,
+    * integer operands promoted to double at the same nodes). */
+  def surprisalMknSql(trainFrom: String, scoreFrom: String,
+                      textExpr: String = "text"): String =
+    s"""mbt AS (${bigramsSql(trainFrom, textExpr)}),
+       |mc12 AS (SELECT w1, w2, count(*) AS c12 FROM mbt GROUP BY 1, 2),
+       |mmeta AS (
+       |  SELECT t, du, du + 1.0 AS v, 4.0 * t * (du + 1.0) AS pcden,
+       |         3 * du AS pcnum_unk,
+       |         CASE WHEN ok THEN d1r ELSE 0.5 END AS d1,
+       |         CASE WHEN ok THEN d2r ELSE 1.0 END AS d2,
+       |         CASE WHEN ok THEN d3r ELSE 1.5 END AS d3
+       |  FROM (SELECT t, du, d1r, d2r, d3r,
+       |               n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0
+       |               AND d1r >= 0 AND d1r <= 1 AND d2r >= 0 AND d2r <= 2
+       |               AND d3r >= 0 AND d3r <= 3 AS ok
+       |        FROM (SELECT t, du, n1, n2, n3, n4,
+       |                     1.0 - 2.0 * y * n2 / GREATEST(n1, 1) AS d1r,
+       |                     2.0 - 3.0 * y * n3 / GREATEST(n2, 1) AS d2r,
+       |                     3.0 - 4.0 * y * n4 / GREATEST(n3, 1) AS d3r
+       |              FROM (SELECT t, du, n1, n2, n3, n4,
+       |                           n1 / GREATEST(n1 + 2.0 * n2, 1.0) AS y
+       |                    FROM (SELECT CAST(count(*) AS DOUBLE) AS t,
+       |                                 CAST(count(DISTINCT w2) AS DOUBLE) AS du,
+       |                                 CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |                                 CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |                                 CAST(sum(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |                                 CAST(sum(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |                          FROM mc12))))),
+       |mu1 AS (
+       |  SELECT w1, c1, d1 * nn1 + d2 * nn2 + d3 * nn3 AS g
+       |  FROM (SELECT w1, sum(c12) AS c1,
+       |               CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+       |               CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+       |               CAST(sum(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nn3
+       |        FROM mc12 GROUP BY 1)
+       |  CROSS JOIN mmeta),
+       |mcont AS (SELECT w2, (4 * nc - 3) * v + 3 * du AS pcnum
+       |          FROM (SELECT w2, count(*) AS nc FROM mc12 GROUP BY 1)
+       |          CROSS JOIN mmeta),
+       |mlm AS (SELECT mc12.w1, mc12.w2,
+       |          ${lpMicroSql(
+             "(c12 - CASE WHEN c12 = 1 THEN d1 WHEN c12 = 2 THEN d2 " +
+               "ELSE d3 END) * pcden + g * pcnum",
+             "c1 * pcden")} AS lp
+       |        FROM mc12 JOIN mu1 USING (w1) JOIN mcont USING (w2)
+       |        CROSS JOIN mmeta),
+       |mbs AS (${bigramsSql(scoreFrom, textExpr)}),
+       |mscored AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(lp) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT mbs.doc_id,
+       |          CASE WHEN mlm.lp IS NOT NULL THEN mlm.lp
+       |               WHEN mu1.c1 IS NOT NULL THEN
+       |                 ${lpMicroSql(
+             "g * COALESCE(pcnum, pcnum_unk)", "c1 * pcden")}
+       |               ELSE ${lpMicroSql(
+             "COALESCE(pcnum, pcnum_unk)", "pcden")} END AS lp
+       |        FROM mbs LEFT JOIN mlm USING (w1, w2)
+       |                 LEFT JOIN mu1 USING (w1)
+       |                 LEFT JOIN mcont USING (w2)
+       |                 CROSS JOIN mmeta) s
+       |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
   /** |langs| KN models in ONE pass — the per-language twin of
     * [[trainKnBigram]]/[[surprisalKn]] for the c15 gate, built the
     * [[trainBigramPerLang]] way: `lang` simply joins every aggregation

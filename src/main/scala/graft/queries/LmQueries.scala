@@ -156,6 +156,24 @@ object LmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q13: MODIFIED Kneser-Ney bigram surprisal — q11's estimator with
+    // KenLM's DEFAULT discount configuration: three discounts D1/D2/D3+
+    // derived from the corpus's own count-of-counts instead of the
+    // single rational d = 3/4, each seen bigram discounted by its own
+    // count tier's D, redistributed mass per-w1 tier-weighted. The
+    // discounts are rationals of integer count-of-counts evaluated with
+    // identical IEEE association on both engines. Same train/score
+    // split; the modified-vs-interpolated ranking flip is
+    // LmScoreSpec-pinned.
+    "q13_mkn_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LmScore.surprisalMkn(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          docs.where(pmod(col("doc_id"), lit(2)) === 1))
+        .where(pmod(col("doc_id"), lit(25)) === 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // S23: DSIR importance weights — target = the English slice,
     // raw = the whole corpus; hashed-bigram log-likelihood ratios in
     // micro-nats (Xie et al. importance resampling, the data-mixing
@@ -263,6 +281,13 @@ object LmQueries {
              "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) sc")}
          |SELECT doc_id, n_trigrams, logp_micro, surprisal
          |FROM ktscored WHERE doc_id % 25 = 1 ORDER BY doc_id""".stripMargin,
+
+    "q13_mkn_surprisal" ->
+      s"""WITH ${LmScore.surprisalMknSql(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) tr",
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) sc")}
+         |SELECT doc_id, n_bigrams, logp_micro, surprisal
+         |FROM mscored WHERE doc_id % 25 = 1 ORDER BY doc_id""".stripMargin,
 
     "s23_dsir_weights" ->
       s"""WITH ${LmScore.dsirWeightsSql("documents", "tt.lang = 'en'")}

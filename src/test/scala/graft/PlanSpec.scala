@@ -391,6 +391,10 @@ class PlanSpec extends AnyFunSuite {
       // q12's trigram KN inherits the same shape one order up (the
       // 1-row continuation-level constants TB/DuB/V/pbden)
       "q12_kn_trigram_surprisal",
+      // q13's modified-KN constants (the q11 row plus the three
+      // count-of-count discounts D1/D2/D3 — still ONE row) broadcast-
+      // cross the same way
+      "q13_mkn_surprisal",
       // LangId: the (#langs)-row class-constant table broadcast-crosses
       // into the per-doc totals — every doc scores against every class
       // by definition (a K-class linear scorer), and K is single-digit;

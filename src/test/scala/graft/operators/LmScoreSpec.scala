@@ -281,6 +281,74 @@ class LmScoreSpec extends AnyFunSuite {
       s"KN must score the spread word strictly better: $kn")
   }
 
+  test("trainMknBigram: Chen–Goodman discounts from count-of-counts, hand-computed; fallback arm on a degenerate spectrum") {
+    // bigram counts: (a,b)=1, (d,c)=1 → n1=2; (c,d)=2, (f,e)=2 → n2=2;
+    // (e,f)=3, (h,g)=3 → n3=2; (g,h)=4 → n4=1. All four tiers occupied:
+    // Y = 2/6, D1 = 1−2Y·2/2 = 1/3, D2 = 2−3Y·2/2 = 1, D3 = 3−4Y·1/2 = 7/3
+    val train = Seq(
+      (1L, "a b"), (2L, "c d c d"), (3L, "e f e f e f"),
+      (4L, "g h g h g h g h")).toDF("doc_id", "text")
+    val (_, _, _, meta) = LmScore.trainMknBigram(train)
+    val m = meta.collect().head
+    val y = 2.0 / (2.0 + 2.0 * 2)
+    assert(m.getAs[Double]("d1") === 1.0 - 2.0 * y * 2 / 2)
+    assert(m.getAs[Double]("d2") === 2.0 - 3.0 * y * 2 / 2)
+    assert(m.getAs[Double]("d3") === 3.0 - 4.0 * y * 1 / 2)
+    assert(m.getAs[Boolean]("estimated"))
+    // drop the count-4 doc: n4 = 0 → the spectrum cannot estimate D3 →
+    // KenLM's --discount_fallback defaults, flagged as unestimated
+    val (_, _, _, metaFb) = LmScore.trainMknBigram(train.where(col("doc_id") =!= 4))
+    val f = metaFb.collect().head
+    assert((f.getAs[Double]("d1"), f.getAs[Double]("d2"),
+      f.getAs[Double]("d3")) === ((0.5, 1.0, 1.5)))
+    assert(!f.getAs[Boolean]("estimated"))
+  }
+
+  test("modified vs interpolated KN rank a document pair DIFFERENTLY (tiered discounts are not fine print)") {
+    // Same train corpus as above. Doc 10 is one SINGLETON bigram
+    // (modified discounts it only D1 = 1/3 — keeps mass); doc 11 is the
+    // count-4 bigram (pays D3 = 7/3 — loses mass). Interpolated KN
+    // discounts both by the same 3/4, so the high-count doc wins by a
+    // mile; modified KN flips the order.
+    val train = Seq(
+      (1L, "a b"), (2L, "c d c d"), (3L, "e f e f e f"),
+      (4L, "g h g h g h g h")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b"), (11L, "g h")).toDF("doc_id", "text")
+    def surp(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val kn = surp(LmScore.surprisalKn(train, score))
+    val mkn = surp(LmScore.surprisalMkn(train, score))
+    assert(kn(10L) > kn(11L),
+      s"interpolated KN favors the high-count bigram: $kn")
+    assert(mkn(10L) < mkn(11L),
+      s"modified KN must favor the lightly-discounted singleton: $mkn")
+  }
+
+  test("surprisalMkn: every interpolation arm takes its branch, hand-counted") {
+    // train as above: T=7 types, Du=7, V=8, pcden=224, pcnum_unk=21;
+    // nc(b)=1 → pcnum(b) = (4−3)·8 + 21 = 29. γ(a) = D1·1 = 1/3;
+    // γ(g) = D3·1 = 7/3; c1(a)=1, c1(g)=4
+    val train = Seq(
+      (1L, "a b"), (2L, "c d c d"), (3L, "e f e f e f"),
+      (4L, "g h g h g h g h")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"), // seen singleton: (1−D1) + γ(a)·pcont(b)
+      (11L, "g h"), // seen count-4: (4−D3)/4 + γ(g)/4·pcont(h)
+      (12L, "a z"), // seen w1, OOV w2: γ(a)/c1 · UNK continuation
+      (13L, "z b")  // unseen w1: the continuation distribution itself
+    ).toDF("doc_id", "text")
+    val got = LmScore.surprisalMkn(train, score).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val y = 2.0 / (2.0 + 2.0 * 2)
+    val d1 = 1.0 - 2.0 * y * 2 / 2
+    val d3 = 3.0 - 4.0 * y * 1 / 2
+    assert(got === Seq(
+      (10L, 1L, micro(((1 - d1) * 224.0 + d1 * 29) / (1 * 224.0))),
+      (11L, 1L, micro(((4 - d3) * 224.0 + d3 * 29) / (4 * 224.0))),
+      (12L, 1L, micro(d1 * 21 / (1 * 224.0))),
+      (13L, 1L, micro(29.0 / 224))))
+  }
+
   test("c15 gate fixture: the KN-scored gate keeps different docs than the add-half gate on the gate corpus") {
     import graft.queries.CurationStages
     // the real gate-SF corpus: both estimators produce full
