@@ -320,6 +320,28 @@ object CoverageQueries {
       }
     }),
 
+    // C18: the m6 PERCEPTUAL image verdict composed into c10's chain —
+    // the LAION-shaped stage: each doc under curation carries one
+    // synthetic PNG (media_id = doc_id div 3, so consecutive cohort
+    // docs carry brightness-twin rasters), m6's decode→dHash→band→
+    // verify→components chain clusters the rasters, the d9 min-id
+    // survivor keeps one canonical per cluster, and docs whose media
+    // is a NON-canonical dup member drop between the rule gate and the
+    // LM gate. Everything downstream is c10's chain over the
+    // image-kept slice; ONE nested-CTE oracle replays the pixel
+    // formula, the popcount pairs (banding invisible by pigeonhole),
+    // the reachability fixpoint, the min-id survivor drop, and the
+    // whole chain after it.
+    "c18_image_dedup_curation" -> ((s, dir) => {
+      import CurationStages._
+      val all = Tables.documents(s, dir)
+      val docs = synthesized(all)
+      val imgKept = imageDedupKept(gated(docs))
+      val lmKept = lmGated(imgKept, all.select(col("doc_id"), col("lang")))
+      val kept = decontaminated(lmKept, benchSlice(all))
+      quotaRollup(curated(kept, components(nearDupPairs(kept))))
+    }),
+
     // C13: the CCNet FRONT HALF composed into curation — c10's chain
     // with the language key PREDICTED by the trained classifier (q8's
     // LangId, trained on the held-out %3==1 labeled slice) instead of
@@ -1753,6 +1775,113 @@ object CoverageQueries {
          |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
          |lmkept AS MATERIALIZED (
          |  SELECT g.* FROM gated g
+         |  JOIN bucketed bk ON bk.doc_id = g.doc_id
+         |  WHERE bk.bucket <> 'tail'),
+         |$dShingles,
+         |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT b.doc_id,
+         |           CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+         |    FROM (SELECT doc_id, h FROM dsh WHERE doc_id % 3 = 0) b
+         |    LEFT JOIN bhash c ON c.h = b.h GROUP BY b.doc_id)
+         |  WHERE containment >= 0.5),
+         |kept AS MATERIALIZED (
+         |  SELECT g.* FROM lmkept g
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pairs AS MATERIALIZED (
+         |$pairsSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT kk.doc_id, kk.source, kk.text, $splitSql AS split
+         |  FROM kept kk LEFT JOIN comps cm ON cm.id = kk.doc_id),
+         |capped AS (SELECT * FROM labeled $capQualify)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
+
+    // c10's oracle with the IMAGE-DEDUP block spliced between `gated`
+    // and the LM stage: the m6 pixel formula at media_id = doc_id//3,
+    // dHash reassembly via LEAD, plain popcount ≤ 3 pairs (banding
+    // invisible by pigeonhole — dist ≤ 3 < 4 bands), the reachability
+    // fixpoint, and the min-id survivor drop — then c10's text
+    // verbatim over `imgkept`.
+    "c18_image_dedup_curation" -> {
+      import graft.operators.{Dedup, Sampling, TextAnalysis, LmScore}
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val sigSql = TextAnalysis.repetitionSignalsSql(
+        topNs = Seq(2), dupNs = Seq(10), from = "corpus")
+      val pairsSql = Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, from = "kept")
+      val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
+      val capQualify = Sampling.groupCapSql("source", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
+      val dShingles = Dedup.shingleCtesSql(k = 8,
+        from = "(SELECT doc_id, text FROM lmkept UNION ALL " +
+          "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)",
+        prefix = "d", materializedSh = true)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
+         |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sig AS (
+         |$sigSql),
+         |gated AS MATERIALIZED (
+         |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
+         |  WHERE sig.dup10_char_frac < 0.10),
+         |img AS (
+         |  SELECT media_id, media_id // 2 AS base, (media_id % 2) * 3 AS delta,
+         |         8 + (media_id // 2) % 9 AS w, 8 + (media_id // 2) % 7 AS h
+         |  FROM (SELECT doc_id // 3 AS media_id FROM gated)),
+         |ig AS (
+         |  SELECT media_id, gy.y AS y, gx.x AS x,
+         |    299*LEAST((base*31 + 7)*(((x*w)//9) + 3)*(((y*h)//7) + 5) % 256 + delta, 255)
+         |  + 587*LEAST((base*17 + 5)*(((x*w)//9) + 11)*(((y*h)//7) + 2) % 256 + delta, 255)
+         |  + 114*LEAST((base*7 + 13)*(((x*w)//9) + 2)*(((y*h)//7) + 7) % 256 + delta, 255)
+         |      AS luma
+         |  FROM img, LATERAL (SELECT unnest(range(0, 9)) AS x) gx,
+         |            LATERAL (SELECT unnest(range(0, 7)) AS y) gy),
+         |ihs AS (
+         |  SELECT media_id,
+         |         CAST(SUM(CASE WHEN nl > luma
+         |                       THEN (CAST(1 AS BIGINT) << CAST(y*8 + x AS INTEGER))
+         |                       ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM (SELECT media_id, y, x, luma,
+         |               lead(luma) OVER (PARTITION BY media_id, y ORDER BY x) AS nl
+         |        FROM ig) z
+         |  WHERE x < 8 GROUP BY media_id),
+         |ipairs AS MATERIALIZED (
+         |  SELECT a.media_id AS id1, b.media_id AS id2
+         |  FROM ihs a JOIN ihs b
+         |    ON a.media_id < b.media_id
+         |   AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |iedges AS (SELECT id1 AS src, id2 AS dst FROM ipairs
+         |           UNION SELECT id2, id1 FROM ipairs),
+         |iwalk(id, comp) AS (
+         |  SELECT src, src FROM iedges
+         |  UNION
+         |  SELECT e.src, w.comp FROM iedges e JOIN iwalk w ON w.id = e.dst),
+         |icomps AS (SELECT id, MIN(comp) AS comp FROM iwalk GROUP BY id),
+         |imgkept AS MATERIALIZED (
+         |  SELECT g.* FROM gated g
+         |  WHERE (g.doc_id // 3) NOT IN
+         |        (SELECT id FROM icomps WHERE id <> comp)),
+         |${LmScore.surprisalPerLangSql(
+                "(SELECT g.doc_id, g.text, dd.lang FROM imgkept g " +
+                  "JOIN documents dd ON dd.doc_id = g.doc_id) gl")},
+         |scored_lang AS (
+         |  SELECT doc_id, lang, surprisal FROM scored_pl),
+         |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
+         |lmkept AS MATERIALIZED (
+         |  SELECT g.* FROM imgkept g
          |  JOIN bucketed bk ON bk.doc_id = g.doc_id
          |  WHERE bk.bucket <> 'tail'),
          |$dShingles,

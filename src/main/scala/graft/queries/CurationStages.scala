@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, LmScore, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Graph, LmScore, Multimodal, Sampling, TextAnalysis}
 
 /** The c7 curation chain's stage builders — ONE definition shared by the
   * declared `c7_curation_pipeline` query and the stage profiler
@@ -154,6 +154,37 @@ private[graft] object CurationStages {
       .join(broadcast(keep), Seq("host"), "left_semi")
       .drop("host")
       .localCheckpoint()
+  }
+
+  /** c18's stage — the m6 PERCEPTUAL image verdict composed into the
+    * chain: a LAION-shaped corpus is image+text pairs, and the text
+    * gates alone let a thousand re-hosted copies of one raster
+    * through. Each doc under curation carries one synthetic PNG
+    * (media_id = doc_id div 3 — consecutive cohort docs carry
+    * brightness-twin rasters, so the stage provably binds); m6's chain
+    * (real PNG decode → 9×7 luma resample → 56-bit dHash →
+    * Hamming-band pairs at dist ≤ 3 → d7 components) clusters the
+    * rasters, and the d9 survivor rule keeps ONE canonical copy per
+    * cluster (the component's min id — `connectedComponents`' comp
+    * label IS that id): docs whose media sits in a dup cluster with
+    * the kept canonical elsewhere DROP. Sits between the Gopher rule
+    * gate and the LM gate — an image-dup verdict is per-RASTER
+    * metadata, and dropping copies before the LM stage keeps content
+    * scoring off text the corpus won't keep anyway. Scale shape: the
+    * decode is map-side over the slice's own media, candidates never
+    * leave their band bucket, and the drop is an anti join against
+    * the (dup-members-only) verdict. Pinned: [[lmGated]] consumes the
+    * result twice. */
+  def imageDedupKept(gatedDocs: DataFrame): DataFrame = {
+    val media = gatedDocs.select(expr("doc_id div 3").as("media_id"))
+    val hashes = Multimodal.pngDHash(Multimodal.synthPngVariantMedia(media))
+    val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+      bits = 56, maxDist = 3, bands = 4)
+    val comps = Dedup.connectedComponents(
+      pairs.select(col("id1"), col("id2")), assumeDistinctPairs = true)
+    val drops = comps.where(col("id") =!= col("comp"))
+      .select((col("id") * 3).as("doc_id"))
+    gatedDocs.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
   }
 
   /** c15's gate — [[lmGated]] scored under the interpolated

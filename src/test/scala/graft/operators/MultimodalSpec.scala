@@ -217,6 +217,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("c18 stage: imageDedupKept drops exactly the non-canonical twin members, keeps singletons") {
+    // cohort doc ids 0,3,6,9,12 → media 0..4: twin clusters {0,1} (docs
+    // 0,3) and {2,3} (docs 6,9); media 4 (doc 12) is a singleton. The
+    // min-id canonical of each cluster keeps; its twin drops.
+    val gated = Seq((0L, "s", "t0"), (3L, "s", "t3"), (6L, "s", "t6"),
+      (9L, "s", "t9"), (12L, "s", "t12")).toDF("doc_id", "source", "text")
+    val kept = graft.queries.CurationStages.imageDedupKept(gated)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(0L, 6L, 12L))
+  }
+
   test("hammingNearDupPairs: candidates never leave their band bucket (plan pin) and recall contract is enforced") {
     val hashes = Seq((1L, 7L), (2L, 7L), (3L, 1024L)).toDF("id", "h")
     val pairs = Dedup.hammingNearDupPairs(hashes, "id", "h",
