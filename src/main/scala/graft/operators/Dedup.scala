@@ -2645,6 +2645,52 @@ object Dedup {
       "part=", maxFilesPerPart, targetFiles).map(_.toInt)
   }
 
+  /** Row hygiene for an append-grown Hamming index — the containment
+    * step for the streaming sink's at-least-once append window (a
+    * crash between a batch's survivor append and its commit marker
+    * replays the append, landing every band row twice; duplicated
+    * rows double-count `n_matches` in probe verdicts). The full
+    * signature rides every band row, so exact hygiene is a plain
+    * `distinct` over the band table, rewritten under the stage-aside
+    * swap ([[graft.sources.TableSwap]] — single-maintainer: run from
+    * the sink's own serialized cadence, never racing a live append).
+    * A clean index round-trips unchanged (spec-pinned). */
+  def repairHammingIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    hammingMeta(spark, path)
+    val fs = graft.sources.Hdfs.forPath(spark, path)
+    graft.sources.TableSwap.recover(fs, path, "bands")
+    graft.sources.TableSwap.rewrite(spark, fs, path, "bands") { tmp =>
+      spark.read.parquet(s"$path/bands").distinct()
+        .write.partitionBy("part").parquet(tmp)
+    }
+  }
+
+  /** Re-band a persisted Hamming index under a new bucket-partition
+    * count — the growth migration ([[rebuildLshIndex]]'s role for this
+    * family): pure layout, probe verdicts bit-identical before and
+    * after (spec-pinned). Band 0's rows carry every id exactly once
+    * with its full signature, so the rebuild re-derives the whole
+    * index from ONE pruned-column scan of the live table — no doc
+    * store to consult. The new artifact is staged into a tmp ROOT and
+    * swapped in one rename window (`meta` changes with the layout, so
+    * a per-table swap would leave a torn window where probes band
+    * under the OLD part count against NEW partitions and silently
+    * find nothing); every crash point heals at the next
+    * [[Maintenance.nightly]] entry via its root-swap recovery. */
+  def rebuildHammingIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          nBucketParts: Option[Int] = None): Unit = {
+    val (bits, bands, parts) = hammingMeta(spark, path)
+    val target = nBucketParts.getOrElse(parts)
+    Maintenance.retrainAndSwap(spark, path) { tmp =>
+      saveHammingIndex(
+        spark.read.parquet(s"$path/bands").where(col("band") === 0)
+          .select(col("_id"), col("_sig")),
+        "_id", "_sig", bits, bands, tmp, target)
+    }
+  }
+
   /** DuckDB oracle for [[simhashPairs]]: same per-token FNV-1a 64, bit
     * votes via (h // 2^bit) % 2, fingerprint reassembled in HUGEINT and
     * reinterpreted as signed BIGINT; bands are exact 16-bit field

@@ -915,6 +915,263 @@ object LmScore {
        |  GROUP BY doc_id, lang)""".stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------ modified KN, per language (c19)
+
+  /** |langs| MODIFIED-KN models in ONE pass — [[trainMknBigram]] the
+    * [[trainKnBigramPerLang]] way: `lang` joins every aggregation and
+    * join key, so training all models is the SAME two hash-agg
+    * shuffles as one (count-of-counts, tier counts, and discounts are
+    * all re-aggregations of the ONE checkpointed count table), and
+    * each language derives ITS OWN D₁/D₂/D₃₊ from its own count
+    * spectrum — or takes KenLM's `--discount_fallback` 0.5/1/1.5
+    * independently (a thin language's degenerate spectrum must not
+    * poison a rich one's estimated discounts). Returns (lm, u1, cont,
+    * meta), every table lang-keyed; u1 carries the per-context
+    * redistributed mass γ(w1) = D₁·N₁(w1) + D₂·N₂(w1) + D₃₊·N₃₊(w1)
+    * pre-folded so scoring's per-row arithmetic stays one
+    * multiply-add. */
+  def trainMknBigramPerLang(train: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val c12 = bigramsPerLang(train, textCol)
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val meta = c12.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("t"),
+        countDistinct(col("w2")).cast("double").as("du"),
+        sum(when(col("c12") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("c12") === 2, lit(1L)).otherwise(lit(0L))).as("n2"),
+        sum(when(col("c12") === 3, lit(1L)).otherwise(lit(0L))).as("n3"),
+        sum(when(col("c12") === 4, lit(1L)).otherwise(lit(0L))).as("n4"))
+      .withColumn("y",
+        col("n1") / greatest(col("n1") + lit(2.0) * col("n2"), lit(1.0)))
+      .withColumn("d1r", lit(1.0) -
+        lit(2.0) * col("y") * col("n2") / greatest(col("n1"), lit(1L)))
+      .withColumn("d2r", lit(2.0) -
+        lit(3.0) * col("y") * col("n3") / greatest(col("n2"), lit(1L)))
+      .withColumn("d3r", lit(3.0) -
+        lit(4.0) * col("y") * col("n4") / greatest(col("n3"), lit(1L)))
+      .withColumn("ok",
+        col("n1") > 0 && col("n2") > 0 && col("n3") > 0 && col("n4") > 0 &&
+          col("d1r") >= 0 && col("d1r") <= 1 &&
+          col("d2r") >= 0 && col("d2r") <= 2 &&
+          col("d3r") >= 0 && col("d3r") <= 3)
+      .select(col("lang"), col("t"), col("du"),
+        (col("du") + lit(1.0)).as("v"),
+        (lit(4.0) * col("t") * (col("du") + lit(1.0))).as("pcden"),
+        (lit(3) * col("du")).as("pcnum_unk"),
+        when(col("ok"), col("d1r")).otherwise(lit(0.5)).as("d1"),
+        when(col("ok"), col("d2r")).otherwise(lit(1.0)).as("d2"),
+        when(col("ok"), col("d3r")).otherwise(lit(1.5)).as("d3"),
+        col("ok").as("estimated"))
+    val u1 = c12.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c12")).as("c1"),
+        sum(when(col("c12") === 1, lit(1L)).otherwise(lit(0L))).as("nn1"),
+        sum(when(col("c12") === 2, lit(1L)).otherwise(lit(0L))).as("nn2"),
+        sum(when(col("c12") >= 3, lit(1L)).otherwise(lit(0L))).as("nn3"))
+      .join(broadcast(
+        meta.select(col("lang"), col("d1"), col("d2"), col("d3"))), "lang")
+      .select(col("lang"), col("w1"), col("c1"),
+        (col("d1") * col("nn1") + col("d2") * col("nn2") +
+          col("d3") * col("nn3")).as("g"))
+    val cont = c12.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("nc"))
+      .join(broadcast(meta.select(col("lang"), col("v"), col("du"))), "lang")
+      .select(col("lang"), col("w2"),
+        ((lit(4) * col("nc") - lit(3)) * col("v") + lit(3) * col("du"))
+          .as("pcnum"))
+    val lm = c12.join(u1, Seq("lang", "w1")).join(cont, Seq("lang", "w2"))
+      .join(broadcast(meta), "lang")
+      .select(col("lang"), col("w1"), col("w2"),
+        lpMicro(
+          (col("c12") - when(col("c12") === 1, col("d1"))
+            .when(col("c12") === 2, col("d2"))
+            .otherwise(col("d3"))) * col("pcden") +
+            col("g") * col("pcnum"),
+          col("c1") * col("pcden")).as("lp"))
+    (lm, u1, cont, meta)
+  }
+
+  /** Shared per-transition MODIFIED-KN scorer — [[knLpRows]]'s shape
+    * with q13's arms (seen bigram → tier-discounted estimate; seen w1
+    * → γ(w1)-weighted continuation backoff; unseen w1 → the
+    * continuation distribution itself; trailing 0L no-model arm in
+    * lang-keyed splits). [[surprisalMkn]] keeps its own inline twin of
+    * the non-keyed arms (its plan predates this helper and is
+    * oracle-gated as q13 — identical expressions). */
+  private def mknLpRows(bg: DataFrame, lm: DataFrame, u1: DataFrame,
+                        cont: DataFrame, meta: DataFrame): DataFrame = {
+    val joined = bg.join(lm, Seq("lang", "w1", "w2"), "left")
+      .join(u1, Seq("lang", "w1"), "left")
+      .join(cont, Seq("lang", "w2"), "left")
+      .join(broadcast(meta), Seq("lang"), "left")
+    val pcnumC = coalesce(col("pcnum"), col("pcnum_unk"))
+    joined.select(col("doc_id"), col("lang"),
+      coalesce(
+        when(col("lp").isNotNull, col("lp"))
+          .when(col("c1").isNotNull,
+            lpMicro(col("g") * pcnumC, col("c1") * col("pcden")))
+          .otherwise(lpMicro(pcnumC, col("pcden"))),
+        lit(0L)).as("lp"))
+  }
+
+  /** |langs| modified-KN models trained and scored in one pass —
+    * train = score = `docs` (doc_id, lang, textCol); output (doc_id,
+    * lang, n_bigrams, logp_micro, surprisal). The c19 gate's
+    * self-trained form and the save≡train reference. */
+  def surprisalMknPerLang(docs: DataFrame,
+                          textCol: String = "text"): DataFrame = {
+    val (lm, u1, cont, meta) = trainMknBigramPerLang(docs, textCol)
+    foldKnPerLang(mknLpRows(bigramsPerLang(docs, textCol),
+      lm, u1, cont, meta))
+  }
+
+  /** Persist PER-LANGUAGE MODIFIED-KN models at `path` —
+    * [[saveKnLmPerLang]]'s layout for q13's estimator: `mkn_bigrams/`,
+    * `mkn_u1/`, `mkn_cont/` lang-PARTITIONED, `mkn_meta/` one row per
+    * lang (its per-language D₁/D₂/D₃₊ and the `estimated` flag ride
+    * along — an operator can see at a glance which languages fell back
+    * to 0.5/1/1.5). Retrain-not-patch like every LM family; atomic
+    * replacement of a LIVE model rides [[Maintenance.retrainAndSwap]],
+    * whose nightly detects the `mkn_bigrams/` root. */
+  def saveMknLmPerLang(train: DataFrame, path: String,
+                       textCol: String = "text"): Unit = {
+    val (lm, u1, cont, meta) = trainMknBigramPerLang(train, textCol)
+    lm.write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$path/mkn_bigrams")
+    u1.write.mode("overwrite").partitionBy("lang").parquet(s"$path/mkn_u1")
+    cont.write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$path/mkn_cont")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/mkn_meta")
+  }
+
+  /** (lm, u1, cont, meta) at `path`; partition-column type inference
+    * disabled for the same numeric-lang-code reason as
+    * [[loadLmPerLang]]. */
+  def loadMknLmPerLang(spark: org.apache.spark.sql.SparkSession,
+                       path: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      (spark.read.parquet(s"$path/mkn_bigrams"),
+        spark.read.parquet(s"$path/mkn_u1"),
+        spark.read.parquet(s"$path/mkn_cont"),
+        spark.read.parquet(s"$path/mkn_meta"))
+    } finally spark.conf.set(conf, prev)
+  }
+
+  /** Per-transition modified-KN (doc_id, lang, lp) against the
+    * persisted per-language models at `path` — shared by
+    * [[surprisalMknAgainstLmPerLang]] and the streaming enrich
+    * (graft.streaming.DocStreams.lmScoreEnrichMknPerLang) so batch and
+    * continuous curation gate on the SAME estimator and cannot drift.
+    * A scoring language with no model takes the 0L arm. */
+  def lpRowsMknPerLang(docs: DataFrame,
+                       spark: org.apache.spark.sql.SparkSession,
+                       path: String, textCol: String = "text"): DataFrame = {
+    val (lm, u1, cont, meta) = loadMknLmPerLang(spark, path)
+    mknLpRows(bigramsPerLang(docs, textCol), lm, u1, cont, meta)
+  }
+
+  /** Score `docs` (doc_id, lang, textCol) against the persisted
+    * per-language modified-KN models at `path`; equals
+    * [[surprisalMknPerLang]] row for row when the artifact was saved
+    * from the same corpus (spec-pinned), with the lp-0 no-opinion arm
+    * for model-less languages. */
+  def surprisalMknAgainstLmPerLang(docs: DataFrame,
+                                   spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   textCol: String = "text"): DataFrame =
+    foldKnPerLang(lpRowsMknPerLang(docs, spark, path, textCol))
+
+  /** DuckDB twin of [[surprisalMknAgainstLmPerLang]] — per-language
+    * MODIFIED-KN models trained on `trainFrom`, scored over
+    * `scoreFrom` (both need doc_id, lang, textExpr). DuckDB cannot
+    * read the persisted model dir, so the twin re-derives the SAME
+    * deterministic models from the same train slice (save≡train is
+    * LmScoreSpec-pinned — the c12/c17 pattern). Discount arithmetic
+    * mirrors [[trainMknBigramPerLang]]'s association term for term,
+    * per language; ends in `mscored_pl`; the trailing COALESCE-0 arm
+    * mirrors the no-model-for-this-language rule. */
+  def surprisalMknPerLangTrainScoreSql(trainFrom: String, scoreFrom: String,
+                                       textExpr: String = "text"): String = {
+    val toks = TF.wsTokensSql(s"lower($textExpr)")
+    def bgl(alias: String, from: String) =
+      s"""$alias AS (
+         |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, lang, $toks AS t FROM $from) d,
+         |       LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+         |  WHERE len(t) >= 2)""".stripMargin
+    s"""${bgl("mblt", trainFrom)},
+       |mc12l AS (SELECT lang, w1, w2, count(*) AS c12
+       |          FROM mblt GROUP BY 1, 2, 3),
+       |mmetal AS (
+       |  SELECT lang, t, du, du + 1.0 AS v, 4.0 * t * (du + 1.0) AS pcden,
+       |         3 * du AS pcnum_unk,
+       |         CASE WHEN ok THEN d1r ELSE 0.5 END AS d1,
+       |         CASE WHEN ok THEN d2r ELSE 1.0 END AS d2,
+       |         CASE WHEN ok THEN d3r ELSE 1.5 END AS d3
+       |  FROM (SELECT lang, t, du, d1r, d2r, d3r,
+       |               n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0
+       |               AND d1r >= 0 AND d1r <= 1 AND d2r >= 0 AND d2r <= 2
+       |               AND d3r >= 0 AND d3r <= 3 AS ok
+       |        FROM (SELECT lang, t, du, n1, n2, n3, n4,
+       |                     1.0 - 2.0 * y * n2 / GREATEST(n1, 1) AS d1r,
+       |                     2.0 - 3.0 * y * n3 / GREATEST(n2, 1) AS d2r,
+       |                     3.0 - 4.0 * y * n4 / GREATEST(n3, 1) AS d3r
+       |              FROM (SELECT lang, t, du, n1, n2, n3, n4,
+       |                           n1 / GREATEST(n1 + 2.0 * n2, 1.0) AS y
+       |                    FROM (SELECT lang,
+       |                                 CAST(count(*) AS DOUBLE) AS t,
+       |                                 CAST(count(DISTINCT w2) AS DOUBLE) AS du,
+       |                                 CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |                                 CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |                                 CAST(sum(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |                                 CAST(sum(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |                          FROM mc12l GROUP BY 1))))),
+       |mu1l AS (
+       |  SELECT lang, w1, c1, d1 * nn1 + d2 * nn2 + d3 * nn3 AS g
+       |  FROM (SELECT lang, w1, sum(c12) AS c1,
+       |               CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+       |               CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+       |               CAST(sum(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nn3
+       |        FROM mc12l GROUP BY 1, 2)
+       |  JOIN mmetal USING (lang)),
+       |mcontl AS (SELECT lang, w2, (4 * nc - 3) * v + 3 * du AS pcnum
+       |           FROM (SELECT lang, w2, count(*) AS nc
+       |                 FROM mc12l GROUP BY 1, 2)
+       |           JOIN mmetal USING (lang)),
+       |mlml AS (SELECT mc12l.lang, mc12l.w1, mc12l.w2,
+       |           ${lpMicroSql(
+             "(c12 - CASE WHEN c12 = 1 THEN d1 WHEN c12 = 2 THEN d2 " +
+               "ELSE d3 END) * pcden + g * pcnum",
+             "c1 * pcden")} AS lp
+       |         FROM mc12l JOIN mu1l USING (lang, w1)
+       |                    JOIN mcontl USING (lang, w2)
+       |                    JOIN mmetal USING (lang)),
+       |${bgl("mbls", scoreFrom)},
+       |mscored_pl AS (
+       |  SELECT doc_id, lang, count(*) AS n_bigrams,
+       |         CAST(sum(lp) AS BIGINT) AS logp_micro,
+       |         -CAST(sum(lp) AS DOUBLE) / count(*) AS surprisal
+       |  FROM (SELECT sc.doc_id, sc.lang,
+       |          COALESCE(
+       |            CASE WHEN mlml.lp IS NOT NULL THEN mlml.lp
+       |                 WHEN mu1l.c1 IS NOT NULL THEN
+       |                   ${lpMicroSql(
+             "mu1l.g * COALESCE(pcnum, pcnum_unk)", "c1 * pcden")}
+       |                 ELSE ${lpMicroSql(
+             "COALESCE(pcnum, pcnum_unk)", "pcden")} END,
+       |            0) AS lp
+       |        FROM mbls sc LEFT JOIN mlml USING (lang, w1, w2)
+       |                     LEFT JOIN mu1l USING (lang, w1)
+       |                     LEFT JOIN mcontl USING (lang, w2)
+       |                     LEFT JOIN mmetal USING (lang)) s
+       |  GROUP BY doc_id, lang)""".stripMargin.replace("\n", " ")
+  }
+
   /** TRIGRAM interpolated Kneser-Ney (q12) — [[surprisalKn]] one order
     * up, i.e. the actual KenLM recurrence shape at order 3 (KenLM runs
     * modified KN at order 5; this is interpolated KN with a single

@@ -131,13 +131,16 @@ object Maintenance {
       graft.sources.TableSwap.recover(fs, path, "meta")
     }
     // the retrained families (LM roots carry bigrams/+unigrams/+meta,
-    // KN roots kn_bigrams/+kn_u1/+kn_cont/+kn_meta, tokenizer roots
+    // KN roots kn_bigrams/+kn_u1/+kn_cont/+kn_meta, modified-KN roots
+    // mkn_bigrams/+mkn_u1/+mkn_cont/+mkn_meta, tokenizer roots
     // merges/) have no incremental maintenance by
     // design — retrains ride [[retrainAndSwap]], whose crash window is
     // exactly the root swap the heal above covers. Return before the
     // index-family detection (a tokenizer root has no meta/ at all).
-    if (exists("bigrams") || exists("merges") || exists("kn_bigrams")) {
+    if (exists("bigrams") || exists("merges") || exists("kn_bigrams") ||
+        exists("mkn_bigrams")) {
       val fam = if (exists("merges")) "tokenizer"
+        else if (exists("mkn_bigrams")) "mkn-lm"
         else if (exists("kn_bigrams")) "kn-lm"
         else "lm"
       return NightlyReport(path, fam,
@@ -156,6 +159,21 @@ object Maintenance {
         (if (rootStaged) Seq("heal-swap") else Nil) ++
           (if (compacted.nonEmpty) Seq(s"compact:${compacted.size}") else Nil),
         None, None)
+    }
+    // Hamming-band roots ([[Dedup.saveHammingIndex]] layout: bands/ +
+    // meta/, NO docs/ or stats/) would otherwise be misdetected as LSH
+    // by the bands/ probe below — same band-partitioned shape, but the
+    // meta row is (bits, bands, n_bucket_parts) and nightlyLsh's
+    // meta.getInt(3) would crash on it (or worse, a future column
+    // alignment would size the growth check from the wrong field).
+    // The meta SCHEMA is the discriminator: only this family's meta
+    // carries `bits` (LSH has k/rows_per_band, PQ n_centroids, decon
+    // k/bloom params) — a footer read, no data scan.
+    if (exists("meta") &&
+        spark.read.parquet(s"$path/meta").schema.fieldNames.contains("bits")) {
+      val r = nightlyHamming(spark, path, maxFilesPerPart, lsh, repair)
+      return r.copy(actions =
+        (if (rootStaged) Seq("heal-swap") else Nil) ++ r.actions)
     }
     // registry analogue: a [[Clusters.compactRegistry]] fold that died
     // between TableSwap's two renames leaves members/ absent with the
@@ -363,6 +381,42 @@ object Maintenance {
       s"$path/cells", "cell=", maxFilesPerPart)
     if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
     NightlyReport(path, "pq-ivf", actions.result(), Some(report), None)
+  }
+
+  /** Nightly pass for the Hamming-band family
+    * ([[Dedup.saveHammingIndex]] layout — `bands/` + `meta/`):
+    * optional row-hygiene repair ([[Dedup.repairHammingIndex]] — the
+    * containment step for the streaming image sink's at-least-once
+    * append window), then the LSH growth check against the same
+    * bounds (band rows per bucket partition; rebuild re-bands under
+    * the smallest power of two bringing rows-per-part under target —
+    * [[Dedup.rebuildHammingIndex]], probe verdicts pinned), then
+    * band compaction. No stats side table to consult or backfill:
+    * the row total comes from the band table's parquet footers (a
+    * count over a parquet scan materializes no columns — metadata
+    * cost, unlike the LSH family's band rows whose count the stats
+    * table exists to avoid re-aggregating per bucket). */
+  private def nightlyHamming(spark: SparkSession, path: String,
+                             maxFilesPerPart: Int, lsh: LshConfig,
+                             repair: Boolean): NightlyReport = {
+    val actions = Seq.newBuilder[String]
+    if (repair) { Dedup.repairHammingIndex(spark, path); actions += "repair" }
+    val nParts = spark.read.parquet(s"$path/meta").head().getInt(2)
+    val totalRows = spark.read.parquet(s"$path/bands").count()
+    val rowsPerPart = totalRows.toDouble / nParts
+    if (rowsPerPart > lsh.rebuildAtRowsPerPart) {
+      var target = nParts.toLong
+      while (target < Int.MaxValue / 2 &&
+             totalRows.toDouble / target > lsh.targetRowsPerPart)
+        target *= 2
+      Dedup.rebuildHammingIndex(spark, path, nBucketParts = Some(target.toInt))
+      actions += "rebuild"
+    }
+    // compaction runs after a rebuild too (fresh write = one file per
+    // shuffle task per part), so the next healthy night is a no-op
+    val compacted = Dedup.compactHammingBands(spark, path, maxFilesPerPart)
+    if (compacted.nonEmpty) actions += s"compact:${compacted.size}"
+    NightlyReport(path, "hamming", actions.result(), None, Some(rowsPerPart))
   }
 
   private def nightlyLsh(spark: SparkSession, path: String,

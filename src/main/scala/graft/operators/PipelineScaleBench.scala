@@ -69,10 +69,16 @@ object PipelineScaleBench {
     // m6 = decode → dHash → band join → components: pure map-side
     // hashing plus a banded self-join whose buckets stay uniform as
     // the image population grows — wall should track docs linearly.
+    // c18 = c10 with the image near-dup verdict spliced between the
+    // rule gate and the LM gate: m6's machinery over the rule-gated
+    // slice plus one broadcast-able drop join — the chain must
+    // inherit c10's curve plus m6's map-side hashing, never a
+    // pairwise blowup (candidates stay band-bucketed).
     val queries = Seq("c1_corpus_pipeline", "c2_dedup_pipeline",
       "c3_curation_v2", "c4_ingest_curation", "c7_curation_pipeline",
       "c10_lm_gated_curation", "c14_host_prior_curation",
-      "c15_kn_gated_curation", "m6_perceptual_near_dup")
+      "c15_kn_gated_curation", "m6_perceptual_near_dup",
+      "c18_image_dedup_curation")
 
     import BenchTime.timed
     // JIT/codegen warmup at a thin slice so the 1× point isn't taxed
@@ -451,6 +457,75 @@ object PipelineScaleBench {
       println(f"psb d17 copies=$c%-2d batch=$nBatch pairs=$nPairs " +
         f"$buildTxt update=${updSec}%.2fs resolve=${resolveSec}%.2fs " +
         f"registered=$nResolved")
+    }
+
+    // m7 leg: the amortization claim of the persisted Hamming-band
+    // index — a FIXED fingerprint batch probed against a growing
+    // resident corpus. Without the persisted artifact a daily image
+    // batch re-bands the whole corpus per probe (build+probe, timed as
+    // the from-scratch arm); with it the probe is ONE DPP-pruned band
+    // scan + popcount verify and must grow far slower than the corpus.
+    // Fingerprints are synthesized (xxhash64 over doc ids, 56-bit) —
+    // the leg times the INDEX machinery, not m6's decode, which the
+    // m6 chain leg already ramps; planted two-bit flips give every
+    // scale real dup verdicts to verify. Cached-vs-fresh probes are
+    // asserted IDENTICAL (the index is a cache, never a semantics
+    // change).
+    {
+      val m56 = (1L << 56) - 1
+      val fpBatch = batch.select(col("doc_id").as("media_id"),
+        when(pmod(col("doc_id") - lit(900000000L), lit(22)) === 0,
+          xxhash64(col("doc_id") - lit(900000000L))
+            .bitwiseAND(lit(m56)).bitwiseXOR(lit(5L)))
+          .otherwise(xxhash64(col("doc_id")).bitwiseAND(lit(m56)))
+          .as("dhash")).localCheckpoint()
+      copiesList.foreach { c =>
+        val dir = s"/tmp/graft_psb/x$c"
+        val fps = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("media_id"),
+            xxhash64(col("doc_id")).bitwiseAND(lit(m56)).as("dhash"))
+        val idxPath = s"/tmp/graft_psb/hamidx_x$c"
+        val freshPath = s"/tmp/graft_psb/hamidx_fresh"
+        val idxSuccess = new java.io.File(s"$idxPath/meta/_SUCCESS")
+        val corpusSuccess =
+          new java.io.File(s"$dir/documents.parquet/_SUCCESS")
+        def cachedParamsOk: Boolean = scala.util.Try {
+          val m = spark.read.parquet(s"$idxPath/meta").head()
+          m.getInt(0) == 56 && m.getInt(1) == 4 && m.getInt(2) == 64
+        }.getOrElse(false)
+        val (_, buildSec) =
+          if (corpusSuccess.exists() && idxSuccess.exists() &&
+              idxSuccess.lastModified() >= corpusSuccess.lastModified() &&
+              cachedParamsOk) ((), -1.0)
+          else timed(Dedup.saveHammingIndex(fps, "media_id", "dhash",
+            bits = 56, bands = 4, idxPath, nBucketParts = 64))
+        graft.Isolation.scrub(spark)
+        val (probed, probeSec) = timed(
+          Dedup.dedupAgainstHammingIndex(fpBatch, "media_id", "dhash",
+            idxPath, maxDist = 3).collect().map(_.toSeq).toSeq)
+        graft.Isolation.scrub(spark)
+        // from-scratch arm: no persisted artifact — band the corpus
+        // NOW (throwaway index) and probe it
+        val (scratch, scratchSec) = timed {
+          graft.sources.Hdfs.forPath(spark, freshPath)
+            .delete(new org.apache.hadoop.fs.Path(freshPath), true)
+          Dedup.saveHammingIndex(fps, "media_id", "dhash",
+            bits = 56, bands = 4, freshPath, nBucketParts = 64)
+          Dedup.dedupAgainstHammingIndex(fpBatch, "media_id", "dhash",
+            freshPath, maxDist = 3).collect().map(_.toSeq).toSeq
+        }
+        graft.Isolation.scrub(spark)
+        val nDups = probed.count(_(3) == true)
+        val buildTxt = if (buildSec < 0) "build=cached"
+                       else f"build=${buildSec}%.2fs"
+        println(f"psb m7 copies=$c%-2d batch=$nBatch dups=$nDups " +
+          f"$buildTxt probe=${probeSec}%.2fs " +
+          f"from_scratch=${scratchSec}%.2fs equal=${probed == scratch}")
+        if (probed != scratch) {
+          System.err.println(s"psb m7 OUTPUT MISMATCH at copies=$c")
+          spark.stop(); sys.exit(4)
+        }
+      }
     }
 
     // d14 stats leg: the save-time bucket-stats payoff. A CAPPED probe

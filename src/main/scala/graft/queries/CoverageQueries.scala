@@ -320,6 +320,34 @@ object CoverageQueries {
       }
     }),
 
+    // C19: c17 under the MODIFIED-KN estimator — the configuration a
+    // stock KenLM build hands CCNet (lmplz estimates modified KN by
+    // default; c17's interpolated-KN is its --interpolate_unigrams
+    // simplification at one discount). Per-language MKN models trained
+    // on the held-out %3==1 target slice, PERSISTED
+    // (LmScore.saveMknLmPerLang — each language's own count-of-count
+    // spectrum sets its D1/D2/D3+, or falls back to 0.5/1/1.5
+    // independently; at gate SFs the synthetic corpus's degenerate
+    // spectra make the FALLBACK arm the oracle-exercised path, exactly
+    // q13's documented stance), the gate scoring the gated corpus
+    // against the loaded artifact. Everything downstream is c10's
+    // chain; the oracle re-derives the same deterministic models from
+    // the same slice (save≡train is LmScoreSpec-pinned).
+    "c19_target_mkn_curation" -> ((s, dir) => {
+      import CurationStages._
+      val all = Tables.documents(s, dir)
+      val docs = synthesized(all)
+      DedupQueries.withIndexScratch(s, "c19_mknlm") { path =>
+        graft.operators.LmScore.saveMknLmPerLang(
+          benchSlice(all).select(col("doc_id"), col("lang"), col("text")),
+          path)
+        val lmKept = lmGatedMknAgainstLm(gated(docs),
+          all.select(col("doc_id"), col("lang")), s, path)
+        val kept = decontaminated(lmKept, benchSlice(all))
+        quotaRollup(curated(kept, components(nearDupPairs(kept))))
+      }
+    }),
+
     // C18: the m6 PERCEPTUAL image verdict composed into c10's chain —
     // the LAION-shaped stage: each doc under curation carries one
     // synthetic PNG (media_id = doc_id div 3, so consecutive cohort
@@ -2052,6 +2080,76 @@ object CoverageQueries {
                   "JOIN documents dd ON dd.doc_id = g.doc_id) gl")},
          |scored_lang AS (
          |  SELECT doc_id, lang, surprisal FROM kscored_pl),
+         |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
+         |lmkept AS MATERIALIZED (
+         |  SELECT g.* FROM gated g
+         |  JOIN bucketed bk ON bk.doc_id = g.doc_id
+         |  WHERE bk.bucket <> 'tail'),
+         |$dShingles,
+         |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT b.doc_id,
+         |           CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+         |    FROM (SELECT doc_id, h FROM dsh WHERE doc_id % 3 = 0) b
+         |    LEFT JOIN bhash c ON c.h = b.h GROUP BY b.doc_id)
+         |  WHERE containment >= 0.5),
+         |kept AS MATERIALIZED (
+         |  SELECT g.* FROM lmkept g
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pairs AS MATERIALIZED (
+         |$pairsSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT kk.doc_id, kk.source, kk.text, $splitSql AS split
+         |  FROM kept kk LEFT JOIN comps cm ON cm.id = kk.doc_id),
+         |capped AS (SELECT * FROM labeled $capQualify)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
+
+    // c17's oracle with the per-language KN CTEs swapped for the
+    // MODIFIED-KN ones (mscored_pl — per-language count-of-count
+    // discounts with KenLM's 0.5/1/1.5 fallback); everything
+    // downstream is c17's text verbatim.
+    "c19_target_mkn_curation" -> {
+      import graft.operators.{Dedup, Sampling, TextAnalysis, LmScore}
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val sigSql = TextAnalysis.repetitionSignalsSql(
+        topNs = Seq(2), dupNs = Seq(10), from = "corpus")
+      val pairsSql = Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, from = "kept")
+      val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
+      val capQualify = Sampling.groupCapSql("source", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
+      val dShingles = Dedup.shingleCtesSql(k = 8,
+        from = "(SELECT doc_id, text FROM lmkept UNION ALL " +
+          "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)",
+        prefix = "d", materializedSh = true)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
+         |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sig AS (
+         |$sigSql),
+         |gated AS MATERIALIZED (
+         |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
+         |  WHERE sig.dup10_char_frac < 0.10),
+         |${LmScore.surprisalMknPerLangTrainScoreSql(
+                "(SELECT doc_id, lang, text FROM documents " +
+                  "WHERE doc_id % 3 = 1) tgt",
+                "(SELECT g.doc_id, g.text, dd.lang FROM gated g " +
+                  "JOIN documents dd ON dd.doc_id = g.doc_id) gl")},
+         |scored_lang AS (
+         |  SELECT doc_id, lang, surprisal FROM mscored_pl),
          |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
          |lmkept AS MATERIALIZED (
          |  SELECT g.* FROM gated g

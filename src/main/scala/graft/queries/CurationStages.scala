@@ -213,6 +213,21 @@ private[graft] object CurationStages {
       LmScore.surprisalKnAgainstLmPerLang(gatedDocs.join(langs, "doc_id"),
         spark, lmPath))
 
+  /** c19's gate — [[lmGatedKnAgainstLm]] under q13's MODIFIED-KN
+    * estimator ([[LmScore.saveMknLmPerLang]] at `lmPath`): the KenLM
+    * DEFAULT configuration (lmplz estimates modified KN unless told
+    * otherwise), so this is the gate CCNet gets when its target models
+    * are built with stock KenLM. Each language's own count-of-count
+    * spectrum sets its discounts (or falls back to 0.5/1/1.5
+    * independently); same thirds, same keep rule, same lp-0
+    * no-opinion arm. */
+  def lmGatedMknAgainstLm(gatedDocs: DataFrame, langs: DataFrame,
+                          spark: org.apache.spark.sql.SparkSession,
+                          lmPath: String): DataFrame =
+    lmKeep(gatedDocs,
+      LmScore.surprisalMknAgainstLmPerLang(gatedDocs.join(langs, "doc_id"),
+        spark, lmPath))
+
   /** Shared bucket-and-keep tail of the two LM gates: per-language
     * thirds by surprisal (ONE global rank), keep head+middle. */
   private def lmKeep(gatedDocs: DataFrame, scored0: DataFrame): DataFrame = {

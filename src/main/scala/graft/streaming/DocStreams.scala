@@ -923,12 +923,166 @@ object DocStreams {
     * flatMapGroupsWithState shell, so streamed scores equal
     * `surprisalKnAgainstLmPerLang` row for row with zero state rows
     * (spec-pinned). */
+  /** Continuous image near-dup curation against a persisted
+    * Hamming-band index ([[graft.operators.Dedup.saveHammingIndex]]
+    * layout — m7's daily lifecycle as a stream sink):
+    * [[indexedDedupSink]]'s two-phase exactly-once protocol over
+    * perceptual fingerprints. Each micro-batch of (id, fingerprint)
+    * rows is probed against the index (ONE DPP-pruned band scan),
+    * verdicts land sealed under `verdictsPath/batch_id=<id>` BEFORE
+    * any append, survivors (non-dups) append their band rows, and a
+    * crash at any point replays to identical artifacts off the sealed
+    * verdicts — never a re-probe against an index that already holds
+    * this batch's survivors. With `registryPath` set, the verified
+    * match PAIRS are the primary probe artifact and feed the m6/d17
+    * cluster registry, so a LAION-shaped corpus's duplicate clusters
+    * accrete incrementally. The at-least-once append window (crash
+    * between append and commit marker) is contained by
+    * [[graft.operators.Dedup.repairHammingIndex]] on the nightly
+    * cadence ([[graft.operators.Maintenance.nightly]] with
+    * `repair = true`), exactly the LSH sink's operational shape. */
+  def imageDedupSink(fingerprints: DataFrame, indexPath: String,
+                     verdictsPath: String, maxDist: Int,
+                     idCol: String = "media_id", hashCol: String = "dhash",
+                     compactEvery: Int = 0, maxFilesPerPart: Int = 8,
+                     registryPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    fingerprints.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processImageBatch(batch.toDF(), id, indexPath, verdictsPath, maxDist,
+          idCol, hashCol, compactEvery, maxFilesPerPart, registryPath)
+    }
+
+  /** One micro-batch of [[imageDedupSink]] — exposed so the replay and
+    * crash-window specs can drive it directly. The protocol is
+    * [[processIndexedBatch]]'s with two simplifications the
+    * fingerprint domain buys: every row HAS a fingerprint (no
+    * empty-shingle population drop — verdicts cover the whole batch),
+    * and the index is single-table (no stats slice to tear). */
+  private[graft] def processImageBatch(batch: DataFrame, id: Long,
+      indexPath: String, verdictsPath: String, maxDist: Int,
+      idCol: String, hashCol: String, compactEvery: Int,
+      maxFilesPerPart: Int,
+      registryPath: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = batch.sparkSession
+    val fs = graft.sources.Hdfs.forPath(spark, verdictsPath)
+    val marker = new HPath(s"$verdictsPath/_committed/batch_$id")
+    if (SinkMarkers.isCommitted(fs, verdictsPath, id)) return
+    def seal(p: HPath): Unit = SinkMarkers.seal(fs, p)
+    val cached = batch.cache()
+    try {
+      if (!cached.isEmpty) {
+        val verdictSeal = new HPath(s"$verdictsPath/_verdicts/batch_$id")
+        def pairsDir = new HPath(s"$verdictsPath/_pairs/batch_id=$id")
+        // zero-pair batches write NOTHING under _pairs (dynamic
+        // overwrite of an empty frame creates no dir) — the seal is
+        // what makes "no matches" distinguishable from "slice lost"
+        val pairsSeal = new HPath(s"$verdictsPath/_pairs_sealed/batch_$id")
+        def storedPairs = if (fs.exists(pairsDir))
+          spark.read.parquet(pairsDir.toString).select(col("bid"), col("cid"))
+        else spark.range(0).select(col("id").as("bid"), col("id").as("cid"))
+        if (!fs.exists(verdictSeal)) {
+          registryPath match {
+            case None =>
+              Dedup.dedupAgainstHammingIndex(cached, idCol, hashCol,
+                  indexPath, maxDist)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(verdictsPath)
+            case Some(_) =>
+              // registry mode: persist the verified pairs first,
+              // derive the verdicts from the persisted form (one
+              // band-scan probe total — the read-back is the replay
+              // path's materialization barrier), seal both
+              Dedup.hammingPairsAgainstIndex(cached, idCol, hashCol,
+                  indexPath, maxDist)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(s"$verdictsPath/_pairs")
+              seal(pairsSeal)
+              Dedup.verdictsFromPairs(
+                  cached.select(col(idCol).as("doc_id")), storedPairs)
+                .withColumnRenamed("doc_id", idCol)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(verdictsPath)
+          }
+          seal(verdictSeal)
+        }
+        // survivors come off the SEALED verdicts — the replay path by
+        // construction. Every batch row has a verdict (fingerprints
+        // always exist), so a nonEmpty batch's partition dir exists.
+        val verdictDir = new HPath(s"$verdictsPath/batch_id=$id")
+        if (fs.exists(verdictDir)) {
+          val survivors = cached.join(
+            spark.read.parquet(verdictDir.toString)
+              .where(!col("is_dup")).select(col(idCol)),
+            idCol)
+          if (!survivors.isEmpty)
+            Dedup.appendToHammingIndex(survivors, idCol, hashCol, indexPath)
+        }
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          Dedup.compactHammingBands(spark, indexPath, maxFilesPerPart)
+        registryPath.foreach { reg =>
+          // sealed verdicts with no accounted pairs artifact are
+          // unknowable match history — registering the batch as
+          // all-singletons behind them would be silent corruption
+          if (!fs.exists(pairsSeal) && !fs.exists(pairsDir))
+            throw new IllegalStateException(
+              s"registry mode: batch $id has sealed verdicts but no " +
+                s"pairs artifact ($pairsDir absent and no $pairsSeal) — " +
+                "its match pairs are unknowable, so updating the " +
+                "registry would register the whole batch as singletons. " +
+                "Re-run the batch's probe (discard its _verdicts marker " +
+                "and verdict partition, then replay) before enabling " +
+                "registry mode over it.")
+          graft.operators.Clusters.updateRegistry(spark, reg, id,
+            cached.select(col(idCol).as("doc_id")), storedPairs,
+            onRegistered = graft.operators.Clusters.Skip)
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            graft.operators.Clusters.compactRegistry(spark, reg)
+        }
+      }
+      seal(marker)
+    } finally cached.unpersist(blocking = false)
+  }
+
   def lmScoreEnrichKnPerLang(docs: DataFrame, path: String,
                              textCol: String = "text")
       : Dataset[DocScorePerLang] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.operators.LmScore.lpRowsKnPerLang(docs, spark, path, textCol)
+      .as[(Long, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long)],
+         _: GroupState[Boolean]) =>
+          var n = 0L
+          var s = 0L
+          rows.foreach { r => n += 1; s += r._3 }
+          Iterator.single(DocScorePerLang(key._1, key._2, n, s,
+            -s.toDouble / n))
+      }
+  }
+
+  /** MODIFIED-KN twin of [[lmScoreEnrichKnPerLang]]: scores against
+    * the persisted per-language modified-KN models at `path`
+    * ([[graft.operators.LmScore.saveMknLmPerLang]]) — the continuous
+    * form of the c19 gate, sharing `LmScore.lpRowsMknPerLang` with the
+    * batch scorer so the two paths gate on the SAME estimator
+    * (streamed ≡ `surprisalMknAgainstLmPerLang` row for row with zero
+    * state rows — spec-pinned, including the lp-0 no-model arm). */
+  def lmScoreEnrichMknPerLang(docs: DataFrame, path: String,
+                              textCol: String = "text")
+      : Dataset[DocScorePerLang] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.LmScore.lpRowsMknPerLang(docs, spark, path, textCol)
       .as[(Long, String, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

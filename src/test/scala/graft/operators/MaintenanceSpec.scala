@@ -59,6 +59,76 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(probe() === beforeNight2)
   }
 
+  test("Hamming three nights: family detected (never LSH's meta shape), compact, growth-rebuild (probe-identical), repair night; then no-op") {
+    val M56 = (1L << 56) - 1
+    def fps(b: Int) = spark.range(400)
+      .where(pmod(col("id"), lit(8)) === b)
+      .select(col("id").as("media_id"),
+        xxhash64(col("id")).bitwiseAND(lit(M56)).as("dhash"))
+    // probe batch with planted near-dups of role-0 residents (two bits
+    // flipped — distance 2, found with certainty under 4-band blocking)
+    val probeBatch = spark.range(400)
+      .where(pmod(col("id"), lit(8)) === 7)
+      .select((col("id") + 100000L).as("media_id"),
+        when(pmod(col("id"), lit(16)) === 7,
+          xxhash64(col("id") - 7).bitwiseAND(lit(M56)).bitwiseXOR(lit(5L)))
+          .otherwise(xxhash64(col("id")).bitwiseAND(lit(M56))).as("dhash"))
+    val path = java.nio.file.Files.createTempDirectory("mnt_ham").toString
+    Dedup.saveHammingIndex(fps(0), "media_id", "dhash", bits = 56,
+      bands = 4, path, nBucketParts = 2)
+    Dedup.appendToHammingIndex(fps(1), "media_id", "dhash", path)
+    def probe() = Dedup.dedupAgainstHammingIndex(probeBatch, "media_id",
+      "dhash", path, maxDist = 3).collect().map(_.toSeq).toSeq
+    def rowsPerPart() = spark.read.parquet(s"$path/bands").count().toDouble /
+      spark.read.parquet(s"$path/meta").head().getInt(2)
+    val lshCfg = Maintenance.LshConfig(
+      targetRowsPerPart = math.ceil(rowsPerPart()).toLong,
+      rebuildAtRowsPerPart = math.ceil(rowsPerPart() * 2).toLong)
+    val beforeNight1 = probe()
+    assert(beforeNight1.exists(_(3) == true), "planted dups must be found")
+    // night 1: the family routes to the Hamming pass — before the meta
+    // discriminator this root's bands/ probe misdetected it as LSH and
+    // nightlyLsh crashed reading n_bucket_parts at LSH meta's ordinal
+    val night1 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      lsh = lshCfg)
+    assert(night1.family === "hamming")
+    assert(night1.actions.exists(_.startsWith("compact:")),
+      s"append fragmentation must compact: $night1")
+    assert(!night1.rebuilt, s"in-bounds index must not rebuild: $night1")
+    assert(probe() === beforeNight1)
+    // growth: four more roles land — rows per part now exceeds the bound
+    (2 to 5).foreach(b =>
+      Dedup.appendToHammingIndex(fps(b), "media_id", "dhash", path))
+    val beforeNight2 = probe()
+    val partsBefore = spark.read.parquet(s"$path/meta").head().getInt(2)
+    val night2 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      lsh = lshCfg)
+    assert(night2.rebuilt, s"outgrown index must rebuild: $night2")
+    assert(spark.read.parquet(s"$path/meta").head().getInt(2) > partsBefore,
+      "rebuild must widen the bucket partitioning")
+    // re-bucketing is pure layout: verdicts bit-identical
+    assert(probe() === beforeNight2)
+    // repair night: a double append (the sink's at-least-once window)
+    // doubles band rows and would double-count n_matches; repair = true
+    // restores exact hygiene
+    val rowsClean = spark.read.parquet(s"$path/bands").count()
+    Dedup.appendToHammingIndex(fps(6), "media_id", "dhash", path)
+    val beforeDup = probe()
+    Dedup.appendToHammingIndex(fps(6), "media_id", "dhash", path)
+    val nightR = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      lsh = lshCfg, repair = true)
+    assert(nightR.actions.contains("repair"))
+    assert(probe() === beforeDup,
+      "repair must restore the single-copy index's exact verdicts")
+    assert(spark.read.parquet(s"$path/bands").count() ===
+      rowsClean + 4 * fps(6).count(),
+      "repair must leave exactly one copy of each appended band row")
+    val night3 = Maintenance.nightly(spark, path, maxFilesPerPart = 1,
+      lsh = lshCfg)
+    assert(night3.noOp, s"healthy compacted in-bounds night must no-op: $night3")
+    assert(probe() === beforeDup)
+  }
+
   test("decon three nights: compact, damaged-bloom rebuild (probe-identical), then no-op") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
