@@ -415,6 +415,55 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got.head.getLong(2) === 2L && got.head.getLong(3) === 0L)
   }
 
+  test("saveMknLmPerLang → surprisalMknAgainstLmPerLang equals surprisalMknPerLang row for row") {
+    val docs = Seq((1L, "en", "a b a b"), (2L, "de", "a a b"),
+      (3L, "en", "b a"), (4L, "de", "b b a a"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mknpllm").toString
+    LmScore.saveMknLmPerLang(docs, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(rows(LmScore.surprisalMknAgainstLmPerLang(docs, spark, dir)) ===
+      rows(LmScore.surprisalMknPerLang(docs)))
+  }
+
+  test("per-lang MKN split form: a scoring language with no model gets the 0L no-opinion arm") {
+    val train = Seq((1L, "en", "a b a b")).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mknpllm2").toString
+    LmScore.saveMknLmPerLang(train, dir)
+    val score = Seq((10L, "fr", "x y z")).toDF("doc_id", "lang", "text")
+    val got = LmScore.surprisalMknAgainstLmPerLang(score, spark, dir).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 2L && got.head.getLong(3) === 0L)
+  }
+
+  test("per-lang MKN discounts are per-LANGUAGE: a rich spectrum estimates its own D1/D2/D3+, a thin one falls back independently") {
+    // en's bigram count-of-counts by construction: n1=4 (dc,fe,gh,ij),
+    // n2=2 (cd,ef), n3=1 (ba), n4=1 (ab) — all positive with
+    //   Y  = 4/(4+2·2)          = 0.5   (exact in binary)
+    //   D1 = 1 − 2·0.5·2/4      = 0.5
+    //   D2 = 2 − 3·0.5·1/2      = 1.25
+    //   D3 = 3 − 4·0.5·1/1      = 1.0
+    // every operation exact in IEEE doubles, so equality is ===, not ~=.
+    // de's single seen bigram (n2..n4 = 0) cannot estimate — it must
+    // take KenLM's 0.5/1/1.5 fallback WITHOUT poisoning en's estimate.
+    val docs = Seq(
+      (1L, "en", "a b a b a b a b"), (2L, "en", "c d c d"),
+      (3L, "en", "e f e f"), (4L, "en", "g h"), (5L, "en", "i j"),
+      (6L, "de", "x y")).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mknmeta").toString
+    LmScore.saveMknLmPerLang(docs, dir)
+    val meta = spark.read.parquet(s"$dir/mkn_meta")
+      .select("lang", "d1", "d2", "d3", "estimated")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(meta("en") === ((0.5, 1.25, 1.0, true)))
+    assert(meta("de") === ((0.5, 1.0, 1.5, false)))
+  }
+
   test("c12 gate fixture: self-trained and target-trained per-language gates keep DIFFERENT docs") {
     import graft.queries.CurationStages
     // one language, 6 scoreable docs: 4 boilerplate + 2 fluent. The

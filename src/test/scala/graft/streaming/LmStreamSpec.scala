@@ -139,4 +139,42 @@ class LmStreamSpec extends AnyFunSuite {
     assert(streamed.exists(r => r.head == 900002L && r(3) == 0L))
     assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
   }
+  test("streaming lmScoreEnrichMknPerLang equals batch surprisalMknAgainstLmPerLang incl. the no-model lang; zero state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("mknlm_stream").toString
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // per-language MODIFIED-KN targets trained on the even docs; odd docs arrive
+    // on the stream — seen-bigram, continuation-backoff, and unseen-w1
+    // tiers all exercised — plus one doc under a never-modelled lang
+    // (the lp-0 no-opinion arm)
+    LmScore.saveMknLmPerLang(all.where(col("doc_id") % 2 === 0), path)
+    val arriving = all.where(col("doc_id") % 2 === 1)
+      .as[(Long, String, String)].collect().toSeq :+
+      ((900003L, "xx", "some words never modelled"))
+    val input = MemoryStream[(Long, String, String)]
+    val name = s"mknlmstream_${System.nanoTime()}"
+    val q = DocStreams.lmScoreEnrichMknPerLang(
+        input.toDF().toDF("doc_id", "lang", "text"), path)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val (streamed, stateRows) =
+      try {
+        input.addData(arriving.take(arriving.size / 2): _*)
+        q.processAllAvailable()
+        input.addData(arriving.drop(arriving.size / 2): _*)
+        q.processAllAvailable()
+        (spark.table(name).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+          Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L))
+      } finally q.stop()
+    val batch = LmScore.surprisalMknAgainstLmPerLang(
+        arriving.toDF("doc_id", "lang", "text"), spark, path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(r => r.head == 900003L && r(3) == 0L))
+    assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
+  }
 }
