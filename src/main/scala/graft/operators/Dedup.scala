@@ -2591,10 +2591,27 @@ object Dedup {
     * row — no shuffle, [[hammingNearDupPairs]]'s trick). Batch and
     * corpus ids should be disjoint; self-pairs are guarded regardless,
     * so probing an index the batch was already appended to (the
-    * idempotent-resume shape) never matches a row to itself. */
+    * idempotent-resume shape) never matches a row to itself.
+    *
+    * `maxBucket`: drop corpus buckets with more than this many
+    * resident rows before candidate generation — the degenerate-bucket
+    * guard the LSH probe carries ([[dedupAgainstLshIndex]]'s scaladoc
+    * has the fan-out argument). Perceptual hashes make hot buckets a
+    * CERTAINTY at corpus scale, not a tail risk: every near-black
+    * frame, blank scan, and solid-color placeholder dHashes to the
+    * same few values, so one bucket accretes millions of members and a
+    * B-member bucket yields B candidates per probing row. A capped
+    * bucket's members are exactly such flat-image families —
+    * recall lost there is recall on "every black image matches every
+    * other black image", which a cheap exact-hash pass recovers if
+    * wanted. Sizes come from a count over the ALREADY-PRUNED hit scan
+    * (a bucket lives wholly inside part = bucket mod nParts, so the
+    * pruned count IS the full bucket size; no stats table to go
+    * stale, no second index scan). */
   def hammingPairsAgainstIndex(batch: DataFrame, idCol: String,
                                hashCol: String, path: String,
-                               maxDist: Int): DataFrame = {
+                               maxDist: Int,
+                               maxBucket: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val (bits, bands, parts) = hammingMeta(spark, path)
     require(maxDist < bands,
@@ -2609,15 +2626,33 @@ object Dedup {
     // so the partition column is an equi-join key — the DPP handle
     val hit = spark.read.parquet(s"$path/bands")
       .join(bBands.select(keys.map(col): _*).distinct(), keys)
-    val firstCollidingBand = least((0 until bands).map(b =>
-      when(field(col("b._sig"), b) === field(col("c._sig"), b), lit(b))
-        .otherwise(lit(bands))): _*)
-    bBands.as("b").join(hit.as("c"), keys)
-      .where(col("b._id") =!= col("c._id"))
-      .where(col("b.band") === firstCollidingBand)
-      .select(col("b._id").as("bid"), col("c._id").as("cid"),
-        bit_count(col("b._sig").bitwiseXOR(col("c._sig"))).as("dist"))
-      .where(col("dist") <= maxDist)
+    maxBucket match {
+      case Some(cap) =>
+        // capped: a pair survives iff ANY under-cap band bucket holds
+        // both rows (the LSH cap's exact semantics) — the map-side
+        // first-colliding-band dedup would also drop pairs whose FIRST
+        // agreeing band happens to be the capped one, losing recall
+        // the cap never meant to spend, so the capped arm dedups by
+        // pair key instead (it already pays a shuffle for the sizes)
+        val sizes = hit.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        val okHit = hit.join(sizes.where(col("n") <= cap).drop("n"), keys)
+        bBands.as("b").join(okHit.as("c"), keys)
+          .where(col("b._id") =!= col("c._id"))
+          .select(col("b._id").as("bid"), col("c._id").as("cid"),
+            bit_count(col("b._sig").bitwiseXOR(col("c._sig"))).as("dist"))
+          .where(col("dist") <= maxDist)
+          .dropDuplicates("bid", "cid")
+      case None =>
+        val firstCollidingBand = least((0 until bands).map(b =>
+          when(field(col("b._sig"), b) === field(col("c._sig"), b), lit(b))
+            .otherwise(lit(bands))): _*)
+        bBands.as("b").join(hit.as("c"), keys)
+          .where(col("b._id") =!= col("c._id"))
+          .where(col("b.band") === firstCollidingBand)
+          .select(col("b._id").as("bid"), col("c._id").as("cid"),
+            bit_count(col("b._sig").bitwiseXOR(col("c._sig"))).as("dist"))
+          .where(col("dist") <= maxDist)
+    }
   }
 
   /** Per-item verdicts of a batch against a persisted Hamming index —
@@ -2627,9 +2662,11 @@ object Dedup {
     * (a fingerprint always exists — there is no empty-shingle drop). */
   def dedupAgainstHammingIndex(batch: DataFrame, idCol: String,
                                hashCol: String, path: String,
-                               maxDist: Int): DataFrame =
+                               maxDist: Int,
+                               maxBucket: Option[Int] = None): DataFrame =
     verdictsFromPairs(batch.select(col(idCol).as("doc_id")),
-      hammingPairsAgainstIndex(batch, idCol, hashCol, path, maxDist))
+      hammingPairsAgainstIndex(batch, idCol, hashCol, path, maxDist,
+        maxBucket))
       .withColumnRenamed("doc_id", idCol)
 
   /** Nightly small-file repair for an append-grown Hamming index —

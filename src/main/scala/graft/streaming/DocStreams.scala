@@ -944,13 +944,15 @@ object DocStreams {
   def imageDedupSink(fingerprints: DataFrame, indexPath: String,
                      verdictsPath: String, maxDist: Int,
                      idCol: String = "media_id", hashCol: String = "dhash",
+                     maxBucket: Option[Int] = None,
                      compactEvery: Int = 0, maxFilesPerPart: Int = 8,
                      registryPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     fingerprints.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         processImageBatch(batch.toDF(), id, indexPath, verdictsPath, maxDist,
-          idCol, hashCol, compactEvery, maxFilesPerPart, registryPath)
+          idCol, hashCol, compactEvery, maxFilesPerPart, registryPath,
+          maxBucket)
     }
 
   /** One micro-batch of [[imageDedupSink]] — exposed so the replay and
@@ -963,7 +965,8 @@ object DocStreams {
       indexPath: String, verdictsPath: String, maxDist: Int,
       idCol: String, hashCol: String, compactEvery: Int,
       maxFilesPerPart: Int,
-      registryPath: Option[String] = None): Unit = {
+      registryPath: Option[String] = None,
+      maxBucket: Option[Int] = None): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = batch.sparkSession
     val fs = graft.sources.Hdfs.forPath(spark, verdictsPath)
@@ -986,7 +989,7 @@ object DocStreams {
           registryPath match {
             case None =>
               Dedup.dedupAgainstHammingIndex(cached, idCol, hashCol,
-                  indexPath, maxDist)
+                  indexPath, maxDist, maxBucket)
                 .withColumn("batch_id", lit(id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -997,7 +1000,7 @@ object DocStreams {
               // band-scan probe total — the read-back is the replay
               // path's materialization barrier), seal both
               Dedup.hammingPairsAgainstIndex(cached, idCol, hashCol,
-                  indexPath, maxDist)
+                  indexPath, maxDist, maxBucket)
                 .withColumn("batch_id", lit(id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -138,6 +138,40 @@ class HammingIndexSpec extends AnyFunSuite {
     assert(after === Seq((40L, 3L, 1L, true)))
   }
 
+  test("maxBucket: a hot bucket is skipped (the flat-image guard), a pair whose OTHER band bucket is small survives the cap, and an uncapped probe is unchanged") {
+    // bits=56, bands=4 → 14-bit fields. The hot family: 100 residents
+    // sharing band-0 field 5 with DISTINCT upper fields (so only the
+    // band-0 bucket is hot); resident 500 shares that hot band-0
+    // bucket AND has unique upper fields the probe can collide in.
+    val hot = (0L until 100L).map(i => (i,
+      5L | ((i * 4 + 1) << 14) | ((i * 8 + 3) << 28) | ((i * 16 + 7) << 42)))
+    val residentA = (500L,
+      5L | (9999L << 14) | (8888L << 28) | (7777L << 42))
+    // the all-identical family: every band bucket hot
+    val flat = (1000L until 1100L).map(i => (i, 0x00FACADEL))
+    val idx = newIdx()
+    Dedup.saveHammingIndex(
+      ((hot :+ residentA) ++ flat).toDF("media_id", "fp"),
+      "media_id", "fp", bits = 56, bands = 4, idx, nBucketParts = 8)
+    // probe P: differs from resident 500 only in field 3 by one bit
+    // (dist 1 — a true near-dup whose FIRST colliding band is the hot
+    // one); probe R: identical to the flat family (dist 0 to 100 rows)
+    val probe = Seq(
+      (9000L, 5L | (9999L << 14) | (8888L << 28) | ((7777L ^ 1L) << 42)),
+      (9001L, 0x00FACADEL)).toDF("media_id", "fp")
+    def run(cap: Option[Int]) = verdicts(
+      Dedup.dedupAgainstHammingIndex(probe, "media_id", "fp", idx,
+        maxDist = 3, maxBucket = cap))
+    val uncapped = run(None)
+    assert(uncapped === Seq((9000L, 1L, 500L, true), (9001L, 100L, 1000L, true)))
+    val capped = run(Some(10))
+    // P still finds 500 via the SMALL band-1/2 buckets (the capped arm
+    // keeps a pair if ANY under-cap bucket holds it — first-band
+    // dedup would have lost this recall); R's every bucket is hot, so
+    // the flat family is skipped: the documented recall trade
+    assert(capped === Seq((9000L, 1L, 500L, true), (9001L, 0L, -1L, false)))
+  }
+
   test("probe on a path without meta fails loudly") {
     val idx = newIdx()
     val e = intercept[IllegalArgumentException] {
