@@ -2472,9 +2472,21 @@ object Dedup {
     * cluster), each pair is kept only in its FIRST colliding band:
     * both full fingerprints ride the join row, so "is this the first
     * band where we collide" is a map-side expression and the dedup
-    * costs zero exchanges. Output: (id1, id2, dist), id1 < id2. */
+    * costs zero exchanges. Output: (id1, id2, dist), id1 < id2.
+    *
+    * `maxBucket`: the one-shot form of the probe's hot-bucket cap
+    * ([[hammingPairsAgainstIndex]]'s scaladoc has the flat-image
+    * argument — a B-member bucket contributes B² candidate rows to
+    * this SELF-join, so one solid-color family at corpus scale is a
+    * job-killing quadratic): over-cap buckets drop before the pair
+    * join, and the capped arm keeps a pair if ANY under-cap bucket
+    * holds it (pair-key dedup instead of the first-band trick, which
+    * would also drop pairs whose first agreeing band is the capped
+    * one). Default None preserves exact recall — the oracle-replayed
+    * configuration. */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                          bits: Int, maxDist: Int, bands: Int): DataFrame = {
+                          bits: Int, maxDist: Int, bands: Int,
+                          maxBucket: Option[Int] = None): DataFrame = {
     require(maxDist < bands,
       s"band blocking with $bands bands only guarantees recall for dist < $bands")
     require(bits >= bands && bits % bands == 0 && bits <= 64,
@@ -2488,20 +2500,39 @@ object Dedup {
     val mask = if (width == 64) -1L else (1L << width) - 1
     def field(sig: Column, b: Int) =
       shiftright(sig, b * width).bitwiseAND(lit(mask))
-    val banded = hashes.select(col(idCol).as("_id"), col(hashCol).as("_sig"),
+    val banded0 = hashes.select(col(idCol).as("_id"), col(hashCol).as("_sig"),
       posexplode(array((0 until bands).map(field(col(hashCol), _)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val firstCollidingBand = least((0 until bands).map(b =>
-      when(field(col("a._sig"), b) === field(col("b._sig"), b), lit(b))
-        .otherwise(lit(bands))): _*)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a._id") < col("b._id"))
-      .where(col("a.band") === firstCollidingBand)
-      .select(col("a._id").as("id1"), col("b._id").as("id2"),
-        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("dist"))
-      .where(col("dist") <= maxDist)
-      .orderBy(col("id1"), col("id2"))
+    maxBucket match {
+      case Some(cap) =>
+        val sizes = banded0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val banded = banded0.join(
+          sizes.where(col("n") <= cap).drop("n"), Seq("band", "bucket"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a._id") < col("b._id"))
+          .select(col("a._id").as("id1"), col("b._id").as("id2"),
+            bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("dist"))
+          .where(col("dist") <= maxDist)
+          .dropDuplicates("id1", "id2")
+          .orderBy(col("id1"), col("id2"))
+      case None =>
+        val banded = banded0
+        val firstCollidingBand = least((0 until bands).map(b =>
+          when(field(col("a._sig"), b) === field(col("b._sig"), b), lit(b))
+            .otherwise(lit(bands))): _*)
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a._id") < col("b._id"))
+          .where(col("a.band") === firstCollidingBand)
+          .select(col("a._id").as("id1"), col("b._id").as("id2"),
+            bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("dist"))
+          .where(col("dist") <= maxDist)
+          .orderBy(col("id1"), col("id2"))
+    }
   }
 
   // ----------------------- persisted Hamming-band index (m7 / d19)

@@ -172,6 +172,30 @@ class HammingIndexSpec extends AnyFunSuite {
     assert(capped === Seq((9000L, 1L, 500L, true), (9001L, 0L, -1L, false)))
   }
 
+  test("maxBucket on the one-shot self-join: flat family's quadratic bucket skipped, cross-band pair kept, uncapped unchanged") {
+    // same geometry as the probe-cap fixture, one-shot form: pair
+    // (500, 501) first-collides in the hot band-0 bucket but also
+    // collides in small band-1/2 buckets; the flat family pairs only
+    // within its own (hot) buckets
+    val hot = (0L until 50L).map(i => (i,
+      5L | ((i * 4 + 1) << 14) | ((i * 8 + 3) << 28) | ((i * 16 + 7) << 42)))
+    val pairA = Seq(
+      (500L, 5L | (9999L << 14) | (8888L << 28) | (7777L << 42)),
+      (501L, 5L | (9999L << 14) | (8888L << 28) | ((7777L ^ 1L) << 42)))
+    val flat = (1000L until 1020L).map(i => (i, 0x00FACADEL))
+    val fps = (hot ++ pairA ++ flat).toDF("media_id", "fp")
+    def run(cap: Option[Int]) = Dedup.hammingNearDupPairs(fps, "media_id",
+        "fp", bits = 56, maxDist = 3, bands = 4, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val uncapped = run(None)
+    assert(uncapped.contains((500L, 501L)))
+    assert(uncapped.count { case (a, b) => a >= 1000L && b >= 1000L } ===
+      20 * 19 / 2, "flat family pairs quadratically when uncapped")
+    val capped = run(Some(10))
+    assert(capped === Seq((500L, 501L)),
+      "cap must keep the cross-band pair and skip the flat family")
+  }
+
   test("probe on a path without meta fails loudly") {
     val idx = newIdx()
     val e = intercept[IllegalArgumentException] {
