@@ -138,18 +138,105 @@ object LangId {
     val seen = fs.join(broadcast(model), "f")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt") * col("dlp")).as("s"))
-    tot.crossJoin(broadcast(lc))
+    argmax(tot.crossJoin(broadcast(lc))
       .join(seen, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior") + col("tf") * col("lp_unseen") +
-          coalesce(col("s"), lit(0L))).as("score"))
-      // smallest (-score, lang) struct = highest score, ties to the
-      // lexicographically smallest lang — one hash agg, no window
+          coalesce(col("s"), lit(0L))).as("score")))
+  }
+
+  /** The per-doc argmax fold over (doc_id, lang, score) rows — shared
+    * by [[predict]] and (as the batch half of the equality spec) the
+    * streaming enrich, which runs the same min-struct rule in a
+    * stateless group shell. Smallest (-score, lang) struct = highest
+    * score, ties to the lexicographically smallest lang — one hash
+    * agg, no window. */
+  private def argmax(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("m"))
       .select(col("doc_id"), col("m.lang").as("pred_lang"),
         (-col("m.ns")).as("score_micro"))
+
+  /** AGGREGATION-FREE per-(doc, lang) score PARTS of `docs` under the
+    * persisted model at `path` — shared by the persisted-model batch
+    * scorer and graft.streaming.DocStreams.langIdEnrich so the batch
+    * and continuous classification paths score identically and cannot
+    * drift. Two map-side row streams unioned: one BASE row per
+    * (scoreable doc × lang) carrying prior + tf·lp_unseen, and one
+    * DELTA row per (feature occurrence × lang seen for that feature)
+    * carrying dlp. score(doc, lang) = Σ v over the doc's rows — the
+    * per-occurrence sum equals [[predict]]'s cnt·dlp form exactly
+    * (integer micro-nats, order-free), and no row needs a streaming-
+    * unsupported aggregation before the per-doc fold (the reason for
+    * this shape: Append-mode streams reject groupBy below the shell).
+    * Docs with < 1 trigram emit nothing — [[predict]]'s rule. */
+  def langScorePartsAgainst(docs: DataFrame,
+                            spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            textCol: String = "text"): DataFrame = {
+    val (model, lc0) = loadLangId(spark, path)
+    // the modulus comes from the artifact itself — mis-bucketing is
+    // impossible by construction, so no runtime assert needed here
+    val buckets = lc0.select(col("buckets")).head().getInt(0)
+    val lc = lc0.drop("buckets")
+    val base = docs.select(col("doc_id"), lower(col(textCol)).as("t"))
+      .where(length(col("t")) >= 3)
+      .select(col("doc_id"), (length(col("t")) - 2).cast("long").as("tf"))
+      .crossJoin(broadcast(lc))
+      .select(col("doc_id"), col("lang"),
+        (col("prior") + col("tf") * col("lp_unseen")).as("v"))
+    val deltas = feats(docs, textCol, buckets, Seq("doc_id"))
+      .join(broadcast(model), "f")
+      .select(col("doc_id"), col("lang"), col("dlp").as("v"))
+    base.unionByName(deltas)
   }
+
+  /** Persist a trained classifier at `path` — the fastText stance for
+    * the d14 question ("train once, classify every batch"): `li_model/`
+    * (lang, f, dlp) lang-PARTITIONED + `li_const/` one row per lang,
+    * the bucket count riding the const table so a probe can never
+    * band features under the wrong modulus (garbage scores, no
+    * error — the r14 finding [[predict]] guards against). Retrain-not-
+    * patch like the LM families (the deltas are corpus globals);
+    * atomic replacement of a LIVE model rides
+    * [[Maintenance.retrainAndSwap]], whose nightly detects the
+    * `li_model/` root. */
+  def saveLangId(labeled: DataFrame, path: String,
+                 textCol: String = "text", buckets: Int = Buckets): Unit = {
+    val (model, langConst) = train(labeled, textCol, buckets)
+    model.write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$path/li_model")
+    langConst.coalesce(1).write.mode("overwrite").parquet(s"$path/li_const")
+  }
+
+  /** (model, langConst) at `path`; partition-column type inference
+    * disabled so numeric language codes round-trip as the strings the
+    * score joins expect ([[LmScore.loadLmPerLang]]'s reason). */
+  def loadLangId(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      (spark.read.parquet(s"$path/li_model"),
+        spark.read.parquet(s"$path/li_const"))
+    } finally spark.conf.set(conf, prev)
+  }
+
+  /** Predict against the PERSISTED classifier at `path` — equals
+    * [[trainPredict]] row for row when the artifact was saved from the
+    * same labeled slice (spec-pinned; the per-occurrence delta sum is
+    * integer-exact, so the parts form and predict's cnt·dlp form
+    * agree bit for bit). The bucket count comes from the artifact
+    * itself, so a caller cannot mis-bucket by construction. */
+  def predictAgainstLangId(docs: DataFrame,
+                           spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           textCol: String = "text"): DataFrame =
+    argmax(langScorePartsAgainst(docs, spark, path, textCol)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("v")).as("score")))
 
   /** Train-and-predict in one call (train on `labeled`, predict over
     * `docs`). */

@@ -138,10 +138,11 @@ object Maintenance {
     // exactly the root swap the heal above covers. Return before the
     // index-family detection (a tokenizer root has no meta/ at all).
     if (exists("bigrams") || exists("merges") || exists("kn_bigrams") ||
-        exists("mkn_bigrams")) {
+        exists("mkn_bigrams") || exists("li_model")) {
       val fam = if (exists("merges")) "tokenizer"
         else if (exists("mkn_bigrams")) "mkn-lm"
         else if (exists("kn_bigrams")) "kn-lm"
+        else if (exists("li_model")) "langid"
         else "lm"
       return NightlyReport(path, fam,
         if (rootStaged) Seq("heal-swap") else Nil, None, None)

@@ -395,6 +395,33 @@ object CoverageQueries {
       quotaRollup(curated(kept, components(nearDupPairs(kept))))
     }),
 
+    // C20: c13 with the classifier PERSISTED — the fastText stance
+    // ("train once, classify every batch"): the %3==1 labeled slice
+    // trains the model which lands on disk (LangId.saveLangId —
+    // lang-partitioned deltas + a const table carrying the bucket
+    // modulus, so a probe can never mis-bucket), and the chain scores
+    // the gated corpus against the LOADED artifact. Everything
+    // downstream is c13's chain; the oracle re-derives the same
+    // deterministic model from the same slice (save≡train is
+    // LangIdSpec-pinned, the c12/c17/c19 pattern).
+    "c20_target_langid_curation" -> ((s, dir) => {
+      import CurationStages._
+      val all = Tables.documents(s, dir)
+      val docs = synthesized(all)
+      val labeled = all.where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("lang"), col("text"))
+      val g = gated(docs)
+      DedupQueries.withIndexScratch(s, "c20_lid") { path =>
+        graft.operators.LangId.saveLangId(labeled, path)
+        val pred = graft.operators.LangId.predictAgainstLangId(
+          g.select(col("doc_id"), col("text")), s, path)
+        val lmKept = lmGated(g,
+          pred.select(col("doc_id"), col("pred_lang").as("lang")))
+        val kept = decontaminated(lmKept, benchSlice(all))
+        quotaRollup(curated(kept, components(nearDupPairs(kept))))
+      }
+    }),
+
     // C3: curation pipeline v2 — the round-6 operators composed in the
     // order a real corpus build runs them: cheap map-side source
     // rebalancing FIRST (s17), exact span surgery on the survivors
@@ -2393,6 +2420,79 @@ object CoverageQueries {
          |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
     },
+
+    // c13's oracle VERBATIM: DuckDB cannot read the persisted
+    // model dir, so the twin re-derives the SAME deterministic
+    // classifier from the same labeled slice (save≡train is
+    // LangIdSpec-pinned — the c12/c17/c19 pattern).
+    "c20_target_langid_curation" -> {
+      import graft.operators.{Dedup, Sampling, TextAnalysis, LmScore, LangId}
+      val rep12 = "array_to_string(string_split(text, ' ')[1:12], ' ')"
+      val sigSql = TextAnalysis.repetitionSignalsSql(
+        topNs = Seq(2), dupNs = Seq(10), from = "corpus")
+      val pairsSql = Dedup.minhashLshSql(k = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.05, from = "kept")
+      val splitSql = Sampling.componentSplitSql("COALESCE(cm.comp, kk.doc_id)")
+      val capQualify = Sampling.groupCapSql("source", "doc_id",
+        "(CAST(doc_id AS VARCHAR) || '/' || source)", cap = 5)
+      val dShingles = Dedup.shingleCtesSql(k = 8,
+        from = "(SELECT doc_id, text FROM lmkept UNION ALL " +
+          "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1)",
+        prefix = "d", materializedSh = true)
+      val liChain = LangId.trainPredictSql(
+        "(SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 1) tr",
+        "(SELECT doc_id, text FROM gated) sc")
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 30 = 0
+         |    THEN text || ' ' || $rep12 || ' ' || $rep12 ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sig AS (
+         |$sigSql),
+         |gated AS MATERIALIZED (
+         |  SELECT c.* FROM corpus c JOIN sig ON sig.doc_id = c.doc_id
+         |  WHERE sig.dup10_char_frac < 0.10),
+         |$liChain,
+         |${LmScore.surprisalPerLangSql(
+                "(SELECT g.doc_id, g.text, p.pred_lang AS lang FROM gated g " +
+                  "JOIN li_pred p ON p.doc_id = g.doc_id) gl")},
+         |scored_lang AS (
+         |  SELECT doc_id, lang, surprisal FROM scored_pl),
+         |bucketed AS (${LmScore.ccnetBucketsSql("scored_lang")}),
+         |lmkept AS MATERIALIZED (
+         |  SELECT g.* FROM gated g
+         |  JOIN bucketed bk ON bk.doc_id = g.doc_id
+         |  WHERE bk.bucket <> 'tail'),
+         |$dShingles,
+         |bhash AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 3 = 1),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT b.doc_id,
+         |           CAST(COUNT(c.h) AS DOUBLE) / COUNT(*) AS containment
+         |    FROM (SELECT doc_id, h FROM dsh WHERE doc_id % 3 = 0) b
+         |    LEFT JOIN bhash c ON c.h = b.h GROUP BY b.doc_id)
+         |  WHERE containment >= 0.5),
+         |kept AS MATERIALIZED (
+         |  SELECT g.* FROM lmkept g
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pairs AS MATERIALIZED (
+         |$pairsSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT kk.doc_id, kk.source, kk.text, $splitSql AS split
+         |  FROM kept kk LEFT JOIN comps cm ON cm.id = kk.doc_id),
+         |capped AS (SELECT * FROM labeled $capQualify)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM capped GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
+
 
     "s22_group_caps" -> {
       val qualify = graft.operators.Sampling.groupCapSql("lang", "doc_id",

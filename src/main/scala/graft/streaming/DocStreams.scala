@@ -1073,6 +1073,46 @@ object DocStreams {
       }
   }
 
+  case class DocLangPred(doc_id: Long, pred_lang: String, score_micro: Long)
+
+  /** Continuous language identification against the PERSISTED
+    * classifier at `path` ([[graft.operators.LangId.saveLangId]]) —
+    * the c13 front half as a stream: crawl documents arrive unlabeled,
+    * each micro-batch scores against the frozen broadcast-sized model,
+    * and the per-doc score sums and argmax fold in the same stateless
+    * shell as the LM enriches (zero state rows). Score PARTS come
+    * from the shared `LangId.langScorePartsAgainst` (aggregation-free
+    * by construction — Append-mode streams reject groupBy below the
+    * shell), so streamed predictions equal `predictAgainstLangId` row
+    * for row (spec-pinned) — batch and continuous classification
+    * cannot drift. The fold's tie rule mirrors the batch min-struct
+    * exactly: highest score, ties to the lexicographically smallest
+    * lang (lang codes are ASCII, so Scala String ordering and Spark's
+    * UTF8 binary ordering agree). */
+  def langIdEnrich(docs: DataFrame, path: String,
+                   textCol: String = "text"): Dataset[DocLangPred] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.LangId.langScorePartsAgainst(docs, spark, path, textCol)
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, String, Long)],
+         _: GroupState[Boolean]) =>
+          val sums = scala.collection.mutable.HashMap.empty[String, Long]
+          rows.foreach(r => sums.update(r._2, sums.getOrElse(r._2, 0L) + r._3))
+          var bestScore = Long.MinValue
+          var bestLang: String = null
+          sums.foreach { case (lang, score) =>
+            if (bestLang == null || score > bestScore ||
+                (score == bestScore && lang < bestLang)) {
+              bestScore = score; bestLang = lang
+            }
+          }
+          Iterator.single(DocLangPred(key, bestLang, bestScore))
+      }
+  }
+
   /** MODIFIED-KN twin of [[lmScoreEnrichKnPerLang]]: scores against
     * the persisted per-language modified-KN models at `path`
     * ([[graft.operators.LmScore.saveMknLmPerLang]]) — the continuous

@@ -400,7 +400,10 @@ class PlanSpec extends AnyFunSuite {
       // by definition (a K-class linear scorer), and K is single-digit;
       // the corpus-sized side never builds. q9 composes q8's
       // classifier; c13 composes it into the curation gate.
-      "q8_trained_langid", "q9_langid_surprisal", "c13_langid_curation")
+      // c20 is c13 with the classifier PERSISTED — same (#langs)-row
+      // const-table cross, read from li_const/ instead of derived
+      "q8_trained_langid", "q9_langid_surprisal", "c13_langid_curation",
+      "c20_target_langid_curation")
     // e5 relies on the range-join rule, which activates on the same
     // conf Bench/Verify set — sweep under production settings
     spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "600")

@@ -125,6 +125,29 @@ class LangIdSpec extends AnyFunSuite {
       s"expected no extra explode for per-doc totals, found $gens:\n$plan")
   }
 
+  test("saveLangId → predictAgainstLangId equals trainPredict row for row; nightly detects the langid root") {
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.where(col("doc_id") % 3 === 1)
+      .select(col("lang"), col("text"))
+    val score = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("lid_save").toString
+    LangId.saveLangId(train, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val persisted = rows(LangId.predictAgainstLangId(score, spark, dir))
+    assert(persisted === rows(LangId.trainPredict(train, score)))
+    assert(persisted.nonEmpty)
+    // the artifact routes to the retrained-families arm of the nightly
+    // (never the index detection, which would throw on the missing
+    // meta/ table)
+    val report = Maintenance.nightly(spark, dir)
+    assert(report.family === "langid")
+  }
+
   test("predict verifies the bucket count against the one the model was trained under") {
     val (m, lc) = LangId.train(labeled, buckets = 2048)
     val held = Seq((1L, "the dog runs")).toDF("doc_id", "text")

@@ -177,4 +177,42 @@ class LmStreamSpec extends AnyFunSuite {
     assert(streamed.exists(r => r.head == 900003L && r(3) == 0L))
     assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
   }
+
+  test("streaming langIdEnrich equals batch predictAgainstLangId row for row; zero state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("lid_stream").toString
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // classifier trained on the even docs' labels; odd docs arrive
+    // unlabeled on the stream — the c13 front half, continuous
+    graft.operators.LangId.saveLangId(
+      all.where(col("doc_id") % 2 === 0).select(col("lang"), col("text")),
+      path)
+    val arriving = all.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val name = s"lidstream_${System.nanoTime()}"
+    val q = DocStreams.langIdEnrich(
+        input.toDF().toDF("doc_id", "text"), path)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val (streamed, stateRows) =
+      try {
+        input.addData(arriving.take(arriving.size / 2): _*)
+        q.processAllAvailable()
+        input.addData(arriving.drop(arriving.size / 2): _*)
+        q.processAllAvailable()
+        (spark.table(name).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+          Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L))
+      } finally q.stop()
+    val batch = graft.operators.LangId.predictAgainstLangId(
+        arriving.toDF("doc_id", "text"), spark, path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    assert(stateRows === 0L, s"expected stateless shells, got $stateRows rows")
+  }
 }
