@@ -473,12 +473,15 @@ object PipelineScaleBench {
     // change).
     {
       val m56 = (1L << 56) - 1
+      // plain frame, NOT localCheckpointed: the per-leg Isolation.scrub
+      // evicts checkpoint blocks (the r14 psb v9idx crash class) and
+      // the map-side hash recompute is cheaper than the block anyway
       val fpBatch = batch.select(col("doc_id").as("media_id"),
         when(pmod(col("doc_id") - lit(900000000L), lit(22)) === 0,
           xxhash64(col("doc_id") - lit(900000000L))
             .bitwiseAND(lit(m56)).bitwiseXOR(lit(5L)))
           .otherwise(xxhash64(col("doc_id")).bitwiseAND(lit(m56)))
-          .as("dhash")).localCheckpoint()
+          .as("dhash"))
       copiesList.foreach { c =>
         val dir = s"/tmp/graft_psb/x$c"
         val fps = spark.read.parquet(s"$dir/documents.parquet")
