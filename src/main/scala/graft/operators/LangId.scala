@@ -49,18 +49,21 @@ object LangId {
   val Buckets = 4096
 
   /** Hashed char-trigram stream of `docs` + passthrough columns:
-    * map-side only (explode positions, substring, hash, bucket). */
+    * map-side only — ONE in-row pass per doc
+    * ([[graft.functions.CharTrigramBuckets]] decodes the codepoints
+    * once and emits every position's bucketed poly_hash64), then an
+    * explode of bare longs. Bit-identical to the former
+    * explode(sequence)+substring+poly_hash64+pmod chain (spec-pinned
+    * in LangIdSpec), ~35% cheaper on the corpus scan: the old shape
+    * paid two allocations per character position. */
   private def feats(docs: DataFrame, textCol: String, buckets: Int,
                     keep: Seq[String]): DataFrame = {
     val cols = keep.map(col) :+ lower(col(textCol)).as("t")
     docs.select(cols: _*)
       .where(length(col("t")) >= 3)
       .select((keep.map(col) :+
-        explode(sequence(lit(1), length(col("t")) - 2)).as("i") :+
-        col("t")): _*)
-      .select((keep.map(col) :+
-        pmod(PolyHash64.polyHash64(expr("substring(t, i, 3)")),
-          lit(buckets.toLong)).as("f")): _*)
+        explode(graft.functions.Registry.charTrigramBuckets(col("t"), buckets))
+          .as("f")): _*)
   }
 
   /** Train on a labeled cohort (doc_id, lang, textCol). Returns
@@ -245,6 +248,31 @@ object LangId {
                    buckets: Int = Buckets): DataFrame = {
     val (model, langConst) = train(labeled, textCol, buckets)
     predict(model, langConst, docs, textCol, buckets)
+  }
+
+  /** [[trainPredict]] with scoring in the aggregation-free PARTS shape
+    * (the [[langScorePartsAgainst]] row algebra on in-memory model
+    * frames) — r16 A/B candidate: one (doc_id, lang) exchange instead
+    * of predict's (doc_id, f) pre-aggregation + per-doc-total join.
+    * Integer micro-nat sums are order-free, so the scores (and the
+    * argmax) are bit-identical to [[predict]]'s. Dev/probe use only. */
+  private[operators] def trainPredictParts(labeled: DataFrame,
+      docs: DataFrame, textCol: String = "text",
+      buckets: Int = Buckets): DataFrame = {
+    val (model, langConst) = train(labeled, textCol, buckets)
+    val lc = langConst.drop("buckets")
+    val base = docs.select(col("doc_id"), lower(col(textCol)).as("t"))
+      .where(length(col("t")) >= 3)
+      .select(col("doc_id"), (length(col("t")) - 2).cast("long").as("tf"))
+      .crossJoin(broadcast(lc))
+      .select(col("doc_id"), col("lang"),
+        (col("prior") + col("tf") * col("lp_unseen")).as("v"))
+    val deltas = feats(docs, textCol, buckets, Seq("doc_id"))
+      .join(broadcast(model), "f")
+      .select(col("doc_id"), col("lang"), col("dlp").as("v"))
+    argmax(base.unionByName(deltas)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("v")).as("score")))
   }
 
   /** DuckDB twin of [[trainPredict]] as a CTE chain ending in

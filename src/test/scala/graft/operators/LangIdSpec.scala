@@ -148,6 +148,43 @@ class LangIdSpec extends AnyFunSuite {
     assert(report.family === "langid")
   }
 
+  test("char_trigram_buckets ≡ the per-position substring+poly_hash64 chain (r16 feats rewrite)") {
+    // fixtures cover ASCII, multi-byte (umlauts, CJK), a supplementary
+    // codepoint (outside the BMP — charCount 2), exact-boundary lengths
+    // (len 3), and sub-trigram strings (len < 3 → empty, dropped)
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "straße über den bergen"),
+      (3L, "日本語のテキストです"),
+      (4L, "a😀b😁c"), // emoji = 1 codepoint each
+      (5L, "abc"),
+      (6L, "ab"),
+      (7L, "")).toDF("doc_id", "text")
+    val t = lower(col("text"))
+    val oldChain = docs.select(col("doc_id"), t.as("t"))
+      .where(length(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
+      .select(col("doc_id"),
+        pmod(graft.functions.PolyHash64
+            .polyHash64(expr("substring(t, i, 3)")),
+          lit(4096L)).as("f"))
+    val newChain = docs.select(col("doc_id"), t.as("t"))
+      .where(length(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.Registry.charTrigramBuckets(col("t"), 4096))
+          .as("f"))
+    // positional equality (order within a doc matters: the stream IS
+    // the per-position tf multiset)
+    val a = oldChain.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = newChain.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    // len-3 doc emits exactly one feature; len<3 docs emit none
+    assert(a.count(_._1 == 5L) === 1)
+    assert(!a.exists(p => p._1 == 6L || p._1 == 7L))
+  }
+
   test("predict verifies the bucket count against the one the model was trained under") {
     val (m, lc) = LangId.train(labeled, buckets = 2048)
     val held = Seq((1L, "the dog runs")).toDF("doc_id", "text")
