@@ -163,6 +163,71 @@ case class CharTrigramBuckets(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** Adjacent word n-grams of a raw text column in ONE in-row pass —
+  * the LmScore bigram/trigram stream builder: lowercase (the same
+  * UTF8String.toLowerCase `lower()` calls), whitespace-tokenize, and
+  * emit array<struct<w1..wn>> of every adjacent n-tuple. Bit-identical
+  * to the arrays_zip(slice…)-over-wsTokens(lower(text)) chain it
+  * replaces (spec-pinned): tokens are the maximal runs of
+  * non-whitespace with Java regex `\s` = the six ASCII whitespace
+  * chars — all single-byte in UTF-8 and never continuation bytes, so
+  * the byte scan splits exactly where trim+split("\\s+") does (NBSP
+  * and other non-ASCII spaces separate in NEITHER form). The chain it
+  * replaces paid three regex passes per document (two trims + the
+  * split) plus two array slices and the zip's per-element rows; here
+  * the only per-token allocation is the zero-copy UTF8String view.
+  * Fewer than n tokens → empty array (the `size(t) >= n` guard's
+  * rows explode away identically). */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 2)
+  override def dataType: DataType = ArrayType(
+    StructType((1 to n).map(i => StructField(s"w$i", StringType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase
+    val bytes = lowered.getBytes
+    val len = bytes.length
+    @inline def isWs(b: Byte): Boolean =
+      b == 0x20 || (b >= 0x09 && b <= 0x0d) // Java \s: space \t \n \x0B \f \r
+    // first pass: count tokens (maximal non-ws runs)
+    var ntok = 0
+    var i = 0
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        ntok += 1
+        while (i < len && !isWs(bytes(i))) i += 1
+      } else i += 1
+    }
+    if (ntok < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](ntok)
+    i = 0; var t = 0
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        toks(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+      } else i += 1
+    }
+    val out = new Array[Any](ntok - n + 1)
+    var p = 0
+    while (p <= ntok - n) {
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) { vals(j) = toks(p + j); j += 1 }
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
 /** MinHash signature over an array<long> of shingle hashes:
   * sig[i] = min over shingles of (a_i·h + b_i) mod (2^61−1).
   * Seeds are deterministic (task retries must reproduce signatures). */
@@ -220,6 +285,8 @@ object Registry {
       exprs => GramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("char_trigram_buckets",
       exprs => CharTrigramBuckets(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("word_grams",
+      exprs => WordGrams(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
@@ -271,6 +338,8 @@ object Registry {
     call_function("gram_hashes", tokens, lit(k))
   def charTrigramBuckets(text: Column, buckets: Int): Column =
     call_function("char_trigram_buckets", text, lit(buckets))
+  def wordGrams(text: Column, n: Int): Column =
+    call_function("word_grams", text, lit(n))
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingleHashes, lit(numHashes))
 

@@ -45,11 +45,8 @@ object LmScore {
     * Documents with <2 tokens contribute nothing (a bigram model has no
     * estimate for them; callers LEFT-join scores back when needed). */
   def bigrams(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.toks(col(textCol)).as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
-        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.Registry.wordGrams(col(textCol), 2)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
   /** DuckDB twin of [[bigrams]] as a CTE body over `from`. */
@@ -143,11 +140,8 @@ object LmScore {
     * (doc_id, lang, textCol). */
   private def bigramsPerLang(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"), TextAnalysis.toks(col(textCol)).as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(arrays_zip(
-        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
-        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.Registry.wordGrams(col(textCol), 2)).as("b"))
       .select(col("doc_id"), col("lang"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
 
@@ -224,12 +218,8 @@ object LmScore {
     * [[bigrams]] one order up. Documents with <3 tokens contribute
     * nothing (the trigram analog of the <2 bigram rule). */
   private def trigrams(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.toks(col(textCol)).as("t"))
-      .where(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("t"), lit(1), size(col("t")) - 2).as("w1"),
-        slice(col("t"), lit(2), size(col("t")) - 2).as("w2"),
-        slice(col("t"), lit(3), size(col("t")) - 2).as("w3"))).as("g"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.Registry.wordGrams(col(textCol), 3)).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"),
         col("g.w2").as("w2"), col("g.w3").as("w3"))
 

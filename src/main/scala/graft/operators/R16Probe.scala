@@ -147,10 +147,17 @@ object R16Probe {
 
       case "c13stages" =>
         import graft.queries.CurationStages._
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          })
         val all = graft.sources.Tables.documents(spark, dir)
         def step(label: String)(f: => DataFrame): DataFrame = {
-          val t0 = System.nanoTime(); val r = f
-          println(f"r16probe $label%-24s ${(System.nanoTime()-t0)/1e9}%.3fs")
+          val j0 = jobs.get(); val t0 = System.nanoTime(); val r = f
+          println(f"r16probe $label%-24s ${(System.nanoTime()-t0)/1e9}%.3fs jobs=${jobs.get() - j0}")
           r
         }
         val docs = step("synthesized") { synthesized(all) }
@@ -182,6 +189,25 @@ object R16Probe {
           time(s"decon-full-$i") {
             noop(Dedup.decontaminateFrames(g, benchSlice(all), k = 8,
               maxContainment = 0.5))
+          }
+        }
+
+      case "bigrams" =>
+        val docs = graft.sources.Tables.documents(spark, dir)
+        (1 to 3).foreach { i =>
+          time(s"toks-only-$i") {
+            noop(docs.select(col("doc_id"),
+              TextAnalysis.toks(col("text")).as("t")))
+          }
+          time(s"bigrams-stream-$i") {
+            noop(LmScore.bigrams(docs))
+          }
+          time(s"bigrams-agg-$i") {
+            noop(LmScore.bigrams(docs)
+              .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
+          }
+          time(s"q7-full-$i") {
+            noop(LmScore.surprisalPerLang(docs))
           }
         }
 

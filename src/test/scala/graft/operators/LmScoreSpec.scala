@@ -507,4 +507,44 @@ class LmScoreSpec extends AnyFunSuite {
     // identical docs get identical weights (pure function of features)
     assert(w(1L) === w(2L) && w(9L) === w(10L))
   }
+
+  test("word_grams ≡ the wsTokens+arrays_zip slice chain (r16 n-gram rewrite)") {
+    // nasty fixtures: tabs/newlines/CR as separators, runs of mixed
+    // whitespace, leading/trailing whitespace, NBSP (NOT a Java-\s
+    // separator — must stay inside its token in both forms), uppercase
+    // (the lower() fuse), exactly-n and sub-n token counts, empty text
+    val docs = Seq(
+      (1L, "The quick\tbrown\nfox  jumps\r\nover   the lazy dog"),
+      (2L, "  leading and trailing   \t"),
+      (3L, "nbsp stays one token and this splits"),
+      (4L, "two words"),
+      (5L, "one"),
+      (6L, ""),
+      (7L, "a  b \f c")).toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      def oldChain = {
+        val t = col("t")
+        val zipped = arrays_zip(
+          (1 to n).map(i => slice(t, lit(i), size(t) - (n - 1)).as(s"w$i")): _*)
+        docs.select(col("doc_id"),
+            graft.functions.TextFunctions.wsTokens(lower(col("text"))).as("t"))
+          .where(size(col("t")) >= n)
+          .select(col("doc_id"), explode(zipped).as("g"))
+          .select(col("doc_id") +:
+            (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+      }
+      def newChain = docs
+        .select(col("doc_id"),
+          explode(graft.functions.Registry.wordGrams(col("text"), n)).as("g"))
+        .select(col("doc_id") +:
+          (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+      val a = oldChain.collect().map(_.toSeq).toSeq
+      val b = newChain.collect().map(_.toSeq).toSeq
+      assert(a === b, s"n=$n")
+      assert(a.nonEmpty)
+    }
+    // NBSP really glued its token (doc 3's first gram starts with it)
+    val g3 = LmScore.bigrams(docs.where(col("doc_id") === 3L)).collect()
+    assert(g3.head.getString(1) === "nbsp stays")
+  }
 }
