@@ -187,31 +187,9 @@ case class WordGrams(child: Expression, n: Int)
   override def prettyName: String = "word_grams"
 
   protected override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase
-    val bytes = lowered.getBytes
-    val len = bytes.length
-    @inline def isWs(b: Byte): Boolean =
-      b == 0x20 || (b >= 0x09 && b <= 0x0d) // Java \s: space \t \n \x0B \f \r
-    // first pass: count tokens (maximal non-ws runs)
-    var ntok = 0
-    var i = 0
-    while (i < len) {
-      if (!isWs(bytes(i))) {
-        ntok += 1
-        while (i < len && !isWs(bytes(i))) i += 1
-      } else i += 1
-    }
+    val toks = WsTok.lowerTokens(input.asInstanceOf[UTF8String])
+    val ntok = toks.length
     if (ntok < n) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[UTF8String](ntok)
-    i = 0; var t = 0
-    while (i < len) {
-      if (!isWs(bytes(i))) {
-        val start = i
-        while (i < len && !isWs(bytes(i))) i += 1
-        toks(t) = UTF8String.fromBytes(bytes, start, i - start)
-        t += 1
-      } else i += 1
-    }
     val out = new Array[Any](ntok - n + 1)
     var p = 0
     while (p <= ntok - n) {
@@ -225,6 +203,61 @@ case class WordGrams(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+/** The shared single-pass lower+whitespace tokenizer behind
+  * [[WordGrams]] and [[WsLowerTokens]] — one definition so the n-gram
+  * stream and the plain token array can never tokenize differently. */
+object WsTok {
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d) // Java \s: space \t \n \x0B \f \r
+
+  /** Tokens of lower(s): maximal runs of non-whitespace bytes, where
+    * whitespace = Java regex `\s` (six ASCII chars — all single-byte
+    * in UTF-8 and never continuation bytes, so the byte scan splits
+    * exactly where trimWs+split("\\s+") does). Zero-copy views. */
+  def lowerTokens(s: UTF8String): Array[UTF8String] = {
+    val bytes = s.toLowerCase.getBytes
+    val len = bytes.length
+    var ntok = 0
+    var i = 0
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        ntok += 1
+        while (i < len && !isWs(bytes(i))) i += 1
+      } else i += 1
+    }
+    val toks = new Array[UTF8String](ntok)
+    i = 0; var t = 0
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        toks(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+      } else i += 1
+    }
+    toks
+  }
+}
+
+/** array<string> of lower(text)'s whitespace tokens — the native twin
+  * of `wsTokens(lower(text))` (TextAnalysis.toks): that chain pays
+  * three regex passes per document (two trimWs regexp_replaces and
+  * the split); this is one byte scan with zero-copy token views.
+  * Identical output incl. the ''/all-whitespace → [] guard
+  * (spec-pinned in LmScoreSpec/TextAnalysis specs). */
+case class WsLowerTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "ws_lower_tokens"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WsTok.lowerTokens(input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def withNewChildInternal(newChild: Expression): WsLowerTokens =
     copy(child = newChild)
 }
 
@@ -287,6 +320,8 @@ object Registry {
       exprs => CharTrigramBuckets(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("word_grams",
       exprs => WordGrams(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("ws_lower_tokens",
+      exprs => WsLowerTokens(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
@@ -340,6 +375,8 @@ object Registry {
     call_function("char_trigram_buckets", text, lit(buckets))
   def wordGrams(text: Column, n: Int): Column =
     call_function("word_grams", text, lit(n))
+  def wsLowerTokens(text: Column): Column =
+    call_function("ws_lower_tokens", text)
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingleHashes, lit(numHashes))
 

@@ -139,7 +139,7 @@ object Dedup {
     // exploded relation for the session's lifetime starves later queries
     val sh = cohort.select(col("doc_id"),
         explode(Registry.shingleHashes(
-          TextFunctions.wsTokens(lower(col("text"))), k)).as("s_h"))
+          Registry.wsLowerTokens(col("text")), k)).as("s_h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b").hint("SHUFFLE_HASH"),
         col("a.s_h") === col("b.s_h") && col("a.doc_id") < col("b.doc_id"))
@@ -193,7 +193,7 @@ object Dedup {
                         threshold: Double): DataFrame = {
     def sh(df: DataFrame) = df.select(col("doc_id"),
       explode(Registry.shingleHashes(
-        TextFunctions.wsTokens(lower(col("text"))), k)).as("s_h"))
+        Registry.wsLowerTokens(col("text")), k)).as("s_h"))
     val a = sh(batch)
     val b = sh(corpus)
     val szA = a.groupBy(col("doc_id")).agg(count(lit(1)).as("sz1"))
@@ -245,7 +245,7 @@ object Dedup {
     * tokenization or shingle hashing can never drift between them. */
   private def shingleHashCol(k: Int): Column =
     explode(Registry.shingleHashes(
-      TextFunctions.wsTokens(lower(col("text"))), k))
+      Registry.wsLowerTokens(col("text")), k))
 
   /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
     * exact-Jaccard verification of candidates only.
@@ -269,7 +269,7 @@ object Dedup {
                         carry: Seq[String] = Nil): DataFrame =
     docs
       .select(col("doc_id") +: carry.map(col) :+
-        Registry.shingleHashes(TextFunctions.wsTokens(lower(col("text"))), k).as("sh"): _*)
+        Registry.shingleHashes(Registry.wsLowerTokens(col("text")), k).as("sh"): _*)
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSig(col("sh"), numHashes))
 
@@ -560,7 +560,7 @@ object Dedup {
   def shingledDocIds(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
         Registry.shingleHashes(
-          TextFunctions.wsTokens(lower(col("text"))), k).as("sh"))
+          Registry.wsLowerTokens(col("text")), k).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"))
 
@@ -2441,7 +2441,7 @@ object Dedup {
     * groupBy formulation shuffled every token. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      Registry.simhash64(TextFunctions.wsTokens(lower(col("text")))).as("simhash"))
+      Registry.simhash64(Registry.wsLowerTokens(col("text"))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
     * band blocking. Pigeonhole: complete recall requires dist < bands —

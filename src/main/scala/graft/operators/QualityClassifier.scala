@@ -4,7 +4,7 @@ import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressio
 import org.apache.spark.ml.feature.HashingTF
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{Registry, TextFunctions}
 
 /** Model-based quality filtering — the second tier of corpus curation
   * after the heuristic gates (TextAnalysis.qualitySignals t2, Gopher
@@ -35,7 +35,7 @@ object QualityClassifier {
   private def featurize(docs: DataFrame, textCol: String,
                         numFeatures: Int): DataFrame = {
     val withToks = docs.withColumn("_toks",
-      TextFunctions.wsTokens(lower(col(textCol))))
+      Registry.wsLowerTokens(col(textCol)))
     new HashingTF().setInputCol("_toks").setOutputCol("features")
       .setNumFeatures(numFeatures)
       .transform(withToks).drop("_toks")

@@ -179,16 +179,14 @@ object R16Probe {
         }
 
       case "deconparts" =>
-        // decon stage sub-parts: shingle+distinct both sides, the join
+        // decon stage warm wall (inputs rebuilt per leg: the scrub
+        // between legs evicts checkpointed frames)
         import graft.queries.CurationStages._
         val all = graft.sources.Tables.documents(spark, dir)
-        val docs = synthesized(all)
-        val g = gated(docs)
-        graft.Isolation.scrub(spark)
-        (1 to 2).foreach { i =>
+        (1 to 3).foreach { i =>
           time(s"decon-full-$i") {
-            noop(Dedup.decontaminateFrames(g, benchSlice(all), k = 8,
-              maxContainment = 0.5))
+            noop(Dedup.decontaminateFrames(gated(synthesized(all)),
+              benchSlice(all), k = 8, maxContainment = 0.5))
           }
         }
 

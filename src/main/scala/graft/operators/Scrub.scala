@@ -45,8 +45,8 @@ object Scrub {
   def repetitionRatio(docs: org.apache.spark.sql.DataFrame, k: Int,
                       textCol: String = "text",
                       idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
-    import graft.functions.TextFunctions
-    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    import graft.functions.{Registry, TextFunctions}
+    val toks = Registry.wsLowerTokens(col(textCol))
     // all k-gram positions (NOT distinct — frequency matters here)
     val grams = docs.select(col(idCol),
         explode(when(size(toks) >= k,

@@ -587,7 +587,7 @@ object CoverageQueries {
           aggregate(transform(col("syms"), x => PolyHash64.polyHash64(x)),
             lit(0L), (a, v) => a + v).as("sym_fp"))
       val ws = subset.select(col("doc_id"),
-        size(TF.wsTokens(lower(col("text")))).cast("long").as("n_tokens_ws"))
+        size(graft.functions.Registry.wsLowerTokens(col("text"))).cast("long").as("n_tokens_ws"))
       val both = ws.join(enc, "doc_id").where(col("n_tokens_ws") >= 1)
       val c1 = Ranking.cumsumExact(both, Seq(col("doc_id")),
         col("n_tokens_bpe"), "cum_bpe")
@@ -635,7 +635,7 @@ object CoverageQueries {
             aggregate(transform(col("syms"), x => PolyHash64.polyHash64(x)),
               lit(0L), (a, v) => a + v).as("sym_fp"))
         val ws = encodeSlice.select(col("doc_id"),
-          size(TF.wsTokens(lower(col("text")))).cast("long").as("n_tokens_ws"))
+          size(graft.functions.Registry.wsLowerTokens(col("text"))).cast("long").as("n_tokens_ws"))
         val both = ws.join(enc, "doc_id").where(col("n_tokens_ws") >= 1)
         val c1 = Ranking.cumsumExact(both, Seq(col("doc_id")),
           col("n_tokens_bpe"), "cum_bpe")
@@ -674,7 +674,7 @@ object CoverageQueries {
           merges)
         .select(col("doc_id"), size(col("syms")).cast("long").as("n_bpe"))
       val ws = encodeSlice.select(col("doc_id"), col("lang"),
-        size(TF.wsTokens(lower(col("text")))).cast("long").as("n_ws"))
+        size(graft.functions.Registry.wsLowerTokens(col("text"))).cast("long").as("n_ws"))
       ws.join(enc, "doc_id").where(col("n_ws") >= 1)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -740,7 +740,7 @@ object CoverageQueries {
           encodeSlice.select(col("doc_id"), col("text")), merges)
         .select(col("doc_id"), size(col("syms")).cast("long").as("n_bpe"))
       val ws = encodeSlice.select(col("doc_id"), col("lang"),
-        size(TF.wsTokens(lower(col("text")))).cast("long").as("n_ws"))
+        size(graft.functions.Registry.wsLowerTokens(col("text"))).cast("long").as("n_ws"))
       ws.join(enc, "doc_id").where(col("n_ws") >= 1)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),

@@ -543,6 +543,15 @@ class LmScoreSpec extends AnyFunSuite {
       assert(a === b, s"n=$n")
       assert(a.nonEmpty)
     }
+    // ws_lower_tokens ≡ wsTokens(lower(text)) on the same fixtures
+    // (TextAnalysis.toks swapped to the native form in the same rewrite)
+    val ta = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.wsTokens(lower(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    val tb = docs.select(col("doc_id"),
+        graft.functions.Registry.wsLowerTokens(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(ta === tb)
     // NBSP really glued its token (doc 3's first gram starts with it)
     val g3 = LmScore.bigrams(docs.where(col("doc_id") === 3L)).collect()
     assert(g3.head.getString(1) === "nbsp stays")
