@@ -2,7 +2,7 @@
 """Bench regression tripwire.
 
 Compares a bench run's per-query times against the committed snapshot
-(scripts/bench_baseline_r15.json — all 167 queries) and fails when any query regresses
+(scripts/bench_baseline_r16.json — all 172 queries) and fails when any query regresses
 more than THRESHOLD x, or the total does. Guards against the r3-style
 silent inflation (cached-relation leaks, accidental plan changes)
 shipping unnoticed.
@@ -27,7 +27,7 @@ job-scheduling jitter at local[32]).
 import json, os, re, subprocess, sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-BASELINE = os.path.join(HERE, "bench_baseline_r15.json")
+BASELINE = os.path.join(HERE, "bench_baseline_r16.json")
 THRESHOLD = 1.5      # fail when query_time > THRESHOLD * baseline
 ISO_THRESHOLD = 1.2  # post-suite re-runs are JIT-warm (~0.6x clean), so
                      # 1.2x of the COLD first run ~= 2x the warm-true time
