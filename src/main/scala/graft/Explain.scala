@@ -5,9 +5,14 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // SPARK_GRAFT_EXPLAIN_NOAQE=1: plan WITHOUT AdaptiveSparkPlan so the
+    // formatted output carries [codegen id : n] annotations — the only
+    // way a static dump can show whole-stage-codegen span boundaries
+    // (AQE's initial plan inserts codegen stages lazily, per query stage)
+    val aqe = if (sys.env.get("SPARK_GRAFT_EXPLAIN_NOAQE").contains("1")) "false" else "true"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
-      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(

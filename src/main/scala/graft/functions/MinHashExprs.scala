@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -19,6 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * one tight JVM loop per row (~1000× fewer allocations): this is the
   * "custom Expression where built-ins can't express it efficiently"
   * case of the extension-preference order.
+  *
+  * Every expression here implements `doGenCode` as a constant-reference
+  * call into the same typed `compute` method `nullSafeEval` uses (the
+  * BloomMightContainLong pattern): emitting the loop itself as generated
+  * Java would compile to the same bytecode, but a CodegenFallback node
+  * excludes its whole host operator from whole-stage codegen
+  * (CollapseCodegenStages rejects any plan node whose expressions
+  * contain one), splitting the scan→project→generate span and paying a
+  * row materialization at the seam on ~60 queries' hot path.
   */
 
 /** Distinct k-token-shingle hashes of an array<string> token column:
@@ -26,13 +35,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * full 64-bit space (collision odds ~1e-11 at 1e5 shingles), never
   * materializes the joined string. Output order: first occurrence. */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Long])
     // token bytes fetched once
@@ -89,13 +105,20 @@ object ShingleHashes {
   * that allocated two objects per gram (measured ~25% off d11's
   * gram-generation stage at sf0.1). */
 case class GramHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_hashes"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramHashes", this, classOf[GramHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val tb = new Array[Array[Byte]](n)
@@ -128,13 +151,21 @@ case class GramHashes(child: Expression, k: Int)
   * the non-negative hash — bit-identical to the chain it replaces and
   * to the DuckDB twin's per-position substr form (spec-pinned). */
 case class CharTrigramBuckets(child: Expression, buckets: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(buckets >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_trigram_buckets"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val str = input.asInstanceOf[UTF8String].toString
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charTrigramBuckets", this, classOf[CharTrigramBuckets].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val str = input.toString
     val len = str.length
     // one decode pass: codepoint array (substring/length/poly_hash64 all
     // count codepoints, so windows must too)
@@ -179,15 +210,23 @@ case class CharTrigramBuckets(child: Expression, buckets: Int)
   * Fewer than n tokens → empty array (the `size(t) >= n` guard's
   * rows explode away identically). */
 case class WordGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 2)
   override def dataType: DataType = ArrayType(
     StructType((1 to n).map(i => StructField(s"w$i", StringType, nullable = true))),
     containsNull = false)
   override def prettyName: String = "word_grams"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val toks = WsTok.lowerTokens(input.asInstanceOf[UTF8String])
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGrams", this, classOf[WordGrams].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val toks = WsTok.lowerTokens(input)
     val ntok = toks.length
     if (ntok < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](ntok - n + 1)
@@ -249,13 +288,20 @@ object WsTok {
   * Identical output incl. the ''/all-whitespace → [] guard
   * (spec-pinned in LmScoreSpec/TextAnalysis specs). */
 case class WsLowerTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "ws_lower_tokens"
 
   protected override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      WsTok.lowerTokens(input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wsLowerTokens", this, classOf[WsLowerTokens].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(input: UTF8String): ArrayData =
+    new GenericArrayData(WsTok.lowerTokens(input).asInstanceOf[Array[Any]])
 
   override protected def withNewChildInternal(newChild: Expression): WsLowerTokens =
     copy(child = newChild)
@@ -265,7 +311,7 @@ case class WsLowerTokens(child: Expression)
   * sig[i] = min over shingles of (a_i·h + b_i) mod (2^61−1).
   * Seeds are deterministic (task retries must reproduce signatures). */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -273,8 +319,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
   @transient private lazy val as: Array[Long] = MinHashSig.seedsA(numHashes)
   @transient private lazy val bs: Array[Long] = MinHashSig.seedsB(numHashes)
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(hs: ArrayData): ArrayData = {
     val n = hs.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -333,6 +386,8 @@ object Registry {
       exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("int_dot",
       exprs => IntDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_token_count",
+      exprs => BpeTokenCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("lang_stopword_hits",
       exprs => StopwordHits(exprs.head,
         graft.operators.TextAnalysis.LangWords.map(_._2)), "scala_udf")
@@ -377,6 +432,8 @@ object Registry {
     call_function("word_grams", text, lit(n))
   def wsLowerTokens(text: Column): Column =
     call_function("ws_lower_tokens", text)
+  def bpeTokenCount(text: Column): Column =
+    call_function("bpe_token_count", text)
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingleHashes, lit(numHashes))
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -31,7 +31,7 @@ object PqExprs {
 
 /** array<float|double> embedding → array<int> of m codeword ids. */
 case class PqEncode(left: Expression, right: Expression, m: Int, kCode: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
@@ -39,8 +39,18 @@ case class PqEncode(left: Expression, right: Expression, m: Int, kCode: Int)
   @transient private lazy val isFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  // the codebook rides in the expression (extracted once per task via
+  // the lazy `cb`), so codegen only needs the embedding argument; the
+  // literal child is still null-checked by defineCodeGen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    defineCodeGen(ctx, ev, (a, _) => s"$ref.compute($a)")
+  }
+
+  def compute(x: ArrayData): ArrayData = {
     val dim = x.numElements()
     val subDim = dim / m
     val out = new Array[Int](m)
@@ -77,7 +87,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, kCode: Int)
 /** array<float|double> query → array<long> flat ADC lookup table
   * (s-major, then codeword): entry = floor(dot(q_sub, codeword)·2^16). */
 case class PqLut(left: Expression, right: Expression, m: Int, kCode: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pq_lut"
 
@@ -85,8 +95,15 @@ case class PqLut(left: Expression, right: Expression, m: Int, kCode: Int)
   @transient private lazy val isFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    defineCodeGen(ctx, ev, (a, _) => s"$ref.compute($a)")
+  }
+
+  def compute(x: ArrayData): ArrayData = {
     val dim = x.numElements()
     val subDim = dim / m
     val out = new Array[Long](m * kCode)
@@ -119,13 +136,19 @@ case class PqLut(left: Expression, right: Expression, m: Int, kCode: Int)
 /** (codes: array<int>, lut: array<long>) → Σ_s lut[s·kCode + codes[s]]
   * — m table reads and integer adds per scored pair. */
 case class PqAdc(left: Expression, right: Expression, kCode: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "pq_adc"
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val codes = a.asInstanceOf[ArrayData]
-    val lut = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  def compute(codes: ArrayData, lut: ArrayData): Long = {
     var s = 0
     var sum = 0L
     val m = codes.numElements()

@@ -93,10 +93,13 @@ object TextFunctions {
       .otherwise(split(t, "\\s+"))
   }
 
-  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  /** BPE-ish token count: letter runs, digit runs, single punctuation.
+    * Native since r17 ([[BpeTokenCount]]): one byte scan instead of the
+    * regexp_extract_all pass + match-list materialization, identical
+    * counts (spec-pinned); [[TokenP]] stays the oracle-side contract. */
   val TokenP = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   def tokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit(TokenP), lit(0)))
+    Registry.bpeTokenCount(text)
 
   // ------------------------------------------------------------------
   // DuckDB oracle-side equivalents. Generated from the same pattern

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -12,18 +12,30 @@ import org.apache.spark.sql.types._
   * (stopword hits: one `filter` lambda per language). As single
   * expressions they are pure map-side work — at 100 TB these run inside
   * the scan stage with no exchange at all.
+  *
+  * All implement `doGenCode` as a constant-reference call into the same
+  * typed `compute` method `nullSafeEval` uses: a CodegenFallback node
+  * would exclude its whole host operator from whole-stage codegen and
+  * split the scan span (see MinHashExprs' header note).
   */
 
 /** 64-bit SimHash of an array<string> token column: per-token 64-bit
   * FNV-1a, each bit votes ±1, sign of the sum sets the bit. Identical
   * output to the explode/groupBy formulation with the same token hash. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
@@ -59,7 +71,7 @@ case class SimHash64(child: Expression)
   * returns array<int> of per-list counts (duplicates counted, matching
   * `size(filter(tokens, _.isin(words)))` per list). */
 case class StopwordHits(child: Expression, wordlists: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "stopword_hits"
 
@@ -72,8 +84,15 @@ case class StopwordHits(child: Expression, wordlists: Seq[Seq[String]])
     m
   }
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordHits", this, classOf[StopwordHits].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(tokens: ArrayData): ArrayData = {
     val counts = new Array[Int](wordlists.size)
     val n = tokens.numElements()
     var i = 0
@@ -105,7 +124,7 @@ case class StopwordHits(child: Expression, wordlists: Seq[Seq[String]])
   * interpreted HOFs; this native loop beats both.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
@@ -114,8 +133,15 @@ case class CosineSim(left: Expression, right: Expression)
   @transient private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
@@ -139,12 +165,19 @@ case class CosineSim(left: Expression, right: Expression)
   * three times through lambda closures).
   */
 case class IntDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "int_dot"
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intDot", this, classOf[IntDot].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  def compute(x: ArrayData, y: ArrayData): Long = {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L; var i = 0
     while (i < n) { s += x.getInt(i).toLong * y.getInt(i); i += 1 }
@@ -161,7 +194,7 @@ case class IntDot(left: Expression, right: Expression)
   * chain (same codegen-bloat problem as the unrolled cosine).
   */
 case class HyperplaneSig(child: Expression, nBits: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
@@ -173,8 +206,15 @@ case class HyperplaneSig(child: Expression, nBits: Int, dim: Int)
       (x.toDouble / 0xFFFFFFFFL.toDouble) * 2.0 - 1.0
     }
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(v: ArrayData): Long = {
     val n = math.min(dim, v.numElements())
     var sig = 0L
     var b = 0
@@ -190,6 +230,66 @@ case class HyperplaneSig(child: Expression, nBits: Int, dim: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Count of BPE-ish tokens in lower(text) — the native twin of
+  * `size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))`
+  * ([[TextFunctions.tokenCount]]): letter runs and digit runs count one
+  * each, every other non-whitespace CODEPOINT counts one. One byte scan
+  * over the same `UTF8String.toLowerCase` bytes `lower()` produces —
+  * the alternation's match walk is reproduced exactly because `[a-z]+`
+  * and `[0-9]+` are maximal runs under first-match semantics, Java `\s`
+  * without UNICODE_CHARACTER_CLASS is the six ASCII whitespace chars
+  * (single-byte in UTF-8, never continuation bytes), and `[^a-z0-9\s]`
+  * matches any OTHER codepoint once (a multi-byte UTF-8 sequence = one
+  * lead byte). Replaces the last regex pass on the hot text paths
+  * (t5/t9/t13/q2/c12-class token accounting); spec-pinned equal to the
+  * regex form. */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_token_count"
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTokenCount", this, classOf[BpeTokenCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val bytes = input.toLowerCase.getBytes
+    val len = bytes.length
+    // 0 = none/other, 1 = inside [a-z]+ run, 2 = inside [0-9]+ run
+    var state = 0
+    var count = 0
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') {
+        if (state != 1) { count += 1; state = 1 }
+        i += 1
+      } else if (b >= '0' && b <= '9') {
+        if (state != 2) { count += 1; state = 2 }
+        i += 1
+      } else if (b == 0x20 || (b >= 0x09 && b <= 0x0d)) {
+        state = 0
+        i += 1
+      } else {
+        // any other codepoint matches [^a-z0-9\s] alone: ASCII is one
+        // byte; a multi-byte sequence counts once at its lead byte
+        count += 1
+        state = 0
+        i += 1
+        while (i < len && (bytes(i) & 0xc0) == 0x80) i += 1
+      }
+    }
+    count
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
 
@@ -212,13 +312,20 @@ case class HyperplaneSig(child: Expression, nBits: Int, dim: Int)
   * `dup_covered_chars` (positional union) per width in `dupNs`. */
 case class RepetitionStats(child: Expression, segWords: Int,
                            topNs: Seq[Int], dupNs: Seq[Int])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(segWords >= 1 && (topNs ++ dupNs).forall(_ >= 1))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "repetition_stats"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val w = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetitionStats", this, classOf[RepetitionStats].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(w: ArrayData): ArrayData = {
     val nRaw = w.numElements()
     val toks = new Array[String](nRaw)
     val tokLen = new Array[Long](nRaw)

@@ -88,6 +88,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(wc("one") === 1)
   }
 
+  test("bpe_token_count ≡ size(regexp_extract_all(lower(text), TokenP, 0))") {
+    // the r17 native byte-scan twin must count exactly what the regex
+    // counted: letter/digit runs once each, every OTHER non-whitespace
+    // codepoint once — incl. multibyte UTF-8, supplementary codepoints,
+    // NBSP (not Java \s, so it counts), İ whose full lowercase is two
+    // codepoints (i + combining dot), and case-joined letter runs
+    val fixtures = Seq(
+      "", " \t\n\f\r ", "hello world", "ABCdef GHI", "a1b2c3",
+      "don't stop-me now!!", "...", "42 1337x9", "tab\tsep\ncr\rend",
+      "café Über straße", "你好世界",
+      "😀😀 twice", "İstanbul", "a b",
+      "MiXeD123CaSe!@#", "  leading trailing  ")
+    val df = fixtures.toDF("text")
+    val regexForm = size(regexp_extract_all(lower(col("text")),
+      lit(TextFunctions.TokenP), lit(0)))
+    val rows = df.select(col("text"), regexForm.as("re"),
+      TextFunctions.tokenCount(col("text")).as("nat")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"text=${r.getString(0)}")
+    }
+    // and a value pin so both forms can't drift together
+    val got = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(got === Seq(0, 0, 2, 2, 6, 9, 3, 4, 4, 7, 4, 3, 3, 3, 6, 2))
+  }
+
   test("poly_hash64 matches the documented fold and is SQL-callable") {
     PolyHash64.register(spark)
     val viaSql = spark.sql("SELECT poly_hash64('hi')").as[Long].head()
