@@ -646,9 +646,7 @@ object Dedup {
   def appendToLshIndex(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
     graft.sources.Rebuild.assertNotInflight(spark, path)
-    val m = spark.read.parquet(s"$path/meta").head()
-    val (k, bands, rpb, parts) =
-      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    val (k, bands, rpb, parts) = readLshMeta(spark, path)
     val sig = minhashSignatures(newDocs, k, bands * rpb).cache()
     try {
       val bandRows = bandedFrame(sig, bands, rpb)
@@ -876,6 +874,34 @@ object Dedup {
                                 maxBucket: Option[Int] = None): DataFrame =
     indexProbe(batch, path, threshold, maxBucket)(verifiedPairsAgainstBands)
 
+  /** The persisted-index table layouts, stated once so probes can skip
+    * per-read schema inference (a parquet footer read + driver merge
+    * per `spark.read.parquet` call — measured ~0.45 s of pure driver
+    * time per probe CONSTRUCTION at sf0.1, paid 7× per c6 lifecycle
+    * round). Types match what the writers produce and the reader
+    * infers: `part` is INT (partition-dir value inference), `band` is
+    * the posexplode position (INT), buckets/hashes are BIGINT. */
+  private val LshBandsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, band INT, bucket BIGINT, part INT")
+  private val LshDocsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, sh ARRAY<BIGINT>")
+  private val LshStatsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "band INT, bucket BIGINT, n BIGINT, part INT")
+  private val LshMetaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "k INT, bands INT, rows_per_band INT, n_bucket_parts INT")
+
+  /** One-row meta read on the hot probe/append path, schema stated
+    * (not inferred) — same driver-cost rationale as the table schemas
+    * above. Column-name field access so a schema drift fails loudly
+    * instead of returning the wrong ordinal. */
+  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Int, Int, Int, Int) = {
+    val m = spark.read.schema(LshMetaSchema).parquet(s"$path/meta").head()
+    (m.getInt(m.fieldIndex("k")), m.getInt(m.fieldIndex("bands")),
+      m.getInt(m.fieldIndex("rows_per_band")),
+      m.getInt(m.fieldIndex("n_bucket_parts")))
+  }
+
   /** Shared probe plumbing: rebuild guard, meta read, operand scans,
     * stats fast-path election. */
   private def indexProbe(batch: DataFrame, path: String, threshold: Double,
@@ -887,17 +913,32 @@ object Dedup {
     // probe would silently join on the wrong `part` keys and MISS
     // duplicates; fail loudly instead (heal by re-running the rebuild)
     graft.sources.Rebuild.assertNotInflight(spark, path)
-    val m = spark.read.parquet(s"$path/meta").head()
-    val (k, bands, rpb, parts) =
-      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    val (k, bands, rpb, parts) = readLshMeta(spark, path)
     val stats =
       if (maxBucket.isDefined && lshStatsCommitted(spark, path))
-        Some(spark.read.parquet(s"$path/stats"))
+        Some(spark.read.schema(LshStatsSchema).parquet(s"$path/stats"))
       else None
-    f(spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/docs"),
-      minhashSignatures(batch, k, bands * rpb),
-      bands, rpb, threshold, maxBucket, parts, stats)
+    // the batch's shingle+signature subtree is referenced 4-5 times
+    // downstream (probe buckets, candidate join, verification, verdict
+    // population) and recomputed per reference — |batch| hashing each,
+    // the cost the pre-r17 scaladoc pushed onto callers. cache(), NOT
+    // localCheckpoint: a checkpoint's bare LogicalRDD defeats DPP's
+    // selective-predicate/size heuristics and the band scan stops
+    // pruning partitions (measured in the r17 probe: every checkpoint
+    // variant loses `dynamicpruning`, cache keeps it — and the spec
+    // pins it). The cache is lazily populated by the probe's first
+    // consuming job and evicted by LRU or the caller's session
+    // hygiene; each probe call builds its own entry, nothing persists
+    // across runs. The size(sh)>0 predicate is re-asserted ABOVE the
+    // cache: semantically idempotent (the frame was built under it),
+    // but cache substitution turns the subtree into an InMemoryRelation
+    // LEAF before optimization, and with no visible selective predicate
+    // DPP stops pruning the band scan (spec-pinned `dynamicpruning`).
+    val batchSig = minhashSignatures(batch, k, bands * rpb).cache()
+      .where(size(col("sh")) > 0)
+    f(spark.read.schema(LshBandsSchema).parquet(s"$path/bands"),
+      spark.read.schema(LshDocsSchema).parquet(s"$path/docs"),
+      batchSig, bands, rpb, threshold, maxBucket, parts, stats)
   }
 
   /** DuckDB oracle for [[incrementalLshDedup]]: the [[minhashLshSql]]
@@ -2588,13 +2629,19 @@ object Dedup {
     spark.catalog.refreshByPath(path)
   }
 
+  private val HammingMetaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "bits INT, bands INT, n_bucket_parts INT")
+
   private def hammingMeta(spark: org.apache.spark.sql.SparkSession,
                           path: String): (Int, Int, Int) = {
     require(graft.sources.Hdfs.forPath(spark, path)
         .exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
       s"$path is not a saved Hamming index (no meta/ table — see saveHammingIndex)")
-    val m = spark.read.parquet(s"$path/meta").head()
-    (m.getInt(0), m.getInt(1), m.getInt(2))
+    // schema stated, not inferred — the probe-construction driver cost
+    // argument at [[readLshMeta]]
+    val m = spark.read.schema(HammingMetaSchema).parquet(s"$path/meta").head()
+    (m.getInt(m.fieldIndex("bits")), m.getInt(m.fieldIndex("bands")),
+      m.getInt(m.fieldIndex("n_bucket_parts")))
   }
 
   /** Append a batch of fingerprints to a persisted Hamming index — the
@@ -2653,9 +2700,19 @@ object Dedup {
       shiftright(sig, b * width).bitwiseAND(lit(mask))
     val keys = Seq("part", "band", "bucket")
     val bBands = hammingBandRows(batch, idCol, hashCol, bits, bands, parts)
+    // skip schema inference on the hot probe read when the index holds
+    // the standard (BIGINT id, BIGINT sig) shape — m6/m7's media ids
+    // and dHashes; exotic id types keep the inferred read
+    val lt = org.apache.spark.sql.types.LongType
+    val corpusBands =
+      if (batch.schema(idCol).dataType == lt && batch.schema(hashCol).dataType == lt)
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "_id BIGINT, _sig BIGINT, band INT, bucket BIGINT, part INT"))
+          .parquet(s"$path/bands")
+      else spark.read.parquet(s"$path/bands")
     // corpus rows cohabiting a batch bucket; the join carries `part`
     // so the partition column is an equi-join key — the DPP handle
-    val hit = spark.read.parquet(s"$path/bands")
+    val hit = corpusBands
       .join(bBands.select(keys.map(col): _*).distinct(), keys)
     maxBucket match {
       case Some(cap) =>

@@ -105,11 +105,14 @@ object Multimodal {
     * Same feature contract as [[PnmCodec]]: [mean R, mean G, mean B,
     * mean luma] normalized to [0,1]. */
   class ImageIoCodec extends MediaCodec {
+    // one inflater per shipped codec instance (= per task), reset per
+    // image inside PngDecoder — not one allocation per payload
+    @transient private lazy val inflater = new java.util.zip.Inflater()
     override def decode(payload: Array[Byte], meta: MediaMeta): (Int, Array[Float]) = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = PngDecoder.decode(payload, inflater)
       require(img != null,
         s"ImageIO has no reader for this payload (declared codec: ${meta.codec})")
-      val w = img.getWidth; val h = img.getHeight
+      val w = img.width; val h = img.height
       var r = 0L; var g = 0L; var b = 0L
       var y = 0
       while (y < h) {
@@ -178,10 +181,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val inf = new java.util.zip.Inflater() // per task, reset per image
         rows.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = PngDecoder.decode(bytes, inf)
           require(img != null, s"payload of media_id=$id is not a decodable image")
-          val w = img.getWidth; val h = img.getHeight
+          val w = img.width; val h = img.height
           var sum = 0L; var y = 0
           while (y < h) {
             var x = 0
@@ -193,7 +197,7 @@ object Multimodal {
             }
             y += 1
           }
-          PngStats(id, w, h, img.getRaster.getNumBands, sum)
+          PngStats(id, w, h, img.bands, sum)
         }
       }.toDF()
   }
@@ -266,11 +270,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val inf = new java.util.zip.Inflater() // per task, reset per image
         rows.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = PngDecoder.decode(bytes, inf)
           require(img != null, s"payload of media_id=$id is not a decodable image")
-          val w = img.getWidth; val h = img.getHeight
+          val w = img.width; val h = img.height
           val luma = Array.ofDim[Long](gh, gw)
           var y = 0
           while (y < gh) {
@@ -436,10 +440,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val inf = new java.util.zip.Inflater() // per task, reset per image
         rows.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = PngDecoder.decode(bytes, inf)
           require(img != null, s"payload of media_id=$id is not a decodable image")
-          val w = img.getWidth; val h = img.getHeight
+          val w = img.width; val h = img.height
           var sum = 0L; var y = 0
           while (y < th) {
             val sy = y * h / th

@@ -172,6 +172,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PngDecoder fast path ≡ ImageIO pixel-for-pixel; non-truecolor falls back") {
+    val inf = new java.util.zip.Inflater()
+    // every synth generator shape (w/h cycles, filters chosen by the
+    // encoder) plus both brightness variants — the exact hot-path inputs
+    val payloads =
+      (0L until 40L).map(Multimodal.synthPngBytes) ++
+      (0L until 40L).map(Multimodal.synthPngVariantBytes)
+    payloads.foreach { bytes =>
+      val fast = PngDecoder.decode(bytes, inf)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(fast.width === ref.getWidth && fast.height === ref.getHeight)
+      assert(fast.bands === ref.getRaster.getNumBands)
+      for (y <- 0 until ref.getHeight; x <- 0 until ref.getWidth)
+        assert(fast.getRGB(x, y) === ref.getRGB(x, y), s"($x,$y)")
+    }
+    // a shape the fast path must refuse (grayscale PNG): the fallback
+    // still decodes, with ImageIO's own packing
+    val gray = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 5) gray.getRaster.setSample(x, y, 0, (x * 50 + y) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", bos)
+    val g = PngDecoder.decode(bos.toByteArray, inf)
+    val gref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(g.bands === gref.getRaster.getNumBands)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(g.getRGB(x, y) === gref.getRGB(x, y))
+    // garbage bytes: null, not an exception (callers own the require)
+    assert(PngDecoder.decode(Array[Byte](1, 2, 3), inf) == null)
+  }
+
   test("pngDHash: the decoded-raster hash equals the pixel-formula replay bit for bit") {
     // replicate the oracle's math in plain Scala: clamped-brightness
     // pixel formula -> NN resample to 9x7 -> integer luma -> gradient
