@@ -133,8 +133,17 @@ object Bench {
     // NonFatal, not just IOException: a malformed env value makes
     // Paths.get throw the unchecked InvalidPathException, and that too
     // must degrade to the warning, never discard the run's medians
+    // scaling_note: context for core-count comparisons of this file —
+    // sf0.1 inputs are sub-MB (documents.parquet ~0.6 MB), so wall time
+    // is job-count × scheduling/codegen latency, not compute; 8-core
+    // runs routinely match or beat 32-core ones here (the r16 c8
+    // artifact's flat ratios). Per-query parallelism is measured by the
+    // data-VOLUME ramps (scripts/psb_evidence_*.json), not by this file.
+    val scalingNote = "sub-MB inputs at this SF make queries fixed-" +
+      "overhead-bound; cpu-count ratios near 1 are expected - see " +
+      "scripts/psb_evidence_*.json for data-volume scaling"
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      s"""{"total":$total,"cold_total":$coldTotal,"iso":${ms(isoRatio)},"sf":"$sfDir","queries":$detail}"""
+      s"""{"total":$total,"cold_total":$coldTotal,"iso":${ms(isoRatio)},"sf":"$sfDir","cpus":$cpus,"scaling_note":"$scalingNote","queries":$detail}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail write failed ($detailPath): $e") }

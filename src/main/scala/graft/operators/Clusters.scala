@@ -127,6 +127,24 @@ object Clusters {
     fs.exists(hp(dir)) && fs.listStatus(hp(dir))
       .exists(_.getPath.getName.startsWith("batch_id="))
 
+  // table layouts stated once so the lifecycle's many per-call reads
+  // (every update/resolve/lookup re-opens members+remaps+meta) skip
+  // parquet schema inference — the probe-construction driver cost
+  // measured in Dedup.readLshMeta's note. batch_id is BIGINT, not the
+  // INT directory inference yields on small ids: the API takes Long
+  // batch ids and the archive partition is Long.MinValue, which must
+  // parse (and every consumer compares against a Long anyway); `part`
+  // is written .cast("int") so INT is exact.
+  private val MembersSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, root BIGINT, batch_id BIGINT, part INT")
+  private val RemapsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "old_root BIGINT, new_root BIGINT, batch_id BIGINT")
+  private val MetaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "n_doc_parts INT")
+
+  private def readRegistryMeta(spark: SparkSession, path: String): Int =
+    spark.read.schema(MetaSchema).parquet(s"$path/meta").head().getInt(0)
+
   /** members/ as a frame, or None before the first update. Runs the
     * staged-swap recovery first so a compaction that crashed between
     * its two renames (members momentarily absent) can never read as an
@@ -136,14 +154,14 @@ object Clusters {
     val fs = graft.sources.Hdfs.forPath(spark, path)
     graft.sources.TableSwap.recover(fs, path, "members")
     if (!hasBatchDirs(fs, s"$path/members")) None
-    else Some(spark.read.parquet(s"$path/members"))
+    else Some(spark.read.schema(MembersSchema).parquet(s"$path/members"))
   }
 
   private def readRemaps(spark: SparkSession,
                          path: String): Option[DataFrame] = {
     val fs = graft.sources.Hdfs.forPath(spark, path)
     if (!hasBatchDirs(fs, s"$path/remaps")) None
-    else Some(spark.read.parquet(s"$path/remaps"))
+    else Some(spark.read.schema(RemapsSchema).parquet(s"$path/remaps"))
   }
 
   /** Collapse the merge log to one-hop form: old_root → final root.
@@ -231,7 +249,7 @@ object Clusters {
     // error; an uncommitted meta re-creates cleanly (overwrite mode)
     val metaExists = fs.exists(hp(s"$path/meta/_SUCCESS"))
     val parts =
-      if (metaExists) spark.read.parquet(s"$path/meta").head().getInt(0)
+      if (metaExists) readRegistryMeta(spark, path)
       else { require(nDocParts >= 1,
         s"nDocParts must be >= 1, got $nDocParts"); nDocParts }
     // tiny frames consumed several times (validation, edges, labels,
@@ -394,7 +412,7 @@ object Clusters {
     readMembers(spark, path) match {
       case None => Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
       case Some(m) =>
-        val parts = spark.read.parquet(s"$path/meta").head().getInt(0)
+        val parts = readRegistryMeta(spark, path)
         // pmod, matching the write-side partition arithmetic
         val idParts = docIds.map(id => (((id % parts) + parts) % parts).toInt)
           .distinct

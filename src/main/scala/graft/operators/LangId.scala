@@ -218,13 +218,13 @@ object LangId {
     * score joins expect ([[LmScore.loadLmPerLang]]'s reason). */
   def loadLangId(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame) = {
-    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(conf)
-    spark.conf.set(conf, "false")
-    try {
-      (spark.read.parquet(s"$path/li_model"),
-        spark.read.parquet(s"$path/li_const"))
-    } finally spark.conf.set(conf, prev)
+    def rd(ddl: String, p: String) = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(p)
+    // schemas stated (no per-load parquet inference); `lang STRING`
+    // keeps numeric language codes from loading as integer partitions
+    (rd("f BIGINT, dlp BIGINT, lang STRING", s"$path/li_model"),
+      rd("lang STRING, lp_unseen BIGINT, prior BIGINT, buckets INT",
+        s"$path/li_const"))
   }
 
   /** Predict against the PERSISTED classifier at `path` — equals

@@ -759,6 +759,17 @@ object LmScore {
     * corpus globals — no partial update preserves them); atomic
     * replacement of a LIVE model rides
     * [[Maintenance.retrainAndSwap]]. */
+
+  /** Stated persisted-model table layouts: every load call skips
+    * parquet schema inference (a footer read + driver merge per
+    * table), and `lang STRING` in the stated schema does what the old
+    * partition-type-inference toggle did — a numeric language code can
+    * never load as an integer partition column. */
+  private def rd(spark: org.apache.spark.sql.SparkSession, ddl: String,
+                 path: String): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(path)
+
   def saveKnLmPerLang(train: DataFrame, path: String,
                       textCol: String = "text"): Unit = {
     val (lm, u1, cont, meta) = trainKnBigramPerLang(train, textCol)
@@ -768,21 +779,15 @@ object LmScore {
     meta.coalesce(1).write.mode("overwrite").parquet(s"$path/kn_meta")
   }
 
-  /** (lm, u1, cont, meta) at `path`; partition-column type inference
-    * disabled for the same numeric-lang-code reason as
-    * [[loadLmPerLang]]. */
+  /** (lm, u1, cont, meta) at `path`; schemas stated (see [[rd]]), so
+    * a numeric lang code still loads as STRING. */
   def loadKnLmPerLang(spark: org.apache.spark.sql.SparkSession, path: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(conf)
-    spark.conf.set(conf, "false")
-    try {
-      (spark.read.parquet(s"$path/kn_bigrams"),
-        spark.read.parquet(s"$path/kn_u1"),
-        spark.read.parquet(s"$path/kn_cont"),
-        spark.read.parquet(s"$path/kn_meta"))
-    } finally spark.conf.set(conf, prev)
-  }
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (rd(spark, "w1 STRING, w2 STRING, lp BIGINT, lang STRING", s"$path/kn_bigrams"),
+      rd(spark, "w1 STRING, c1 BIGINT, n1p BIGINT, lang STRING", s"$path/kn_u1"),
+      rd(spark, "w2 STRING, pcnum DOUBLE, lang STRING", s"$path/kn_cont"),
+      rd(spark, "lang STRING, t DOUBLE, du DOUBLE, v DOUBLE, pcden DOUBLE, " +
+        "pcnum_unk DOUBLE", s"$path/kn_meta"))
 
   /** Score `docs` (doc_id, lang, textCol) against the persisted
     * per-language KN models at `path`; equals [[surprisalKnPerLang]]
@@ -1040,17 +1045,13 @@ object LmScore {
     * [[loadLmPerLang]]. */
   def loadMknLmPerLang(spark: org.apache.spark.sql.SparkSession,
                        path: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(conf)
-    spark.conf.set(conf, "false")
-    try {
-      (spark.read.parquet(s"$path/mkn_bigrams"),
-        spark.read.parquet(s"$path/mkn_u1"),
-        spark.read.parquet(s"$path/mkn_cont"),
-        spark.read.parquet(s"$path/mkn_meta"))
-    } finally spark.conf.set(conf, prev)
-  }
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (rd(spark, "w1 STRING, w2 STRING, lp BIGINT, lang STRING", s"$path/mkn_bigrams"),
+      rd(spark, "w1 STRING, c1 BIGINT, g DOUBLE, lang STRING", s"$path/mkn_u1"),
+      rd(spark, "w2 STRING, pcnum DOUBLE, lang STRING", s"$path/mkn_cont"),
+      rd(spark, "lang STRING, t DOUBLE, du DOUBLE, v DOUBLE, pcden DOUBLE, " +
+        "pcnum_unk DOUBLE, d1 DOUBLE, d2 DOUBLE, d3 DOUBLE, estimated BOOLEAN",
+        s"$path/mkn_meta"))
 
   /** Per-transition modified-KN (doc_id, lang, lp) against the
     * persisted per-language models at `path` — shared by
@@ -1351,22 +1352,15 @@ object LmScore {
   }
 
   /** (bigram table, unigram-backoff table, per-lang meta) at `path`.
-    * Partition-column TYPE INFERENCE is disabled for the two
-    * lang-partitioned reads: a numeric-looking language code (e.g.
-    * "001") would otherwise load as an integer partition column, and
-    * the scorer's string-keyed `lang` join would silently match
-    * nothing (schema resolution happens at read time, so the toggle
-    * brackets only these reads). */
+    * Schemas stated ([[rd]]): `lang STRING` keeps a numeric-looking
+    * language code (e.g. "001") from loading as an integer partition
+    * column, which would make the scorer's string-keyed `lang` join
+    * silently match nothing. */
   def loadLmPerLang(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(conf)
-    spark.conf.set(conf, "false")
-    try {
-      (spark.read.parquet(s"$path/bigrams"),
-        spark.read.parquet(s"$path/unigrams"),
-        spark.read.parquet(s"$path/meta"))
-    } finally spark.conf.set(conf, prev)
+    (rd(spark, "w1 STRING, w2 STRING, lp BIGINT, lang STRING", s"$path/bigrams"),
+      rd(spark, "w1 STRING, lp_unk BIGINT, lang STRING", s"$path/unigrams"),
+      rd(spark, "lang STRING, v DOUBLE, lp_unseen BIGINT", s"$path/meta"))
   }
 
   /** Score `docs` (doc_id, lang, textCol) against the persisted
@@ -1509,9 +1503,9 @@ object LmScore {
   /** (bigram table, unigram-backoff table, 1-row meta) at `path`. */
   def loadLm(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/bigrams"),
-      spark.read.parquet(s"$path/unigrams"),
-      spark.read.parquet(s"$path/meta"))
+    (rd(spark, "w1 STRING, w2 STRING, lp BIGINT", s"$path/bigrams"),
+      rd(spark, "w1 STRING, lp_unk BIGINT", s"$path/unigrams"),
+      rd(spark, "v DOUBLE, lp_unseen BIGINT", s"$path/meta"))
 
   /** Per-transition log-prob stream of `docs` under a loaded model:
     * (doc_id, lp) with the [[surprisal]] OOV cascade. Shared by the
