@@ -16,6 +16,12 @@ class IsolationSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.keys.toSet
 
   test("pre-epoch localCheckpointed frame survives scrubs and stays consumable; post-epoch residue is reclaimed") {
+    // drop SQL-cache leftovers from earlier suites on the shared
+    // session first: scrub clears the SQL cache GLOBALLY by contract
+    // (recomputable, so epoch protection deliberately does not apply),
+    // and the exact-set assertions below are about epoch-scoped RDD
+    // protection, not about other suites' cache entries
+    spark.sharedState.cacheManager.clearCache()
     // long-lived state, created BEFORE the epoch
     val longLived = (1L to 50L).toDF("id").localCheckpoint()
     assert(longLived.count() === 50L)
@@ -44,6 +50,7 @@ class IsolationSpec extends AnyFunSuite {
   }
 
   test("cold scrub (no begin) records the epoch instead of unpersisting: protective default for shared sessions") {
+    spark.sharedState.cacheManager.clearCache() // same leftover guard
     val frame = (1L to 20L).toDF("id").localCheckpoint()
     assert(frame.count() === 20L)
     val before = persistentIds
